@@ -1,0 +1,30 @@
+"""janusx-tpu: TPU-native GWAS + genomic-selection framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the JanusX capability stack
+(GWAS scans: lm/lmm/lmm2/fvlmm/splmm/farmcpu; GS: GBLUP/rrBLUP/Bayes/ML;
+GRM/PCA/popgen utilities) for TPU hardware: SNP-major genotype blocks as
+2-bit packed buffers decoded on device, GRM and scan inner loops as MXU
+matmuls, per-SNP variance-component optimization as lockstep batched Brent,
+and multi-chip scaling via jax.sharding meshes with psum/all-gather over ICI.
+"""
+
+from __future__ import annotations
+
+from janusx_tpu import config as _config
+
+import jax as _jax
+
+if _config.ENABLE_X64:
+    _jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from janusx_tpu.io.gdata import GenotypeData, SiteInfo  # noqa: E402
+from janusx_tpu.io.packed import PackedGenotypes  # noqa: E402
+
+__all__ = [
+    "GenotypeData",
+    "SiteInfo",
+    "PackedGenotypes",
+    "__version__",
+]

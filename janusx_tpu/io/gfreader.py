@@ -1,0 +1,147 @@
+"""Unified genotype-file frontend: format detection, inspection, loading.
+
+Replaces the reference's Python ``janusx.gfreader``
+(/root/reference/python/janusx/gfreader/gfreader.py: inspect_genotype_file
+:2153, load_genotype_chunks :1755, prepare_bed_2bit_packed :165).
+
+Supported inputs:
+- PLINK prefix (``.bed``/``.bim``/``.fam``) — mmap + byte-LUT, no decode
+- VCF ``.vcf`` / ``.vcf.gz``
+- HapMap ``.hmp.txt`` / ``.hmp.txt.gz``
+- numeric matrix ``.txt/.tsv/.csv/.npy`` with ``.id`` sidecar
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from janusx_tpu.io import bitcodec, hapmap, plink, txt, vcf
+from janusx_tpu.io.gdata import GenotypeData
+from janusx_tpu.io.packed import PackedGenotypes, QcParams, pack_from_codes, pack_genotypes
+
+
+@dataclass
+class GenotypeFileInfo:
+    path: str
+    format: str  # "bed" | "vcf" | "hmp" | "txt"
+    n_samples: int
+    n_snps: int | None  # None when counting requires a full pass and skip_count
+
+
+def detect_format(path: str) -> tuple[str, str]:
+    """Return (format, resolved_path_or_prefix)."""
+    p = str(path)
+    if p.endswith(".vcf") or p.endswith(".vcf.gz"):
+        return "vcf", p
+    if p.endswith(".hmp.txt") or p.endswith(".hmp.txt.gz"):
+        return "hmp", p
+    if p.endswith(".bed"):
+        return "bed", p[:-4]
+    if any(p.endswith(e) for e in (".txt", ".tsv", ".csv", ".npy")):
+        return "txt", p
+    # prefix probing
+    if os.path.exists(p + ".bed"):
+        return "bed", p
+    for ext in (".vcf.gz", ".vcf"):
+        if os.path.exists(p + ext):
+            return "vcf", p + ext
+    for ext in (".hmp.txt.gz", ".hmp.txt"):
+        if os.path.exists(p + ext):
+            return "hmp", p + ext
+    for ext in (".txt", ".tsv", ".csv", ".npy"):
+        if os.path.exists(p + ext):
+            return "txt", p + ext
+    raise FileNotFoundError(f"cannot resolve genotype input: {path}")
+
+
+def inspect_genotype_file(path: str, count_snps: bool = True) -> GenotypeFileInfo:
+    fmt, p = detect_format(path)
+    if fmt == "bed":
+        samples = plink.read_fam(p + ".fam")
+        sites = plink.read_bim(p + ".bim")
+        return GenotypeFileInfo(p, fmt, len(samples), len(sites))
+    if fmt == "vcf":
+        samples = vcf.read_vcf_samples(p)
+        m = vcf.count_vcf_sites(p) if count_snps else None
+        return GenotypeFileInfo(p, fmt, len(samples), m)
+    if fmt == "hmp":
+        first = next(iter(hapmap.iter_hapmap_chunks(p, chunk_snps=1)))
+        # cheap: count lines if requested
+        m = None
+        if count_snps:
+            opener = hapmap._open_text(p)
+            with opener as fh:
+                m = sum(1 for _ in fh) - 1
+        return GenotypeFileInfo(p, fmt, first.n, m)
+    vals, sites, samples = txt.read_txt_matrix(p)
+    return GenotypeFileInfo(p, fmt, len(samples), len(sites))
+
+
+def iter_genotype_chunks(
+    path: str, chunk_snps: int = 4096
+) -> Iterator[GenotypeData]:
+    """Stream any supported format as SNP-major int8 chunks."""
+    fmt, p = detect_format(path)
+    if fmt == "vcf":
+        yield from vcf.iter_vcf_chunks(p, chunk_snps)
+    elif fmt == "hmp":
+        yield from hapmap.iter_hapmap_chunks(p, chunk_snps)
+    elif fmt == "bed":
+        packed, n, sites, samples = plink.read_bed_packed(p)
+        m = packed.shape[0]
+        for s in range(0, m, chunk_snps):
+            e = min(s + chunk_snps, m)
+            codes = bitcodec.unpack_codes(packed[s:e], n)
+            geno = codes.astype(np.int8)
+            geno[codes == bitcodec.CODE_MISSING] = -1
+            yield GenotypeData(geno, sites.take(np.arange(s, e)), samples)
+    else:
+        g = txt.read_txt(p)
+        if not isinstance(g, GenotypeData):
+            raise ValueError(
+                f"{p}: continuous matrix input has no dosage chunks; "
+                "use read_txt_matrix / matrix-mode models"
+            )
+        m = g.m
+        for s in range(0, m, chunk_snps):
+            yield g.take_snps(np.arange(s, min(s + chunk_snps, m)))
+
+
+def load_genotype_file(path: str) -> GenotypeData:
+    fmt, p = detect_format(path)
+    if fmt == "vcf":
+        return vcf.read_vcf(p)
+    if fmt == "hmp":
+        return hapmap.read_hapmap(p)
+    if fmt == "bed":
+        return plink.read_plink(p)
+    g = txt.read_txt(p)
+    if not isinstance(g, GenotypeData):
+        raise ValueError(f"{p}: continuous matrix; use read_txt_matrix")
+    return g
+
+
+def prepare_packed(
+    path: str,
+    qc: QcParams | None = None,
+    chunk_snps: int = 8192,
+) -> PackedGenotypes:
+    """One-pass load + QC + minor-allele flip + 2-bit pack of any input.
+
+    The TPU-native analog of the reference's ``prepare_bed_2bit_packed``
+    (src/io/gfreader.rs:7029). PLINK input takes the byte-LUT fast path
+    (never unpacked); other formats stream through int8 chunks.
+    """
+    qc = qc or QcParams()
+    fmt, p = detect_format(path)
+    if fmt == "bed":
+        packed, n, sites, samples = plink.read_bed_packed(p)
+        return pack_from_codes(packed, n, sites, samples, qc)
+    parts = [
+        pack_genotypes(chunk, qc) for chunk in iter_genotype_chunks(p, chunk_snps)
+    ]
+    return PackedGenotypes.concat(parts)

@@ -1,0 +1,181 @@
+"""QC + 2-bit packing: the one-pass prepare stage.
+
+TPU-native equivalent of the reference's ``prepare_bed_2bit_packed``
+(/root/reference/src/io/gfreader.rs:7029; filter semantics
+gfreader.rs:1830-1872): one pass over SNP-major dosage data applying
+missing-rate / heterozygosity / MAF filters, flipping rows so allele1 is
+always the minor allele, and emitting a 2-bit packed buffer plus per-SNP
+stats (af, missing rate, mean dosage) that every device kernel consumes.
+
+The packed buffer is the array that ships to TPU HBM: 16x smaller than
+f32, decoded on device (janusx_tpu.ops.decode).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from janusx_tpu.io import bitcodec
+from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+from janusx_tpu import config
+
+
+@dataclass
+class QcParams:
+    maf: float = config.DEFAULT_MAF
+    geno: float = config.DEFAULT_GENO  # max missing rate
+    het: float = config.DEFAULT_HET  # max het rate; >=1.0 disables
+    snps_only: bool = False
+
+    @property
+    def apply_het(self) -> bool:
+        return self.het < 1.0
+
+
+@dataclass
+class PackedGenotypes:
+    """QC'd, minor-allele-flipped, 2-bit packed SNP-major genotypes."""
+
+    packed: np.ndarray  # (m, ceil(n/4)) uint8 dosage codes
+    n_samples: int
+    sites: SiteInfo
+    samples: np.ndarray
+    af: np.ndarray  # (m,) f64 — freq of allele1 (minor, counted) over non-missing
+    miss: np.ndarray  # (m,) f64 — missing rate
+    mean: np.ndarray  # (m,) f64 — mean dosage over non-missing (= 2*af)
+
+    @property
+    def m(self) -> int:
+        return self.packed.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.n_samples
+
+    def dosages(self, start: int = 0, stop: int | None = None) -> np.ndarray:
+        """Host decode of rows [start:stop) to int8 dosages (-1 missing)."""
+        stop = self.m if stop is None else stop
+        codes = bitcodec.unpack_codes(self.packed[start:stop], self.n_samples)
+        out = codes.astype(np.int8)
+        out[codes == bitcodec.CODE_MISSING] = -1
+        return out
+
+    def centered(self, start: int = 0, stop: int | None = None) -> np.ndarray:
+        """Host decode to mean-centered f64 (missing imputed to 0)."""
+        stop = self.m if stop is None else stop
+        codes = bitcodec.unpack_codes(self.packed[start:stop], self.n_samples)
+        x = codes.astype(np.float64) - self.mean[start:stop, None]
+        x[codes == bitcodec.CODE_MISSING] = 0.0
+        return x
+
+    def take_snps(self, idx: np.ndarray) -> "PackedGenotypes":
+        return PackedGenotypes(
+            packed=self.packed[idx],
+            n_samples=self.n_samples,
+            sites=self.sites.take(idx),
+            samples=self.samples,
+            af=self.af[idx],
+            miss=self.miss[idx],
+            mean=self.mean[idx],
+        )
+
+    @staticmethod
+    def concat(parts: list["PackedGenotypes"]) -> "PackedGenotypes":
+        n = parts[0].n_samples
+        if any(p.n_samples != n for p in parts):
+            raise ValueError("sample counts differ")
+        return PackedGenotypes(
+            packed=np.concatenate([p.packed for p in parts], axis=0),
+            n_samples=n,
+            sites=SiteInfo.concat([p.sites for p in parts]),
+            samples=parts[0].samples,
+            af=np.concatenate([p.af for p in parts]),
+            miss=np.concatenate([p.miss for p in parts]),
+            mean=np.concatenate([p.mean for p in parts]),
+        )
+
+
+def _is_snp_allele(a: np.ndarray) -> np.ndarray:
+    ok = np.zeros(len(a), dtype=bool)
+    for i, s in enumerate(a):
+        ok[i] = isinstance(s, str) and len(s) == 1 and s.upper() in "ACGT"
+    return ok
+
+
+def qc_evaluate(
+    n_samples: int,
+    non_missing: np.ndarray,
+    alt_sum: np.ndarray,
+    het_count: np.ndarray,
+    qc: QcParams,
+):
+    """Vectorized keep/flip decision.
+
+    Mirrors reference semantics exactly
+    (src/io/gfreader.rs:1830 ``evaluate_packed_row_keep_and_flip``).
+    Returns (keep, flip, af, miss_rate, mean) where af/mean are post-flip
+    and computed over non-missing samples.
+    """
+    non_missing = non_missing.astype(np.float64)
+    miss_rate = 1.0 - non_missing / float(n_samples)
+    keep = miss_rate <= qc.geno + 0.0
+
+    has_obs = non_missing > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alt_freq = np.where(has_obs, alt_sum / (2.0 * non_missing), 0.0)
+        het_rate = np.where(has_obs, het_count / non_missing, 0.0)
+
+    if qc.apply_het:
+        keep &= ~(has_obs & (het_rate > qc.het))
+
+    flip = alt_freq > 0.5
+    af = np.where(flip, 1.0 - alt_freq, alt_freq)
+    maf = np.minimum(af, 1.0 - af)
+    # all-missing rows: keep only when maf filter is disabled (reference rule)
+    keep &= np.where(has_obs, maf >= qc.maf, qc.maf <= 0.0)
+    mean = 2.0 * af
+    return keep, flip & keep, af, miss_rate, mean
+
+
+def pack_genotypes(
+    gdata: GenotypeData,
+    qc: QcParams | None = None,
+) -> PackedGenotypes:
+    """QC + flip + pack an int8 dosage matrix."""
+    qc = qc or QcParams()
+    g = gdata.genotypes
+    codes = np.where(g < 0, np.uint8(bitcodec.CODE_MISSING), g.astype(np.uint8))
+    packed = bitcodec.pack_codes(codes)
+    return pack_from_codes(packed, gdata.n, gdata.sites, gdata.samples, qc)
+
+
+def pack_from_codes(
+    packed: np.ndarray,
+    n_samples: int,
+    sites: SiteInfo,
+    samples: np.ndarray,
+    qc: QcParams | None = None,
+) -> PackedGenotypes:
+    """QC + flip already-packed dosage codes (tail must be code-3 padded)."""
+    qc = qc or QcParams()
+    non_missing, alt_sum, het = bitcodec.row_stats(packed, n_samples)
+    keep, flip, af, miss_rate, mean = qc_evaluate(
+        n_samples, non_missing, alt_sum, het, qc
+    )
+    if qc.snps_only:
+        keep &= _is_snp_allele(sites.allele0) & _is_snp_allele(sites.allele1)
+
+    idx = np.nonzero(keep)[0]
+    packed_kept = bitcodec.flip_rows(packed[idx], flip[idx])
+    sites_kept = sites.take(idx).swap_alleles(flip[idx])
+    return PackedGenotypes(
+        packed=packed_kept,
+        n_samples=n_samples,
+        sites=sites_kept,
+        samples=np.asarray(samples, dtype=object),
+        af=af[idx],
+        miss=miss_rate[idx],
+        mean=mean[idx],
+    )

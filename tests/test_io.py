@@ -1,0 +1,160 @@
+"""IO layer tests: codec round-trips, QC semantics, format readers."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from janusx_tpu.io import bitcodec, plink, vcf
+from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+from janusx_tpu.io.packed import QcParams, pack_genotypes
+from janusx_tpu.io.pheno import load_phenotype
+from janusx_tpu.io.gfreader import prepare_packed, load_genotype_file
+
+
+def test_pack_unpack_roundtrip(rng):
+    for n in (1, 3, 4, 7, 128, 129):
+        codes = rng.integers(0, 4, size=(11, n)).astype(np.uint8)
+        packed = bitcodec.pack_codes(codes)
+        assert packed.shape == (11, (n + 3) // 4)
+        out = bitcodec.unpack_codes(packed, n)
+        np.testing.assert_array_equal(out, codes)
+
+
+def test_row_stats_matches_direct(rng):
+    n = 37
+    codes = rng.integers(0, 4, size=(20, n)).astype(np.uint8)
+    packed = bitcodec.pack_codes(codes)
+    nm, alt, het = bitcodec.row_stats(packed, n)
+    np.testing.assert_array_equal(nm, (codes != 3).sum(1))
+    d = np.where(codes == 3, 0, codes)
+    np.testing.assert_array_equal(alt, d.sum(1))
+    np.testing.assert_array_equal(het, (codes == 1).sum(1))
+
+
+def test_flip_lut():
+    codes = np.array([[0, 1, 2, 3, 2, 0]], dtype=np.uint8)
+    packed = bitcodec.pack_codes(codes)
+    flipped = bitcodec.translate(packed, bitcodec.FLIP_LUT)
+    out = bitcodec.unpack_codes(flipped, 6)
+    np.testing.assert_array_equal(out, [[2, 1, 0, 3, 0, 2]])
+
+
+def test_qc_flip_and_stats(toy_genotypes):
+    pg = pack_genotypes(toy_genotypes, QcParams(maf=0.05, geno=0.05))
+    g = toy_genotypes.genotypes
+    # recompute expected per original row
+    kept = 0
+    for i in range(toy_genotypes.m):
+        row = g[i]
+        obs = row >= 0
+        nm = obs.sum()
+        miss_rate = 1 - nm / len(row)
+        if miss_rate > 0.05 or nm == 0:
+            continue
+        af = row[obs].sum() / (2 * nm)
+        flip = af > 0.5
+        maf = min(af, 1 - af)
+        if maf < 0.05:
+            continue
+        d = pg.dosages(kept, kept + 1)[0]
+        exp = np.where(row < 0, -1, 2 - row if flip else row)
+        np.testing.assert_array_equal(d, exp)
+        assert pg.af[kept] == pytest.approx(min(af, 1 - af))
+        assert pg.miss[kept] == pytest.approx(miss_rate)
+        assert pg.mean[kept] == pytest.approx(2 * min(af, 1 - af))
+        kept += 1
+    assert kept == pg.m and kept > 0
+
+
+def test_centered_zero_mean_no_missing(rng):
+    g = rng.integers(0, 3, size=(50, 64)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * 50, object),
+        pos=np.arange(50, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(50)], object),
+        allele0=np.array(["A"] * 50, object),
+        allele1=np.array(["C"] * 50, object),
+    )
+    gd = GenotypeData(g, sites)
+    pg = pack_genotypes(gd, QcParams(maf=0.0, geno=1.0))
+    c = pg.centered()
+    # centered about 2*af (mean dosage)
+    assert abs(c.mean()) < 0.5
+    d = pg.dosages()
+    np.testing.assert_allclose(c, d - pg.mean[:, None], atol=1e-12)
+
+
+def test_plink_roundtrip(toy_genotypes, tmp_path):
+    prefix = str(tmp_path / "toy")
+    plink.write_plink_genotypes(prefix, toy_genotypes)
+    back = plink.read_plink(prefix)
+    np.testing.assert_array_equal(back.genotypes, toy_genotypes.genotypes)
+    np.testing.assert_array_equal(back.samples, toy_genotypes.samples)
+    np.testing.assert_array_equal(back.sites.pos, toy_genotypes.sites.pos)
+    np.testing.assert_array_equal(back.sites.allele1, toy_genotypes.sites.allele1)
+
+
+def test_vcf_reader(tmp_path):
+    content = (
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\ts3\n"
+        "1\t100\trs1\tA\tG\t.\t.\t.\tGT\t0/0\t0/1\t1/1\n"
+        "1\t200\t.\tC\tT\t.\t.\t.\tGT:DP\t0|1:3\t./.\t1|1:9\n"
+        "2\t300\trs3\tG\tA\t.\t.\t.\tGT\t1/1\t1/1\t0/1\n"
+    )
+    path = tmp_path / "toy.vcf.gz"
+    with gzip.open(path, "wt") as fh:
+        fh.write(content)
+    gd = vcf.read_vcf(str(path))
+    assert gd.m == 3 and gd.n == 3
+    np.testing.assert_array_equal(
+        gd.genotypes, [[0, 1, 2], [1, -1, 2], [2, 2, 1]]
+    )
+    assert gd.sites.snp[1] == "1_200"
+    assert list(gd.samples) == ["s1", "s2", "s3"]
+
+
+def test_mouse_vcf_loads(mouse_vcf):
+    pg = prepare_packed(mouse_vcf, QcParams(maf=0.0, geno=1.0))
+    assert pg.n == 1940
+    assert pg.m > 10000
+    # af within [0, 0.5] post flip
+    assert pg.af.max() <= 0.5 + 1e-12
+
+
+def test_pheno_parse(tmp_path):
+    path = tmp_path / "p.tsv"
+    path.write_text(
+        "\ttrait_a\ttrait_b\n"
+        "s1\t1.0\t2.0\n"
+        "s2\tNA\t4.0\n"
+        "s1\t3.0\tNA\n"
+    )
+    ph = load_phenotype(str(path))
+    assert ph.traits == ["trait_a", "trait_b"]
+    assert list(ph.samples) == ["s1", "s2"]
+    np.testing.assert_allclose(ph.values[0], [2.0, 2.0])  # duplicate avg
+    assert np.isnan(ph.values[1, 0]) and ph.values[1, 1] == 4.0
+
+
+def test_pheno_mouse(mouse_pheno):
+    ph = load_phenotype(mouse_pheno)
+    assert ph.traits[:2] == ["test0", "test1"]
+    assert ph.n == 1940
+
+
+def test_hapmap_reader(tmp_path):
+    header = (
+        "rs#\talleles\tchrom\tpos\tstrand\tassembly#\tcenter\tprotLSID\t"
+        "assayLSID\tpanelLSID\tQCcode\ts1\ts2\ts3\n"
+    )
+    rows = (
+        "rs1\tA/G\t1\t100\t+\t.\t.\t.\t.\t.\t.\tAA\tAG\tGG\n"
+        "rs2\tC/T\t1\t200\t+\t.\t.\t.\t.\t.\t.\tNN\tCT\tTT\n"
+    )
+    path = tmp_path / "toy.hmp.txt"
+    path.write_text(header + rows)
+    gd = load_genotype_file(str(path))
+    np.testing.assert_array_equal(gd.genotypes, [[0, 1, 2], [-1, 1, 2]])
