@@ -125,6 +125,25 @@ def packed_code_counts(packed: np.ndarray) -> np.ndarray:
     return counts.sum(axis=1, dtype=np.int64)
 
 
+def subset_columns(
+    packed: np.ndarray, n_samples: int, sample_idx: np.ndarray, chunk: int = 16384
+) -> np.ndarray:
+    """Select sample columns from packed rows; returns re-packed codes.
+
+    Equivalent of the reference's SampleSubsetPlan collapse
+    (src/math/bedmath.rs SubsetDecodePlan): unpack -> gather -> repack,
+    chunked over SNP rows to bound memory.
+    """
+    sample_idx = np.asarray(sample_idx)
+    m = packed.shape[0]
+    out = np.empty((m, n_bytes(len(sample_idx))), dtype=np.uint8)
+    for s in range(0, m, chunk):
+        e = min(s + chunk, m)
+        codes = unpack_codes(packed[s:e], n_samples)[:, sample_idx]
+        out[s:e] = pack_codes(codes)
+    return out
+
+
 def row_stats(packed: np.ndarray, n_samples: int):
     """Per-SNP (non_missing, alt_sum, het_count) from packed dosage codes."""
     c = packed_code_counts(packed)

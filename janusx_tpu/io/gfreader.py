@@ -125,10 +125,64 @@ def load_genotype_file(path: str) -> GenotypeData:
     return g
 
 
+@dataclass
+class RawPacked:
+    """Pre-QC packed dosage codes: the reusable on-host master copy.
+
+    Per-trait analyses re-derive QC'd PackedGenotypes from this with their
+    own sample subset (stats/flips re-evaluated on the subset, matching the
+    reference's per-trait prepare)."""
+
+    packed: np.ndarray  # (m, ceil(n/4)) uint8, unflipped, tail code-3
+    n_samples: int
+    sites: object
+    samples: np.ndarray
+
+    @property
+    def m(self) -> int:
+        return self.packed.shape[0]
+
+    def prepare(
+        self, qc: QcParams | None = None, sample_idx: np.ndarray | None = None
+    ) -> PackedGenotypes:
+        return pack_from_codes(
+            self.packed, self.n_samples, self.sites, self.samples, qc, sample_idx
+        )
+
+
+def load_raw_packed(path: str, chunk_snps: int = 8192) -> RawPacked:
+    """Load any supported input as pre-QC packed dosage codes."""
+    fmt, p = detect_format(path)
+    if fmt == "bed":
+        packed, n, sites, samples = plink.read_bed_packed(p)
+        return RawPacked(packed, n, sites, samples)
+    from janusx_tpu.io.gdata import SiteInfo
+
+    parts, site_parts, samples = [], [], None
+    for chunk in iter_genotype_chunks(p, chunk_snps):
+        codes = np.where(
+            chunk.genotypes < 0,
+            np.uint8(bitcodec.CODE_MISSING),
+            chunk.genotypes.astype(np.uint8),
+        )
+        parts.append(bitcodec.pack_codes(codes))
+        site_parts.append(chunk.sites)
+        samples = chunk.samples
+    if not parts:
+        raise ValueError(f"no variants in {p}")
+    return RawPacked(
+        np.concatenate(parts, axis=0),
+        len(samples),
+        SiteInfo.concat(site_parts),
+        samples,
+    )
+
+
 def prepare_packed(
     path: str,
     qc: QcParams | None = None,
     chunk_snps: int = 8192,
+    sample_idx: np.ndarray | None = None,
 ) -> PackedGenotypes:
     """One-pass load + QC + minor-allele flip + 2-bit pack of any input.
 
@@ -136,12 +190,4 @@ def prepare_packed(
     (src/io/gfreader.rs:7029). PLINK input takes the byte-LUT fast path
     (never unpacked); other formats stream through int8 chunks.
     """
-    qc = qc or QcParams()
-    fmt, p = detect_format(path)
-    if fmt == "bed":
-        packed, n, sites, samples = plink.read_bed_packed(p)
-        return pack_from_codes(packed, n, sites, samples, qc)
-    parts = [
-        pack_genotypes(chunk, qc) for chunk in iter_genotype_chunks(p, chunk_snps)
-    ]
-    return PackedGenotypes.concat(parts)
+    return load_raw_packed(path, chunk_snps).prepare(qc, sample_idx)

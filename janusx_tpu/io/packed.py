@@ -157,9 +157,22 @@ def pack_from_codes(
     sites: SiteInfo,
     samples: np.ndarray,
     qc: QcParams | None = None,
+    sample_idx: np.ndarray | None = None,
 ) -> PackedGenotypes:
-    """QC + flip already-packed dosage codes (tail must be code-3 padded)."""
+    """QC + flip already-packed dosage codes (tail must be code-3 padded).
+
+    ``sample_idx`` restricts to an analysis-sample subset BEFORE computing
+    stats and filters — per-trait re-preparation exactly as the reference's
+    prepare_bed_2bit_packed_owned_for_stats_samples
+    (src/io/gfreader.rs:6784): af/miss/flip and the QC decisions are all
+    evaluated on the subset.
+    """
     qc = qc or QcParams()
+    if sample_idx is not None:
+        sample_idx = np.asarray(sample_idx)
+        packed = bitcodec.subset_columns(packed, n_samples, sample_idx)
+        samples = np.asarray(samples, dtype=object)[sample_idx]
+        n_samples = len(sample_idx)
     non_missing, alt_sum, het = bitcodec.row_stats(packed, n_samples)
     keep, flip, af, miss_rate, mean = qc_evaluate(
         n_samples, non_missing, alt_sum, het, qc

@@ -1,0 +1,122 @@
+"""Linear-model GWAS scan (``-lm``), residualized OLS on device.
+
+Math (reference /root/reference/src/stats/glm.rs:1-8):
+    M_X = I - X(X'X)^{-1}X'
+    beta = (g'M_X y)/(g'M_X g)
+    rss  = y'M_X y - (g'M_X y)^2/(g'M_X g)
+    se   = sqrt(rss/(n - p - 1) / (g'M_X g))
+    p    = two-sided Student-t with df = n - p - 1 (glm.rs:458,786)
+
+Device step per SNP block: decode packed 2-bit to centered f32, then two
+matmuls (G @ M_X y and G @ X) + row reductions; centering makes the pad
+lanes exact zeros so no masking is needed. The per-block cost is dominated
+by (B, n) x (n, p+1) MXU work.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import special as sp_special
+
+from janusx_tpu import config
+from janusx_tpu.io.packed import PackedGenotypes
+from janusx_tpu.models.scan_common import ScanResult, iter_blocks, pad_rows
+from janusx_tpu.ops import decode
+
+_DBL_MIN = np.finfo(np.float64).tiny
+
+
+def student_t_p_two_sided(t: np.ndarray, df: int) -> np.ndarray:
+    """Two-sided t-test p via the regularized incomplete beta
+    (reference glm.rs:458: betai(df/2, 1/2, df/(df+t^2)))."""
+    t = np.asarray(t, dtype=np.float64)
+    if df <= 0:
+        return np.full_like(t, np.nan)
+    x = df / (df + t * t)
+    p = sp_special.betainc(df / 2.0, 0.5, x)
+    p = np.where(np.isfinite(p), p, 1.0)
+    p = np.clip(p, _DBL_MIN, 1.0)
+    # non-finite t: NaN -> NaN handled by caller; +/-inf -> min positive
+    p = np.where(np.isnan(t), np.nan, p)
+    p = np.where(np.isinf(t), _DBL_MIN, p)
+    return p
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _lm_step(packed, mean, X, C, My, n: int):
+    G = decode.decode_centered(packed, mean, dtype=jnp.float32)[:, :n].astype(
+        jnp.float64
+    )
+    hp = jax.lax.Precision.HIGHEST
+    gMy = jnp.dot(G, My, precision=hp)
+    GX = jnp.dot(G, X, precision=hp)
+    gg = jnp.sum(G * G, axis=-1)
+    gMg = gg - jnp.einsum("bp,pq,bq->b", GX, C, GX)
+    return gMy, gMg
+
+
+def design_matrix(n: int, covariates: np.ndarray | None) -> np.ndarray:
+    ones = np.ones((n, 1), dtype=np.float64)
+    if covariates is None:
+        return ones
+    return np.concatenate([ones, np.asarray(covariates, np.float64)], axis=1)
+
+
+def lm_scan(
+    pg: PackedGenotypes,
+    y: np.ndarray,
+    covariates: np.ndarray | None = None,
+    block: int = config.DEFAULT_SNP_BLOCK,
+) -> ScanResult:
+    """Run the LM scan over all SNPs of an (already subset) PackedGenotypes."""
+    y = np.asarray(y, dtype=np.float64).reshape(-1)
+    n = pg.n
+    if len(y) != n:
+        raise ValueError(f"y length {len(y)} != samples {n}")
+    X = design_matrix(n, covariates)
+    p = X.shape[1]
+    df = n - p - 1
+    if df <= 0:
+        raise ValueError("not enough samples for LM scan (df <= 0)")
+    XtX = X.T @ X
+    C = np.linalg.inv(XtX)
+    My = y - X @ (C @ (X.T @ y))
+    yMy = float(y @ My)
+
+    Xd = jnp.asarray(X)
+    Cd = jnp.asarray(C)
+    Myd = jnp.asarray(My)
+    packed = decode.pad_packed_cols(pg.packed)
+    m = pg.m
+    beta = np.empty(m)
+    se = np.empty(m)
+    gMg_all = np.empty(m)
+    for s, e in iter_blocks(m, block):
+        pk = pad_rows(packed[s:e], block, 0xFF)
+        mn = pad_rows(pg.mean[s:e].astype(np.float32), block)
+        gMy, gMg = _lm_step(jnp.asarray(pk), jnp.asarray(mn), Xd, Cd, Myd, n)
+        gMy = np.asarray(gMy)[: e - s]
+        gMgb = np.asarray(gMg)[: e - s]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b = gMy / gMgb
+            rss = yMy - gMy * gMy / gMgb
+            s2 = rss / df
+            sb = np.sqrt(s2 / gMgb)
+        beta[s:e] = b
+        se[s:e] = sb
+        gMg_all[s:e] = gMgb
+
+    ok = np.isfinite(beta) & np.isfinite(se) & (se > 0) & (gMg_all > 1e-12)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(ok, beta / se, 0.0)
+    pwald = student_t_p_two_sided(t, df)
+    pwald = np.where(ok, pwald, 1.0)
+    beta = np.where(ok, beta, np.nan)
+    se = np.where(ok, se, np.nan)
+    return ScanResult(
+        sites=pg.sites, af=pg.af, miss=pg.miss, beta=beta, se=se, pwald=pwald
+    )

@@ -1,0 +1,126 @@
+"""Exact per-SNP REML LMM scan (GEMMA-semantics, ``-lmm`` / ``-lmm2``).
+
+The flagship model. Per SNP, λ is optimized by Brent over log10 λ in
+(−5, 5) against the profiled REML (reference /root/reference/src/stats/
+lmm.rs + reml.rs; tol 1e-2, 50 iters, seeded from the null λ), then
+beta/se at the optimum give the Wald test; ``lmm2`` additionally reports
+per-SNP λ, the ML loglik at the optimum, and an LRT p against the null ML
+(columns lambda/ml/plrt — src/io/assoc2tsv.rs Lmm2_6).
+
+TPU mapping: a whole SNP block optimizes in lockstep — the batched Brent
+(janusx_tpu.ops.brent) drives the batched spectral REML objective
+(janusx_tpu.core.reml), whose λ-step cost is a few (B, n) x (n, k) MXU
+matmuls. This replaces the reference's rayon per-row scalar Brent loops;
+warm starts are per-block (null λ) instead of per-row-sequential, which
+changes nothing beyond the Brent tolerance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from janusx_tpu import config
+from janusx_tpu.core import stats as jstats
+from janusx_tpu.core.reml import (
+    NullFit,
+    RotatedData,
+    beta_se_snp_batch,
+    fit_null_reml,
+    make_rotated,
+    ml_snp_batch,
+    neg_reml_snp_batch,
+)
+from janusx_tpu.core.spectral import SpectralBasis
+from janusx_tpu.io.packed import PackedGenotypes
+from janusx_tpu.models.scan_common import ScanResult, finalize_invalid, iter_blocks, pad_rows
+from janusx_tpu.ops import decode
+from janusx_tpu.ops.brent import brent_minimize_batched
+
+
+@partial(jax.jit, static_argnames=("n", "with_ml", "max_iter"))
+def _lmm_block(
+    packed, mean, U32, rot: RotatedData, init_lg, n: int, with_ml: bool,
+    max_iter: int = config.SCAN_BRENT_MAX_ITER,
+):
+    Graw = decode.decode_centered(packed, mean, dtype=jnp.float32)[:, :n]
+    Gr = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST).astype(jnp.float64)
+    ssq = jnp.sum(Gr * Gr, axis=-1)
+    B = Gr.shape[0]
+
+    f = lambda lg: neg_reml_snp_batch(lg, rot, Gr)
+    lgs, _ = brent_minimize_batched(
+        f,
+        config.LOG10_LAMBDA_LOW,
+        config.LOG10_LAMBDA_HIGH,
+        config.SCAN_BRENT_TOL,
+        max_iter,
+        init_x=jnp.full((B,), init_lg, jnp.float64),
+    )
+    beta, se = beta_se_snp_batch(lgs, rot, Gr)
+    ml = ml_snp_batch(lgs, rot, Gr) if with_ml else jnp.zeros_like(lgs)
+    return lgs, beta, se, ml, ssq
+
+
+def lmm_scan(
+    pg: PackedGenotypes,
+    basis: SpectralBasis,
+    y: np.ndarray,
+    covariates: np.ndarray | None = None,
+    block: int = config.DEFAULT_SNP_BLOCK,
+    lmm2: bool = False,
+    null: NullFit | None = None,
+) -> tuple[ScanResult, NullFit]:
+    """Exact LMM scan over all SNPs of the (subset) packed genotypes."""
+    y = np.asarray(y, np.float64).reshape(-1)
+    n = pg.n
+    rot = make_rotated(basis, y, covariates)
+    if null is None:
+        null = fit_null_reml(rot)
+
+    U32 = jnp.asarray(basis.U, jnp.float32)
+    packed = decode.pad_packed_cols(pg.packed)
+    m = pg.m
+    lbd = np.empty(m)
+    beta = np.empty(m)
+    se = np.empty(m)
+    ml = np.empty(m)
+    ssq = np.empty(m)
+    for s0, e0 in iter_blocks(m, block):
+        pk = pad_rows(packed[s0:e0], block, 0xFF)
+        mn = pad_rows(pg.mean[s0:e0].astype(np.float32), block)
+        lgs_b, beta_b, se_b, ml_b, ssq_b = _lmm_block(
+            jnp.asarray(pk),
+            jnp.asarray(mn),
+            U32,
+            rot,
+            null.log10_lbd,
+            n,
+            lmm2,
+        )
+        k = e0 - s0
+        lbd[s0:e0] = 10.0 ** np.asarray(lgs_b)[:k]
+        beta[s0:e0] = np.asarray(beta_b)[:k]
+        se[s0:e0] = np.asarray(se_b)[:k]
+        ml[s0:e0] = np.asarray(ml_b)[:k]
+        ssq[s0:e0] = np.asarray(ssq_b)[:k]
+
+    pwald = jstats.pwald_from_beta_se(beta, se)
+    if lmm2:
+        plrt = jstats.plrt_from_ml(ml, null.ml)
+        beta, se, pwald, plrt = finalize_invalid(beta, se, pwald, ssq, plrt)
+        res = ScanResult(
+            sites=pg.sites, af=pg.af, miss=pg.miss, beta=beta, se=se,
+            pwald=pwald, plrt=plrt, lbd=lbd, ml=ml,
+            extras={"lambda_null": null.lbd, "ml_null": null.ml},
+        )
+    else:
+        beta, se, pwald, _ = finalize_invalid(beta, se, pwald, ssq)
+        res = ScanResult(
+            sites=pg.sites, af=pg.af, miss=pg.miss, beta=beta, se=se,
+            pwald=pwald, extras={"lambda_null": null.lbd},
+        )
+    return res, null
