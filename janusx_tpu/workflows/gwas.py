@@ -1,0 +1,213 @@
+"""GWAS pipeline orchestration.
+
+TPU-native re-design of the reference pipeline
+(/root/reference/python/janusx/assoc/workflow.py:_run_gwas_pipeline :7159):
+
+  load genotype -> QC/pack -> GRM (all genotyped samples w/ QC on full set)
+  -> optional PCs -> per trait: subset samples (pheno+cov non-missing),
+  re-prepare packed subset, eigh(K_subset + 1e-6 I), null REML fit,
+  LMM->LM auto-switch (null LRT p >= 0.05 unless force_model,
+  workflow.py:848), scan, TSV + summary.
+
+Caching follows the reference naming contract where applicable
+(~prefix genotype cache, {prefix}.maf{..}.geno{..}.cGRM.npy + .id).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from janusx_tpu import config
+from janusx_tpu.core import stats as jstats
+from janusx_tpu.core.reml import fit_null_reml, make_rotated, ml_null
+from janusx_tpu.core.spectral import eigh_grm
+from janusx_tpu.io.gfreader import RawPacked, load_raw_packed
+from janusx_tpu.io.packed import QcParams
+from janusx_tpu.io.pheno import load_phenotype, load_covariates
+from janusx_tpu.models import lm as lm_mod
+from janusx_tpu.models import fvlmm as fvlmm_mod
+from janusx_tpu.models import lmm as lmm_mod
+from janusx_tpu.models.grm import grm_from_packed
+from janusx_tpu.models.scan_common import ScanResult, analysis_sample_index
+
+import jax.numpy as jnp
+
+log = logging.getLogger("janusx_tpu.gwas")
+
+
+@dataclass
+class GwasConfig:
+    """Mirrors the reference AssociationConfig (assoc/config.py:39) surface."""
+
+    genotype: str
+    phenotype: str
+    out_prefix: str = "./jx_out"
+    models: tuple[str, ...] = ("lmm",)  # lm | lmm | lmm2 | fvlmm
+    traits: list | None = None  # indices or names; None = all
+    covariates: str | None = None  # covariate file
+    n_pcs: int = 0
+    maf: float = config.DEFAULT_MAF
+    geno: float = config.DEFAULT_GENO
+    het: float = config.DEFAULT_HET
+    grm_method: int = 1
+    force_model: bool = False
+    block: int = config.DEFAULT_SNP_BLOCK
+    write_tsv: bool = True
+
+
+@dataclass
+class TraitRunResult:
+    trait: str
+    model: str  # model actually run (after any LMM->LM switch)
+    requested_model: str
+    result: ScanResult
+    n_samples: int
+    n_snps: int
+    lambda_null: float | None = None
+    switch_lrt_p: float | None = None
+    tsv_path: str | None = None
+    seconds: float = 0.0
+
+
+def lmm_to_lm_switch_p(basis, y, covariates) -> float:
+    """Boundary LRT p for H0: Va = 0 (mixed null vs OLS null).
+
+    Mirrors the reference exactly (workflow.py:848 +
+    src/stats/gwas_unified.rs:121-175): stat = 2*(ML_lmm0 - ML_lm0) with
+    ML_lm0 the Gaussian OLS loglik, p = 0.5*chi2_sf_df1(stat) (boundary
+    mixture), switch to LM when p >= 0.05."""
+    rot = make_rotated(basis, y, covariates)
+    null = fit_null_reml(rot)
+    y = np.asarray(y, np.float64).reshape(-1)
+    n = len(y)
+    X = lm_mod.design_matrix(n, covariates)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    rss = float(np.sum((y - X @ beta) ** 2))
+    ml_lm = -0.5 * n * (np.log(2.0 * np.pi * rss / n) + 1.0)
+    stat = 2.0 * (null.ml - ml_lm)
+    stat = max(stat, 0.0) if np.isfinite(stat) else 0.0
+    p = 0.5 * float(jstats.chi2_sf_df1(np.asarray(stat)))
+    if not np.isfinite(p):
+        p = 1.0
+    return min(max(p, np.finfo(np.float64).tiny), 1.0)
+
+
+def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
+    t0 = time.monotonic()
+    qc = QcParams(maf=cfg.maf, geno=cfg.geno, het=cfg.het)
+    raw = load_raw_packed(cfg.genotype)
+    log.info("genotype: %d SNPs x %d samples", raw.m, raw.n_samples)
+
+    ph = load_phenotype(cfg.phenotype).select(cfg.traits)
+    y_all, matched = ph.align(raw.samples)
+    if not matched.any():
+        raise ValueError("no phenotype sample IDs match the genotype samples")
+
+    cov_all = (
+        load_covariates(cfg.covariates, raw.samples) if cfg.covariates else None
+    )
+
+    # GRM on all genotyped samples with full-set QC (reference:
+    # load_or_build_grm_with_cache, workflow.py:3123)
+    pg_full = raw.prepare(qc)
+    K = grm_from_packed(pg_full, method=cfg.grm_method, block=cfg.block)
+
+    pcs_full = None
+    if cfg.n_pcs > 0:
+        basis_full = eigh_grm(K, diag_ridge=0.0)
+        pcs_full = basis_full.U[:, -cfg.n_pcs:]
+
+    os.makedirs(os.path.dirname(os.path.abspath(cfg.out_prefix)) or ".", exist_ok=True)
+    out: list[TraitRunResult] = []
+    summary = []
+    for ti, trait in enumerate(ph.traits):
+        y = y_all[:, ti]
+        cov_parts = []
+        if pcs_full is not None:
+            cov_parts.append(pcs_full)
+        if cov_all is not None:
+            cov_parts.append(cov_all)
+        cov_full = np.concatenate(cov_parts, axis=1) if cov_parts else None
+        keep = analysis_sample_index(y, cov_full)
+        if len(keep) < 10:
+            log.warning("trait %s: only %d usable samples, skipping", trait, len(keep))
+            continue
+        y_t = y[keep]
+        cov_t = None if cov_full is None else cov_full[keep]
+        pg_t = raw.prepare(qc, sample_idx=keep)
+        log.info(
+            "trait %s: n=%d m=%d models=%s", trait, len(keep), pg_t.m, cfg.models
+        )
+        basis = None
+
+        def get_basis():
+            nonlocal basis
+            if basis is None:
+                Ksub = K[np.ix_(keep, keep)]
+                basis = eigh_grm(Ksub, diag_ridge=1e-6)
+            return basis
+
+        for model in cfg.models:
+            t1 = time.monotonic()
+            requested = model
+            switch_p = None
+            if model in ("lmm", "lmm2", "fvlmm") and not cfg.force_model:
+                switch_p = lmm_to_lm_switch_p(get_basis(), y_t, cov_t)
+                if switch_p >= 0.05:
+                    log.info(
+                        "trait %s: null LRT p=%.3g >= 0.05, switching %s -> lm",
+                        trait, switch_p, model,
+                    )
+                    model = "lm"
+            if model == "lm":
+                res = lm_mod.lm_scan(pg_t, y_t, cov_t, block=cfg.block)
+                lbd_null = None
+            elif model == "fvlmm":
+                res, null = fvlmm_mod.fvlmm_scan(
+                    pg_t, get_basis(), y_t, cov_t, block=cfg.block
+                )
+                lbd_null = null.lbd
+            elif model in ("lmm", "lmm2"):
+                res, null = lmm_mod.lmm_scan(
+                    pg_t, get_basis(), y_t, cov_t, block=cfg.block,
+                    lmm2=(model == "lmm2"),
+                )
+                lbd_null = null.lbd
+            else:
+                raise ValueError(f"unknown model: {model}")
+            secs = time.monotonic() - t1
+            tsv_path = None
+            if cfg.write_tsv:
+                tag = {"lm": "LM", "lmm": "LMM", "lmm2": "LMM2", "fvlmm": "FvLMM"}[
+                    requested if requested != model and model == "lm" else model
+                ]
+                tsv_path = f"{cfg.out_prefix}.{trait}.{tag}.assoc.tsv"
+                res.write_tsv(tsv_path)
+            out.append(
+                TraitRunResult(
+                    trait=str(trait), model=model, requested_model=requested,
+                    result=res, n_samples=len(keep), n_snps=pg_t.m,
+                    lambda_null=lbd_null, switch_lrt_p=switch_p,
+                    tsv_path=tsv_path, seconds=secs,
+                )
+            )
+            summary.append(
+                {
+                    "trait": str(trait), "model": model, "requested": requested,
+                    "n": len(keep), "m": pg_t.m, "seconds": round(secs, 3),
+                    "lambda_null": lbd_null, "tsv": tsv_path,
+                }
+            )
+    if cfg.write_tsv:
+        with open(f"{cfg.out_prefix}.gwas.summary.json", "wt") as fh:
+            json.dump(
+                {"runs": summary, "total_seconds": round(time.monotonic() - t0, 3)},
+                fh, indent=2,
+            )
+    return out

@@ -1,0 +1,83 @@
+"""End-to-end GWAS workflow smoke tests (toy data, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from janusx_tpu.io import plink
+from janusx_tpu.workflows.gwas import GwasConfig, run_gwas
+
+
+@pytest.fixture
+def toy_dataset(toy_genotypes, tmp_path, rng):
+    prefix = str(tmp_path / "toy")
+    plink.write_plink_genotypes(prefix, toy_genotypes)
+    # simulate 2 traits: one polygenic (mixed model), one with missing values
+    g = toy_genotypes.genotypes.astype(float)
+    g[g < 0] = np.nan
+    gz = np.nan_to_num(g - np.nanmean(g, axis=1, keepdims=True))
+    n = toy_genotypes.n
+    u = gz[::3].T @ rng.normal(size=len(gz[::3])) * 0.1
+    y1 = u + rng.normal(size=n)
+    y2 = rng.normal(size=n)
+    y2[:10] = np.nan
+    pheno = tmp_path / "toy.pheno"
+    with open(pheno, "wt") as fh:
+        fh.write("\tpoly\tnoise\n")
+        for i, s in enumerate(toy_genotypes.samples):
+            v2 = "NA" if np.isnan(y2[i]) else f"{y2[i]:.6f}"
+            fh.write(f"{s}\t{y1[i]:.6f}\t{v2}\n")
+    return prefix, str(pheno)
+
+
+def test_run_gwas_lmm(toy_dataset, tmp_path):
+    prefix, pheno = toy_dataset
+    out = str(tmp_path / "out" / "run1")
+    cfg = GwasConfig(
+        genotype=prefix, phenotype=pheno, out_prefix=out,
+        models=("lmm",), block=128, force_model=True,
+    )
+    runs = run_gwas(cfg)
+    assert len(runs) == 2
+    for r in runs:
+        assert r.model == "lmm"
+        assert os.path.exists(r.tsv_path)
+        assert r.result.m == r.n_snps
+        assert np.all((r.result.pwald > 0) & (r.result.pwald <= 1))
+    # second trait had 10 missing -> smaller n
+    assert runs[1].n_samples == runs[0].n_samples - 10
+    assert os.path.exists(out + ".gwas.summary.json")
+    with open(out + ".gwas.summary.json") as fh:
+        summary = json.load(fh)
+    assert len(summary["runs"]) == 2
+
+
+def test_run_gwas_switch_to_lm(toy_dataset, tmp_path):
+    prefix, pheno = toy_dataset
+    out = str(tmp_path / "out2" / "run")
+    cfg = GwasConfig(
+        genotype=prefix, phenotype=pheno, out_prefix=out,
+        models=("lmm",), traits=["noise"], block=128, force_model=False,
+    )
+    runs = run_gwas(cfg)
+    assert len(runs) == 1
+    # pure-noise trait: expect the LMM->LM auto-switch to trigger
+    assert runs[0].model == "lm"
+    assert runs[0].requested_model == "lmm"
+    assert runs[0].switch_lrt_p is not None and runs[0].switch_lrt_p >= 0.05
+
+
+def test_run_gwas_multi_model(toy_dataset, tmp_path):
+    prefix, pheno = toy_dataset
+    out = str(tmp_path / "out3" / "run")
+    cfg = GwasConfig(
+        genotype=prefix, phenotype=pheno, out_prefix=out,
+        models=("lm", "fvlmm", "lmm2"), traits=["poly"], block=128,
+        force_model=True,
+    )
+    runs = run_gwas(cfg)
+    assert [r.model for r in runs] == ["lm", "fvlmm", "lmm2"]
+    lmm2 = runs[2].result
+    assert lmm2.lbd is not None and lmm2.ml is not None and lmm2.plrt is not None
