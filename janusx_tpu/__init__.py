@@ -12,10 +12,20 @@ from __future__ import annotations
 
 from janusx_tpu import config as _config
 
+import os as _os
+
 import jax as _jax
 
 if _config.ENABLE_X64:
     _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: kernel shapes recur across runs and
+# first-compiles dominate short analyses (especially through remote-TPU
+# tunnels). Opt out with JX_TPU_COMPILE_CACHE=0 or point it elsewhere.
+_cache = _os.environ.get("JX_TPU_COMPILE_CACHE", "~/.cache/janusx_tpu_xla")
+if _cache and _cache != "0":
+    _jax.config.update("jax_compilation_cache_dir", _os.path.expanduser(_cache))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.1.0"
 

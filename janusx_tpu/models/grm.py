@@ -49,6 +49,35 @@ def _grm_accum_step(acc, packed, mean, inv_sd):
     return acc + part.astype(acc.dtype)
 
 
+@partial(jax.jit, static_argnames=("block", "acc_dtype"))
+def _grm_resident(packed, mean, inv_sd, block: int, acc_dtype):
+    """Whole-matrix GRM in ONE dispatch: lax.scan over SNP blocks.
+
+    packed rows must be padded to a multiple of ``block``. Preferred when
+    the 2-bit buffer fits in HBM (it is 16x smaller than f32): one
+    host->device transfer, one kernel launch, no per-block round-trips.
+    """
+    n_pad = packed.shape[1] * 4
+    nblk = packed.shape[0] // block
+    pk = packed.reshape(nblk, block, packed.shape[1])
+    mn = mean.reshape(nblk, block)
+    iv = inv_sd.reshape(nblk, block)
+
+    def body(acc, xs):
+        p, m, s = xs
+        c = decode.decode_standardized(p, m, s, dtype=jnp.float32)
+        part = jnp.dot(c.T, c, precision=jax.lax.Precision.HIGHEST)
+        return acc + part.astype(acc_dtype), None
+
+    acc0 = jnp.zeros((n_pad, n_pad), dtype=acc_dtype)
+    acc, _ = jax.lax.scan(body, acc0, (pk, mn, iv))
+    return acc
+
+
+# Packed buffers below this many bytes go device-resident in one dispatch.
+RESIDENT_LIMIT_BYTES = 2 << 30
+
+
 def grm_from_packed(
     pg: PackedGenotypes,
     method: int = 1,
@@ -62,17 +91,38 @@ def grm_from_packed(
     mean, inv_sd, var = _snp_scales(pg, method)
     n = pg.n_samples
     packed = decode.pad_packed_cols(pg.packed)
-    n_pad = packed.shape[1] * 4
-    acc = jnp.zeros((n_pad, n_pad), dtype=jnp.float64 if dtype == np.float64 else jnp.float32)
     m = pg.m
-    for s in range(0, m, block):
-        e = min(s + block, m)
-        acc = _grm_accum_step(
-            acc,
-            jnp.asarray(packed[s:e]),
-            jnp.asarray(mean[s:e], dtype=jnp.float32),
-            jnp.asarray(inv_sd[s:e], dtype=jnp.float32),
+    block = min(block, m)
+    acc_dtype = jnp.float64 if dtype == np.float64 else jnp.float32
+    mn = mean.astype(np.float32)
+    iv = inv_sd.astype(np.float32)
+    if packed.nbytes <= RESIDENT_LIMIT_BYTES:
+        m_pad = -(-m // block) * block
+        if m_pad != m:
+            pad = m_pad - m
+            packed = np.concatenate(
+                [packed, np.full((pad, packed.shape[1]), 0xFF, np.uint8)]
+            )
+            mn = np.concatenate([mn, np.zeros(pad, np.float32)])
+            iv = np.concatenate([iv, np.zeros(pad, np.float32)])
+        acc = _grm_resident(
+            jnp.asarray(packed), jnp.asarray(mn), jnp.asarray(iv), block, acc_dtype
         )
+    else:
+        n_pad = packed.shape[1] * 4
+        acc = jnp.zeros((n_pad, n_pad), dtype=acc_dtype)
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            pk = packed[s:e]
+            mb, ib = mn[s:e], iv[s:e]
+            if e - s < block:
+                pad = block - (e - s)
+                pk = np.concatenate([pk, np.full((pad, pk.shape[1]), 0xFF, np.uint8)])
+                mb = np.concatenate([mb, np.zeros(pad, np.float32)])
+                ib = np.concatenate([ib, np.zeros(pad, np.float32)])
+            acc = _grm_accum_step(
+                acc, jnp.asarray(pk), jnp.asarray(mb), jnp.asarray(ib)
+            )
     K = np.asarray(acc[:n, :n], dtype=np.float64)
     denom = float(var.sum()) if method == 1 else float(m)
     if denom <= 0:

@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The environment's sitecustomize imports jax before this file runs, so the
+# JAX_PLATFORMS env var is already frozen — override via config instead.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
