@@ -30,6 +30,7 @@ from janusx_tpu.core.reml import (
     RotatedData,
     beta_se_snp_batch,
     fit_null_reml,
+    lmm_grid_scan,
     make_rotated,
     ml_snp_batch,
     neg_reml_snp_batch,
@@ -39,6 +40,7 @@ from janusx_tpu.io.packed import PackedGenotypes
 from janusx_tpu.models.scan_common import ScanResult, finalize_invalid, iter_blocks, pad_rows
 from janusx_tpu.ops import decode
 from janusx_tpu.ops.brent import brent_minimize_batched
+from janusx_tpu.utils import devcache
 
 
 @partial(jax.jit, static_argnames=("n", "with_ml", "max_iter"))
@@ -46,6 +48,7 @@ def _lmm_block(
     packed, mean, U32, rot: RotatedData, init_lg, n: int, with_ml: bool,
     max_iter: int = config.SCAN_BRENT_MAX_ITER,
 ):
+    """Brent-mode block: lockstep batched Brent (reference-faithful path)."""
     Graw = decode.decode_centered(packed, mean, dtype=jnp.float32)[:, :n]
     Gr = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST).astype(jnp.float64)
     ssq = jnp.sum(Gr * Gr, axis=-1)
@@ -65,6 +68,57 @@ def _lmm_block(
     return lgs, beta, se, ml, ssq
 
 
+@partial(jax.jit, static_argnames=("n", "with_ml", "block"))
+def _lmm_scan_resident(
+    packed, mean, U32, rot: RotatedData, grid_lg, n: int, with_ml: bool, block: int
+):
+    """Whole-scan single dispatch: packed genotypes live in HBM (16x smaller
+    than f32), lax.scan streams SNP blocks through decode -> rotate ->
+    grid λ-search -> exact f64 beta/se. One host->device upload, one fetch.
+    """
+    m_pad = packed.shape[0]
+    nblk = m_pad // block
+    pk = packed.reshape(nblk, block, packed.shape[1])
+    mn = mean.reshape(nblk, block)
+
+    def body(_, xs):
+        pkb, mnb = xs
+        Graw = decode.decode_centered(pkb, mnb, dtype=jnp.float32)[:, :n]
+        Gr = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST).astype(
+            jnp.float64
+        )
+        ssq = jnp.sum(Gr * Gr, axis=-1)
+        lgs = lmm_grid_scan(rot, Gr, grid_lg)
+        beta, se = beta_se_snp_batch(lgs, rot, Gr)
+        ml = ml_snp_batch(lgs, rot, Gr) if with_ml else jnp.zeros_like(lgs)
+        return None, (lgs, beta, se, ml, ssq)
+
+    _, (lgs, beta, se, ml, ssq) = jax.lax.scan(body, None, (pk, mn))
+    return (
+        lgs.reshape(m_pad),
+        beta.reshape(m_pad),
+        se.reshape(m_pad),
+        ml.reshape(m_pad),
+        ssq.reshape(m_pad),
+    )
+
+
+@partial(jax.jit, static_argnames=("n", "with_ml"))
+def _lmm_block_grid(packed, mean, U32, rot: RotatedData, grid_lg, n: int, with_ml: bool):
+    """Grid-mode block: shared fine-grid λ search (TPU speed-of-light path).
+
+    Two MXU matmuls give the objective for every (SNP, grid-λ) cell;
+    argmin + parabolic refine localize λ*; beta/se/ML are then evaluated
+    exactly in f64 at λ* (core/reml.py lmm_grid_scan docstring)."""
+    Graw = decode.decode_centered(packed, mean, dtype=jnp.float32)[:, :n]
+    Gr = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST).astype(jnp.float64)
+    ssq = jnp.sum(Gr * Gr, axis=-1)
+    lgs = lmm_grid_scan(rot, Gr, grid_lg)
+    beta, se = beta_se_snp_batch(lgs, rot, Gr)
+    ml = ml_snp_batch(lgs, rot, Gr) if with_ml else jnp.zeros_like(lgs)
+    return lgs, beta, se, ml, ssq
+
+
 def lmm_scan(
     pg: PackedGenotypes,
     basis: SpectralBasis,
@@ -73,6 +127,8 @@ def lmm_scan(
     block: int = config.DEFAULT_SNP_BLOCK,
     lmm2: bool = False,
     null: NullFit | None = None,
+    method: str = "grid",  # "grid" (TPU-fast) | "brent" (reference-faithful)
+    grid_points: int = 1024,
 ) -> tuple[ScanResult, NullFit]:
     """Exact LMM scan over all SNPs of the (subset) packed genotypes."""
     y = np.asarray(y, np.float64).reshape(-1)
@@ -81,32 +137,52 @@ def lmm_scan(
     if null is None:
         null = fit_null_reml(rot)
 
-    U32 = jnp.asarray(basis.U, jnp.float32)
-    packed = decode.pad_packed_cols(pg.packed)
+    U32 = devcache.to_device(basis.U, jnp.float32)
+    packed = None if method == "grid" else decode.pad_packed_cols(pg.packed)
     m = pg.m
-    lbd = np.empty(m)
-    beta = np.empty(m)
-    se = np.empty(m)
-    ml = np.empty(m)
-    ssq = np.empty(m)
-    for s0, e0 in iter_blocks(m, block):
-        pk = pad_rows(packed[s0:e0], block, 0xFF)
-        mn = pad_rows(pg.mean[s0:e0].astype(np.float32), block)
-        lgs_b, beta_b, se_b, ml_b, ssq_b = _lmm_block(
-            jnp.asarray(pk),
-            jnp.asarray(mn),
-            U32,
-            rot,
-            null.log10_lbd,
-            n,
-            lmm2,
+    block = min(block, m) if m else block
+    grid_lg = jnp.asarray(
+        np.linspace(
+            config.LOG10_LAMBDA_LOW, config.LOG10_LAMBDA_HIGH, grid_points
+        ),
+        jnp.float64,
+    )
+    if method == "grid":
+        m_pad = -(-m // block) * block
+        pk = devcache.device_packed(pg, m_pad)
+        mn = devcache.to_device_padded_rows(pg.mean, m_pad, 0.0, dtype=jnp.float32)
+        lgs_d, beta_d, se_d, ml_d, ssq_d = _lmm_scan_resident(
+            pk, mn, U32, rot, grid_lg, n, lmm2, block
         )
-        k = e0 - s0
-        lbd[s0:e0] = 10.0 ** np.asarray(lgs_b)[:k]
-        beta[s0:e0] = np.asarray(beta_b)[:k]
-        se[s0:e0] = np.asarray(se_b)[:k]
-        ml[s0:e0] = np.asarray(ml_b)[:k]
-        ssq[s0:e0] = np.asarray(ssq_b)[:k]
+        lbd = 10.0 ** np.asarray(lgs_d)[:m]
+        beta = np.asarray(beta_d)[:m]
+        se = np.asarray(se_d)[:m]
+        ml = np.asarray(ml_d)[:m]
+        ssq = np.asarray(ssq_d)[:m]
+    else:
+        lbd = np.empty(m)
+        beta = np.empty(m)
+        se = np.empty(m)
+        ml = np.empty(m)
+        ssq = np.empty(m)
+        for s0, e0 in iter_blocks(m, block):
+            pk = pad_rows(packed[s0:e0], block, 0xFF)
+            mn = pad_rows(pg.mean[s0:e0].astype(np.float32), block)
+            lgs_b, beta_b, se_b, ml_b, ssq_b = _lmm_block(
+                jnp.asarray(pk),
+                jnp.asarray(mn),
+                U32,
+                rot,
+                null.log10_lbd,
+                n,
+                lmm2,
+            )
+            k = e0 - s0
+            lbd[s0:e0] = 10.0 ** np.asarray(lgs_b)[:k]
+            beta[s0:e0] = np.asarray(beta_b)[:k]
+            se[s0:e0] = np.asarray(se_b)[:k]
+            ml[s0:e0] = np.asarray(ml_b)[:k]
+            ssq[s0:e0] = np.asarray(ssq_b)[:k]
 
     pwald = jstats.pwald_from_beta_se(beta, se)
     if lmm2:

@@ -142,3 +142,19 @@ def test_tsv_output(scan_problem, tmp_path):
     first = rows[0].split("\t")
     assert len(first) == 14
     float(first[10])  # pwald parses
+
+
+def test_lmm_grid_matches_brent(scan_problem):
+    pg, K, basis, cov, y = scan_problem
+    res_g, null = lmm_scan(pg, basis, y, cov, block=64, method="grid")
+    res_b, _ = lmm_scan(pg, basis, y, cov, block=64, method="brent", null=null)
+    lg_g = np.log10(res_g.lbd) if res_g.lbd is not None else None
+    # p-values agree to well under the scan tolerance
+    lp_g = -np.log10(res_g.pwald)
+    lp_b = -np.log10(res_b.pwald)
+    np.testing.assert_allclose(lp_g, lp_b, atol=5e-3)
+    ok = np.isfinite(res_g.beta) & np.isfinite(res_b.beta)
+    assert ok.mean() > 0.95
+    # on near-flat likelihood surfaces (null SNPs) lambda* is ill-defined to
+    # the scan tolerance, so beta can move slightly with the optimizer
+    np.testing.assert_allclose(res_g.beta[ok], res_b.beta[ok], rtol=1e-2, atol=1e-3)
