@@ -366,6 +366,22 @@ def ml_null(log10_lbd: jax.Array, rot: RotatedData):
     return jnp.where(ok, ml, -_BAD)
 
 
+def null_fit_stats(rot: RotatedData, log10_lbd: float):
+    """(beta, sigma2) of the null (covariates-only) model at a given λ.
+
+    sigma2 is the profiled REML variance rtWr/(n-p) — the genetic variance
+    vg in the V = vg(K + λI) parameterization (ve = λ·vg), as used by the
+    reference GBLUP fit (src/stats/gblup.rs doc)."""
+    lg = jnp.asarray([log10_lbd], jnp.float64)
+    M, rhs, ayy, logdetV, valid = _null_grams(lg, rot)
+    p = M.shape[-1]
+    Mr = M + config.GRAM_RIDGE * jnp.eye(p, dtype=M.dtype)
+    beta, _, _, badchol = _chol_pieces(Mr, rhs)
+    rtwr = _quad_rtwr(M, rhs, ayy, beta)
+    sigma2 = rtwr[0] / (rot.n - p)
+    return np.asarray(beta[0], np.float64), float(sigma2)
+
+
 class NullFit(NamedTuple):
     lbd: float  # λ at the REML optimum
     log10_lbd: float

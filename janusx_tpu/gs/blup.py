@@ -1,0 +1,161 @@
+"""GBLUP / rrBLUP fitting and prediction.
+
+TPU-native redesign of the reference kernels
+(/root/reference/src/stats/gblup.rs: streamed GRM -> eigen REML ->
+α = (K+λI)^{-1}(y-Xβ) -> cross-kernel predict -> marker back-projection;
+src/stats/rrblup.rs: PCG route for large m, exact spectral for small m).
+
+Parameterization: V = vg (K + λ I) with λ = ve/vg; the profiled spectral
+REML (janusx_tpu.core.reml) gives λ and vg = rtWr/(n-p). Predictions:
+u_s = K[s, t] α. Marker effects (rrBLUP export / back-projection):
+a = Z' α / denom with Z the centered (method-1) genotype rows, streamed
+through the on-device 2-bit decode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from janusx_tpu import config
+from janusx_tpu.core.reml import fit_null_reml, make_rotated, null_fit_stats
+from janusx_tpu.core.spectral import eigh_grm
+from janusx_tpu.io.packed import PackedGenotypes
+from janusx_tpu.ops import decode
+from janusx_tpu.ops.cg import cg_solve
+from janusx_tpu.utils import devcache
+
+# reference dispatch thresholds (gs/workflow.py:251, :19506; README.md:104-107)
+GBLUP_MAX_N = 15_000
+RRBLUP_EXACT_MAX_MARKERS = 15_000
+
+
+@dataclass
+class GblupModel:
+    train_idx: np.ndarray
+    beta: np.ndarray  # fixed effects (intercept [+ covariates])
+    alpha: np.ndarray  # (n_train,) kernel weights
+    lbd: float
+    vg: float
+    ve: float
+    pve: float
+    reml: float
+
+
+def fit_gblup(
+    K: np.ndarray,
+    y: np.ndarray,
+    train_idx: np.ndarray,
+    covariates: np.ndarray | None = None,
+) -> GblupModel:
+    """Fit additive GBLUP on the training subset of a dense GRM."""
+    train_idx = np.asarray(train_idx)
+    y_t = np.asarray(y, np.float64).reshape(-1)[train_idx]
+    cov_t = None if covariates is None else np.asarray(covariates)[train_idx]
+    Ktt = K[np.ix_(train_idx, train_idx)]
+    basis = eigh_grm(Ktt, diag_ridge=1e-6)
+    rot = make_rotated(basis, y_t, cov_t)
+    null = fit_null_reml(rot)
+    beta, vg = null_fit_stats(rot, null.log10_lbd)
+    ve = null.lbd * vg
+    n_t = len(train_idx)
+    X = np.ones((n_t, 1)) if cov_t is None else np.concatenate(
+        [np.ones((n_t, 1)), cov_t], axis=1
+    )
+    r = y_t - X @ beta
+    w = 1.0 / (basis.S + null.lbd)
+    alpha = basis.U @ (w * (basis.U.T @ r))
+    trace_mean = float(np.clip(basis.S, 0, None).sum() / max(1, n_t))
+    pve = vg * trace_mean / (vg * trace_mean + ve) if vg * trace_mean + ve > 0 else 0.0
+    return GblupModel(
+        train_idx=train_idx, beta=beta, alpha=alpha, lbd=null.lbd,
+        vg=vg, ve=ve, pve=pve, reml=null.reml,
+    )
+
+
+def predict_gblup(
+    model: GblupModel,
+    K: np.ndarray,
+    test_idx: np.ndarray,
+    covariates: np.ndarray | None = None,
+) -> np.ndarray:
+    """gebv = X_s β + K[s, t] α."""
+    test_idx = np.asarray(test_idx)
+    Kst = K[np.ix_(test_idx, model.train_idx)]
+    n_s = len(test_idx)
+    X = np.ones((n_s, 1)) if covariates is None else np.concatenate(
+        [np.ones((n_s, 1)), np.asarray(covariates)[test_idx]], axis=1
+    )
+    return X @ model.beta + Kst @ model.alpha
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _marker_effects_resident(packed, mean, alpha_pad, block: int):
+    """a = Z' α streamed over SNP blocks: (m,) centered-dosage projections."""
+    nblk = packed.shape[0] // block
+    pk = packed.reshape(nblk, block, packed.shape[1])
+    mn = mean.reshape(nblk, block)
+
+    def body(_, xs):
+        p, m = xs
+        z = decode.decode_centered(p, m, dtype=jnp.float32)
+        return None, jnp.dot(z, alpha_pad, precision=jax.lax.Precision.HIGHEST)
+
+    _, eff = jax.lax.scan(body, None, (pk, mn))
+    return eff.reshape(-1)
+
+
+def marker_effects(
+    pg_train: PackedGenotypes,
+    alpha: np.ndarray,
+    denom: float,
+    block: int = config.DEFAULT_SNP_BLOCK,
+) -> np.ndarray:
+    """Back-project kernel weights to per-marker additive effects:
+    a = Z'α / denom (reference gblup.rs marker back-projection)."""
+    m = pg_train.m
+    block = min(block, m)
+    m_pad = -(-m // block) * block
+    pk = devcache.device_packed(pg_train, m_pad)
+    mn = devcache.to_device_padded_rows(pg_train.mean, m_pad, 0.0, dtype=jnp.float32)
+    n_pad = pk.shape[1] * 4
+    a_pad = np.zeros(n_pad, np.float32)
+    a_pad[: pg_train.n] = np.asarray(alpha, np.float32)
+    eff = _marker_effects_resident(pk, mn, jnp.asarray(a_pad), block)
+    return np.asarray(eff, np.float64)[:m] / denom
+
+
+def fit_gblup_cg(
+    K: np.ndarray,
+    y: np.ndarray,
+    train_idx: np.ndarray,
+    lbd: float,
+    covariates: np.ndarray | None = None,
+    tol: float = 1e-8,
+    max_iter: int = 1000,
+) -> np.ndarray:
+    """α via Jacobi-PCG on (K_tt + λI) — the large-n route that avoids the
+    O(n^3) eigendecomposition (reference rrblup_pcg/splmm PCG analog).
+    Returns alpha; fixed effects must be handled by the caller."""
+    train_idx = np.asarray(train_idx)
+    Ktt = jnp.asarray(K[np.ix_(train_idx, train_idx)], jnp.float32)
+    y_t = np.asarray(y, np.float64).reshape(-1)[train_idx]
+    n_t = len(train_idx)
+    X = np.ones((n_t, 1)) if covariates is None else np.concatenate(
+        [np.ones((n_t, 1)), np.asarray(covariates)[train_idx]], axis=1
+    )
+    beta, *_ = np.linalg.lstsq(X, y_t, rcond=None)
+    r = jnp.asarray(y_t - X @ beta, jnp.float32)
+    diag = jnp.diag(Ktt) + lbd
+
+    @jax.jit
+    def solve(Ktt, r, diag):
+        mv = lambda v: jnp.dot(Ktt, v, precision=jax.lax.Precision.HIGHEST) + lbd * v
+        return cg_solve(mv, r, diag_precond=diag, tol=tol, max_iter=max_iter)
+
+    res = solve(Ktt, r, diag)
+    return np.asarray(res.x, np.float64)

@@ -1,0 +1,288 @@
+"""Genomic-selection workflow: CV, fit, predict, artifacts.
+
+Mirrors the reference flow (/root/reference/python/janusx/gs/workflow.py
+docstring): per trait, train = samples with phenotype, test = missing;
+k-fold CV on the training set per method (Pearson/Spearman/R2/... per
+fold), refit on full training set, predict the test set; outputs
+{prefix}.{trait}.gebv.tsv (index = test sample IDs, one column per
+method, %.4f) and a summary JSON.
+
+Methods: BLUP (auto-dispatch GBLUP vs rrBLUP by n/m regime —
+gs/workflow.py:251,19506), GBLUP, rrBLUP (same predictions, exports
+marker effects), Bayes A/B/Cpi (device Gibbs, janusx_tpu.gs.bayes),
+RF/ET/GBDT/ENET/SVM via scikit-learn on the standardized matrix.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from janusx_tpu import config
+from janusx_tpu.gs.blup import (
+    GBLUP_MAX_N,
+    RRBLUP_EXACT_MAX_MARKERS,
+    fit_gblup,
+    marker_effects,
+    predict_gblup,
+)
+from janusx_tpu.gs.kfold import KFold
+from janusx_tpu.gs.metrics import regression_metrics
+from janusx_tpu.io.gfreader import load_raw_packed
+from janusx_tpu.io.packed import QcParams
+from janusx_tpu.io.pheno import load_phenotype
+from janusx_tpu.models.grm import grm_denominator, grm_from_packed
+
+log = logging.getLogger("janusx_tpu.gs")
+
+ML_METHODS = {"RF", "ET", "GBDT", "ENET", "SVM", "XGB"}
+BAYES_METHODS = {"BayesA", "BayesB", "BayesCpi"}
+
+
+@dataclass
+class GsConfig:
+    genotype: str
+    phenotype: str
+    out_prefix: str = "./jx_gs"
+    methods: tuple[str, ...] = ("BLUP",)
+    traits: list | None = None
+    cv: int = 5
+    maf: float = config.DEFAULT_MAF
+    geno: float = config.DEFAULT_GENO
+    seed: int = 42
+    block: int = config.DEFAULT_SNP_BLOCK
+    write_outputs: bool = True
+    export_effects: bool = False
+    bayes_iters: int = 400
+    bayes_burnin: int = 200
+    bayes_thin: int = 1
+
+
+@dataclass
+class MethodRunResult:
+    method: str
+    route: str
+    fold_metrics: list[dict]
+    cv_mean: dict
+    test_pred: np.ndarray
+    fit_seconds: float
+    cv_seconds: float
+    model_info: dict = field(default_factory=dict)
+
+
+def _dispatch_blup_route(n_train: int, m: int) -> str:
+    if n_train <= GBLUP_MAX_N:
+        return "GBLUP(add)"
+    if m <= RRBLUP_EXACT_MAX_MARKERS:
+        return "rrBLUP(exact)"
+    return "rrBLUP(PCG)"
+
+
+def _ml_model(method: str, seed: int):
+    if method == "RF":
+        from sklearn.ensemble import RandomForestRegressor
+
+        return RandomForestRegressor(n_estimators=300, random_state=seed, n_jobs=-1)
+    if method == "ET":
+        from sklearn.ensemble import ExtraTreesRegressor
+
+        return ExtraTreesRegressor(n_estimators=300, random_state=seed, n_jobs=-1)
+    if method == "GBDT":
+        from sklearn.ensemble import HistGradientBoostingRegressor
+
+        return HistGradientBoostingRegressor(random_state=seed)
+    if method == "ENET":
+        from sklearn.linear_model import ElasticNetCV
+
+        return ElasticNetCV(cv=3, random_state=seed, n_jobs=-1)
+    if method == "SVM":
+        from sklearn.svm import SVR
+
+        return SVR(kernel="rbf", C=1.0)
+    if method == "XGB":
+        try:
+            from xgboost import XGBRegressor
+        except ImportError as e:
+            raise RuntimeError(
+                "XGB requires the optional xgboost package (pip install xgboost)"
+            ) from e
+        return XGBRegressor(n_estimators=400, random_state=seed, n_jobs=-1)
+    raise ValueError(f"unknown ML method {method}")
+
+
+def _run_kernel_method(
+    K, y, train, predict_sets, covariates=None
+):
+    """Fit GBLUP on `train`, predict each index set in predict_sets."""
+    model = fit_gblup(K, y, train, covariates)
+    preds = [predict_gblup(model, K, idx, covariates) for idx in predict_sets]
+    return model, preds
+
+
+def run_gs(cfg: GsConfig):
+    t_start = time.monotonic()
+    qc = QcParams(maf=cfg.maf, geno=cfg.geno)
+    raw = load_raw_packed(cfg.genotype)
+    pg = raw.prepare(qc)
+    m = pg.m
+    ph = load_phenotype(cfg.phenotype).select(cfg.traits)
+    y_all, matched = ph.align(pg.samples)
+    log.info("GS: %d SNPs x %d samples, traits=%s", m, pg.n, ph.traits)
+
+    needs_kernel = any(
+        mm in ("BLUP", "GBLUP", "rrBLUP") for mm in cfg.methods
+    )
+    K = grm_from_packed(pg, method=1, block=cfg.block) if needs_kernel else None
+    denom = grm_denominator(pg, method=1)
+
+    Xml = None
+    if any(mm in ML_METHODS for mm in cfg.methods) or any(
+        mm in BAYES_METHODS for mm in cfg.methods
+    ):
+        # sample-major STANDARDIZED matrix (reference Bayes convention:
+        # standardized additive Z, src/stats/bayes.rs:3-5)
+        var = 2.0 * pg.af * (1.0 - pg.af)
+        inv_sd = np.where(var > 0, 1.0 / np.sqrt(var), 0.0)
+        Xml = (pg.centered() * inv_sd[:, None]).T.astype(np.float32)  # (n, m)
+
+    if cfg.write_outputs:
+        os.makedirs(
+            os.path.dirname(os.path.abspath(cfg.out_prefix)) or ".", exist_ok=True
+        )
+    all_results: dict[str, dict[str, MethodRunResult]] = {}
+    summary: dict = {"traits": {}, "methods": list(cfg.methods), "m_snps": m}
+    for ti, trait in enumerate(ph.traits):
+        y = y_all[:, ti]
+        train = np.nonzero(np.isfinite(y))[0]
+        test = np.nonzero(~np.isfinite(y))[0]
+        if len(train) < max(cfg.cv, 10):
+            log.warning("trait %s: too few training samples, skipped", trait)
+            continue
+        log.info("trait %s: train=%d test=%d", trait, len(train), len(test))
+        trait_res: dict[str, MethodRunResult] = {}
+        for method in cfg.methods:
+            res = _run_single_method(
+                cfg, method, K, Xml, pg, denom, y, train, test, trait
+            )
+            trait_res[method] = res
+        all_results[str(trait)] = trait_res
+
+        if cfg.write_outputs and len(test) > 0:
+            path = f"{cfg.out_prefix}.{trait}.gebv.tsv"
+            with open(path, "wt") as fh:
+                fh.write("\t" + "\t".join(trait_res.keys()) + "\n")
+                for j, sidx in enumerate(test):
+                    row = "\t".join(
+                        f"{trait_res[mm].test_pred[j]:.4f}" for mm in trait_res
+                    )
+                    fh.write(f"{pg.samples[sidx]}\t{row}\n")
+        summary["traits"][str(trait)] = {
+            mm: {
+                "route": r.route,
+                "cv": r.cv_mean,
+                "folds": r.fold_metrics,
+                "fit_seconds": round(r.fit_seconds, 3),
+                "cv_seconds": round(r.cv_seconds, 3),
+                **r.model_info,
+            }
+            for mm, r in trait_res.items()
+        }
+    summary["total_seconds"] = round(time.monotonic() - t_start, 3)
+    if cfg.write_outputs:
+        with open(f"{cfg.out_prefix}.gs.summary.json", "wt") as fh:
+            json.dump(summary, fh, indent=2)
+    return all_results, summary
+
+
+def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait):
+    route = method
+    info: dict = {}
+    t0 = time.monotonic()
+    fold_metrics = []
+    kf = KFold(cfg.cv, shuffle=True, random_state=cfg.seed)
+
+    if method in ("BLUP", "GBLUP", "rrBLUP"):
+        route = (
+            _dispatch_blup_route(len(train), pg.m) if method == "BLUP" else method
+        )
+        for fold, (tr_loc, va_loc) in enumerate(kf.split(len(train))):
+            tf = time.monotonic()
+            model, (pv,) = _run_kernel_method(K, y, train[tr_loc], [train[va_loc]])
+            mets = regression_metrics(y[train[va_loc]], pv)
+            mets.update(fold=fold, elapsed_sec=round(time.monotonic() - tf, 3),
+                        pve=model.pve)
+            fold_metrics.append(mets)
+        cv_secs = time.monotonic() - t0
+        t1 = time.monotonic()
+        model, preds = _run_kernel_method(
+            K, y, train, [test] if len(test) else []
+        )
+        test_pred = preds[0] if preds else np.empty(0)
+        info.update(lambda_=model.lbd, vg=model.vg, ve=model.ve, pve=model.pve)
+        if cfg.export_effects or method == "rrBLUP":
+            eff = marker_effects(pg, _alpha_full(model, pg.n), denom)
+            info["n_effects"] = len(eff)
+            if cfg.write_outputs and cfg.export_effects:
+                _write_effects(
+                    f"{cfg.out_prefix}.{trait}.{method}.effect.tsv", pg, eff
+                )
+        fit_secs = time.monotonic() - t1
+    elif method in BAYES_METHODS:
+        from janusx_tpu.gs.bayes import bayes_fit_predict
+
+        test_pred, fold_metrics, info = bayes_fit_predict(
+            cfg, method, Xml, y, train, test, kf
+        )
+        cv_secs = time.monotonic() - t0
+        fit_secs = info.pop("fit_seconds", 0.0)
+    elif method in ML_METHODS:
+        X = Xml
+        for fold, (tr_loc, va_loc) in enumerate(kf.split(len(train))):
+            tf = time.monotonic()
+            mdl = _ml_model(method, cfg.seed)
+            mdl.fit(X[train[tr_loc]], y[train[tr_loc]])
+            pv = mdl.predict(X[train[va_loc]])
+            mets = regression_metrics(y[train[va_loc]], pv)
+            mets.update(fold=fold, elapsed_sec=round(time.monotonic() - tf, 3))
+            fold_metrics.append(mets)
+        cv_secs = time.monotonic() - t0
+        t1 = time.monotonic()
+        mdl = _ml_model(method, cfg.seed)
+        mdl.fit(X[train], y[train])
+        test_pred = mdl.predict(X[test]) if len(test) else np.empty(0)
+        fit_secs = time.monotonic() - t1
+    else:
+        raise ValueError(f"unknown GS method: {method}")
+
+    cv_mean = {}
+    if fold_metrics:
+        for k in ("pearson", "spearman", "r2", "mse", "mae"):
+            vals = [fm[k] for fm in fold_metrics if np.isfinite(fm.get(k, np.nan))]
+            cv_mean[k] = float(np.mean(vals)) if vals else float("nan")
+    return MethodRunResult(
+        method=method, route=route, fold_metrics=fold_metrics, cv_mean=cv_mean,
+        test_pred=np.asarray(test_pred), fit_seconds=fit_secs, cv_seconds=cv_secs,
+        model_info=info,
+    )
+
+
+def _alpha_full(model, n: int) -> np.ndarray:
+    alpha = np.zeros(n)
+    alpha[model.train_idx] = model.alpha
+    return alpha
+
+
+def _write_effects(path: str, pg, eff: np.ndarray) -> None:
+    with open(path, "wt") as fh:
+        fh.write("chrom\tpos\tsnp\tallele0\tallele1\teffect\n")
+        s = pg.sites
+        for i in range(len(eff)):
+            fh.write(
+                f"{s.chrom[i]}\t{s.pos[i]}\t{s.snp[i]}\t{s.allele0[i]}"
+                f"\t{s.allele1[i]}\t{eff[i]:.6g}\n"
+            )

@@ -1,0 +1,127 @@
+"""Genomic-selection tests: GBLUP math vs numpy, CV workflow, Bayes."""
+
+import os
+
+import numpy as np
+import pytest
+
+from janusx_tpu.gs.blup import fit_gblup, predict_gblup, marker_effects
+from janusx_tpu.gs.kfold import KFold
+from janusx_tpu.gs.metrics import regression_metrics
+from janusx_tpu.io import plink
+from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+from janusx_tpu.io.packed import QcParams, pack_genotypes
+from janusx_tpu.models.grm import grm_denominator, grm_from_packed
+
+
+@pytest.fixture(scope="module")
+def gs_problem():
+    rng = np.random.default_rng(11)
+    m, n = 400, 220
+    p = rng.uniform(0.1, 0.5, size=m)
+    g = rng.binomial(2, p[:, None], size=(m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["C"] * m, object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    pg = pack_genotypes(gd, QcParams(maf=0.05, geno=0.05))
+    K = grm_from_packed(pg)
+    # polygenic trait: h2 ~ 0.6
+    Z = pg.centered()
+    effects = rng.normal(size=pg.m) * 0.15
+    gvals = Z.T @ effects
+    y = 2.0 + gvals + rng.normal(size=n) * np.std(gvals) * 0.8
+    return pg, K, y
+
+
+def test_gblup_matches_direct_mixed_model(gs_problem):
+    pg, K, y = gs_problem
+    n = pg.n
+    train = np.arange(0, n - 40)
+    test = np.arange(n - 40, n)
+    model = fit_gblup(K, y, train)
+    # direct: solve (K_tt + lambda I) alpha = y_t - mean
+    Ktt = K[np.ix_(train, train)] + 1e-6 * np.eye(len(train))
+    w = np.linalg.solve(Ktt + model.lbd * np.eye(len(train)), y[train] - model.beta[0])
+    pred_direct = model.beta[0] + K[np.ix_(test, train)] @ w
+    pred = predict_gblup(model, K, test)
+    np.testing.assert_allclose(pred, pred_direct, rtol=1e-5, atol=1e-7)
+    assert model.vg > 0 and model.ve > 0 and 0 <= model.pve <= 1
+
+
+def test_gblup_cv_accuracy(gs_problem):
+    pg, K, y = gs_problem
+    n = pg.n
+    rs = []
+    for tr, va in KFold(5, shuffle=True, random_state=1).split(n):
+        model = fit_gblup(K, y, tr)
+        pred = predict_gblup(model, K, va)
+        rs.append(regression_metrics(y[va], pred)["pearson"])
+    assert np.mean(rs) > 0.3  # heritable trait, small-n CV
+
+
+def test_marker_effects_backprojection(gs_problem):
+    pg, K, y = gs_problem
+    n = pg.n
+    train = np.arange(n)
+    model = fit_gblup(K, y, train)
+    denom = grm_denominator(pg)
+    eff = marker_effects(pg, model.alpha, denom)
+    # u = Z' a  must reproduce K alpha (centered parameterization)
+    Z = pg.centered()
+    u_markers = Z.T @ eff
+    u_kernel = K @ model.alpha
+    np.testing.assert_allclose(u_markers, u_kernel, rtol=1e-4, atol=1e-6)
+
+
+def test_gs_workflow_end_to_end(gs_problem, tmp_path):
+    from janusx_tpu.gs.workflow import GsConfig, run_gs
+
+    pg, K, y = gs_problem
+    # write dataset to disk
+    prefix = str(tmp_path / "gsdata")
+    codes = pg.dosages()
+    gd = GenotypeData(codes, pg.sites, pg.samples)
+    plink.write_plink_genotypes(prefix, gd)
+    ymask = y.copy()
+    ymask[-30:] = np.nan  # test set
+    with open(prefix + ".pheno", "wt") as fh:
+        fh.write("\ttrait1\n")
+        for s, v in zip(pg.samples, ymask):
+            fh.write(f"{s}\t{'NA' if np.isnan(v) else f'{v:.6f}'}\n")
+    cfg = GsConfig(
+        genotype=prefix, phenotype=prefix + ".pheno",
+        out_prefix=str(tmp_path / "out" / "gs"), methods=("BLUP", "ENET"),
+        cv=5, maf=0.0, geno=1.0,
+    )
+    results, summary = run_gs(cfg)
+    res = results["trait1"]["BLUP"]
+    assert res.route == "GBLUP(add)"
+    assert len(res.test_pred) == 30
+    # predictions should correlate with the held-out truth
+    r = regression_metrics(y[-30:], res.test_pred)["pearson"]
+    assert r > 0.3
+    assert os.path.exists(str(tmp_path / "out" / "gs") + ".trait1.gebv.tsv")
+    assert os.path.exists(str(tmp_path / "out" / "gs") + ".gs.summary.json")
+    assert summary["traits"]["trait1"]["BLUP"]["cv"]["pearson"] > 0.3
+
+
+def test_bayes_fit_recovers_signal(gs_problem):
+    from janusx_tpu.gs.bayes import bayes_fit
+
+    pg, K, y = gs_problem
+    var = 2 * pg.af * (1 - pg.af)
+    inv = np.where(var > 0, 1 / np.sqrt(var), 0.0)
+    Z = (pg.centered() * inv[:, None]).T.astype(np.float32)
+    n = pg.n
+    tr = np.arange(0, n - 40)
+    te = np.arange(n - 40, n)
+    for method in ("BayesA", "BayesCpi"):
+        beta, mu = bayes_fit(Z[tr], y[tr], method, n_iter=300, burnin=150, seed=3)
+        pred = mu + Z[te] @ beta
+        r = regression_metrics(y[te], pred)["pearson"]
+        assert r > 0.3, f"{method} r={r}"
