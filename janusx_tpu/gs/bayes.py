@@ -1,4 +1,4 @@
-"""Bayes A / B / Cπ marker-effect models — device-resident Gibbs sampler.
+"""Bayes A / B / Cπ marker-effect models — device-resident blocked Gibbs.
 
 Model and priors follow the reference (/root/reference/src/stats/bayes.rs
 doc + BGLR-style hyperparameter defaults: r2=0.5, df0_b=5, df0_e=5,
@@ -9,11 +9,18 @@ prob_in=0.5, counts=10):
     BayesB  : δ_j ~ Bern(π) spike-and-slab over the BayesA hierarchy
     BayesCπ : shared slab variance, π ~ Beta-Binomial posterior
 
-TPU mapping: the per-marker Gibbs sweep is inherently sequential, so it
-runs as ONE ``lax.scan`` over marker rows inside a ``lax.fori_loop`` over
-iterations — the entire MCMC is a single device dispatch; each scan step
-is an O(n) dot/axpy on the VPU. Replaces the reference's rayon/BLAS
-streamed sweep (bayes.rs bayesb_core_impl).
+TPU-native design (replaces the reference's rayon/BLAS per-marker sweep,
+bayes.rs bayesb_core_impl — exact same Markov chain, restructured for a
+systolic machine):
+
+- All random draws for a full sweep (normals, uniforms, χ²) are generated
+  VECTORIZED once per iteration — no RNG in the sequential chain.
+- Markers are processed in blocks of C: per block one (C, n) matvec gives
+  the initial right-hand sides, and the within-block sequential updates
+  use the precomputed block Gram G_b = Z_b Z_b' (C, C) so each marker
+  step is O(C) VPU work instead of O(n); the residual is updated once per
+  block with a (C, n) matvec. The serial dependency chain per sweep is m
+  steps of ~10 small ops instead of m threefry trees + m length-n dots.
 """
 
 from __future__ import annotations
@@ -26,34 +33,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _chi2(key, df, shape=(), dtype=jnp.float32):
-    return 2.0 * jax.random.gamma(key, df / 2.0, shape=shape, dtype=dtype)
-
-
-@partial(
-    jax.jit,
-    static_argnames=("n_iter", "burnin", "thin", "method"),
-)
+@partial(jax.jit, static_argnames=("n_iter", "burnin", "thin", "method", "n_blocks"))
 def _gibbs(
-    Zt,  # (m, n) f32 standardized marker rows
+    Zb,  # (n_blocks, C, n) f32 standardized marker rows, zero-padded
+    Gb,  # (n_blocks, C, C) block Grams Z_b Z_b'
+    x2,  # (n_blocks, C) per-marker sum of squares (0 for padding)
     y,  # (n,) f64
     key,
     n_iter: int,
     burnin: int,
     thin: int,
     method: str,  # "A" | "B" | "Cpi"
+    n_blocks: int,
+    n_real: int,  # true sample count (padding excluded by zero rows)
+    m_real: int,
     r2=0.5,
     df0_b=5.0,
     df0_e=5.0,
     prob_in=0.5,
     counts=10.0,
 ):
-    m, n = Zt.shape
     f = jnp.float32
+    C = Zb.shape[1]
+    n = n_real
+    m = m_real
     y32 = y.astype(f)
-    x2 = jnp.sum(Zt * Zt, axis=1)  # (m,)
-    mean_x = jnp.mean(Zt, axis=1)
-    msx = jnp.sum(x2) / n - jnp.sum(mean_x * mean_x)
+    real = x2 > 0  # (n_blocks, C) mask of non-padding, polymorphic markers
+    msx = jnp.sum(x2) / n - 0.0  # standardized, means ~0
     var_y = jnp.var(y32, ddof=1)
     prob_eff = 1.0 if method == "A" else prob_in
     s0_b = var_y * r2 / msx * (df0_b + 2.0) / prob_eff
@@ -63,85 +69,100 @@ def _gibbs(
     counts_out = counts - counts_in
 
     mu0 = jnp.mean(y32)
-    beta0 = jnp.zeros((m,), f)
-    var_b0 = jnp.full((m,), s0_b / (df0_b + 2.0), f)
-    delta0 = jnp.ones((m,), f) if method == "A" else jnp.full((m,), prob_in, f) > jax.random.uniform(key, (m,), dtype=f)
-    delta0 = delta0.astype(f) if method != "A" else jnp.ones((m,), f)
-    r0 = y32 - mu0
+    beta0 = jnp.zeros((n_blocks, C), f)
+    var_b0 = jnp.full((n_blocks, C), s0_b / (df0_b + 2.0), f)
+    r0 = jnp.broadcast_to(y32 - mu0, (y32.shape[0],))
 
-    def marker_step(carry, xs):
-        r, var_e, var_slab, pi, key = carry
-        z, x2j, bj, vbj, dj = xs
-        key, k1, k2, k3, k4 = jax.random.split(key, 5)
-        vb_eff = vbj if method in ("A", "B") else var_slab
-        # full conditional for a_j given inclusion
-        rhs = jnp.dot(z, r, precision=jax.lax.Precision.HIGHEST) + x2j * bj
-        C = x2j / var_e + 1.0 / vb_eff
-        mean = rhs / var_e / C
-        var = 1.0 / C
-        if method == "A":
-            d_new = jnp.asarray(1.0, f)
-        else:
-            # log Bayes factor for inclusion (integrating a_j)
-            logbf = 0.5 * (mean * mean / var + jnp.log(var) - jnp.log(vb_eff))
-            logit = jnp.log(pi) - jnp.log1p(-pi) + logbf
-            p_in = jax.nn.sigmoid(logit)
-            d_new = (jax.random.uniform(k3, dtype=f) < p_in).astype(f)
-        b_new = jnp.where(
-            d_new > 0, mean + jnp.sqrt(var) * jax.random.normal(k1, dtype=f), 0.0
+    def sweep_block(carry, xs):
+        r, var_e, var_slab, pi = carry
+        Z1, G1, x21, b_old, vb_old, rn, ru, rca, rci = xs
+        hp = jax.lax.Precision.HIGHEST
+        rhs0 = jnp.dot(Z1, r, precision=hp) + x21 * b_old  # (C,)
+
+        def inner(j, st):
+            b_new, delta_acc = st
+            # corrected rhs: subtract Gram-weighted effect changes so far
+            corr = jnp.dot(G1[j], b_new - b_old, precision=hp) - G1[j, j] * (
+                b_new[j] - b_old[j]
+            )
+            rhs = rhs0[j] - corr
+            vb_eff = vb_old[j] if method in ("A", "B") else var_slab
+            Cj = x21[j] / var_e + 1.0 / vb_eff
+            mean = rhs / var_e / Cj
+            var = 1.0 / Cj
+            if method == "A":
+                d = jnp.asarray(1.0, f)
+            else:
+                logbf = 0.5 * (mean * mean / var + jnp.log(var) - jnp.log(vb_eff))
+                logit = jnp.log(pi) - jnp.log1p(-pi) + logbf
+                d = (ru[j] < jax.nn.sigmoid(logit)).astype(f)
+            bj = jnp.where(d > 0, mean + jnp.sqrt(var) * rn[j], 0.0)
+            bj = jnp.where(x21[j] > 0, bj, 0.0)
+            return b_new.at[j].set(bj), delta_acc.at[j].set(d)
+
+        b_new, delta = jax.lax.fori_loop(
+            0, C, inner, (b_old, jnp.zeros((C,), f))
         )
-        r = r - z * (b_new - bj)
-        # per-marker variance update (BayesA/B hierarchy)
+        r = r - jnp.dot(b_new - b_old, Z1, precision=hp)
         vb_new = jnp.where(
-            d_new > 0,
-            (s0_b + b_new * b_new) / _chi2(k2, df0_b + 1.0),
-            s0_b / _chi2(k4, df0_b),
+            delta > 0,
+            (s0_b + b_new * b_new) / rca,
+            s0_b / rci,
         ).astype(f)
-        b_new = b_new.astype(f)
-        return (r, var_e, var_slab, pi, key), (b_new, vb_new, d_new)
+        vb_new = jnp.where(x21 > 0, vb_new, s0_b / (df0_b + 2.0))
+        return (r, var_e, var_slab, pi), (b_new, vb_new, delta)
 
     def iter_body(it, state):
-        mu, r, beta, var_b, delta, var_e, var_slab, pi, key, acc_b, acc_mu, n_acc = state
-        key, km, ks, ke, kp, kc = jax.random.split(key, 6)
+        mu, r, beta, var_b, var_e, var_slab, pi, key, acc_b, acc_mu, n_acc = state
+        key, km, kn, ku, kca, kci, ke, kp, kc = jax.random.split(key, 9)
+        # vectorized randoms for the whole sweep
+        rn = jax.random.normal(kn, (n_blocks, C), f)
+        ru = jax.random.uniform(ku, (n_blocks, C), dtype=f)
+        rca = 2.0 * jax.random.gamma(kca, (df0_b + 1.0) / 2.0, (n_blocks, C), f)
+        rci = 2.0 * jax.random.gamma(kci, df0_b / 2.0, (n_blocks, C), f)
         # intercept
         r_mu = r + mu
-        mu_new = (jnp.mean(r_mu) + jax.random.normal(km, dtype=f) * jnp.sqrt(var_e / n)).astype(f)
+        mu_new = (
+            jnp.mean(r_mu) * (r.shape[0] / n)
+            + jax.random.normal(km, dtype=f) * jnp.sqrt(var_e / n)
+        ).astype(f)
         r = r_mu - mu_new
-        # marker sweep
-        (r, _, _, _, _), (beta, var_b, delta) = jax.lax.scan(
-            marker_step,
-            (r, var_e, var_slab, pi, ks),
-            (Zt, x2, beta, var_b, delta),
+        (r, _, _, _), (beta, var_b, delta) = jax.lax.scan(
+            sweep_block,
+            (r, var_e, var_slab, pi),
+            (Zb, Gb, x2, beta, var_b, rn, ru, rca, rci),
         )
-        # residual variance
         sse = jnp.dot(r, r, precision=jax.lax.Precision.HIGHEST)
-        var_e = ((sse + s0_e) / _chi2(ke, n + df0_e)).astype(f)
-        # Cpi: shared slab variance + pi update
-        n_active = jnp.sum(delta)
+        var_e = (
+            (sse + s0_e) / (2.0 * jax.random.gamma(ke, (n + df0_e) / 2.0, (), f))
+        ).astype(f)
+        n_active = jnp.sum(delta * real)
         if method == "Cpi":
             ssb = jnp.sum(beta * beta)
-            var_slab = ((ssb + s0_b) / _chi2(kc, df0_b + n_active)).astype(f)
-            pi = jax.random.beta(kp, counts_in + n_active, counts_out + m - n_active, dtype=f)
+            var_slab = (
+                (ssb + s0_b)
+                / (2.0 * jax.random.gamma(kc, (df0_b + n_active) / 2.0, (), f))
+            ).astype(f)
+        if method in ("B", "Cpi"):
+            pi = jax.random.beta(
+                kp, counts_in + n_active, counts_out + m - n_active, dtype=f
+            )
             pi = jnp.clip(pi, 1e-6, 1.0 - 1e-6)
-        elif method == "B":
-            pi = jax.random.beta(kp, counts_in + n_active, counts_out + m - n_active, dtype=f)
-            pi = jnp.clip(pi, 1e-6, 1.0 - 1e-6)
-        # accumulate posterior means
         take = (it >= burnin) & (((it - burnin) % thin) == 0)
         acc_b = acc_b + jnp.where(take, beta, 0.0)
         acc_mu = acc_mu + jnp.where(take, mu_new, 0.0)
         n_acc = n_acc + jnp.where(take, 1, 0)
-        return (mu_new, r, beta, var_b, delta, var_e, var_slab, pi, key,
+        return (mu_new, r, beta, var_b, var_e, var_slab, pi, key,
                 acc_b, acc_mu, n_acc)
 
     state0 = (
-        mu0, r0, beta0, var_b0, delta0, jnp.asarray(var_e0, f),
-        jnp.asarray(s0_b / (df0_b + 2.0), f),
-        jnp.asarray(prob_in, f), key,
-        jnp.zeros((m,), f), jnp.asarray(0.0, f), jnp.asarray(0, jnp.int32),
+        mu0, r0, beta0, var_b0, jnp.asarray(var_e0, f),
+        jnp.asarray(s0_b / (df0_b + 2.0), f), jnp.asarray(prob_in, f), key,
+        jnp.zeros((n_blocks, C), f), jnp.asarray(0.0, f),
+        jnp.asarray(0, jnp.int32),
     )
     out = jax.lax.fori_loop(0, n_iter, iter_body, state0)
-    acc_b, acc_mu, n_acc = out[9], out[10], out[11]
+    acc_b, acc_mu, n_acc = out[8], out[9], out[10]
     denom = jnp.maximum(n_acc, 1).astype(f)
     return acc_b / denom, acc_mu / denom
 
@@ -154,20 +175,35 @@ def bayes_fit(
     burnin: int = 200,
     thin: int = 1,
     seed: int = 0,
+    block: int = 128,
 ):
     """Returns (marker_effects (m,), mu)."""
     tag = {"BayesA": "A", "BayesB": "B", "BayesCpi": "Cpi"}[method]
-    Zt = jnp.asarray(np.ascontiguousarray(Z.T), jnp.float32)
+    Z = np.asarray(Z, np.float32)
+    n, m = Z.shape
+    C = min(block, max(8, m))
+    n_blocks = -(-m // C)
+    m_pad = n_blocks * C
+    Zt = np.zeros((m_pad, n), np.float32)
+    Zt[:m] = Z.T
+    Zb = Zt.reshape(n_blocks, C, n)
+    Gb = np.einsum("bcn,bdn->bcd", Zb, Zb).astype(np.float32)
+    x2 = np.einsum("bcn,bcn->bc", Zb, Zb).astype(np.float32)
     beta, mu = _gibbs(
-        Zt,
+        jnp.asarray(Zb),
+        jnp.asarray(Gb),
+        jnp.asarray(x2),
         jnp.asarray(y, jnp.float64),
         jax.random.PRNGKey(seed),
         n_iter,
         burnin,
         thin,
         tag,
+        n_blocks,
+        n,
+        m,
     )
-    return np.asarray(beta, np.float64), float(mu)
+    return np.asarray(beta, np.float64).reshape(-1)[:m], float(mu)
 
 
 def bayes_fit_predict(cfg, method, Xml, y, train, test, kf):
