@@ -1,0 +1,223 @@
+"""FarmCPU: iterative fixed-effect / random-effect multi-locus GWAS.
+
+Functional re-implementation of the reference's raw ``-farmcpu`` route
+(/root/reference/src/stats/farmcpu.rs:1-70 algorithm doc; rMVP-compatible
+semantics, 49/49 QTN parity documented in doc/release/v1.0.26.md):
+
+  iterate t = 0, 1, ...:
+    1. FEM: conditional LM scan of every marker with the current
+       pseudo-QTN genotypes appended to the covariates (device scan —
+       same residualized machinery as `-lm`).
+    2. Candidate bins: for each (window_bp, n_lead) grid pair, bin markers
+       by genomic window, keep the best marker per window, take the top
+       n_lead leads.
+    3. REM: score each candidate lead set by the REML likelihood of an
+       intercept-only mixed model whose kinship is built from the lead
+       markers only (low-rank spectral — q x q eigenproblem, q = #leads).
+    4. Select the argmin set, apply the significance threshold and the
+       |r| > 0.7 redundancy rule against retained QTNs.
+    5. Stop when the QTN set repeats (fixed point or 2-cycle) or the loop
+       cap is reached.
+  Final: FEM scan with the converged QTN set; pseudo-QTN rows get their
+  p-values from their own covariate t-tests in the background model.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+
+from janusx_tpu import config
+from janusx_tpu.core import stats as jstats
+from janusx_tpu.io.packed import PackedGenotypes
+from janusx_tpu.models.lm import lm_scan, student_t_p_two_sided, design_matrix
+from janusx_tpu.models.scan_common import ScanResult
+
+log = logging.getLogger("janusx_tpu.farmcpu")
+
+WINDOW_SIZES = (500_000, 5_000_000, 50_000_000)  # rMVP bin.size ladder
+LEAD_COUNTS = (10, 20, 30, 40, 50)
+MAX_LOOPS = 10
+LD_REDUNDANCY_R = 0.7
+
+
+def _bin_leads(pos_key: np.ndarray, pvals: np.ndarray, window: int, n_lead: int):
+    """Best marker per genomic window, then the n_lead most significant."""
+    bins = pos_key // window
+    order = np.argsort(pvals, kind="stable")
+    seen: set = set()
+    leads = []
+    for i in order:
+        b = bins[i]
+        if b in seen:
+            continue
+        seen.add(b)
+        leads.append(i)
+        if len(leads) >= n_lead:
+            break
+    return np.array(sorted(leads), dtype=np.int64)
+
+
+def _rem_score(Zq: np.ndarray, y: np.ndarray) -> float:
+    """-REML loglik of y ~ N(1μ, vg K_q + ve I), K_q = Zq'Zq/q (low rank).
+
+    Uses the thin SVD of Zq (q markers x n samples): the nonzero spectrum
+    comes from a q x q eigenproblem, so scoring is O(n q^2).
+    """
+    q, n = Zq.shape
+    if q == 0:
+        return np.inf
+    y = y - y.mean()
+    Gq = Zq @ Zq.T / q  # (q, q)
+    s, V = np.linalg.eigh(Gq)
+    keep = s > 1e-10
+    s = s[keep]
+    U = (Zq.T @ V[:, keep]) / np.sqrt(np.maximum(s * q, 1e-30))  # (n, r) orthonormal
+    yu = U.T @ y
+    yy = float(y @ y)
+    r_rank = len(s)
+
+    def neg_reml(log10_lbd):
+        lbd = 10.0 ** log10_lbd
+        # V = s_i + lbd on the r-dim subspace, lbd elsewhere
+        w = 1.0 / (s + lbd)
+        quad = float(yu @ (w * yu)) + (yy - float(yu @ yu)) / lbd
+        if quad <= 0:
+            return 1e8
+        logdet = float(np.log(s + lbd).sum()) + (n - r_rank) * np.log(lbd)
+        return 0.5 * ((n - 1) * np.log(quad) + logdet)
+
+    import scipy.optimize
+
+    res = scipy.optimize.minimize_scalar(
+        neg_reml, bounds=(-5, 5), method="bounded", options={"xatol": 1e-3}
+    )
+    return float(res.fun)
+
+
+@dataclass
+class FarmcpuResult:
+    result: ScanResult
+    qtns: np.ndarray  # indices of final pseudo-QTNs
+    loops: int
+
+
+def farmcpu_scan(
+    pg: PackedGenotypes,
+    y: np.ndarray,
+    covariates: np.ndarray | None = None,
+    p_threshold: float | None = None,
+    qtn_threshold: float = 0.01,
+    max_loops: int = MAX_LOOPS,
+    block: int = config.DEFAULT_SNP_BLOCK,
+) -> FarmcpuResult:
+    y = np.asarray(y, np.float64).reshape(-1)
+    n = pg.n
+    m = pg.m
+    if p_threshold is None:
+        p_threshold = 0.01 / m  # rMVP default when unset
+
+    # composite position key: chromosome-major ordering
+    chrom_ids = {c: i for i, c in enumerate(dict.fromkeys(pg.sites.chrom))}
+    pos_key = np.array(
+        [chrom_ids[c] * 10_000_000_000 + p for c, p in zip(pg.sites.chrom, pg.sites.pos)],
+        dtype=np.int64,
+    )
+
+    qtns = np.array([], dtype=np.int64)
+    history = []
+    pvals = None
+    for loop in range(max_loops):
+        cov = covariates
+        if len(qtns):
+            Zq = pg.centered()[qtns] if m < 200_000 else _decode_rows(pg, qtns)
+            cov_q = Zq.T
+            cov = cov_q if cov is None else np.concatenate([cov, cov_q], axis=1)
+        res = lm_scan(pg, y, cov, block=block)
+        pvals = res.pwald.copy()
+        if len(qtns):
+            pvals[qtns] = _qtn_pvalues(pg, y, covariates, qtns)
+        if loop == 0 and np.nanmin(pvals) >= p_threshold:
+            log.info("farmcpu: no marker passes threshold %.3g", p_threshold)
+            return FarmcpuResult(result=res, qtns=qtns, loops=loop + 1)
+
+        # REM bin-size/lead-count selection
+        best_score = np.inf
+        best_leads = np.array([], dtype=np.int64)
+        for win in WINDOW_SIZES:
+            for nb in LEAD_COUNTS:
+                leads = _bin_leads(pos_key, pvals, win, nb)
+                leads = leads[pvals[leads] < qtn_threshold]
+                if len(leads) == 0:
+                    continue
+                Zq = _decode_rows(pg, leads)
+                score = _rem_score(Zq, y)
+                if score < best_score:
+                    best_score = score
+                    best_leads = leads
+        cand = np.unique(np.concatenate([qtns, best_leads]))
+        # redundancy removal: |r| > 0.7 keeps the more significant marker
+        cand = _prune_correlated(pg, cand, pvals, LD_REDUNDANCY_R)
+        key = tuple(cand.tolist())
+        if np.array_equal(cand, qtns) or key in history:
+            qtns = cand  # fixed point or 2-cycle -> converged
+            break
+        history.append(key)
+        qtns = cand
+        log.info("farmcpu loop %d: %d pseudo-QTNs", loop + 1, len(qtns))
+
+    # final scan with converged QTN set
+    cov = covariates
+    if len(qtns):
+        cov_q = _decode_rows(pg, qtns).T
+        cov = cov_q if cov is None else np.concatenate([cov, cov_q], axis=1)
+    final = lm_scan(pg, y, cov, block=block)
+    if len(qtns):
+        qp = _qtn_pvalues(pg, y, covariates, qtns)
+        final.pwald[qtns] = qp
+    return FarmcpuResult(result=final, qtns=qtns, loops=loop + 1)
+
+
+def _decode_rows(pg: PackedGenotypes, idx: np.ndarray) -> np.ndarray:
+    rows = [pg.centered(int(i), int(i) + 1)[0] for i in idx]
+    return np.asarray(rows) if rows else np.empty((0, pg.n))
+
+
+def _qtn_pvalues(pg, y, covariates, qtns) -> np.ndarray:
+    """p-values of the pseudo-QTN coefficients in the joint background model
+    (rMVP behavior: QTN rows report their covariate t-tests)."""
+    Zq = _decode_rows(pg, qtns)
+    n = pg.n
+    X = design_matrix(n, covariates)
+    Xf = np.concatenate([X, Zq.T], axis=1)
+    k = Xf.shape[1]
+    df = n - k
+    if df <= 0:
+        return np.ones(len(qtns))
+    XtX = Xf.T @ Xf + 1e-10 * np.eye(k)
+    Cinv = np.linalg.inv(XtX)
+    beta = Cinv @ (Xf.T @ y)
+    resid = y - Xf @ beta
+    sigma2 = float(resid @ resid) / df
+    se = np.sqrt(np.maximum(sigma2 * np.diag(Cinv), 1e-300))
+    t = beta / se
+    pv = student_t_p_two_sided(t, df)
+    return pv[X.shape[1]:]
+
+
+def _prune_correlated(pg, cand, pvals, r_cut):
+    if len(cand) <= 1:
+        return cand
+    Z = _decode_rows(pg, cand)
+    Zs = Z - Z.mean(axis=1, keepdims=True)
+    norms = np.sqrt((Zs * Zs).sum(axis=1))
+    norms[norms == 0] = 1.0
+    R = (Zs / norms[:, None]) @ (Zs / norms[:, None]).T
+    order = np.argsort(pvals[cand], kind="stable")
+    keep = []
+    for i in order:
+        if all(abs(R[i, j]) <= r_cut for j in keep):
+            keep.append(i)
+    return np.sort(cand[np.array(keep, dtype=np.int64)])

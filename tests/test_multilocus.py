@@ -1,0 +1,90 @@
+"""Tests for splmm (GRAMMAR-gamma) and FarmCPU."""
+
+import numpy as np
+import pytest
+
+from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+from janusx_tpu.io.packed import QcParams, pack_genotypes
+from janusx_tpu.models.grm import grm_from_packed
+from janusx_tpu.core.spectral import eigh_grm
+from janusx_tpu.models.fvlmm import fvlmm_scan
+from janusx_tpu.models.splmm import splmm_grammar_scan, sparsify_grm
+from janusx_tpu.models.farmcpu import farmcpu_scan
+
+
+@pytest.fixture(scope="module")
+def ml_problem():
+    rng = np.random.default_rng(23)
+    m, n = 500, 250
+    p = rng.uniform(0.1, 0.5, size=m)
+    g = rng.binomial(2, p[:, None], size=(m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * (m // 2) + ["2"] * (m - m // 2), object),
+        pos=np.concatenate(
+            [np.arange(1, m // 2 + 1), np.arange(1, m - m // 2 + 1)]
+        ).astype(np.int64)
+        * 100_000,
+        snp=np.array([f"v{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["T"] * m, object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    pg = pack_genotypes(gd, QcParams(maf=0.05, geno=0.05))
+    K = grm_from_packed(pg)
+    Z = pg.centered()
+    # two strong QTNs far apart + small polygenic background
+    qtn = [20, 300]
+    y = (
+        1.0
+        + Z[qtn[0]] * 1.2
+        + Z[qtn[1]] * 1.0
+        + Z[::7].T @ rng.normal(size=len(Z[::7])) * 0.05
+        + rng.normal(size=n) * 0.8
+    )
+    return pg, K, y, qtn
+
+
+def test_sparsify_grm(ml_problem):
+    pg, K, y, _ = ml_problem
+    Ks = sparsify_grm(K, 0.05)
+    assert Ks.nnz < K.size
+    np.testing.assert_allclose(Ks.diagonal(), np.diag(K))
+    Kall = sparsify_grm(K, -1.0)
+    assert Kall.nnz == K.size
+
+
+def test_grammar_gamma_close_to_fvlmm(ml_problem):
+    pg, K, y, qtn = ml_problem
+    res_g, info = splmm_grammar_scan(pg, K, y, cutoff=-1.0)  # dense = exact V
+    basis = eigh_grm(K, diag_ridge=1e-6)
+    res_f, _ = fvlmm_scan(pg, basis, y)
+    lp_g = -np.log10(res_g.pwald)
+    lp_f = -np.log10(res_f.pwald)
+    # GRAMMAR-gamma approximates the fixed-lambda mixed scan; top hits agree
+    assert np.argmax(lp_g) == np.argmax(lp_f)
+    ok = np.isfinite(lp_g) & np.isfinite(lp_f)
+    corr = np.corrcoef(lp_g[ok], lp_f[ok])[0, 1]
+    assert corr > 0.95
+    assert 0.2 < info["gamma"] < 5.0
+
+
+def test_grammar_gamma_sparse_cutoff(ml_problem):
+    pg, K, y, qtn = ml_problem
+    res, info = splmm_grammar_scan(pg, K, y, cutoff=0.05)
+    assert info["nnz_frac"] < 1.0
+    assert np.all(np.isfinite(res.pwald))
+    # detects the planted QTNs
+    top = set(np.argsort(res.pwald)[:6].tolist())
+    assert qtn[0] in top and qtn[1] in top
+
+
+def test_farmcpu_finds_qtns(ml_problem):
+    pg, K, y, qtn = ml_problem
+    out = farmcpu_scan(pg, y)
+    assert out.loops >= 1
+    # final scan should rank planted QTNs at the top
+    top = set(np.argsort(out.result.pwald)[:6].tolist())
+    assert qtn[0] in top and qtn[1] in top
+    # pseudo-QTN set should include at least one of the planted markers
+    if len(out.qtns):
+        assert any(abs(int(q) - t) <= 2 for q in out.qtns for t in qtn)
