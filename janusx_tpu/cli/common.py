@@ -1,0 +1,74 @@
+"""Shared CLI argument groups (reference: script/_common/cli_args.py)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def add_genotype_args(p: argparse.ArgumentParser, required: bool = True):
+    g = p.add_argument_group("Genotype input (select exactly one)")
+    g.add_argument("-bfile", "--bfile", type=str, help="PLINK prefix (.bed/.bim/.fam)")
+    g.add_argument("-vcf", "--vcf", type=str, help="VCF file (.vcf/.vcf.gz)")
+    g.add_argument("-hmp", "--hmp", type=str, help="HapMap file (.hmp.txt[.gz])")
+    g.add_argument("-file", "--file", type=str, help="numeric matrix (.txt/.tsv/.csv/.npy)")
+    return g
+
+
+def resolve_genotype(args) -> str:
+    chosen = [v for v in (args.bfile, args.vcf, args.hmp, args.file) if v]
+    if len(chosen) != 1:
+        raise SystemExit("specify exactly one of -bfile/-vcf/-hmp/-file")
+    return chosen[0]
+
+
+def add_pheno_args(p: argparse.ArgumentParser, required: bool = True):
+    g = p.add_argument_group("Phenotype")
+    g.add_argument("-p", "--pheno", type=str, required=required, help="phenotype file")
+    g.add_argument(
+        "-n", "--ncol", type=str, default=None,
+        help="trait selector: zero-based indices (excluding ID column) or names, comma-separated",
+    )
+    return g
+
+
+def parse_traits(spec: str | None):
+    if not spec:
+        return None
+    return [t.strip() for t in str(spec).split(",") if t.strip()]
+
+
+def add_qc_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("Variant QC")
+    g.add_argument("-maf", "--maf", type=float, default=0.02, help="min minor-allele frequency")
+    g.add_argument("-geno", "--geno", type=float, default=0.05, help="max per-SNP missing rate")
+    g.add_argument("-het", "--het", type=float, default=1.0, help="max heterozygosity rate (1.0 = off)")
+    return g
+
+
+def add_out_args(p: argparse.ArgumentParser, default_prefix: str):
+    g = p.add_argument_group("Output")
+    g.add_argument("-o", "--out", type=str, default=".", help="output directory")
+    g.add_argument("-prefix", "--prefix", type=str, default=default_prefix, help="output file prefix")
+    g.add_argument("-v", "--verbose", action="store_true", default=False)
+    return g
+
+
+def out_prefix(args) -> str:
+    os.makedirs(args.out, exist_ok=True)
+    return os.path.join(args.out, args.prefix)
+
+
+def setup_logging(verbose: bool, prefix: str | None = None, module: str = "jx"):
+    level = logging.DEBUG if verbose else logging.INFO
+    handlers: list[logging.Handler] = [logging.StreamHandler(sys.stderr)]
+    if prefix:
+        handlers.append(logging.FileHandler(f"{prefix}.{module}.log", mode="w"))
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        handlers=handlers,
+        force=True,
+    )

@@ -1,0 +1,78 @@
+"""`jx gs` — genomic selection (reference: janusx.gs.workflow CLI)."""
+
+from __future__ import annotations
+
+import argparse
+
+from janusx_tpu.cli import common
+
+_METHOD_FLAGS = [
+    ("BLUP", "auto-dispatch GBLUP/rrBLUP by n/m regime"),
+    ("GBLUP", "additive GBLUP"),
+    ("rrBLUP", "ridge-regression BLUP (marker effects)"),
+    ("BayesA", "Bayesian marker model, per-marker variance"),
+    ("BayesB", "Bayesian variable selection"),
+    ("BayesCpi", "Bayesian variable selection, shared variance"),
+    ("RF", "random forest"),
+    ("ET", "extra trees"),
+    ("GBDT", "histogram gradient boosting"),
+    ("ENET", "elastic net"),
+    ("SVM", "RBF support-vector regression"),
+    ("XGB", "XGBoost (optional dependency)"),
+]
+
+
+def build_parser(prog="jx gs") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=prog, description="Genomic selection (TPU-native)")
+    common.add_genotype_args(p)
+    common.add_pheno_args(p)
+    m = p.add_argument_group("Models")
+    for name, help_ in _METHOD_FLAGS:
+        m.add_argument(
+            f"-{name}", f"--{name}", dest=f"m_{name}", action="store_true", help=help_
+        )
+    common.add_qc_args(p)
+    o = p.add_argument_group("Options")
+    o.add_argument("-cv", "--cv", type=int, default=5, help="CV folds (0 disables)")
+    o.add_argument("-seed", "--seed", type=int, default=42)
+    o.add_argument("-effect", "--effect", action="store_true", help="export marker-effect TSVs")
+    o.add_argument("--bayes-iters", type=int, default=400)
+    o.add_argument("--bayes-burnin", type=int, default=200)
+    common.add_out_args(p, default_prefix="jxgs")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    prefix = common.out_prefix(args)
+    common.setup_logging(args.verbose, prefix, "gs")
+    methods = tuple(n for n, _ in _METHOD_FLAGS if getattr(args, f"m_{n}"))
+    if not methods:
+        methods = ("BLUP",)
+
+    from janusx_tpu.gs.workflow import GsConfig, run_gs
+
+    cfg = GsConfig(
+        genotype=common.resolve_genotype(args),
+        phenotype=args.pheno,
+        out_prefix=prefix,
+        methods=methods,
+        traits=common.parse_traits(args.ncol),
+        cv=args.cv,
+        maf=args.maf,
+        geno=args.geno,
+        seed=args.seed,
+        export_effects=args.effect,
+        bayes_iters=args.bayes_iters,
+        bayes_burnin=args.bayes_burnin,
+    )
+    results, summary = run_gs(cfg)
+    for trait, per_method in summary["traits"].items():
+        for mm, info in per_method.items():
+            cv = info.get("cv", {})
+            print(
+                f"{trait}\t{mm}\t{info.get('route', mm)}\t"
+                f"r={cv.get('pearson', float('nan')):.3f}\t"
+                f"R2={cv.get('r2', float('nan')):.3f}"
+            )
+    return 0

@@ -1,0 +1,83 @@
+"""`jx gwas` — association scans (reference: janusx.assoc.workflow CLI)."""
+
+from __future__ import annotations
+
+import argparse
+
+from janusx_tpu.cli import common
+
+
+def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=prog, description="GWAS scans (TPU-native)")
+    common.add_genotype_args(p)
+    common.add_pheno_args(p)
+    m = p.add_argument_group("Models (select at least one)")
+    m.add_argument("-lm", "--lm", action="store_true", help="linear model scan")
+    m.add_argument("-lmm", "--lmm", action="store_true", help="exact per-SNP REML LMM (GEMMA-like)")
+    m.add_argument("-lmm2", "--lmm2", action="store_true", help="LMM + ML/LRT columns")
+    m.add_argument("-fvlmm", "--fvlmm", action="store_true", help="fixed-lambda LMM scan (EMMAX-like)")
+    m.add_argument(
+        "-splmm", "--splmm", nargs="?", const=0.05, type=float, default=None,
+        metavar="CUTOFF", help="sparse-GRM GRAMMAR-gamma scan (default cutoff 0.05)",
+    )
+    m.add_argument(
+        "-splmm-approx", "--splmm-approx", dest="splmm", nargs="?", const=0.05,
+        type=float, help=argparse.SUPPRESS,
+    )
+    m.add_argument("-farmcpu", "--farmcpu", action="store_true", help="FarmCPU multi-locus scan")
+    common.add_qc_args(p)
+    o = p.add_argument_group("Model options")
+    o.add_argument("-q", "--qcov", type=int, default=0, help="number of GRM PCs as covariates")
+    o.add_argument("-c", "--cov", type=str, default=None, help="covariate file")
+    o.add_argument("-gk", "--grm-method", type=int, default=1, choices=(1, 2), help="GRM: 1=centered 2=standardized")
+    o.add_argument("-force-model", "--force-model", action="store_true", help="disable the LMM->LM auto-switch")
+    o.add_argument("-scan-method", "--scan-method", type=str, default="grid", choices=("grid", "brent"), help=argparse.SUPPRESS)
+    common.add_out_args(p, default_prefix="jx")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    prefix = common.out_prefix(args)
+    common.setup_logging(args.verbose, prefix, "gwas")
+
+    models = []
+    if args.lm:
+        models.append("lm")
+    if args.lmm:
+        models.append("lmm")
+    if args.lmm2:
+        models.append("lmm2")
+    if args.fvlmm:
+        models.append("fvlmm")
+    if args.splmm is not None:
+        models.append("splmm")
+    if args.farmcpu:
+        models.append("farmcpu")
+    if not models:
+        raise SystemExit("select at least one model (-lm/-lmm/-lmm2/-fvlmm/-splmm/-farmcpu)")
+
+    from janusx_tpu.workflows.gwas import GwasConfig, run_gwas
+
+    cfg = GwasConfig(
+        genotype=common.resolve_genotype(args),
+        phenotype=args.pheno,
+        out_prefix=prefix,
+        models=tuple(models),
+        traits=common.parse_traits(args.ncol),
+        covariates=args.cov,
+        n_pcs=args.qcov,
+        maf=args.maf,
+        geno=args.geno,
+        het=args.het,
+        grm_method=args.grm_method,
+        force_model=args.force_model,
+        splmm_cutoff=args.splmm if args.splmm is not None else 0.05,
+    )
+    runs = run_gwas(cfg)
+    for r in runs:
+        print(
+            f"{r.trait}\t{r.model}\tn={r.n_samples}\tm={r.n_snps}\t"
+            f"{r.seconds:.2f}s\t{r.tsv_path or '-'}"
+        )
+    return 0

@@ -1,0 +1,69 @@
+"""`jx` — top-level CLI dispatcher.
+
+Mirrors the reference dispatcher surface
+(/root/reference/python/janusx/script/JanusX.py:157-168 module table,
+:396-461 dispatch): `jx <module> [args...]`, with `jx gwas` and `jx gs`
+routed to the workflow implementations.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+from janusx_tpu import __version__
+
+_MODULES: dict[str, tuple[str, str]] = {
+    # name -> (module path, description)
+    "gwas": ("janusx_tpu.cli.gwas", "GWAS scans: lm/lmm/lmm2/fvlmm/splmm/farmcpu"),
+    "gs": ("janusx_tpu.cli.gs", "Genomic selection: BLUP/GBLUP/rrBLUP/Bayes/ML"),
+    "grm": ("janusx_tpu.cli.grm", "Genomic relationship matrix"),
+    "pca": ("janusx_tpu.cli.pca", "Principal components (eigh or randomized SVD)"),
+    "gstats": ("janusx_tpu.cli.gstats", "Per-site / per-sample genotype statistics"),
+    "sim": ("janusx_tpu.cli.sim", "Simulate genotypes + phenotypes"),
+    "gformat": ("janusx_tpu.cli.gformat", "Convert genotype files across formats"),
+    "postgwas": ("janusx_tpu.cli.postgwas", "Manhattan/QQ plots + annotation"),
+    "reml": ("janusx_tpu.cli.reml", "Variance components / BLUE / BLUP"),
+}
+
+_ALIASES = {"simulation": "sim"}
+
+
+def _help() -> str:
+    lines = [
+        f"janusx-tpu {__version__} — TPU-native GWAS + genomic selection",
+        "",
+        "usage: jx <module> [options]",
+        "",
+        "modules:",
+    ]
+    for name, (_, desc) in _MODULES.items():
+        lines.append(f"  {name:<10} {desc}")
+    lines.append("")
+    lines.append("run `jx <module> -h` for module options")
+    return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print(_help())
+        return 0
+    if argv[0] in ("-V", "--version", "version"):
+        print(__version__)
+        return 0
+    name = _ALIASES.get(argv[0], argv[0])
+    entry = _MODULES.get(name)
+    if entry is None:
+        print(f"unknown module: {argv[0]}\n\n{_help()}", file=sys.stderr)
+        return 2
+    try:
+        mod = importlib.import_module(entry[0])
+    except ImportError as e:
+        print(f"module {name} unavailable: {e}", file=sys.stderr)
+        return 2
+    return int(mod.main(argv[1:]) or 0)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

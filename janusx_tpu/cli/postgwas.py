@@ -1,0 +1,64 @@
+"""`jx postgwas` — Manhattan/QQ plots and top-hit tables from assoc TSVs
+(reference: python/janusx/script/postgwas.py)."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+from janusx_tpu.cli import common
+
+
+def build_parser(prog="jx postgwas") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=prog, description="Post-GWAS plots + tables")
+    p.add_argument("-i", "--input", type=str, required=True, nargs="+",
+                   help="assoc TSV file(s) or glob(s)")
+    p.add_argument("-sig", "--sig", type=float, default=None,
+                   help="significance line (default 0.05/m Bonferroni)")
+    p.add_argument("-top", "--top", type=int, default=20, help="top-hit table rows")
+    p.add_argument("-pcol", "--pcol", type=str, default="pwald", help="p-value column")
+    common.add_out_args(p, default_prefix="postgwas")
+    return p
+
+
+def _read_assoc(path: str, pcol: str):
+    import pandas as pd
+
+    df = pd.read_csv(path, sep="\t")
+    required = {"chrom", "pos", pcol}
+    if not required.issubset(df.columns):
+        raise SystemExit(f"{path}: missing columns {required - set(df.columns)}")
+    return df
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    prefix = common.out_prefix(args)
+    common.setup_logging(args.verbose, prefix, "postgwas")
+
+    from janusx_tpu.plots.gwasplots import manhattan_plot, qq_plot
+
+    paths = []
+    for pat in args.input:
+        hits = sorted(glob.glob(pat))
+        paths.extend(hits if hits else [pat])
+    outputs = []
+    for path in paths:
+        df = _read_assoc(path, args.pcol)
+        tag = os.path.basename(path).replace(".assoc.tsv", "").replace(".tsv", "")
+        man = f"{prefix}.{tag}.manhattan.png"
+        qq = f"{prefix}.{tag}.qq.png"
+        manhattan_plot(
+            df["chrom"].to_numpy(), df["pos"].to_numpy(),
+            df[args.pcol].to_numpy(), man, sig_line=args.sig, title=tag,
+        )
+        lam = qq_plot(df[args.pcol].to_numpy(), qq, title=tag)
+        top = df.nsmallest(args.top, args.pcol)
+        top_path = f"{prefix}.{tag}.top.tsv"
+        top.to_csv(top_path, sep="\t", index=False)
+        outputs += [man, qq, top_path]
+        print(f"{tag}\tlambda_GC={lam:.3f}\t{man}")
+    return 0

@@ -1,0 +1,90 @@
+"""Windowed LD pruning (PLINK --indep-pairwise semantics).
+
+Replaces the reference's SIMD LD-prune kernels
+(/root/reference/src/stats/ld.rs: count-window pruning, MAF-priority
+variant). TPU mapping: correlations for a whole SNP chunk come from ONE
+(C, n) x (n, C) device matmul of standardized rows; the greedy window
+sweep over the precomputed r² matrix runs on host (tiny).
+
+Greedy rule per window: scan pairs (i < j); if r² > threshold, drop the
+member with the smaller MAF (maf-priority, ties drop j).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from janusx_tpu import config
+from janusx_tpu.io.packed import PackedGenotypes
+from janusx_tpu.ops import decode
+
+
+@jax.jit
+def _corr_chunk(packed, mean):
+    z = decode.decode_centered(packed, mean, dtype=jnp.float32)
+    norms = jnp.sqrt(jnp.sum(z * z, axis=1))
+    zn = z / jnp.maximum(norms, 1e-12)[:, None]
+    return jnp.dot(zn, zn.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def ld_prune(
+    pg: PackedGenotypes,
+    window: int = 50,
+    step: int = 5,
+    r2_threshold: float = 0.2,
+    chunk: int = 4096,
+) -> np.ndarray:
+    """Returns indices of SNPs kept."""
+    m = pg.m
+    if m == 0:
+        return np.empty(0, np.int64)
+    window = max(2, int(window))
+    step = max(1, int(step))
+    removed = np.zeros(m, dtype=bool)
+    packed = decode.pad_packed_cols(pg.packed)
+    maf = pg.af
+
+    # process per chromosome (windows never span chromosomes)
+    chrom = pg.sites.chrom
+    boundaries = [0]
+    for i in range(1, m):
+        if chrom[i] != chrom[i - 1]:
+            boundaries.append(i)
+    boundaries.append(m)
+
+    for c0, c1 in zip(boundaries[:-1], boundaries[1:]):
+        s = c0
+        while s < c1:
+            e = min(s + chunk, c1)
+            # include window overlap to the right
+            e_ov = min(e + window, c1)
+            r = np.asarray(
+                _corr_chunk(
+                    jnp.asarray(packed[s:e_ov]),
+                    jnp.asarray(pg.mean[s:e_ov].astype(np.float32)),
+                )
+            )
+            r2 = r * r
+            local_removed = removed[s:e_ov].copy()
+            w0 = 0
+            limit = e_ov - s
+            while w0 < (e - s):
+                w1 = min(w0 + window, limit)
+                for i in range(w0, w1):
+                    if local_removed[i]:
+                        continue
+                    for j in range(i + 1, w1):
+                        if local_removed[j]:
+                            continue
+                        if r2[i, j] > r2_threshold:
+                            gi, gj = s + i, s + j
+                            if maf[gi] < maf[gj]:
+                                local_removed[i] = True
+                                break
+                            local_removed[j] = True
+                w0 += step
+            removed[s:e_ov] |= local_removed
+            s = e
+    return np.nonzero(~removed)[0]

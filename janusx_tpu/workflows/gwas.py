@@ -59,6 +59,8 @@ class GwasConfig:
     force_model: bool = False
     block: int = config.DEFAULT_SNP_BLOCK
     write_tsv: bool = True
+    splmm_cutoff: float = 0.05  # reference default (workflow.py:6701)
+    scan_method: str = "grid"  # lmm lambda search: "grid" | "brent"
 
 
 @dataclass
@@ -176,17 +178,33 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             elif model in ("lmm", "lmm2"):
                 res, null = lmm_mod.lmm_scan(
                     pg_t, get_basis(), y_t, cov_t, block=cfg.block,
-                    lmm2=(model == "lmm2"),
+                    lmm2=(model == "lmm2"), method=cfg.scan_method,
                 )
                 lbd_null = null.lbd
+            elif model == "splmm":
+                from janusx_tpu.models.splmm import splmm_grammar_scan
+
+                Ksub = K[np.ix_(keep, keep)]
+                res, info = splmm_grammar_scan(
+                    pg_t, Ksub, y_t, cov_t, cutoff=cfg.splmm_cutoff,
+                    block=cfg.block,
+                )
+                lbd_null = info["lambda_null"]
+            elif model == "farmcpu":
+                from janusx_tpu.models.farmcpu import farmcpu_scan
+
+                out_f = farmcpu_scan(pg_t, y_t, cov_t, block=cfg.block)
+                res = out_f.result
+                lbd_null = None
             else:
                 raise ValueError(f"unknown model: {model}")
             secs = time.monotonic() - t1
             tsv_path = None
             if cfg.write_tsv:
-                tag = {"lm": "LM", "lmm": "LMM", "lmm2": "LMM2", "fvlmm": "FvLMM"}[
-                    requested if requested != model and model == "lm" else model
-                ]
+                tag = {
+                    "lm": "LM", "lmm": "LMM", "lmm2": "LMM2", "fvlmm": "FvLMM",
+                    "splmm": "SparseLMM", "farmcpu": "FarmCPU",
+                }[requested if requested != model and model == "lm" else model]
                 tsv_path = f"{cfg.out_prefix}.{trait}.{tag}.assoc.tsv"
                 res.write_tsv(tsv_path)
             out.append(

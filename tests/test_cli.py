@@ -1,0 +1,196 @@
+"""CLI end-to-end validation (ggval-style: simulate -> run modules ->
+structural output checks; reference python/janusx/ggval.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from janusx_tpu.cli.main import main as jx_main
+
+
+@pytest.fixture(scope="module")
+def sim_dataset(tmp_path_factory):
+    out = tmp_path_factory.mktemp("simdata")
+    rc = jx_main(
+        ["sim", "-nind", "300", "-nsnp", "800", "-nqtl", "20", "-h2", "0.6",
+         "-o", str(out), "-prefix", "sim"]
+    )
+    assert rc == 0
+    prefix = str(out / "sim")
+    assert os.path.exists(prefix + ".bed")
+    assert os.path.exists(prefix + ".pheno")
+    return prefix
+
+
+def test_cli_help():
+    assert jx_main([]) == 0
+    assert jx_main(["--version"]) == 0
+    assert jx_main(["nosuchmodule"]) == 2
+
+
+def test_cli_grm_pca(sim_dataset, tmp_path):
+    rc = jx_main(["grm", "-bfile", sim_dataset, "-o", str(tmp_path), "-prefix", "g"])
+    assert rc == 0
+    K = np.load(str(tmp_path / "g.cGRM.npy"))
+    assert K.shape == (300, 300)
+    ids = open(str(tmp_path / "g.cGRM.id")).read().split()
+    assert len(ids) == 300
+    rc = jx_main(["pca", "-bfile", sim_dataset, "-dim", "5", "-o", str(tmp_path), "-prefix", "g"])
+    assert rc == 0
+    vecs = np.loadtxt(str(tmp_path / "g.eigenvec"), dtype=str)
+    assert vecs.shape == (300, 6)
+    vals = np.loadtxt(str(tmp_path / "g.eigenval"))
+    assert len(vals) == 5 and np.all(np.diff(vals) <= 1e-12)
+
+
+def test_cli_pca_rsvd_close_to_exact(tmp_path):
+    # RSVD needs an eigengap: simulate 2 diverged subpopulations
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+
+    rng = np.random.default_rng(5)
+    m, n = 600, 200
+    p1 = rng.uniform(0.1, 0.9, m)
+    p2 = np.clip(p1 + rng.normal(0, 0.25, m), 0.02, 0.98)
+    g = np.concatenate(
+        [
+            rng.binomial(2, p1[:, None], (m, n // 2)),
+            rng.binomial(2, p2[:, None], (m, n - n // 2)),
+        ],
+        axis=1,
+    ).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object), pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object), allele1=np.array(["G"] * m, object),
+    )
+    prefix = str(tmp_path / "pop")
+    plink.write_plink_genotypes(
+        prefix, GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    )
+    rc = jx_main(["pca", "-bfile", prefix, "-dim", "2", "-approx", "-gk", "2",
+                  "-o", str(tmp_path), "-prefix", "r"])
+    assert rc == 0
+    rc = jx_main(["pca", "-bfile", prefix, "-dim", "2", "-gk", "2",
+                  "-o", str(tmp_path), "-prefix", "e"])
+    assert rc == 0
+    vr = np.loadtxt(str(tmp_path / "r.eigenval"))
+    ve = np.loadtxt(str(tmp_path / "e.eigenval"))
+    # leading (structure) eigenvalue matches tightly
+    assert vr[0] == pytest.approx(ve[0], rel=1e-3)
+    pr = np.loadtxt(str(tmp_path / "r.eigenvec"), dtype=str)[:, 1:].astype(float)
+    pe = np.loadtxt(str(tmp_path / "e.eigenvec"), dtype=str)[:, 1:].astype(float)
+    assert abs(np.corrcoef(pr[:, 0], pe[:, 0])[0, 1]) > 0.999
+
+
+def test_cli_gwas_all_models(sim_dataset, tmp_path):
+    rc = jx_main([
+        "gwas", "-bfile", sim_dataset, "-p", sim_dataset + ".pheno",
+        "-lm", "-lmm", "-fvlmm", "-splmm", "-farmcpu", "-force-model",
+        "-o", str(tmp_path), "-prefix", "assoc",
+    ])
+    assert rc == 0
+    expected_tags = ["LM", "LMM", "FvLMM", "SparseLMM", "FarmCPU"]
+    for tag in expected_tags:
+        path = str(tmp_path / f"assoc.trait0.{tag}.assoc.tsv")
+        assert os.path.exists(path), tag
+        with open(path) as fh:
+            header = fh.readline().rstrip("\n").split("\t")
+            nrows = sum(1 for _ in fh)
+        assert header[:11] == [
+            "chrom", "pos", "snp", "allele0", "allele1", "af", "miss",
+            "beta", "se", "chisq", "pwald",
+        ]
+        assert nrows > 700
+    summary = json.load(open(str(tmp_path / "assoc.gwas.summary.json")))
+    assert len(summary["runs"]) == 5
+
+
+def test_cli_postgwas(sim_dataset, tmp_path):
+    rc = jx_main([
+        "gwas", "-bfile", sim_dataset, "-p", sim_dataset + ".pheno",
+        "-lm", "-o", str(tmp_path), "-prefix", "a",
+    ])
+    assert rc == 0
+    tsv = str(tmp_path / "a.trait0.LM.assoc.tsv")
+    rc = jx_main(["postgwas", "-i", tsv, "-o", str(tmp_path), "-prefix", "pg"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "pg.a.trait0.LM.manhattan.png"))
+    assert os.path.exists(str(tmp_path / "pg.a.trait0.LM.qq.png"))
+    assert os.path.exists(str(tmp_path / "pg.a.trait0.LM.top.tsv"))
+
+
+def test_cli_gformat_roundtrip(sim_dataset, tmp_path):
+    rc = jx_main([
+        "gformat", "-bfile", sim_dataset, "-make-vcf", "-make-hmp", "-make-txt",
+        "-maf", "0.0", "-geno", "1.0",
+        "-o", str(tmp_path), "-prefix", "conv",
+    ])
+    assert rc == 0
+    from janusx_tpu.io.gfreader import load_genotype_file
+    from janusx_tpu.io import plink
+
+    orig = plink.read_plink(sim_dataset)
+    for path in ("conv.vcf.gz", "conv.hmp.txt", "conv.txt"):
+        back = load_genotype_file(str(tmp_path / path))
+        assert back.m == orig.m and back.n == orig.n
+        # QC packing flips rows so allele1 is minor: compare allele-aware
+        flipped = back.sites.allele1 != orig.sites.allele1
+        if path == "conv.txt":
+            # txt carries alleles via .bim sidecar; same check applies
+            pass
+        expect = orig.genotypes.copy()
+        fl = np.asarray(flipped, bool)
+        sub = expect[fl]
+        sub[sub >= 0] = 2 - sub[sub >= 0]
+        expect[fl] = sub
+        np.testing.assert_array_equal(back.genotypes, expect)
+
+
+def test_cli_gformat_prune(sim_dataset, tmp_path):
+    rc = jx_main([
+        "gformat", "-bfile", sim_dataset, "-make-bed",
+        "--prune", "50", "5", "0.2",
+        "-o", str(tmp_path), "-prefix", "pruned",
+    ])
+    assert rc == 0
+    from janusx_tpu.io import plink
+
+    pruned = plink.read_plink(str(tmp_path / "pruned"))
+    assert 0 < pruned.m <= 800
+
+
+def test_cli_gstats(sim_dataset, tmp_path):
+    rc = jx_main(["gstats", "-bfile", sim_dataset, "-site", "-ind",
+                  "-o", str(tmp_path), "-prefix", "st"])
+    assert rc == 0
+    site = open(str(tmp_path / "st.site.stats.tsv")).readlines()
+    assert len(site) == 801
+    ind = open(str(tmp_path / "st.ind.stats.tsv")).readlines()
+    assert len(ind) == 301
+
+
+def test_cli_gs(sim_dataset, tmp_path):
+    # mask some phenotypes to create a test set
+    import numpy as np
+
+    lines = open(sim_dataset + ".pheno").readlines()
+    masked = str(tmp_path / "masked.pheno")
+    with open(masked, "wt") as fh:
+        fh.write(lines[0])
+        for i, ln in enumerate(lines[1:]):
+            if i >= 270:
+                parts = ln.split("\t")
+                fh.write(parts[0] + "\tNA\n")
+            else:
+                fh.write(ln)
+    rc = jx_main([
+        "gs", "-bfile", sim_dataset, "-p", masked, "-BLUP", "-cv", "5",
+        "-o", str(tmp_path), "-prefix", "gsout",
+    ])
+    assert rc == 0
+    gebv = open(str(tmp_path / "gsout.trait0.gebv.tsv")).readlines()
+    assert len(gebv) == 31  # header + 30 test samples
+    assert os.path.exists(str(tmp_path / "gsout.gs.summary.json"))
