@@ -51,8 +51,13 @@ def test_assoc_chunked_equals_unchunked(api_problem):
     )
 
 
-def test_gs_api(api_problem):
-    G, y, K = api_problem
+def test_gs_api():
+    # polygenic trait (kernel methods need distributed signal)
+    rng = np.random.default_rng(9)
+    n, m = 160, 120
+    G = rng.binomial(2, 0.35, size=(n, m)).astype(float)
+    gv = (G - G.mean(0)) @ rng.normal(size=m) * 0.2
+    y = gv + rng.normal(size=n) * np.std(gv) * 0.7
     ymask = np.where(np.arange(len(y)) < 100, y, np.nan)
     gs = GenomicSelection("GBLUP").fit(G, ymask)
     pred = gs.predict(np.arange(100, len(y)))
