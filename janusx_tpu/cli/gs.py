@@ -9,6 +9,8 @@ from janusx_tpu.cli import common
 _METHOD_FLAGS = [
     ("BLUP", "auto-dispatch GBLUP/rrBLUP by n/m regime"),
     ("GBLUP", "additive GBLUP"),
+    ("GBLUPd", "dominance-kernel GBLUP"),
+    ("GBLUPad", "additive+dominance GBLUP"),
     ("rrBLUP", "ridge-regression BLUP (marker effects)"),
     ("BayesA", "Bayesian marker model, per-marker variance"),
     ("BayesB", "Bayesian variable selection"),

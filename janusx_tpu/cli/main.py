@@ -24,9 +24,14 @@ _MODULES: dict[str, tuple[str, str]] = {
     "gformat": ("janusx_tpu.cli.gformat", "Convert genotype files across formats"),
     "postgwas": ("janusx_tpu.cli.postgwas", "Manhattan/QQ plots + annotation"),
     "reml": ("janusx_tpu.cli.reml", "Variance components / BLUE / BLUP"),
+    "fastpop": ("janusx_tpu.cli.fastpop", "ADMIXTURE-style ancestry inference"),
+    "tree": ("janusx_tpu.cli.tree", "Neighbor-joining phylogeny from genotypes"),
+    "bsa": ("janusx_tpu.cli.bsa", "Bulked-segregant analysis preprocessing"),
+    "gmerge": ("janusx_tpu.cli.gmerge", "Merge genotype panels"),
+    "webui": ("janusx_tpu.cli.webui", "Local web UI for browsing results"),
 }
 
-_ALIASES = {"simulation": "sim"}
+_ALIASES = {"simulation": "sim", "adamixture": "fastpop"}
 
 
 def _help() -> str:

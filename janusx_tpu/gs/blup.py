@@ -129,6 +129,64 @@ def marker_effects(
     return np.asarray(eff, np.float64)[:m] / denom
 
 
+@dataclass
+class MultiKernelModel:
+    train_idx: np.ndarray
+    beta: np.ndarray
+    Py: np.ndarray  # (n_train,)
+    sigma2: dict  # kernel name -> variance
+    h2: dict
+    kernels: list  # names in order
+
+
+def fit_gblup_kernels(
+    Ks: dict,
+    y: np.ndarray,
+    train_idx: np.ndarray,
+    covariates: np.ndarray | None = None,
+) -> MultiKernelModel:
+    """Multi-kernel GBLUP (additive + dominance 'ad' mode — reference
+    gs/workflow.py GBLUP kernels a/d/ad) via AI-REML.
+
+    Predictions: u_r(test) = σ_r² K_r[test, train] · Py."""
+    from janusx_tpu.models.vcomp import RandomTerm, ai_reml
+
+    train_idx = np.asarray(train_idx)
+    y_t = np.asarray(y, np.float64).reshape(-1)[train_idx]
+    n_t = len(train_idx)
+    cov_t = None if covariates is None else np.asarray(covariates)[train_idx]
+    X = np.ones((n_t, 1)) if cov_t is None else np.concatenate(
+        [np.ones((n_t, 1)), cov_t], axis=1
+    )
+    terms = [
+        RandomTerm(name=nm, Z=np.eye(n_t), K=K[np.ix_(train_idx, train_idx)])
+        for nm, K in Ks.items()
+    ]
+    res = ai_reml(y_t, X, terms)
+    return MultiKernelModel(
+        train_idx=train_idx, beta=res.blue, Py=res.Py,
+        sigma2=res.sigma2, h2=res.h2, kernels=list(Ks.keys()),
+    )
+
+
+def predict_gblup_kernels(
+    model: MultiKernelModel,
+    Ks: dict,
+    test_idx: np.ndarray,
+    covariates: np.ndarray | None = None,
+) -> np.ndarray:
+    test_idx = np.asarray(test_idx)
+    n_s = len(test_idx)
+    X = np.ones((n_s, 1)) if covariates is None else np.concatenate(
+        [np.ones((n_s, 1)), np.asarray(covariates)[test_idx]], axis=1
+    )
+    pred = X @ model.beta
+    for nm in model.kernels:
+        Kst = Ks[nm][np.ix_(test_idx, model.train_idx)]
+        pred = pred + model.sigma2[nm] * (Kst @ model.Py)
+    return pred
+
+
 def fit_gblup_cg(
     K: np.ndarray,
     y: np.ndarray,

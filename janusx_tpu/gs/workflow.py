@@ -134,10 +134,14 @@ def run_gs(cfg: GsConfig):
     y_all, matched = ph.align(pg.samples)
     log.info("GS: %d SNPs x %d samples, traits=%s", m, pg.n, ph.traits)
 
-    needs_kernel = any(
-        mm in ("BLUP", "GBLUP", "rrBLUP") for mm in cfg.methods
-    )
+    kernel_methods = ("BLUP", "GBLUP", "rrBLUP", "GBLUPd", "GBLUPad")
+    needs_kernel = any(mm in kernel_methods for mm in cfg.methods)
     K = grm_from_packed(pg, method=1, block=cfg.block) if needs_kernel else None
+    Kd = (
+        grm_from_packed(pg, method=3, block=cfg.block)
+        if any(mm in ("GBLUPd", "GBLUPad") for mm in cfg.methods)
+        else None
+    )
     denom = grm_denominator(pg, method=1)
 
     Xml = None
@@ -167,7 +171,7 @@ def run_gs(cfg: GsConfig):
         trait_res: dict[str, MethodRunResult] = {}
         for method in cfg.methods:
             res = _run_single_method(
-                cfg, method, K, Xml, pg, denom, y, train, test, trait
+                cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd=Kd
             )
             trait_res[method] = res
         all_results[str(trait)] = trait_res
@@ -199,14 +203,34 @@ def run_gs(cfg: GsConfig):
     return all_results, summary
 
 
-def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait):
+def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd=None):
     route = method
     info: dict = {}
     t0 = time.monotonic()
     fold_metrics = []
     kf = KFold(cfg.cv, shuffle=True, random_state=cfg.seed)
 
-    if method in ("BLUP", "GBLUP", "rrBLUP"):
+    if method in ("GBLUPd", "GBLUPad"):
+        from janusx_tpu.gs.blup import fit_gblup_kernels, predict_gblup_kernels
+
+        Ks = {"dom": Kd} if method == "GBLUPd" else {"add": K, "dom": Kd}
+        route = "GBLUP(d)" if method == "GBLUPd" else "GBLUP(ad)"
+        for fold, (tr_loc, va_loc) in enumerate(kf.split(len(train))):
+            tf = time.monotonic()
+            mdl = fit_gblup_kernels(Ks, y, train[tr_loc])
+            pv = predict_gblup_kernels(mdl, Ks, train[va_loc])
+            mets = regression_metrics(y[train[va_loc]], pv)
+            mets.update(fold=fold, elapsed_sec=round(time.monotonic() - tf, 3))
+            fold_metrics.append(mets)
+        cv_secs = time.monotonic() - t0
+        t1 = time.monotonic()
+        mdl = fit_gblup_kernels(Ks, y, train)
+        test_pred = (
+            predict_gblup_kernels(mdl, Ks, test) if len(test) else np.empty(0)
+        )
+        info.update(sigma2=mdl.sigma2, h2=mdl.h2)
+        fit_secs = time.monotonic() - t1
+    elif method in ("BLUP", "GBLUP", "rrBLUP"):
         route = (
             _dispatch_blup_route(len(train), pg.m) if method == "BLUP" else method
         )

@@ -31,7 +31,20 @@ from janusx_tpu.ops import decode
 
 
 def _snp_scales(pg: PackedGenotypes, method: int):
-    """Per-SNP (mean, inv_sd) with monomorphic guard."""
+    """Per-SNP (mean, inv_sd, var) with monomorphic guard.
+
+    method 1: centered additive; 2: standardized additive;
+    3: centered dominance (het indicator — reference grm.rs method 3).
+    For method 3 the "mean" is the per-SNP heterozygote frequency and the
+    decode swaps to the het-indicator (handled by the caller)."""
+    if method == 3:
+        from janusx_tpu.io import bitcodec
+
+        nm, alt, het = bitcodec.row_stats(pg.packed, pg.n_samples)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            hf = np.where(nm > 0, het / nm, 0.0)
+        var = hf * (1.0 - hf)
+        return hf, np.ones_like(var), var
     p = pg.af
     var = 2.0 * p * (1.0 - p)
     if method == 1:
@@ -42,15 +55,18 @@ def _snp_scales(pg: PackedGenotypes, method: int):
     return pg.mean, inv_sd, var
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _grm_accum_step(acc, packed, mean, inv_sd):
-    c = decode.decode_standardized(packed, mean, inv_sd, dtype=jnp.float32)
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("dom",))
+def _grm_accum_step(acc, packed, mean, inv_sd, dom: bool = False):
+    if dom:
+        c = decode.decode_dominance(packed, mean, dtype=jnp.float32)
+    else:
+        c = decode.decode_standardized(packed, mean, inv_sd, dtype=jnp.float32)
     part = jnp.dot(c.T, c, precision=jax.lax.Precision.HIGHEST)
     return acc + part.astype(acc.dtype)
 
 
-@partial(jax.jit, static_argnames=("block", "acc_dtype"))
-def _grm_resident(packed, mean, inv_sd, block: int, acc_dtype):
+@partial(jax.jit, static_argnames=("block", "acc_dtype", "dom"))
+def _grm_resident(packed, mean, inv_sd, block: int, acc_dtype, dom: bool = False):
     """Whole-matrix GRM in ONE dispatch: lax.scan over SNP blocks.
 
     packed rows must be padded to a multiple of ``block``. Preferred when
@@ -65,7 +81,10 @@ def _grm_resident(packed, mean, inv_sd, block: int, acc_dtype):
 
     def body(acc, xs):
         p, m, s = xs
-        c = decode.decode_standardized(p, m, s, dtype=jnp.float32)
+        if dom:
+            c = decode.decode_dominance(p, m, dtype=jnp.float32)
+        else:
+            c = decode.decode_standardized(p, m, s, dtype=jnp.float32)
         part = jnp.dot(c.T, c, precision=jax.lax.Precision.HIGHEST)
         return acc + part.astype(acc_dtype), None
 
@@ -106,7 +125,8 @@ def grm_from_packed(
             mn = np.concatenate([mn, np.zeros(pad, np.float32)])
             iv = np.concatenate([iv, np.zeros(pad, np.float32)])
         acc = _grm_resident(
-            jnp.asarray(packed), jnp.asarray(mn), jnp.asarray(iv), block, acc_dtype
+            jnp.asarray(packed), jnp.asarray(mn), jnp.asarray(iv), block,
+            acc_dtype, method == 3,
         )
     else:
         n_pad = packed.shape[1] * 4
@@ -121,10 +141,10 @@ def grm_from_packed(
                 mb = np.concatenate([mb, np.zeros(pad, np.float32)])
                 ib = np.concatenate([ib, np.zeros(pad, np.float32)])
             acc = _grm_accum_step(
-                acc, jnp.asarray(pk), jnp.asarray(mb), jnp.asarray(ib)
+                acc, jnp.asarray(pk), jnp.asarray(mb), jnp.asarray(ib), method == 3
             )
     K = np.asarray(acc[:n, :n], dtype=np.float64)
-    denom = float(var.sum()) if method == 1 else float(m)
+    denom = float(var.sum()) if method in (1, 3) else float(m)
     if denom <= 0:
         raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
     return K / denom

@@ -49,6 +49,7 @@ class VcompResult:
     fixed_names: list
     blups: dict  # term name -> (levels, u)
     fitted: np.ndarray = field(default=None)  # type: ignore
+    Py: np.ndarray = field(default=None)  # type: ignore  # P y (for kernel predictions)
 
 
 class _Reduced:
@@ -268,6 +269,7 @@ def ai_reml(
     return VcompResult(
         sigma2=sigma2, h2=h2, loglik=float(st.ll), n_iter=it, converged=converged,
         blue=blue, blue_se=blue_se, fixed_names=[], blups=blups, fitted=fitted,
+        Py=st.Py,
     )
 
 

@@ -67,6 +67,18 @@ def decode_standardized(
     return decode_centered(packed, mean, dtype) * inv_sd.astype(dtype)[:, None]
 
 
+def decode_dominance(
+    packed: jax.Array, het_freq: jax.Array, dtype=jnp.float32
+) -> jax.Array:
+    """Centered heterozygosity indicator: het -> 1-hf, hom -> -hf,
+    missing/padding -> 0 (reference dominance kernel decode,
+    src/stats/gblup.rs decode_subset_dom_row value_lut)."""
+    codes = unpack_codes(packed)
+    hf = het_freq.astype(dtype)[:, None]
+    h = jnp.where(codes == 1, 1.0 - hf, -hf).astype(dtype)
+    return jnp.where(codes == 3, jnp.zeros((), dtype), h)
+
+
 def decode_dosage(
     packed: jax.Array, mean: jax.Array, dtype=jnp.float32
 ) -> jax.Array:

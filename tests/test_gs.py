@@ -125,3 +125,22 @@ def test_bayes_fit_recovers_signal(gs_problem):
         pred = mu + Z[te] @ beta
         r = regression_metrics(y[te], pred)["pearson"]
         assert r > 0.3, f"{method} r={r}"
+
+
+def test_gblup_dominance_kernels(gs_problem):
+    from janusx_tpu.gs.blup import fit_gblup_kernels, predict_gblup_kernels
+    from janusx_tpu.models.grm import grm_from_packed
+
+    pg, K, y = gs_problem
+    Kd = grm_from_packed(pg, method=3)
+    np.testing.assert_allclose(Kd, Kd.T, atol=1e-6)
+    assert abs(np.mean(np.diag(Kd)) - 1.0) < 0.4  # normalized kernel
+    n = pg.n
+    train = np.arange(0, n - 40)
+    test = np.arange(n - 40, n)
+    mdl = fit_gblup_kernels({"add": K, "dom": Kd}, y, train)
+    assert set(mdl.sigma2) == {"add", "dom", "residual"}
+    pred = predict_gblup_kernels(mdl, {"add": K, "dom": Kd}, test)
+    assert len(pred) == 40
+    r = regression_metrics(y[test], pred)["pearson"]
+    assert r > 0.25
