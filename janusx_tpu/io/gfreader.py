@@ -150,12 +150,66 @@ class RawPacked:
         )
 
 
+def _load_raw_vcf_native(path: str, chunk_snps: int) -> RawPacked | None:
+    """Fast path: C++ GT parser packs 2-bit codes directly (io/native.py)."""
+    from janusx_tpu.io import native
+    from janusx_tpu.io.gdata import SiteInfo
+
+    if not native.available():
+        return None
+    samples = vcf.read_vcf_samples(path)
+    n = len(samples)
+    packed_parts, meta_parts = [], []
+    with vcf._open_text(path) as fh:
+        buf: list[str] = []
+
+        def flush():
+            if not buf:
+                return
+            out = native.parse_vcf_block(
+                "".join(buf).encode(), n, len(buf)
+            )
+            if out is None:
+                raise RuntimeError("native VCF parse failed")
+            packed_parts.append(out[0])
+            meta_parts.extend(out[1])
+            buf.clear()
+
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            buf.append(line)
+            if len(buf) >= chunk_snps:
+                flush()
+        flush()
+    if not packed_parts:
+        raise ValueError(f"no variants in {path}")
+    m = sum(p.shape[0] for p in packed_parts)
+    chrom = np.empty(m, object)
+    pos = np.empty(m, np.int64)
+    snp = np.empty(m, object)
+    a0 = np.empty(m, object)
+    a1 = np.empty(m, object)
+    for i, (c, p_, sid, ref, alt) in enumerate(meta_parts):
+        chrom[i] = c
+        pos[i] = int(p_)
+        snp[i] = sid if sid != "." else f"{c}_{p_}"
+        a0[i] = ref
+        a1[i] = alt.split(",", 1)[0] if "," in alt else alt
+    sites = SiteInfo(chrom=chrom, pos=pos, snp=snp, allele0=a0, allele1=a1)
+    return RawPacked(np.concatenate(packed_parts, axis=0), n, sites, samples)
+
+
 def load_raw_packed(path: str, chunk_snps: int = 8192) -> RawPacked:
     """Load any supported input as pre-QC packed dosage codes."""
     fmt, p = detect_format(path)
     if fmt == "bed":
         packed, n, sites, samples = plink.read_bed_packed(p)
         return RawPacked(packed, n, sites, samples)
+    if fmt == "vcf":
+        raw = _load_raw_vcf_native(p, chunk_snps)
+        if raw is not None:
+            return raw
     from janusx_tpu.io.gdata import SiteInfo
 
     parts, site_parts, samples = [], [], None

@@ -158,3 +158,22 @@ def test_hapmap_reader(tmp_path):
     path.write_text(header + rows)
     gd = load_genotype_file(str(path))
     np.testing.assert_array_equal(gd.genotypes, [[0, 1, 2], [-1, 1, 2]])
+
+
+def test_native_vcf_parser_matches_python(mouse_vcf):
+    from janusx_tpu.io import native
+    from janusx_tpu.io.gfreader import _load_raw_vcf_native, load_raw_packed
+    from janusx_tpu.io import vcf as vcfmod, bitcodec
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    raw_native = _load_raw_vcf_native(mouse_vcf, 8192)
+    # python reference parse
+    gd = vcfmod.read_vcf(mouse_vcf)
+    codes = bitcodec.unpack_codes(raw_native.packed, raw_native.n_samples)
+    geno = codes.astype(np.int8)
+    geno[codes == 3] = -1
+    np.testing.assert_array_equal(geno, gd.genotypes)
+    np.testing.assert_array_equal(raw_native.sites.pos, gd.sites.pos)
+    np.testing.assert_array_equal(raw_native.sites.allele1, gd.sites.allele1)
+    np.testing.assert_array_equal(raw_native.samples, gd.samples)
