@@ -1,0 +1,109 @@
+"""Tests for tree/BSA/gmerge/webui long-tail modules."""
+
+import numpy as np
+import pytest
+
+from janusx_tpu.cli.main import main as jx_main
+from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+from janusx_tpu.io.packed import QcParams, pack_genotypes
+
+
+def _toy(rng, m=120, n=24, pops=True):
+    p1 = rng.uniform(0.1, 0.9, m)
+    if pops:
+        p2 = np.clip(p1 + rng.choice([-1, 1], m) * 0.4, 0.02, 0.98)
+        g = np.concatenate(
+            [rng.binomial(2, p1[:, None], (m, n // 2)),
+             rng.binomial(2, p2[:, None], (m, n - n // 2))], axis=1
+        ).astype(np.int8)
+    else:
+        g = rng.binomial(2, p1[:, None], (m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object), pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object), allele1=np.array(["G"] * m, object),
+    )
+    return GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+
+
+def test_ibs_distance_and_nj(rng):
+    from janusx_tpu.models.tree import ibs_distance, neighbor_joining
+
+    gd = _toy(rng)
+    pg = pack_genotypes(gd, QcParams(maf=0.0, geno=1.0))
+    D = ibs_distance(pg)
+    # direct check on a few pairs
+    d = pg.dosages().astype(float)
+    d[d < 0] = np.nan
+    for i, j in [(0, 1), (3, 20), (5, 23)]:
+        ok = np.isfinite(d[:, i]) & np.isfinite(d[:, j])
+        expect = np.mean(np.abs(d[ok, i] - d[ok, j])) / 2
+        assert D[i, j] == pytest.approx(expect, abs=1e-6)
+    # two-population structure -> within-pop distances smaller
+    n2 = pg.n // 2
+    within = (D[:n2, :n2].sum() + D[n2:, n2:].sum()) / (2 * n2 * (n2 - 1))
+    between = D[:n2, n2:].mean()
+    assert between > within
+    nwk = neighbor_joining(D, pg.samples)
+    assert nwk.endswith(";") and nwk.count("(") == pg.n - 1
+    for s in pg.samples:
+        assert str(s) in nwk
+
+
+def test_bsa_analysis(rng):
+    from janusx_tpu.models.bsa import bsa_analysis
+
+    m = 500
+    chrom = np.array(["1"] * m)
+    pos = np.arange(1, m + 1) * 10_000
+    depth = 40
+    # causal region in the middle: bulks diverge
+    p1 = np.full(m, 0.5)
+    p2 = np.full(m, 0.5)
+    p2[200:300] = 0.9
+    alt1 = rng.binomial(depth, p1)
+    alt2 = rng.binomial(depth, p2)
+    res = bsa_analysis(chrom, pos, alt1, depth - alt1, alt2, depth - alt2,
+                       window_bp=500_000)
+    assert np.nanmean(np.abs(res.delta[200:300])) > np.nanmean(np.abs(res.delta[:150]))
+    peak = np.nanargmax(res.g_prime)
+    assert 150 <= peak <= 350
+
+
+def test_gmerge_cli(rng, tmp_path):
+    from janusx_tpu.io import plink
+
+    gd = _toy(rng, m=100, n=20, pops=False)
+    a = gd.take_samples(np.arange(0, 12))
+    b = gd.take_samples(np.arange(12, 20))
+    # swap alleles in panel b for some sites (harmonization check)
+    swap = np.arange(0, 100, 7)
+    gb = b.genotypes.copy()
+    sub = gb[swap]
+    sub[sub >= 0] = 2 - sub[sub >= 0]
+    gb[swap] = sub
+    sites_b = b.sites.swap_alleles(np.isin(np.arange(100), swap))
+    b2 = GenotypeData(gb, sites_b, b.samples)
+    plink.write_plink_genotypes(str(tmp_path / "a"), a)
+    plink.write_plink_genotypes(str(tmp_path / "b"), b2)
+    rc = jx_main([
+        "gmerge", "-i", str(tmp_path / "a"), str(tmp_path / "b"),
+        "-o", str(tmp_path), "-prefix", "m",
+    ])
+    assert rc == 0
+    merged = plink.read_plink(str(tmp_path / "m"))
+    assert merged.n == 20 and merged.m == 100
+    np.testing.assert_array_equal(merged.genotypes, gd.genotypes)
+
+
+def test_tree_cli(rng, tmp_path):
+    from janusx_tpu.io import plink
+
+    gd = _toy(rng, m=80, n=12)
+    plink.write_plink_genotypes(str(tmp_path / "t"), gd)
+    rc = jx_main(["tree", "-bfile", str(tmp_path / "t"), "-dist",
+                  "-maf", "0.0", "-geno", "1.0",
+                  "-o", str(tmp_path), "-prefix", "tr"])
+    assert rc == 0
+    nwk = open(str(tmp_path / "tr.nwk")).read()
+    assert nwk.strip().endswith(";")
