@@ -1,0 +1,64 @@
+"""`jx garfield` — logic-rule (epistasis) association search
+(reference: src/garfield/ + script/garfield CLI)."""
+
+from __future__ import annotations
+
+import argparse
+
+from janusx_tpu.cli import common
+
+
+def build_parser(prog="jx garfield") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=prog, description="AND/XOR logic-rule search")
+    common.add_genotype_args(p)
+    common.add_pheno_args(p)
+    common.add_qc_args(p)
+    o = p.add_argument_group("Search")
+    o.add_argument("-depth", "--depth", type=int, default=2, help="max rule depth")
+    o.add_argument("-beam", "--beam", type=int, default=64, help="beam width")
+    o.add_argument("-perm", "--perm", type=int, default=100, help="permutations")
+    o.add_argument("-grm", "--grm-residualize", action="store_true",
+                   help="residualize on the GRM (mixed-model residuals)")
+    o.add_argument("-seed", "--seed", type=int, default=0)
+    common.add_out_args(p, default_prefix="garfield")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    prefix = common.out_prefix(args)
+    common.setup_logging(args.verbose, prefix, "garfield")
+
+    import numpy as np
+
+    from janusx_tpu.io.gfreader import load_raw_packed
+    from janusx_tpu.io.packed import QcParams
+    from janusx_tpu.io.pheno import load_phenotype
+    from janusx_tpu.models.garfield import garfield_scan, write_garfield_tsv
+    from janusx_tpu.models.grm import grm_from_packed
+    from janusx_tpu.models.scan_common import analysis_sample_index
+
+    raw = load_raw_packed(common.resolve_genotype(args))
+    ph = load_phenotype(args.pheno).select(common.parse_traits(args.ncol))
+    y_all, _ = ph.align(raw.samples)
+    qc = QcParams(maf=args.maf, geno=args.geno, het=args.het)
+    outputs = []
+    for ti, trait in enumerate(ph.traits):
+        y = y_all[:, ti]
+        keep = analysis_sample_index(y)
+        pg = raw.prepare(qc, sample_idx=keep)
+        K = grm_from_packed(pg) if args.grm_residualize else None
+        res = garfield_scan(
+            pg, y[keep], K=K, depth=args.depth, beam=args.beam,
+            n_perm=args.perm, seed=args.seed,
+        )
+        path = f"{prefix}.{trait}.garfield.tsv"
+        write_garfield_tsv(path, res, pg.sites)
+        outputs.append(path)
+        best = res.rules[0] if res.rules else None
+        if best:
+            print(
+                f"{trait}\ttop: {best.describe(pg.sites.snp)}\t"
+                f"score={best.score:.4g}\tp={res.pvalues[0]:.4g}\t{path}"
+            )
+    return 0

@@ -25,6 +25,7 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
         type=float, help=argparse.SUPPRESS,
     )
     m.add_argument("-farmcpu", "--farmcpu", action="store_true", help="FarmCPU multi-locus scan")
+    m.add_argument("-algwas", "--algwas", action="store_true", help=argparse.SUPPRESS)
     common.add_qc_args(p)
     o = p.add_argument_group("Model options")
     o.add_argument("-q", "--qcov", type=int, default=0, help="number of GRM PCs as covariates")
@@ -54,6 +55,8 @@ def main(argv=None) -> int:
         models.append("splmm")
     if args.farmcpu:
         models.append("farmcpu")
+    if args.algwas:
+        models.append("algwas")
     if not models:
         raise SystemExit("select at least one model (-lm/-lmm/-lmm2/-fvlmm/-splmm/-farmcpu)")
 

@@ -29,6 +29,7 @@ _MODULES: dict[str, tuple[str, str]] = {
     "bsa": ("janusx_tpu.cli.bsa", "Bulked-segregant analysis preprocessing"),
     "gmerge": ("janusx_tpu.cli.gmerge", "Merge genotype panels"),
     "webui": ("janusx_tpu.cli.webui", "Local web UI for browsing results"),
+    "garfield": ("janusx_tpu.cli.garfield", "Logic-rule (epistasis) association search"),
 }
 
 _ALIASES = {"simulation": "sim", "adamixture": "fastpop"}

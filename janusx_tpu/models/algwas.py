@@ -1,0 +1,146 @@
+"""ALGWAS: adaptive-lasso two-stage GWAS.
+
+Functional re-design of the reference's `-algwas` route
+(/root/reference/src/stats/algwas.rs: stage-1 lasso path with EBIC
+selection — 64 path steps, λ_min ratio 1e-3, standardized design — then a
+stage-2 conditional scan).
+
+TPU mapping: the reference's active-set coordinate-descent path becomes a
+FISTA proximal-gradient path run entirely on device — one jit, lax.scan
+over λ steps with warm starts; each inner iteration is two (m, n) MXU
+matmuls. EBIC(γ=0.5) selects the path point; stage 2 re-scans all markers
+with the selected set as covariates (pseudo-QTN p-values from their joint
+model, as in FarmCPU).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from janusx_tpu import config
+from janusx_tpu.io.packed import PackedGenotypes
+from janusx_tpu.models.lm import lm_scan
+from janusx_tpu.models.farmcpu import _decode_rows, _qtn_pvalues
+from janusx_tpu.models.scan_common import ScanResult
+
+PATH_STEPS = 64
+LAMBDA_MIN_RATIO = 1e-3
+EBIC_GAMMA = 0.5
+
+
+@partial(jax.jit, static_argnames=("n_steps", "inner_iters"))
+def _lasso_path(Zt, y, lambdas, n_steps: int, inner_iters: int = 150):
+    """FISTA over a λ path with warm starts.
+
+    Zt: (m, n) standardized marker rows; y: (n,) centered.
+    Returns betas (n_steps, m) and rss (n_steps,).
+    """
+    m, n = Zt.shape
+    hp = jax.lax.Precision.HIGHEST
+    # Lipschitz bound: power iteration on Z'Z
+    v = jnp.ones((m,), jnp.float32) / jnp.sqrt(m)
+
+    def pw(_, v):
+        w = jnp.dot(jnp.dot(v, Zt, precision=hp), Zt.T, precision=hp)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-12)
+
+    v = jax.lax.fori_loop(0, 30, pw, v)
+    L = jnp.maximum(
+        jnp.linalg.norm(jnp.dot(jnp.dot(v, Zt, precision=hp), Zt.T, precision=hp)),
+        1e-6,
+    )
+    step = 1.0 / L
+
+    def fista(beta0, lam):
+        def body(i, st):
+            b, z, t = st
+            resid = jnp.dot(z, Zt, precision=hp) - y  # (n,)
+            grad = jnp.dot(Zt, resid, precision=hp)  # (m,)
+            b_new = z - step * grad
+            b_new = jnp.sign(b_new) * jnp.maximum(jnp.abs(b_new) - step * lam, 0.0)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            z_new = b_new + ((t - 1.0) / t_new) * (b_new - b)
+            return b_new, z_new, t_new
+
+        b, _, _ = jax.lax.fori_loop(
+            0, inner_iters, body, (beta0, beta0, jnp.asarray(1.0, jnp.float32))
+        )
+        return b
+
+    def scan_body(beta, lam):
+        b = fista(beta, lam)
+        resid = jnp.dot(b, Zt, precision=hp) - y
+        rss = jnp.dot(resid, resid, precision=hp)
+        return b, (b, rss)
+
+    beta0 = jnp.zeros((m,), jnp.float32)
+    _, (betas, rss) = jax.lax.scan(scan_body, beta0, lambdas)
+    return betas, rss
+
+
+@dataclass
+class AlgwasResult:
+    result: ScanResult
+    selected: np.ndarray  # stage-1 selected marker indices
+    ebic_path: np.ndarray
+    lambda_path: np.ndarray
+
+
+def algwas_scan(
+    pg: PackedGenotypes,
+    y: np.ndarray,
+    covariates: np.ndarray | None = None,
+    path_steps: int = PATH_STEPS,
+    max_selected: int = 200,
+    block: int = config.DEFAULT_SNP_BLOCK,
+) -> AlgwasResult:
+    y = np.asarray(y, np.float64).reshape(-1)
+    n, m = pg.n, pg.m
+    # residualize y on [1, covariates] (stage 1 operates on the centered scale)
+    X = np.ones((n, 1)) if covariates is None else np.concatenate(
+        [np.ones((n, 1)), np.asarray(covariates, np.float64)], axis=1
+    )
+    b0, *_ = np.linalg.lstsq(X, y, rcond=None)
+    r = y - X @ b0
+
+    var = 2.0 * pg.af * (1.0 - pg.af)
+    inv_sd = np.where(var > 0, 1.0 / np.sqrt(var), 0.0)
+    Zt = (pg.centered() * inv_sd[:, None]).astype(np.float32)  # (m, n)
+    rj = jnp.asarray(r, jnp.float32)
+    Ztj = jnp.asarray(Zt)
+    lam_max = float(np.abs(Zt @ r).max())
+    lambdas = jnp.asarray(
+        np.geomspace(lam_max * 0.98, lam_max * LAMBDA_MIN_RATIO, path_steps),
+        jnp.float32,
+    )
+    betas, rss = _lasso_path(Ztj, rj, lambdas, path_steps)
+    betas = np.asarray(betas)
+    rss = np.asarray(rss, np.float64)
+    k = (np.abs(betas) > 1e-8).sum(axis=1)
+    with np.errstate(divide="ignore"):
+        ebic = (
+            n * np.log(np.maximum(rss, 1e-12) / n)
+            + k * np.log(n)
+            + 2.0 * EBIC_GAMMA * k * np.log(max(m, 2))
+        )
+    ebic = np.where(k <= max_selected, ebic, np.inf)
+    best = int(np.argmin(ebic))
+    selected = np.nonzero(np.abs(betas[best]) > 1e-8)[0]
+
+    # stage 2: conditional LM scan with selected markers as covariates
+    cov2 = covariates
+    if len(selected):
+        Zsel = _decode_rows(pg, selected).T
+        cov2 = Zsel if cov2 is None else np.concatenate([cov2, Zsel], axis=1)
+    res = lm_scan(pg, y, cov2, block=block)
+    if len(selected):
+        res.pwald[selected] = _qtn_pvalues(pg, y, covariates, selected)
+    return AlgwasResult(
+        result=res, selected=selected, ebic_path=ebic,
+        lambda_path=np.asarray(lambdas, np.float64),
+    )

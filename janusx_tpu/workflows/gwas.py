@@ -196,6 +196,12 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 out_f = farmcpu_scan(pg_t, y_t, cov_t, block=cfg.block)
                 res = out_f.result
                 lbd_null = None
+            elif model == "algwas":
+                from janusx_tpu.models.algwas import algwas_scan
+
+                out_a = algwas_scan(pg_t, y_t, cov_t, block=cfg.block)
+                res = out_a.result
+                lbd_null = None
             else:
                 raise ValueError(f"unknown model: {model}")
             secs = time.monotonic() - t1
@@ -203,7 +209,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             if cfg.write_tsv:
                 tag = {
                     "lm": "LM", "lmm": "LMM", "lmm2": "LMM2", "fvlmm": "FvLMM",
-                    "splmm": "SparseLMM", "farmcpu": "FarmCPU",
+                    "splmm": "SparseLMM", "farmcpu": "FarmCPU", "algwas": "ALGWAS",
                 }[requested if requested != model and model == "lm" else model]
                 tsv_path = f"{cfg.out_prefix}.{trait}.{tag}.assoc.tsv"
                 res.write_tsv(tsv_path)
