@@ -30,6 +30,14 @@ _MODULES: dict[str, tuple[str, str]] = {
     "gmerge": ("janusx_tpu.cli.gmerge", "Merge genotype panels"),
     "webui": ("janusx_tpu.cli.webui", "Local web UI for browsing results"),
     "garfield": ("janusx_tpu.cli.garfield", "Logic-rule (epistasis) association search"),
+    "kmer": ("janusx_tpu.cli.kmer", "Count k-mers per sample (native C++)"),
+    "fastq2vcf": ("janusx_tpu.cli.fastq2vcf", "Reads-to-variants pipeline (external tools)"),
+}
+
+# secondary entry points living inside a module file
+_SUBENTRY = {
+    "kmerge": ("janusx_tpu.cli.kmer", "kmerge_main", "Merge k-mer counts to a presence matrix"),
+    "kstats": ("janusx_tpu.cli.kmer", "kstats_main", "K-mer count statistics"),
 }
 
 _ALIASES = {"simulation": "sim", "adamixture": "fastpop"}
@@ -45,6 +53,8 @@ def _help() -> str:
     ]
     for name, (_, desc) in _MODULES.items():
         lines.append(f"  {name:<10} {desc}")
+    for name, (_, _fn, desc) in _SUBENTRY.items():
+        lines.append(f"  {name:<10} {desc}")
     lines.append("")
     lines.append("run `jx <module> -h` for module options")
     return "\n".join(lines)
@@ -59,6 +69,10 @@ def main(argv=None) -> int:
         print(__version__)
         return 0
     name = _ALIASES.get(argv[0], argv[0])
+    if name in _SUBENTRY:
+        modpath, fn, _desc = _SUBENTRY[name]
+        mod = importlib.import_module(modpath)
+        return int(getattr(mod, fn)(argv[1:]) or 0)
     entry = _MODULES.get(name)
     if entry is None:
         print(f"unknown module: {argv[0]}\n\n{_help()}", file=sys.stderr)

@@ -1,0 +1,114 @@
+"""Pipeline executor + k-mer counter tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from janusx_tpu.pipeline.executor import Pipeline, PipelineOptions, Step, check_tool
+
+
+def test_pipeline_resume_and_skip(tmp_path):
+    od = str(tmp_path)
+    marker = lambda i, s: os.path.join(od, f"{s}.{i['id']}.out")
+    steps = [
+        Step("s1", lambda i: f"echo one > {marker(i, 's1')}",
+             lambda i: [marker(i, "s1")]),
+        Step("s2", lambda i: f"echo two > {marker(i, 's2')}",
+             lambda i: [marker(i, "s2")]),
+    ]
+    items = [{"id": "a"}, {"id": "b"}]
+    state = os.path.join(od, "state.json")
+    p = Pipeline("test", steps, items, state)
+    rep = p.run()
+    assert rep["ran"] == 4 and rep["failed"] == 0
+    assert p.first_incomplete_step() == 2
+    # re-run: everything skips via the state file
+    rep2 = Pipeline("test", steps, items, state).run()
+    assert rep2["ran"] == 0 and rep2["skipped"] == 4
+    # corrupt one completion -> resumes only that item, outputs skip rest
+    st = json.load(open(state))
+    st["completed"]["s2"].remove("b")
+    json.dump(st, open(state, "wt"))
+    os.remove(marker({"id": "b"}, "s2"))
+    rep3 = Pipeline("test", steps, items, state).run()
+    assert rep3["ran"] == 1
+
+
+def test_pipeline_failure_stops(tmp_path):
+    steps = [
+        Step("bad", lambda i: "false", lambda i: []),
+        Step("never", lambda i: "echo no", lambda i: []),
+    ]
+    p = Pipeline("t", steps, [{"id": "x"}], str(tmp_path / "st.json"))
+    rep = p.run()
+    assert rep["failed"] == 1
+    assert len(rep["steps"]) == 1  # stopped before step 2
+
+
+def test_check_tool():
+    info = check_tool("ls")
+    assert info["found"]
+    info = check_tool("definitely_not_a_tool_xyz")
+    assert not info["found"]
+
+
+def test_fastq2vcf_dry_run(tmp_path):
+    from janusx_tpu.pipeline.fastq2vcf import Fastq2VcfConfig, build_pipeline
+
+    cfg = Fastq2VcfConfig(
+        ref_fasta="ref.fa", out_dir=str(tmp_path),
+        samples=[{"id": "s1", "fq1": "a_1.fq", "fq2": "a_2.fq"}],
+    )
+    per_sample, cohort = build_pipeline(cfg)
+    per_sample.options.dry_run = True
+    cohort.options.dry_run = True
+    rep = per_sample.run()
+    assert rep["ran"] == 3  # clean, align, call
+    cmd = per_sample.steps[1].command(cfg.samples[0])
+    assert "bwa mem" in cmd and "samblaster" in cmd and "samtools sort" in cmd
+
+
+def test_kmer_counter(tmp_path):
+    from janusx_tpu.models import kmer
+
+    if not kmer.available():
+        pytest.skip("no native toolchain")
+    # known sequence: k-mers of "ACGTACGTAC" with k=4
+    fa = tmp_path / "x.fa"
+    fa.write_text(">r1\nACGTACGTAC\n")
+    codes, counts = kmer.count_kmers(str(fa), k=4)
+    kmers = {kmer.decode_kmer(c, 4): int(n) for c, n in zip(codes, counts)}
+    # canonical forms: ACGT(palindromic-ish) appears at pos 0 and 4 ...
+    total = sum(kmers.values())
+    assert total == 7  # 10 - 4 + 1 windows
+    # reverse-complement canonicalization: CGTA's canonical is CGTA vs TACG
+    assert all(len(s) == 4 for s in kmers)
+
+    # round-trip through the presence-matrix path
+    fb = tmp_path / "y.fa"
+    fb.write_text(">r1\nACGTACGTAC\nTTTTTTTTTT\n")
+    ca, _ = kmer.count_kmers(str(fa), k=4)
+    cb, _ = kmer.count_kmers(str(fb), k=4)
+    codes, mat, samples = kmer.merge_to_matrix(
+        {"a": (ca, None), "b": (cb, None)}, min_samples=1, max_samples=2
+    )
+    assert mat.shape[1] == 2
+    gd = kmer.kmer_matrix_to_genotypes(codes, mat, samples, 4)
+    assert gd.m == len(codes)
+
+
+def test_kmer_revcomp_invariance(tmp_path):
+    from janusx_tpu.models import kmer
+
+    if not kmer.available():
+        pytest.skip("no native toolchain")
+    fa = tmp_path / "f.fa"
+    fa.write_text(">r\nACGGTTCAGGCAT\n")
+    fb = tmp_path / "r.fa"
+    fb.write_text(">r\nATGCCTGAACCGT\n")  # reverse complement
+    ca, na = kmer.count_kmers(str(fa), k=5)
+    cb, nb = kmer.count_kmers(str(fb), k=5)
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(na, nb)
