@@ -18,6 +18,7 @@ def build_parser(prog="jx fastpop") -> argparse.ArgumentParser:
     o.add_argument("-lr", "--lr", type=float, default=0.05)
     o.add_argument("-cv", "--cv", action="store_true", help="also report CV deviance")
     o.add_argument("-seed", "--seed", type=int, default=0)
+    o.add_argument("-plot", "--plot", action="store_true", help="write ancestry bar plot")
     common.add_out_args(p, default_prefix="fastpop")
     return p
 
@@ -43,6 +44,10 @@ def main(argv=None) -> int:
         pg, args.npop, n_iter=args.iter, lr=args.lr, seed=args.seed
     )
     write_admixture_outputs(prefix, pg.samples, fit)
+    if args.plot:
+        from janusx_tpu.plots.structure import admixture_bars
+
+        admixture_bars(fit.Q, f"{prefix}.{args.npop}.structure.png")
     line = f"K={args.npop}\tloglik={fit.loglik:.2f}\t{prefix}.{args.npop}.Q"
     if args.cv:
         dev = cv_error(pg, args.npop, seed=args.seed, n_iter=args.iter, lr=args.lr)

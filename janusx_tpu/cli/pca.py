@@ -21,6 +21,7 @@ def build_parser(prog="jx pca") -> argparse.ArgumentParser:
     o.add_argument("-approx", "--approx", action="store_true",
                    help="randomized SVD route (no dense GRM/eigh)")
     o.add_argument("-gk", "--method", type=int, default=1, choices=(1, 2))
+    o.add_argument("-plot", "--plot", action="store_true", help="write a PC1/PC2 scatter plot")
     common.add_out_args(p, default_prefix="jx")
     return p
 
@@ -45,5 +46,9 @@ def main(argv=None) -> int:
         K = grm_from_packed(pg, method=args.method)
         vals, vecs = pca_from_grm(K, n_pc=args.dim)
     write_pca_outputs(prefix, pg.samples, vals, vecs)
+    if args.plot and vecs.shape[1] >= 2:
+        from janusx_tpu.plots.structure import pc_scatter
+
+        pc_scatter(vecs, prefix + ".pca.png")
     print(f"{prefix}.eigenvec\t{prefix}.eigenval\t(top {len(vals)} PCs)")
     return 0

@@ -1,0 +1,47 @@
+"""`jx view` — inspect binary artifacts (reference: script/view.py)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser(prog="jx view") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=prog, description="Dump genotype/matrix artifacts")
+    p.add_argument("input", type=str, help=".bed prefix / .npy / .npz / genotype file")
+    p.add_argument("-head", "--head", type=int, default=5, help="rows to preview")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    path = args.input
+    if path.endswith(".npy"):
+        arr = np.load(path, mmap_mode="r")
+        print(f"npy\t{arr.shape}\t{arr.dtype}")
+        print(np.array2string(np.asarray(arr[: args.head, : min(8, arr.shape[-1])] if arr.ndim == 2 else arr[: args.head]), precision=4))
+        return 0
+    if path.endswith(".npz"):
+        z = np.load(path)
+        for k in z.files:
+            print(f"{k}\t{z[k].shape}\t{z[k].dtype}")
+        return 0
+    from janusx_tpu.io.gfreader import detect_format, inspect_genotype_file, load_raw_packed
+
+    fmt, p = detect_format(path)
+    info = inspect_genotype_file(path)
+    print(f"format={fmt}\tsamples={info.n_samples}\tsnps={info.n_snps}")
+    raw = load_raw_packed(path)
+    from janusx_tpu.io import bitcodec
+
+    head = min(args.head, raw.m)
+    codes = bitcodec.unpack_codes(raw.packed[:head], raw.n_samples)
+    geno = codes.astype(np.int8)
+    geno[codes == 3] = -1
+    for i in range(head):
+        s = raw.sites
+        row = " ".join(str(v) for v in geno[i, : min(12, raw.n_samples)])
+        print(f"{s.chrom[i]}\t{s.pos[i]}\t{s.snp[i]}\t{s.allele0[i]}/{s.allele1[i]}\t{row} ...")
+    return 0

@@ -1,0 +1,81 @@
+"""Population-structure plots (reference: bioplotkit/pcshow.py,
+popstructure.py, LDBlock.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+_PAL = [
+    "#4C72B0", "#DD8452", "#55A868", "#C44E52", "#8172B3",
+    "#937860", "#DA8BC3", "#8C8C8C", "#CCB974", "#64B5CD",
+]
+
+
+def pc_scatter(vecs: np.ndarray, out_path: str, groups=None, labels=None,
+               pcs=(0, 1), dpi: int = 150) -> None:
+    """PC scatter plot; optional group coloring."""
+    fig, ax = plt.subplots(figsize=(4.6, 4.2))
+    i, j = pcs
+    if groups is None:
+        ax.scatter(vecs[:, i], vecs[:, j], s=10, c=_PAL[0], alpha=0.7, lw=0)
+    else:
+        groups = np.asarray(groups)
+        for gi, g in enumerate(dict.fromkeys(groups)):
+            sel = groups == g
+            ax.scatter(
+                vecs[sel, i], vecs[sel, j], s=10, alpha=0.7, lw=0,
+                c=_PAL[gi % len(_PAL)], label=str(g),
+            )
+        ax.legend(frameon=False, fontsize=8)
+    ax.set_xlabel(f"PC{i + 1}")
+    ax.set_ylabel(f"PC{j + 1}")
+    ax.spines[["top", "right"]].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)
+
+
+def admixture_bars(Q: np.ndarray, out_path: str, sample_labels=None,
+                   sort_by_component: bool = True, dpi: int = 150) -> None:
+    """Stacked ancestry-fraction bars (one bar per sample)."""
+    Q = np.asarray(Q, float)
+    n, K = Q.shape
+    order = np.arange(n)
+    if sort_by_component:
+        major = np.argmax(Q.mean(axis=0))
+        order = np.argsort(-Q[:, major], kind="stable")
+    fig, ax = plt.subplots(figsize=(max(6, n * 0.02), 2.6))
+    bottom = np.zeros(n)
+    x = np.arange(n)
+    for k in range(K):
+        vals = Q[order, k]
+        ax.bar(x, vals, bottom=bottom, width=1.0, color=_PAL[k % len(_PAL)],
+               lw=0)
+        bottom += vals
+    ax.set_xlim(-0.5, n - 0.5)
+    ax.set_ylim(0, 1)
+    ax.set_ylabel("Ancestry")
+    ax.set_xticks([])
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)
+
+
+def ld_heatmap(r2: np.ndarray, out_path: str, positions=None, title=None,
+               dpi: int = 150) -> None:
+    """LD r² heatmap for a marker window."""
+    fig, ax = plt.subplots(figsize=(4.6, 4.2))
+    im = ax.imshow(r2, cmap="Reds", vmin=0, vmax=1, interpolation="nearest")
+    fig.colorbar(im, ax=ax, shrink=0.8, label=r"$r^2$")
+    if title:
+        ax.set_title(title)
+    ax.set_xlabel("Marker")
+    ax.set_ylabel("Marker")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)

@@ -1,0 +1,96 @@
+"""Analysis artifact caches (GRM / PCA), reference naming contract.
+
+Reference behavior (SURVEY cache contract; workflow.py:3123 GRM cache,
+:243-316 PCA cache, gfreader.py:348 cache dir control):
+
+- GRM cache: ``{geno_prefix}.maf{maf}.geno{geno}.cGRM.npy`` (method 1) or
+  ``...sGRM.npy`` (method 2), plus a ``.id`` sidecar with sample IDs; the
+  cache is only valid when the ID list matches.
+- When the genotype directory is not writable, fall back to
+  ``$JANUSX_CACHE_DIR`` (or the system temp dir).
+- Writes are atomic (tmp + rename).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import tempfile
+
+import numpy as np
+
+from janusx_tpu import config
+
+log = logging.getLogger("janusx_tpu.cache")
+
+
+def _fmt_qc(v: float) -> str:
+    s = f"{v:g}"
+    return s
+
+
+def cache_dir_for(path_prefix: str) -> str:
+    d = os.path.dirname(os.path.abspath(path_prefix)) or "."
+    if os.access(d, os.W_OK):
+        return d
+    override = config.cache_dir_override()
+    if override:
+        os.makedirs(override, exist_ok=True)
+        return override
+    fallback = os.path.join(tempfile.gettempdir(), "janusx_tpu_cache")
+    os.makedirs(fallback, exist_ok=True)
+    return fallback
+
+
+def grm_cache_paths(geno_prefix: str, maf: float, geno: float, method: int = 1):
+    tag = "cGRM" if method != 2 else "sGRM"
+    base = os.path.basename(geno_prefix)
+    d = cache_dir_for(geno_prefix)
+    stem = os.path.join(d, f"{base}.maf{_fmt_qc(maf)}.geno{_fmt_qc(geno)}.{tag}")
+    return stem + ".npy", stem + ".id"
+
+
+def atomic_save_npy(path: str, arr: np.ndarray) -> None:
+    tmp = path + ".tmp.npy"
+    np.save(tmp, arr)
+    os.replace(tmp, path)
+
+
+def load_or_build_grm(
+    geno_prefix: str,
+    pg,
+    maf: float,
+    geno: float,
+    method: int = 1,
+    block: int | None = None,
+    use_cache: bool = True,
+) -> np.ndarray:
+    """GRM with reference-style npy+id cache keyed by sample IDs."""
+    from janusx_tpu import config as _cfg
+    from janusx_tpu.models.grm import grm_from_packed
+
+    npy_path, id_path = grm_cache_paths(geno_prefix, maf, geno, method)
+    ids = [str(s) for s in pg.samples]
+    if use_cache and os.path.exists(npy_path) and os.path.exists(id_path):
+        cached_ids = [l.split()[0] for l in open(id_path) if l.strip()]
+        if cached_ids == ids:
+            try:
+                K = np.load(npy_path)
+                if K.shape == (len(ids), len(ids)):
+                    log.info("GRM cache hit: %s", npy_path)
+                    return K
+            except Exception:
+                pass
+        log.info("GRM cache stale (ids changed): %s", npy_path)
+    K = grm_from_packed(pg, method=method, block=block or _cfg.DEFAULT_SNP_BLOCK)
+    if use_cache:
+        try:
+            atomic_save_npy(npy_path, K)
+            tmp = id_path + ".tmp"
+            with open(tmp, "wt") as fh:
+                fh.write("\n".join(ids) + "\n")
+            os.replace(tmp, id_path)
+            log.info("GRM cached: %s", npy_path)
+        except OSError as e:
+            log.warning("GRM cache write failed: %s", e)
+    return K

@@ -61,6 +61,7 @@ class GwasConfig:
     write_tsv: bool = True
     splmm_cutoff: float = 0.05  # reference default (workflow.py:6701)
     scan_method: str = "grid"  # lmm lambda search: "grid" | "brent"
+    use_cache: bool = True  # GRM npy+id cache with reference naming
 
 
 @dataclass
@@ -117,8 +118,13 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
 
     # GRM on all genotyped samples with full-set QC (reference:
     # load_or_build_grm_with_cache, workflow.py:3123)
+    from janusx_tpu.utils.cache import load_or_build_grm
+
     pg_full = raw.prepare(qc)
-    K = grm_from_packed(pg_full, method=cfg.grm_method, block=cfg.block)
+    K = load_or_build_grm(
+        cfg.genotype, pg_full, cfg.maf, cfg.geno, method=cfg.grm_method,
+        block=cfg.block, use_cache=cfg.use_cache,
+    )
 
     pcs_full = None
     if cfg.n_pcs > 0:

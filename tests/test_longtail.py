@@ -107,3 +107,36 @@ def test_tree_cli(rng, tmp_path):
     assert rc == 0
     nwk = open(str(tmp_path / "tr.nwk")).read()
     assert nwk.strip().endswith(";")
+
+
+def test_hybrid_view_refcheck_postgs(rng, tmp_path, capsys):
+    from janusx_tpu.io import plink
+    from janusx_tpu.models.sim import simulate_genotypes, simulate_phenotype, write_pheno
+
+    gd = simulate_genotypes(60, 300, seed=4)
+    sim = simulate_phenotype(gd, n_qtl=30, h2=0.7, seed=4)
+    prefix = str(tmp_path / "h")
+    plink.write_plink_genotypes(prefix, gd)
+    write_pheno(prefix + ".pheno", gd.samples, sim.phenotypes)
+    # hybrid
+    rc = jx_main(["hybrid", "-bfile", prefix, "-p", prefix + ".pheno",
+                  "-o", str(tmp_path), "-prefix", "hy"])
+    assert rc == 0
+    lines = open(str(tmp_path / "hy.hybrid.tsv")).readlines()
+    assert len(lines) == 1 + 60 * 59 // 2
+    # view
+    assert jx_main(["view", prefix]) == 0
+    out = capsys.readouterr().out
+    assert "format=bed" in out and "samples=60" in out
+    # refcheck
+    assert jx_main(["refcheck", "-bfile", prefix, "-p", prefix + ".pheno"]) == 0
+    out = capsys.readouterr().out
+    assert "matched=60" in out
+    # gs + postgs
+    rc = jx_main(["gs", "-bfile", prefix, "-p", prefix + ".pheno", "-BLUP",
+                  "-cv", "3", "-o", str(tmp_path), "-prefix", "g"])
+    assert rc == 0
+    rc = jx_main(["postgs", "-i", str(tmp_path / "g.gs.summary.json"),
+                  "-o", str(tmp_path), "-prefix", "pg"])
+    assert rc == 0
+    assert (tmp_path / "pg.gs.metrics.tsv").exists()
