@@ -94,12 +94,16 @@ def _lmm_scan_resident(
         return None, (lgs, beta, se, ml, ssq)
 
     _, (lgs, beta, se, ml, ssq) = jax.lax.scan(body, None, (pk, mn))
-    return (
-        lgs.reshape(m_pad),
-        beta.reshape(m_pad),
-        se.reshape(m_pad),
-        ml.reshape(m_pad),
-        ssq.reshape(m_pad),
+    # one stacked output -> a single host fetch (remote links charge per
+    # round trip)
+    return jnp.stack(
+        [
+            lgs.reshape(m_pad),
+            beta.reshape(m_pad),
+            se.reshape(m_pad),
+            ml.reshape(m_pad),
+            ssq.reshape(m_pad),
+        ]
     )
 
 
@@ -151,14 +155,14 @@ def lmm_scan(
         m_pad = -(-m // block) * block
         pk = devcache.device_packed(pg, m_pad)
         mn = devcache.to_device_padded_rows(pg.mean, m_pad, 0.0, dtype=jnp.float32)
-        lgs_d, beta_d, se_d, ml_d, ssq_d = _lmm_scan_resident(
-            pk, mn, U32, rot, grid_lg, n, lmm2, block
+        out = np.asarray(
+            _lmm_scan_resident(pk, mn, U32, rot, grid_lg, n, lmm2, block)
         )
-        lbd = 10.0 ** np.asarray(lgs_d)[:m]
-        beta = np.asarray(beta_d)[:m]
-        se = np.asarray(se_d)[:m]
-        ml = np.asarray(ml_d)[:m]
-        ssq = np.asarray(ssq_d)[:m]
+        lbd = 10.0 ** out[0, :m]
+        beta = out[1, :m]
+        se = out[2, :m]
+        ml = out[3, :m]
+        ssq = out[4, :m]
     else:
         lbd = np.empty(m)
         beta = np.empty(m)
