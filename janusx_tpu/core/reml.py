@@ -198,6 +198,121 @@ def beta_se_snp_batch(log10_lbd: jax.Array, rot: RotatedData, Gr: jax.Array):
 
 
 # ------------------------------------------------------- grid scan (TPU-fast)
+class GridShared(NamedTuple):
+    """λ-grid quantities independent of the SNP block (computed once per
+    scan and reused by every block — they carry all the f64 transcendental
+    work on the (G, n) lattice)."""
+
+    grid_lg: jax.Array  # (G,)
+    w32: jax.Array  # (G, n) f32 weights
+    logdetV32: jax.Array  # (G,) f32
+    Axx32: jax.Array  # (G, p, p) f32
+    axy32: jax.Array  # (G, p)
+    ayy32: jax.Array  # (G,)
+    Ar_inv32: jax.Array  # (G, p, p)
+    Ainv_axy32: jax.Array  # (G, p)
+    logdetAr32: jax.Array  # (G,)
+
+
+def grid_shared(rot: RotatedData, grid_lg: jax.Array) -> GridShared:
+    p = rot.p
+    G = grid_lg.shape[0]
+    lbd = jnp.power(10.0, grid_lg)
+    v = rot.s[None, :] + lbd[:, None]  # (G, n) f64
+    w64 = 1.0 / v
+    logdetV = jnp.sum(jnp.log(v), axis=-1)
+    hp = jax.lax.Precision.HIGHEST
+    Axx = jnp.dot(w64, rot.PXX, precision=hp).reshape(G, p, p)
+    axy = jnp.dot(w64, rot.PXy, precision=hp)
+    ayy = jnp.dot(w64, rot.Pyy, precision=hp)
+    Ar = Axx + config.GRAM_RIDGE * jnp.eye(p, dtype=Axx.dtype)
+    L = jnp.linalg.cholesky(Ar)
+    logdetAr = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+    )
+    eyeP = jnp.broadcast_to(jnp.eye(p, dtype=Ar.dtype), Ar.shape)
+    Zi = jax.lax.linalg.triangular_solve(
+        L, eyeP, left_side=True, lower=True, transpose_a=False
+    )
+    Ar_inv = jax.lax.linalg.triangular_solve(
+        L, Zi, left_side=True, lower=True, transpose_a=True
+    )
+    Ainv_axy = jnp.einsum("gpq,gq->gp", Ar_inv, axy)
+    f32 = jnp.float32
+    return GridShared(
+        grid_lg=grid_lg,
+        w32=w64.astype(f32),
+        logdetV32=logdetV.astype(f32),
+        Axx32=Axx.astype(f32),
+        axy32=axy.astype(f32),
+        ayy32=ayy.astype(f32),
+        Ar_inv32=Ar_inv.astype(f32),
+        Ainv_axy32=Ainv_axy.astype(f32),
+        logdetAr32=logdetAr.astype(f32),
+    )
+
+
+def lmm_grid_scan_with(sh: GridShared, rot: RotatedData, Gr: jax.Array):
+    """Per-block grid scan against precomputed shared pieces."""
+    n, p = rot.n, rot.p
+    grid_lg = sh.grid_lg
+    G = grid_lg.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+    f32 = jnp.float32
+    Gr32 = Gr.astype(f32)
+    yr32 = rot.yr.astype(f32)
+    Xr32 = rot.Xr.astype(f32)
+    wT = sh.w32.T  # (n, G)
+    agg = jnp.dot(Gr32 * Gr32, wT, precision=hp)  # (B, G)
+    agy = jnp.dot(Gr32 * yr32[None, :], wT, precision=hp)
+    axg = jnp.stack(
+        [
+            jnp.dot(Gr32 * Xr32[None, :, k], wT, precision=hp)
+            for k in range(p)
+        ],
+        axis=-1,
+    )
+    ridge32 = jnp.asarray(config.GRAM_RIDGE, f32)
+    u = jnp.einsum("gpq,bgq->bgp", sh.Ar_inv32, axg)
+    schur = (agg + ridge32) - jnp.einsum("bgp,bgp->bg", axg, u)
+    beta_g = (agy - jnp.einsum("bgp,gp->bg", axg, sh.Ainv_axy32)) / schur
+    beta_X = sh.Ainv_axy32[None] - beta_g[..., None] * u
+    bX_axy = jnp.einsum("bgp,gp->bg", beta_X, sh.axy32)
+    lin = bX_axy + beta_g * agy
+    quad = (
+        jnp.einsum("bgp,gpq,bgq->bg", beta_X, sh.Axx32, beta_X)
+        + 2.0 * beta_g * jnp.einsum("bgp,bgp->bg", axg, beta_X)
+        + beta_g * beta_g * agg
+    )
+    rtwr = sh.ayy32[None] - 2.0 * lin + quad
+    p1 = p + 1
+    nf, pf = float(n), float(p1)
+    logdetMr32 = sh.logdetAr32[None] + jnp.log(schur)
+    neg_reml = 0.5 * (
+        jnp.asarray(nf - pf, f32) * jnp.log(rtwr)
+        + sh.logdetV32[None]
+        + logdetMr32
+    )
+    bad = ~jnp.isfinite(neg_reml) | (rtwr <= 0) | (schur <= 0)
+    neg_reml = jnp.where(bad, jnp.asarray(jnp.inf, f32), neg_reml)
+    idx = jnp.argmin(neg_reml, axis=-1)
+    i0 = jnp.clip(idx, 1, G - 2)
+    fm = jnp.take_along_axis(neg_reml, (i0 - 1)[:, None], axis=1)[:, 0]
+    f0 = jnp.take_along_axis(neg_reml, i0[:, None], axis=1)[:, 0]
+    fp = jnp.take_along_axis(neg_reml, (i0 + 1)[:, None], axis=1)[:, 0]
+    h = grid_lg[1] - grid_lg[0]
+    denom = fm - 2.0 * f0 + fp
+    shift = jnp.where(
+        jnp.isfinite(denom) & (denom > 0),
+        0.5 * (fm - fp) / jnp.where(denom == 0, 1.0, denom),
+        0.0,
+    )
+    shift = jnp.clip(shift, -1.0, 1.0)
+    lg_star = grid_lg[i0] + shift.astype(grid_lg.dtype) * h
+    lg_star = jnp.where((idx == 0) | (idx == G - 1), grid_lg[idx], lg_star)
+    return lg_star
+
+
 def lmm_grid_scan(rot: RotatedData, Gr: jax.Array, grid_lg: jax.Array):
     """Per-SNP REML λ optimization over a SHARED fine log10-λ grid.
 

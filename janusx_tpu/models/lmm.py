@@ -30,7 +30,9 @@ from janusx_tpu.core.reml import (
     RotatedData,
     beta_se_snp_batch,
     fit_null_reml,
+    grid_shared,
     lmm_grid_scan,
+    lmm_grid_scan_with,
     make_rotated,
     ml_snp_batch,
     neg_reml_snp_batch,
@@ -80,6 +82,7 @@ def _lmm_scan_resident(
     nblk = m_pad // block
     pk = packed.reshape(nblk, block, packed.shape[1])
     mn = mean.reshape(nblk, block)
+    sh = grid_shared(rot, grid_lg)  # once per scan, reused by all blocks
 
     def body(_, xs):
         pkb, mnb = xs
@@ -88,7 +91,7 @@ def _lmm_scan_resident(
             jnp.float64
         )
         ssq = jnp.sum(Gr * Gr, axis=-1)
-        lgs = lmm_grid_scan(rot, Gr, grid_lg)
+        lgs = lmm_grid_scan_with(sh, rot, Gr)
         beta, se = beta_se_snp_batch(lgs, rot, Gr)
         ml = ml_snp_batch(lgs, rot, Gr) if with_ml else jnp.zeros_like(lgs)
         return None, (lgs, beta, se, ml, ssq)
