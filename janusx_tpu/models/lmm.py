@@ -17,6 +17,7 @@ changes nothing beyond the Brent tolerance.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -70,9 +71,10 @@ def _lmm_block(
     return lgs, beta, se, ml, ssq
 
 
-@partial(jax.jit, static_argnames=("n", "with_ml", "block"))
+@partial(jax.jit, static_argnames=("n", "with_ml", "block", "use_pallas"))
 def _lmm_scan_resident(
-    packed, mean, U32, rot: RotatedData, grid_lg, n: int, with_ml: bool, block: int
+    packed, mean, U32, rot: RotatedData, grid_lg, n: int, with_ml: bool,
+    block: int, use_pallas: bool = False,
 ):
     """Whole-scan single dispatch: packed genotypes live in HBM (16x smaller
     than f32), lax.scan streams SNP blocks through decode -> rotate ->
@@ -86,10 +88,19 @@ def _lmm_scan_resident(
 
     def body(_, xs):
         pkb, mnb = xs
-        Graw = decode.decode_centered(pkb, mnb, dtype=jnp.float32)[:, :n]
-        Gr = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST).astype(
-            jnp.float64
-        )
+        if use_pallas:
+            # fused decode+matmul kernel: U32 here is the plane-permuted
+            # (K2, N2) operand (janusx_tpu.ops.pallas_kernels)
+            from janusx_tpu.ops.pallas_kernels import decode_rotate_planar
+
+            Gr = decode_rotate_planar(pkb, mnb[:, None], U32)[:, :n].astype(
+                jnp.float64
+            )
+        else:
+            Graw = decode.decode_centered(pkb, mnb, dtype=jnp.float32)[:, :n]
+            Gr = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST).astype(
+                jnp.float64
+            )
         ssq = jnp.sum(Gr * Gr, axis=-1)
         lgs = lmm_grid_scan_with(sh, rot, Gr)
         beta, se = beta_se_snp_batch(lgs, rot, Gr)
@@ -136,8 +147,15 @@ def lmm_scan(
     null: NullFit | None = None,
     method: str = "grid",  # "grid" (TPU-fast) | "brent" (reference-faithful)
     grid_points: int = 1024,
+    use_pallas: bool | None = None,  # fused decode+rotate kernel; None = auto (TPU)
 ) -> tuple[ScanResult, NullFit]:
     """Exact LMM scan over all SNPs of the (subset) packed genotypes."""
+    if use_pallas is None:
+        use_pallas = (
+            method == "grid"
+            and jax.default_backend() not in ("cpu",)
+            and os.environ.get("JX_TPU_PALLAS", "1") not in ("0", "false")
+        )
     y = np.asarray(y, np.float64).reshape(-1)
     n = pg.n
     rot = make_rotated(basis, y, covariates)
@@ -156,10 +174,28 @@ def lmm_scan(
     )
     if method == "grid":
         m_pad = -(-m // block) * block
-        pk = devcache.device_packed(pg, m_pad)
+        if use_pallas:
+            from janusx_tpu.ops.pallas_kernels import plane_permutation
+
+            bk, bn = 512, 256
+            pk = devcache.device_packed(pg, m_pad, lane_align=bk)
+            K2 = pk.shape[1] * 4
+            N2 = -(-n // bn) * bn
+            key = (id(basis.U), "Uplanar", K2, N2)
+            U_op = devcache._cache.get(key)
+            if U_op is None:
+                U2 = np.zeros((K2, N2), np.float32)
+                U2[:n, :n] = basis.U.astype(np.float32)
+                U_op = jnp.asarray(U2[plane_permutation(K2, bk)])
+                devcache._cache[key] = U_op
+        else:
+            pk = devcache.device_packed(pg, m_pad)
+            U_op = U32
         mn = devcache.to_device_padded_rows(pg.mean, m_pad, 0.0, dtype=jnp.float32)
         out = np.asarray(
-            _lmm_scan_resident(pk, mn, U32, rot, grid_lg, n, lmm2, block)
+            _lmm_scan_resident(
+                pk, mn, U_op, rot, grid_lg, n, lmm2, block, use_pallas
+            )
         )
         lbd = 10.0 ** out[0, :m]
         beta = out[1, :m]

@@ -1,0 +1,146 @@
+"""Pallas TPU kernels: fused 2-bit decode + matmul.
+
+The genotype matrix never exists in float form in HBM: the packed 2-bit
+buffer (16x smaller) is DMA'd to VMEM and decoded to centered f32 tiles
+*inside* the matmul kernel, feeding the MXU directly. This removes the
+HBM round-trip of the decoded block that the XLA path materializes
+(decode producer -> dot operand).
+
+Layout trick (Mosaic cannot shape-cast across lanes): the kernel decodes
+the four 2-bit shift planes of a byte tile as four lane-aligned slices
+and concatenates them along the lane axis — "plane-major" sample order
+within each K tile. The right-hand operand's rows are pre-permuted to
+the same per-tile order on the host, so the contraction is unchanged:
+within K-tile k, plane-major position s*(bk/4)+b corresponds to original
+sample 4b+s.
+
+Kernel: rotate — R[M, N] = decode(packed[M, K/4]) @ U[K, N]
+(the GWAS scan's first stage; the GRM accumulation C^T C reuses the same
+decode-tile helper).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _decode_tile_planar(pk, mean_col):
+    """(bm, bk//4) uint8 packed -> (bm, bk) centered f32, plane-major.
+
+    Output columns [s*(bk//4) + b] hold sample 4b+s of the tile. Dosage
+    codes 0/1/2; 3 = missing -> exactly 0 after centering.
+    """
+    planes = []
+    pki = pk.astype(jnp.int32)
+    three = jnp.asarray(3, jnp.int32)
+    for s in range(4):
+        codes = jax.lax.shift_right_logical(
+            pki, jnp.asarray(2 * s, jnp.int32)
+        ) & three
+        x = codes.astype(jnp.float32) - mean_col
+        planes.append(jnp.where(codes == three, jnp.float32(0.0), x))
+    return jnp.concatenate(planes, axis=1)
+
+
+def plane_permutation(K: int, bk: int) -> np.ndarray:
+    """perm such that U_planar[t] = U[perm[t]] matches the kernel order."""
+    assert K % bk == 0 and bk % 4 == 0
+    perm = np.empty(K, np.int64)
+    nb = bk // 4
+    for k0 in range(0, K, bk):
+        t = 0
+        for s in range(4):
+            for b in range(nb):
+                perm[k0 + t] = k0 + 4 * b + s
+                t += 1
+    return perm
+
+
+def _rotate_kernel(pk_ref, mean_ref, u_ref, out_ref, acc_ref):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a = _decode_tile_planar(pk_ref[:], mean_ref[:])  # (bm, bk)
+    # HIGHEST: full-f32 MXU passes — the rotation feeds f64 likelihoods and
+    # must match the reference's f32 sgemm accuracy
+    acc_ref[:] += jnp.dot(
+        a, u_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@partial(jax.jit, static_argnames=("bm", "bk", "bn", "interpret"))
+def decode_rotate_planar(
+    packed: jax.Array,  # (M, K/4) uint8
+    mean: jax.Array,  # (M, 1) f32
+    U_planar: jax.Array,  # (K, N) f32, rows pre-permuted via plane_permutation
+    bm: int = 256,
+    bk: int = 512,
+    bn: int = 256,
+    interpret: bool = False,
+):
+    M, Kb = packed.shape
+    K, N = U_planar.shape
+    assert K == Kb * 4
+    grid = (M // bm, N // bn, K // bk)
+    return pl.pallas_call(
+        _rotate_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (bm, bk // 4), lambda i, j, k: (i, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                # the literal 0 must stay i32 under jax_enable_x64
+                (bm, 1),
+                lambda i, j, k: (i, jnp.asarray(0, jnp.int32)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+    )(packed, mean, U_planar)
+
+
+def rotate_block_pallas(packed_block, mean_block, U, interpret: bool = False):
+    """Fused decode+rotate for arbitrary shapes (host-side padding + U row
+    permutation). U must have 4*packed_block.shape[1] rows (zero rows for
+    lanes beyond the true sample count)."""
+    M, Kb = packed_block.shape
+    K, N = U.shape
+    assert K == Kb * 4, (K, Kb)
+    bm, bk, bn = 256, 512, 256
+    M2 = -(-M // bm) * bm
+    K2 = -(-K // bk) * bk
+    N2 = -(-N // bn) * bn
+    pk = np.full((M2, K2 // 4), 0xFF, np.uint8)
+    pk[:M, :Kb] = np.asarray(packed_block)
+    mn = np.zeros((M2, 1), np.float32)
+    mn[:M, 0] = np.asarray(mean_block).reshape(-1)
+    U2 = np.zeros((K2, N2), np.float32)
+    U2[:K, :N] = np.asarray(U)
+    perm = plane_permutation(K2, bk)
+    out = decode_rotate_planar(
+        jnp.asarray(pk), jnp.asarray(mn), jnp.asarray(U2[perm]),
+        bm=bm, bk=bk, bn=bn, interpret=interpret,
+    )
+    return out[:M, :N]

@@ -66,17 +66,17 @@ def to_device_padded_rows(arr: np.ndarray, rows: int, fill, dtype=None):
     return dev
 
 
-def device_packed(pg, m_pad: int):
+def device_packed(pg, m_pad: int, lane_align: int = 128):
     """Lane-pad + row-pad + upload a PackedGenotypes buffer, cached on the
     identity of pg.packed (both paddings allocate fresh arrays)."""
     from janusx_tpu.ops import decode as _decode
 
     src = pg.packed
-    key = (id(src), "packed", m_pad, src.shape)
+    key = (id(src), "packed", m_pad, lane_align, src.shape)
     hit = _cache.get(key)
     if hit is not None:
         return hit
-    padded = _decode.pad_packed_cols(src)
+    padded = _decode.pad_packed_cols(src, lane_align)
     if padded.shape[0] != m_pad:
         pad = np.full((m_pad - padded.shape[0], padded.shape[1]), 0xFF, np.uint8)
         padded = np.concatenate([padded, pad], axis=0)
