@@ -167,6 +167,88 @@ def _gibbs(
     return acc_b / denom, acc_mu / denom
 
 
+@partial(
+    jax.jit, static_argnames=("n_iter", "burnin", "thin", "n_blocks")
+)
+def _gibbs_blocked_a(
+    Zb, Gb, x2, y, key, n_iter: int, burnin: int, thin: int, n_blocks: int,
+    n_real: int, r2=0.5, df0_b=5.0, df0_e=5.0,
+):
+    """BayesA via JOINT block updates: each block of C markers is drawn in
+    one multivariate-normal step, β_b ~ N(C_b^{-1} rhs, σe² C_b^{-1}) with
+    C_b = G_b + σe² D_b^{-1} — a standard blocked-Gibbs scheme with the
+    same stationary posterior as the per-marker sweep but m/C serial steps
+    per iteration instead of m (each step = one C×C Cholesky + triangular
+    solves on device)."""
+    f = jnp.float32
+    C = Zb.shape[1]
+    n = n_real
+    y32 = y.astype(f)
+    var_y = jnp.var(y32, ddof=1)
+    msx = jnp.sum(x2) / n
+    s0_b = var_y * r2 / msx * (df0_b + 2.0)
+    var_e0 = var_y * (1.0 - r2)
+    s0_e = var_e0 * (df0_e + 2.0)
+    mu0 = jnp.mean(y32)
+    beta0 = jnp.zeros((n_blocks, C), f)
+    var_b0 = jnp.full((n_blocks, C), s0_b / (df0_b + 2.0), f)
+    r0 = y32 - mu0
+    eyeC = jnp.eye(C, dtype=f)
+
+    def sweep_block(carry, xs):
+        r, var_e = carry
+        Z1, G1, x21, b_old, vb, zdraw, rchi = xs
+        hp = jax.lax.Precision.HIGHEST
+        rhs = jnp.dot(Z1, r, precision=hp) + jnp.dot(G1, b_old, precision=hp)
+        dinv = jnp.where(x21 > 0, var_e / jnp.maximum(vb, 1e-12), 1.0)
+        Cb = G1 + jnp.diag(dinv) + 1e-4 * eyeC
+        L = jnp.linalg.cholesky(Cb)
+        mean = jax.lax.linalg.triangular_solve(
+            L, jax.lax.linalg.triangular_solve(
+                L, rhs[:, None], left_side=True, lower=True
+            ),
+            left_side=True, lower=True, transpose_a=True,
+        )[:, 0]
+        noise = jnp.sqrt(var_e) * jax.lax.linalg.triangular_solve(
+            L, zdraw[:, None], left_side=True, lower=True, transpose_a=True
+        )[:, 0]
+        b_new = jnp.where(x21 > 0, mean + noise, 0.0)
+        r = r - jnp.dot(b_new - b_old, Z1, precision=hp)
+        vb_new = jnp.where(
+            x21 > 0, (s0_b + b_new * b_new) / rchi, s0_b / (df0_b + 2.0)
+        ).astype(f)
+        return (r, var_e), (b_new, vb_new)
+
+    def iter_body(it, state):
+        mu, r, beta, var_b, var_e, key, acc_b, acc_mu, n_acc = state
+        key, km, kn, kca, ke = jax.random.split(key, 5)
+        zdraws = jax.random.normal(kn, (n_blocks, C), f)
+        rchis = 2.0 * jax.random.gamma(kca, (df0_b + 1.0) / 2.0, (n_blocks, C), f)
+        r_mu = r + mu
+        mu_new = (jnp.mean(r_mu) + jax.random.normal(km, dtype=f)
+                  * jnp.sqrt(var_e / n)).astype(f)
+        r = r_mu - mu_new
+        (r, _), (beta, var_b) = jax.lax.scan(
+            sweep_block, (r, var_e), (Zb, Gb, x2, beta, var_b, zdraws, rchis)
+        )
+        sse = jnp.dot(r, r, precision=jax.lax.Precision.HIGHEST)
+        var_e = ((sse + s0_e)
+                 / (2.0 * jax.random.gamma(ke, (n + df0_e) / 2.0, (), f))).astype(f)
+        take = (it >= burnin) & (((it - burnin) % thin) == 0)
+        acc_b = acc_b + jnp.where(take, beta, 0.0)
+        acc_mu = acc_mu + jnp.where(take, mu_new, 0.0)
+        n_acc = n_acc + jnp.where(take, 1, 0)
+        return (mu_new, r, beta, var_b, var_e, key, acc_b, acc_mu, n_acc)
+
+    state0 = (mu0, r0, beta0, var_b0, jnp.asarray(var_e0, f), key,
+              jnp.zeros((n_blocks, C), f), jnp.asarray(0.0, f),
+              jnp.asarray(0, jnp.int32))
+    out = jax.lax.fori_loop(0, n_iter, iter_body, state0)
+    acc_b, acc_mu, n_acc = out[6], out[7], out[8]
+    denom = jnp.maximum(n_acc, 1).astype(f)
+    return acc_b / denom, acc_mu / denom
+
+
 def bayes_fit(
     Z: np.ndarray,  # (n, m) standardized sample-major
     y: np.ndarray,
@@ -189,20 +271,28 @@ def bayes_fit(
     Zb = Zt.reshape(n_blocks, C, n)
     Gb = np.einsum("bcn,bdn->bcd", Zb, Zb).astype(np.float32)
     x2 = np.einsum("bcn,bcn->bc", Zb, Zb).astype(np.float32)
-    beta, mu = _gibbs(
-        jnp.asarray(Zb),
-        jnp.asarray(Gb),
-        jnp.asarray(x2),
-        jnp.asarray(y, jnp.float64),
-        jax.random.PRNGKey(seed),
-        n_iter,
-        burnin,
-        thin,
-        tag,
-        n_blocks,
-        n,
-        m,
-    )
+    if tag == "A":
+        # joint block-MVN sampler (same posterior, ~C x fewer serial steps)
+        beta, mu = _gibbs_blocked_a(
+            jnp.asarray(Zb), jnp.asarray(Gb), jnp.asarray(x2),
+            jnp.asarray(y, jnp.float64), jax.random.PRNGKey(seed),
+            n_iter, burnin, thin, n_blocks, n,
+        )
+    else:
+        beta, mu = _gibbs(
+            jnp.asarray(Zb),
+            jnp.asarray(Gb),
+            jnp.asarray(x2),
+            jnp.asarray(y, jnp.float64),
+            jax.random.PRNGKey(seed),
+            n_iter,
+            burnin,
+            thin,
+            tag,
+            n_blocks,
+            n,
+            m,
+        )
     return np.asarray(beta, np.float64).reshape(-1)[:m], float(mu)
 
 
