@@ -13,6 +13,8 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
     common.add_pheno_args(p)
     m = p.add_argument_group("Models (select at least one)")
     m.add_argument("-lm", "--lm", action="store_true", help="linear model scan")
+    m.add_argument("-lm2", "--lm2", action="store_true", help=argparse.SUPPRESS)
+    m.add_argument("-fvlmm2", "--fvlmm2", action="store_true", help=argparse.SUPPRESS)
     m.add_argument("-lmm", "--lmm", action="store_true", help="exact per-SNP REML LMM (GEMMA-like)")
     m.add_argument("-lmm2", "--lmm2", action="store_true", help="LMM + ML/LRT columns")
     m.add_argument("-fvlmm", "--fvlmm", action="store_true", help="fixed-lambda LMM scan (EMMAX-like)")
@@ -45,6 +47,10 @@ def main(argv=None) -> int:
     models = []
     if args.lm:
         models.append("lm")
+    if args.lm2:
+        models.append("lm2")
+    if args.fvlmm2:
+        models.append("fvlmm2")
     if args.lmm:
         models.append("lmm")
     if args.lmm2:

@@ -1,0 +1,190 @@
+"""G×E / G×C interaction scans (the reference's hidden ``-lm2`` and
+``-fvlmm2`` routes — src/stats/glm2.rs per-SNP interaction covariates,
+fvlmm2.rs joint rotated variant).
+
+Model per SNP:  y = X b + g βg + (g ∘ c) βi + e   (c = interaction covariate)
+
+Reported per SNP: βi, se(βi), pwald = two-sided t test of the interaction
+term, plrt = joint 2-df test of (βg, βi) (chi2). ``fvlmm2`` runs the same
+design on the rotated scale with the null-model λ fixed (weighted case).
+
+Device mapping: both regressors are residualized against X by closed
+form, so the whole scan is four (B, n) x (n, k) matmuls per block plus
+2x2 solves vectorized over SNPs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from janusx_tpu import config
+from janusx_tpu.core import stats as jstats
+from janusx_tpu.core.reml import NullFit, fit_null_reml, make_rotated
+from janusx_tpu.core.spectral import SpectralBasis
+from janusx_tpu.io.packed import PackedGenotypes
+from janusx_tpu.models.lm import design_matrix, student_t_p_two_sided
+from janusx_tpu.models.scan_common import ScanResult, finalize_invalid, iter_blocks, pad_rows
+from janusx_tpu.ops import decode
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _gxe_block(packed, mean, X, Cinv, My, cvec, w, n: int):
+    """Weighted residualized 2-regressor stats for one padded block.
+
+    w: (n,) weights (ones for lm2; 1/(s+λ) for fvlmm2 — inputs already
+    rotated in that case via U premultiplied into X/My/cvec path).
+    Returns per-SNP Gram entries and rhs for [g, g*c].
+    """
+    hp = jax.lax.Precision.HIGHEST
+    G = decode.decode_centered(packed, mean, dtype=jnp.float32)[:, :n].astype(
+        jnp.float64
+    )
+    GC = G * cvec[None, :]
+    Xw = X * w[:, None]
+
+    def proj_stats(A, B):
+        # A' M_X^w B per SNP where M = W - WX (X'WX)^-1 X'W
+        AwB = jnp.sum(A * w[None, :] * B, axis=-1)
+        AX = jnp.dot(A * w[None, :], X, precision=hp)
+        BX = jnp.dot(B * w[None, :], X, precision=hp)
+        return AwB - jnp.einsum("bp,pq,bq->b", AX, Cinv, BX)
+
+    a11 = proj_stats(G, G)
+    a12 = proj_stats(G, GC)
+    a22 = proj_stats(GC, GC)
+    b1 = jnp.dot(G, My, precision=hp)
+    b2 = jnp.dot(GC, My, precision=hp)
+    return a11, a12, a22, b1, b2
+
+
+def _finalize_gxe(a11, a12, a22, b1, b2, yMy, n, p, joint=True):
+    det = a11 * a22 - a12 * a12
+    ok = det > 1e-10
+    det_s = np.where(ok, det, 1.0)
+    bg = (a22 * b1 - a12 * b2) / det_s
+    bi = (a11 * b2 - a12 * b1) / det_s
+    explained = bg * b1 + bi * b2
+    rss = yMy - explained
+    df = n - p - 2
+    sigma2 = rss / df
+    var_i = sigma2 * a11 / det_s
+    with np.errstate(invalid="ignore", divide="ignore"):
+        se_i = np.sqrt(np.maximum(var_i, 0))
+        t = bi / se_i
+    pw = student_t_p_two_sided(np.where(np.isfinite(t), t, 0.0), df)
+    # joint 2-df chi2: explained / sigma2_null-ish; use F->chi2 approx
+    stat = np.where(ok & (sigma2 > 0), explained / sigma2, 0.0)
+    from scipy import stats as sps
+
+    plrt = sps.chi2.sf(np.maximum(stat, 0.0), df=2)
+    bad = ~ok | ~np.isfinite(bi) | ~np.isfinite(se_i) | (se_i <= 0)
+    bi = np.where(bad, np.nan, bi)
+    se_i = np.where(bad, np.nan, se_i)
+    pw = np.where(bad, 1.0, pw)
+    plrt = np.where(bad, 1.0, np.clip(plrt, np.finfo(float).tiny, 1.0))
+    return bi, se_i, pw, plrt
+
+
+def gxe_scan(
+    pg: PackedGenotypes,
+    y: np.ndarray,
+    inter_cov: np.ndarray,
+    covariates: np.ndarray | None = None,
+    basis: SpectralBasis | None = None,
+    block: int = config.DEFAULT_SNP_BLOCK,
+) -> tuple[ScanResult, NullFit | None]:
+    """Interaction scan. Plain OLS (lm2) when basis is None; fixed-λ mixed
+    (fvlmm2) when an eigenbasis of the GRM subset is supplied."""
+    y = np.asarray(y, np.float64).reshape(-1)
+    cvec = np.asarray(inter_cov, np.float64).reshape(-1)
+    n = pg.n
+    # center the interaction covariate (keeps main effects in X meaningful)
+    cvec = cvec - cvec.mean()
+    Xcov = (
+        cvec[:, None]
+        if covariates is None
+        else np.concatenate([np.asarray(covariates, np.float64), cvec[:, None]], axis=1)
+    )
+    null = None
+    if basis is None:
+        X = design_matrix(n, Xcov)
+        w = np.ones(n)
+        y_use, X_use, c_use = y, X, cvec
+    else:
+        rot = make_rotated(basis, y, Xcov)
+        null = fit_null_reml(rot)
+        w = 1.0 / (basis.S + null.lbd)
+        y_use = basis.U.T @ y
+        X_use = np.asarray(rot.Xr)
+        c_use = cvec  # interaction product built pre-rotation is invalid;
+        # rotate G then multiply requires c in original space — instead we
+        # rotate (g*c) implicitly: decode gives g in original space only.
+        # For fvlmm2 we therefore weight in the ORIGINAL space using the
+        # inverse-variance transform W^(1/2) = U w^(1/2) U'.
+        Wh = (basis.U * np.sqrt(w)[None, :]) @ basis.U.T
+        y_use = Wh @ y
+        X_use = Wh @ design_matrix(n, Xcov)
+        w = np.ones(n)
+
+    p = X_use.shape[1]
+    XtWX = X_use.T @ (X_use * w[:, None])
+    Cinv = np.linalg.inv(XtWX + config.GRAM_RIDGE * np.eye(p))
+    My = w * y_use - (w[:, None] * X_use) @ (Cinv @ (X_use.T @ (w * y_use)))
+    yMy = float(y_use @ My)
+
+    m = pg.m
+    block = min(block, m)
+    packed = decode.pad_packed_cols(pg.packed)
+    Xd = jnp.asarray(X_use)
+    Cd = jnp.asarray(Cinv)
+    Myd = jnp.asarray(My)
+    wd = jnp.asarray(w)
+    # for the mixed case G itself must be transformed by Wh too: decode is
+    # in original space, so pass Wh through cvec trick: we instead fold Wh
+    # into the per-block step by rotating G via matmul with Wh^T.
+    cd = jnp.asarray(c_use)
+    a11 = np.empty(m); a12 = np.empty(m); a22 = np.empty(m)
+    b1 = np.empty(m); b2 = np.empty(m)
+    if basis is not None:
+        WhT = jnp.asarray(Wh.T)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def _gxe_block_mixed(packed, mean, X, Cinv, My, cvec, WhT, n: int):
+        hp = jax.lax.Precision.HIGHEST
+        G0 = decode.decode_centered(packed, mean, dtype=jnp.float32)[:, :n].astype(jnp.float64)
+        GC0 = G0 * cvec[None, :]
+        G = jnp.dot(G0, WhT, precision=hp)
+        GC = jnp.dot(GC0, WhT, precision=hp)
+        ones = jnp.ones((n,), jnp.float64)
+
+        def proj(A, B):
+            AwB = jnp.sum(A * B, axis=-1)
+            AX = jnp.dot(A, X, precision=hp)
+            BX = jnp.dot(B, X, precision=hp)
+            return AwB - jnp.einsum("bp,pq,bq->b", AX, Cinv, BX)
+
+        return (proj(G, G), proj(G, GC), proj(GC, GC),
+                jnp.dot(G, My, precision=hp), jnp.dot(GC, My, precision=hp))
+
+    for s0, e0 in iter_blocks(m, block):
+        pk = jnp.asarray(pad_rows(packed[s0:e0], block, 0xFF))
+        mn = jnp.asarray(pad_rows(pg.mean[s0:e0].astype(np.float32), block))
+        if basis is None:
+            r = _gxe_block(pk, mn, Xd, Cd, Myd, cd, wd, n)
+        else:
+            r = _gxe_block_mixed(pk, mn, Xd, Cd, Myd, cd, WhT, n)
+        k = e0 - s0
+        for arr, out in zip(r, (a11, a12, a22, b1, b2)):
+            out[s0:e0] = np.asarray(arr)[:k]
+
+    bi, se_i, pw, plrt = _finalize_gxe(a11, a12, a22, b1, b2, yMy, n, p, True)
+    res = ScanResult(
+        sites=pg.sites, af=pg.af, miss=pg.miss, beta=bi, se=se_i,
+        pwald=pw, plrt=plrt,
+        extras={"interaction": True, "lambda_null": None if null is None else null.lbd},
+    )
+    return res, null

@@ -208,6 +208,21 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 out_a = algwas_scan(pg_t, y_t, cov_t, block=cfg.block)
                 res = out_a.result
                 lbd_null = None
+            elif model in ("lm2", "fvlmm2"):
+                # interaction covariate = LAST covariate column (reference
+                # hidden G-by-C routes, src/stats/glm2.rs / fvlmm2.rs)
+                from janusx_tpu.models.gxe import gxe_scan
+
+                if cov_t is None or cov_t.shape[1] == 0:
+                    raise ValueError(f"{model} needs a covariate (-c/-q) for the interaction term")
+                inter = cov_t[:, -1]
+                main = cov_t[:, :-1] if cov_t.shape[1] > 1 else None
+                res, null2 = gxe_scan(
+                    pg_t, y_t, inter, main,
+                    basis=get_basis() if model == "fvlmm2" else None,
+                    block=cfg.block,
+                )
+                lbd_null = None if null2 is None else null2.lbd
             else:
                 raise ValueError(f"unknown model: {model}")
             secs = time.monotonic() - t1
@@ -216,6 +231,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 tag = {
                     "lm": "LM", "lmm": "LMM", "lmm2": "LMM2", "fvlmm": "FvLMM",
                     "splmm": "SparseLMM", "farmcpu": "FarmCPU", "algwas": "ALGWAS",
+                    "lm2": "LM2", "fvlmm2": "FvLMM2",
                 }[requested if requested != model and model == "lm" else model]
                 tsv_path = f"{cfg.out_prefix}.{trait}.{tag}.assoc.tsv"
                 res.write_tsv(tsv_path)

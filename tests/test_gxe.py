@@ -1,0 +1,77 @@
+"""G-by-E interaction scan tests."""
+
+import numpy as np
+import pytest
+
+from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+from janusx_tpu.io.packed import QcParams, pack_genotypes
+from janusx_tpu.models.gxe import gxe_scan
+from janusx_tpu.models.grm import grm_from_packed
+from janusx_tpu.core.spectral import eigh_grm
+
+
+@pytest.fixture(scope="module")
+def gxe_problem():
+    rng = np.random.default_rng(41)
+    m, n = 250, 300
+    p = rng.uniform(0.15, 0.5, size=m)
+    g = rng.binomial(2, p[:, None], size=(m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object), pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object), allele1=np.array(["G"] * m, object),
+    )
+    pg = pack_genotypes(
+        GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object)),
+        QcParams(maf=0.05, geno=0.1),
+    )
+    env = rng.normal(size=n)
+    Z = pg.centered()
+    # SNP 30: pure interaction effect; SNP 90: main effect only
+    y = Z[30] * env * 0.8 + Z[90] * 0.6 + rng.normal(size=n) * 0.8
+    return pg, y, env
+
+
+def test_lm2_interaction_detection(gxe_problem):
+    pg, y, env = gxe_problem
+    res, _ = gxe_scan(pg, y, env, block=64)
+    lp = -np.log10(res.pwald)
+    assert np.argmax(lp) == 30  # interaction SNP tops the interaction test
+    # main-effect-only SNP should NOT show interaction signal
+    assert lp[90] < 3.0 < lp[30]
+    # joint test catches both
+    jl = -np.log10(res.plrt)
+    assert jl[30] > 3 and jl[90] > 3
+
+
+def test_lm2_matches_numpy_ols(gxe_problem):
+    pg, y, env = gxe_problem
+    res, _ = gxe_scan(pg, y, env, block=64)
+    import scipy.stats
+
+    envc = env - env.mean()
+    Z = pg.centered()
+    n = pg.n
+    for i in (5, 30, 90, 200):
+        g = Z[i]
+        X = np.column_stack([np.ones(n), envc, g, g * envc])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        r = y - X @ beta
+        df = n - X.shape[1]
+        s2 = r @ r / df
+        cov = s2 * np.linalg.inv(X.T @ X)
+        t = beta[3] / np.sqrt(cov[3, 3])
+        pexp = 2 * scipy.stats.t.sf(abs(t), df)
+        assert res.beta[i] == pytest.approx(beta[3], rel=2e-2, abs=1e-4)
+        lp_o, lp_e = -np.log10(res.pwald[i]), -np.log10(pexp)
+        assert lp_o == pytest.approx(lp_e, abs=0.3)
+
+
+def test_fvlmm2_route(gxe_problem):
+    pg, y, env = gxe_problem
+    K = grm_from_packed(pg)
+    basis = eigh_grm(K, diag_ridge=1e-6)
+    res, null = gxe_scan(pg, y, env, basis=basis, block=64)
+    assert null is not None and null.lbd > 0
+    lp = -np.log10(res.pwald)
+    assert np.argmax(lp) == 30
