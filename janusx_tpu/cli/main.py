@@ -36,6 +36,7 @@ _MODULES: dict[str, tuple[str, str]] = {
     "hybrid": ("janusx_tpu.cli.hybrid", "F1 hybrid performance prediction"),
     "view": ("janusx_tpu.cli.view", "Inspect genotype/matrix artifacts"),
     "refcheck": ("janusx_tpu.cli.refcheck", "Input consistency checks"),
+    "treeplot": ("janusx_tpu.cli.treeplot", "Render a Newick tree"),
 }
 
 # secondary entry points living inside a module file

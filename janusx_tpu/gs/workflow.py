@@ -185,6 +185,15 @@ def run_gs(cfg: GsConfig):
                         f"{trait_res[mm].test_pred[j]:.4f}" for mm in trait_res
                     )
                     fh.write(f"{pg.samples[sidx]}\t{row}\n")
+        # TOP-style method selection: best CV pearson (reference
+        # _select_top_method_for_trait, gs/workflow.py:935)
+        best_method = None
+        best_r = -np.inf
+        for mm, r in trait_res.items():
+            rv = r.cv_mean.get("pearson", float("nan"))
+            if np.isfinite(rv) and rv > best_r:
+                best_r, best_method = rv, mm
+        summary.setdefault("selected_method", {})[str(trait)] = best_method
         summary["traits"][str(trait)] = {
             mm: {
                 "route": r.route,
@@ -200,6 +209,12 @@ def run_gs(cfg: GsConfig):
     if cfg.write_outputs:
         with open(f"{cfg.out_prefix}.gs.summary.json", "wt") as fh:
             json.dump(summary, fh, indent=2)
+        from janusx_tpu.utils.history import record_run
+
+        record_run("gs", cfg.out_prefix,
+                   {"methods": list(cfg.methods), "genotype": cfg.genotype},
+                   [f"{cfg.out_prefix}.gs.summary.json"],
+                   summary["total_seconds"])
     return all_results, summary
 
 

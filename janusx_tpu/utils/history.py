@@ -1,0 +1,86 @@
+"""SQLite run-history registry.
+
+Reference: python/janusx/script/_common/gwas_history.py (run registry
+backing the web UI). Each workflow invocation records module, arguments,
+outputs and timing into ``~/.janusx_tpu/history.db`` (override with
+JX_TPU_HISTORY_DB; set to "0" to disable).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sqlite3
+import time
+
+log = logging.getLogger("janusx_tpu.history")
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS runs (
+  id INTEGER PRIMARY KEY AUTOINCREMENT,
+  ts REAL NOT NULL,
+  module TEXT NOT NULL,
+  out_prefix TEXT,
+  params TEXT,
+  outputs TEXT,
+  seconds REAL,
+  status TEXT
+);
+"""
+
+
+def _db_path() -> str | None:
+    override = os.environ.get("JX_TPU_HISTORY_DB")
+    if override == "0":
+        return None
+    if override:
+        return override
+    d = os.path.join(os.path.expanduser("~"), ".janusx_tpu")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "history.db")
+
+
+def record_run(
+    module: str,
+    out_prefix: str | None,
+    params: dict,
+    outputs: list | None = None,
+    seconds: float | None = None,
+    status: str = "ok",
+) -> None:
+    path = _db_path()
+    if path is None:
+        return
+    try:
+        con = sqlite3.connect(path, timeout=5)
+        con.execute(_SCHEMA)
+        con.execute(
+            "INSERT INTO runs (ts, module, out_prefix, params, outputs, seconds, status)"
+            " VALUES (?, ?, ?, ?, ?, ?, ?)",
+            (
+                time.time(), module, out_prefix,
+                json.dumps(params, default=str),
+                json.dumps(outputs or [], default=str),
+                seconds, status,
+            ),
+        )
+        con.commit()
+        con.close()
+    except sqlite3.Error as e:
+        log.debug("history record failed: %s", e)
+
+
+def list_runs(limit: int = 100) -> list:
+    path = _db_path()
+    if path is None or not os.path.exists(path):
+        return []
+    con = sqlite3.connect(path, timeout=5)
+    con.execute(_SCHEMA)
+    rows = con.execute(
+        "SELECT ts, module, out_prefix, seconds, status FROM runs"
+        " ORDER BY ts DESC LIMIT ?",
+        (limit,),
+    ).fetchall()
+    con.close()
+    return rows

@@ -256,4 +256,10 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 {"runs": summary, "total_seconds": round(time.monotonic() - t0, 3)},
                 fh, indent=2,
             )
+        from janusx_tpu.utils.history import record_run
+
+        record_run("gwas", cfg.out_prefix,
+                   {"models": list(cfg.models), "genotype": cfg.genotype},
+                   [r.tsv_path for r in out if r.tsv_path],
+                   round(time.monotonic() - t0, 3))
     return out

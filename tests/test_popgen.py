@@ -43,3 +43,55 @@ def test_admixture_separates_populations(structured_pops):
     k1 = int(np.argmax(comp1))
     assert comp1[k1] > 0.8
     assert comp2[1 - k1] > 0.8
+
+
+def test_king_kinship_and_unrelated_set(rng):
+    from janusx_tpu.models.king import king_kinship, unrelated_set
+
+    m, n = 500, 60
+    p = rng.uniform(0.2, 0.8, m)
+    g = rng.binomial(2, p[:, None], (m, n)).astype(np.int8)
+    # make samples 0/1 "full sibs" by copying half the genome
+    g[: m // 2, 1] = g[: m // 2, 0]
+    # and 2/3 duplicates (monozygotic)
+    g[:, 3] = g[:, 2]
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object), pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object), allele1=np.array(["G"] * m, object),
+    )
+    pg = pack_genotypes(
+        GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object)),
+        QcParams(maf=0.05, geno=0.1),
+    )
+    phi = king_kinship(pg)
+    assert phi.shape == (n, n)
+    # duplicates ~0.5, constructed relatives elevated, unrelateds ~0
+    assert phi[2, 3] > 0.4
+    assert phi[0, 1] > 0.1
+    assert abs(phi[10, 40]) < 0.1
+    keep = unrelated_set(phi)
+    assert not (2 in keep and 3 in keep)
+    assert not (0 in keep and 1 in keep)
+    # sampling noise in phi (m~500) can push a few random pairs over the
+    # threshold; the pruned set should still retain most samples
+    assert len(keep) >= n - 10
+
+
+def test_treeplot_cli(tmp_path):
+    from janusx_tpu.cli.main import main as jx_main
+
+    nwk = tmp_path / "t.nwk"
+    nwk.write_text("((a:0.1,b:0.2):0.05,(c:0.1,d:0.12):0.1);\n")
+    rc = jx_main(["treeplot", "-i", str(nwk), "-o", str(tmp_path), "-prefix", "tp"])
+    assert rc == 0
+    assert (tmp_path / "tp.tree.png").exists()
+
+
+def test_run_history(tmp_path, monkeypatch):
+    monkeypatch.setenv("JX_TPU_HISTORY_DB", str(tmp_path / "h.db"))
+    from janusx_tpu.utils.history import list_runs, record_run
+
+    record_run("gwas", "/tmp/x", {"models": ["lmm"]}, ["a.tsv"], 1.5)
+    rows = list_runs()
+    assert len(rows) == 1 and rows[0][1] == "gwas"
