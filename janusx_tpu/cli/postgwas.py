@@ -20,6 +20,8 @@ def build_parser(prog="jx postgwas") -> argparse.ArgumentParser:
                    help="significance line (default 0.05/m Bonferroni)")
     p.add_argument("-top", "--top", type=int, default=20, help="top-hit table rows")
     p.add_argument("-pcol", "--pcol", type=str, default="pwald", help="p-value column")
+    p.add_argument("-gff", "--gff", type=str, default=None,
+                   help="GFF3 file: annotate top hits with overlapping/nearest genes")
     common.add_out_args(p, default_prefix="postgwas")
     return p
 
@@ -41,6 +43,12 @@ def main(argv=None) -> int:
 
     from janusx_tpu.plots.gwasplots import manhattan_plot, qq_plot
 
+    gff = None
+    if args.gff:
+        from janusx_tpu.utils.gff import GffIndex
+
+        gff = GffIndex.from_file(args.gff)
+
     paths = []
     for pat in args.input:
         hits = sorted(glob.glob(pat))
@@ -56,7 +64,15 @@ def main(argv=None) -> int:
             df[args.pcol].to_numpy(), man, sig_line=args.sig, title=tag,
         )
         lam = qq_plot(df[args.pcol].to_numpy(), qq, title=tag)
-        top = df.nsmallest(args.top, args.pcol)
+        top = df.nsmallest(args.top, args.pcol).copy()
+        if gff is not None:
+            genes, dists = [], []
+            for _, row in top.iterrows():
+                g, d = gff.nearest(str(row["chrom"]), int(row["pos"]))
+                genes.append("" if g is None else g.name)
+                dists.append("" if d is None else d)
+            top["gene"] = genes
+            top["gene_dist"] = dists
         top_path = f"{prefix}.{tag}.top.tsv"
         top.to_csv(top_path, sep="\t", index=False)
         outputs += [man, qq, top_path]

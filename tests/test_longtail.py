@@ -140,3 +140,23 @@ def test_hybrid_view_refcheck_postgs(rng, tmp_path, capsys):
                   "-o", str(tmp_path), "-prefix", "pg"])
     assert rc == 0
     assert (tmp_path / "pg.gs.metrics.tsv").exists()
+
+
+def test_gff_index(tmp_path):
+    from janusx_tpu.utils.gff import GffIndex
+
+    gff = tmp_path / "a.gff3"
+    gff.write_text(
+        "##gff-version 3\n"
+        "1\tsrc\tgene\t1000\t2000\t.\t+\t.\tID=g1;Name=GeneA\n"
+        "1\tsrc\tgene\t5000\t9000\t.\t-\t.\tID=g2;Name=GeneB\n"
+        "2\tsrc\tgene\t100\t300\t.\t+\t.\tID=g3\n"
+        "1\tsrc\texon\t1000\t1100\t.\t+\t.\tID=e1\n"
+    )
+    idx = GffIndex.from_file(str(gff))
+    assert [g.name for g in idx.query("1", 1500)] == ["GeneA"]
+    assert idx.query("1", 3000) == []
+    g, d = idx.nearest("1", 4000)
+    assert g.name == "GeneB" and d == 1000
+    g, d = idx.nearest("2", 200)
+    assert g.name == "g3" and d == 0
