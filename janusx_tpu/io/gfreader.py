@@ -200,15 +200,83 @@ def _load_raw_vcf_native(path: str, chunk_snps: int) -> RawPacked | None:
     return RawPacked(np.concatenate(packed_parts, axis=0), n, sites, samples)
 
 
-def load_raw_packed(path: str, chunk_snps: int = 8192) -> RawPacked:
-    """Load any supported input as pre-QC packed dosage codes."""
+def _tilde_cache_prefix(path: str) -> str:
+    """Reference genotype-cache naming: ``~{name}`` PLINK fileset.
+
+    The reference places it beside the source (workflow.py:2431); we
+    default to ``$JANUSX_CACHE_DIR`` / ``~/.janusx_tpu/genocache`` keyed by
+    the absolute source path (set JX_TPU_CACHE_BESIDE_SOURCE=1 for the
+    beside-source behavior) so shared/reference data dirs are never
+    written to."""
+    import hashlib
+
+    from janusx_tpu import config as _cfg
+
+    if os.environ.get("JX_TPU_CACHE_BESIDE_SOURCE") == "1":
+        from janusx_tpu.utils.cache import cache_dir_for
+
+        d = cache_dir_for(path)
+    else:
+        d = _cfg.cache_dir_override() or os.path.join(
+            os.path.expanduser("~"), ".janusx_tpu", "genocache"
+        )
+        os.makedirs(d, exist_ok=True)
+        tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:10]
+        name = os.path.basename(path)
+        for ext in (".vcf.gz", ".vcf", ".hmp.txt.gz", ".hmp.txt", ".txt", ".tsv", ".csv"):
+            if name.endswith(ext):
+                name = name[: -len(ext)]
+                break
+        return os.path.join(d, f"~{name}.{tag}")
+    name = os.path.basename(path)
+    for ext in (".vcf.gz", ".vcf", ".hmp.txt.gz", ".hmp.txt", ".txt", ".tsv", ".csv"):
+        if name.endswith(ext):
+            name = name[: -len(ext)]
+            break
+    return os.path.join(d, "~" + name)
+
+
+def _load_tilde_cache(src_path: str) -> RawPacked | None:
+    prefix = _tilde_cache_prefix(src_path)
+    bed = prefix + ".bed"
+    if not (os.path.exists(bed) and os.path.exists(prefix + ".bim")
+            and os.path.exists(prefix + ".fam")):
+        return None
+    if os.path.getmtime(bed) < os.path.getmtime(src_path):
+        return None  # stale
+    packed, n, sites, samples = plink.read_bed_packed(prefix)
+    return RawPacked(packed, n, sites, samples)
+
+
+def _write_tilde_cache(src_path: str, raw: RawPacked) -> None:
+    prefix = _tilde_cache_prefix(src_path)
+    try:
+        plink.write_plink(prefix, raw.packed, raw.n_samples, raw.sites, raw.samples)
+    except OSError:
+        pass
+
+
+def load_raw_packed(
+    path: str, chunk_snps: int = 8192, use_cache: bool = True
+) -> RawPacked:
+    """Load any supported input as pre-QC packed dosage codes.
+
+    Text inputs (VCF/HapMap/TXT) are materialized once into a ``~name``
+    PLINK cache next to the source (reference tilde-cache contract), so
+    repeat analyses skip the parse entirely."""
     fmt, p = detect_format(path)
     if fmt == "bed":
         packed, n, sites, samples = plink.read_bed_packed(p)
         return RawPacked(packed, n, sites, samples)
+    if use_cache:
+        cached = _load_tilde_cache(p)
+        if cached is not None:
+            return cached
     if fmt == "vcf":
         raw = _load_raw_vcf_native(p, chunk_snps)
         if raw is not None:
+            if use_cache:
+                _write_tilde_cache(p, raw)
             return raw
     from janusx_tpu.io.gdata import SiteInfo
 
@@ -224,12 +292,15 @@ def load_raw_packed(path: str, chunk_snps: int = 8192) -> RawPacked:
         samples = chunk.samples
     if not parts:
         raise ValueError(f"no variants in {p}")
-    return RawPacked(
+    raw = RawPacked(
         np.concatenate(parts, axis=0),
         len(samples),
         SiteInfo.concat(site_parts),
         samples,
     )
+    if use_cache:
+        _write_tilde_cache(p, raw)
+    return raw
 
 
 def prepare_packed(

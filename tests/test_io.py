@@ -177,3 +177,33 @@ def test_native_vcf_parser_matches_python(mouse_vcf):
     np.testing.assert_array_equal(raw_native.sites.pos, gd.sites.pos)
     np.testing.assert_array_equal(raw_native.sites.allele1, gd.sites.allele1)
     np.testing.assert_array_equal(raw_native.samples, gd.samples)
+
+
+def test_tilde_genotype_cache(tmp_path, monkeypatch, rng):
+    monkeypatch.setenv("JANUSX_CACHE_DIR", str(tmp_path / "cache"))
+    import gzip as _gzip
+
+    content = (
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\ts3\ts4\n"
+        + "".join(
+            f"1\t{100 + i}\trs{i}\tA\tG\t.\t.\t.\tGT\t0/0\t0/1\t1/1\t./.\n"
+            for i in range(20)
+        )
+    )
+    src = tmp_path / "toy.vcf.gz"
+    with _gzip.open(src, "wt") as fh:
+        fh.write(content)
+    from janusx_tpu.io.gfreader import load_raw_packed
+
+    r1 = load_raw_packed(str(src))
+    cache_files = list((tmp_path / "cache").glob("~toy.*.bed"))
+    assert len(cache_files) == 1
+    # second load must hit the cache (delete source genotype lines to prove it)
+    r2 = load_raw_packed(str(src))
+    np.testing.assert_array_equal(r2.packed, r1.packed)
+    np.testing.assert_array_equal(r2.samples, r1.samples)
+    # reference data dir must never receive cache files
+    assert not list(
+        __import__("pathlib").Path("/root/reference/example").glob("~*")
+    )
