@@ -38,6 +38,8 @@ def build_parser(prog="jx gs") -> argparse.ArgumentParser:
     o.add_argument("-cv", "--cv", type=int, default=5, help="CV folds (0 disables)")
     o.add_argument("-seed", "--seed", type=int, default=42)
     o.add_argument("-effect", "--effect", action="store_true", help="export marker-effect TSVs")
+    o.add_argument("-save-model", "--save-model", action="store_true",
+                   help="export portable .jxmodel.npz marker-effect models")
     o.add_argument("--bayes-iters", type=int, default=400)
     o.add_argument("--bayes-burnin", type=int, default=200)
     common.add_out_args(p, default_prefix="jxgs")
@@ -65,6 +67,7 @@ def main(argv=None) -> int:
         geno=args.geno,
         seed=args.seed,
         export_effects=args.effect,
+        save_models=args.save_model,
         bayes_iters=args.bayes_iters,
         bayes_burnin=args.bayes_burnin,
     )

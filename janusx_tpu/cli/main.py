@@ -37,6 +37,7 @@ _MODULES: dict[str, tuple[str, str]] = {
     "view": ("janusx_tpu.cli.view", "Inspect genotype/matrix artifacts"),
     "refcheck": ("janusx_tpu.cli.refcheck", "Input consistency checks"),
     "treeplot": ("janusx_tpu.cli.treeplot", "Render a Newick tree"),
+    "gspredict": ("janusx_tpu.cli.gspredict", "Predict gebv from a saved model"),
 }
 
 # secondary entry points living inside a module file

@@ -317,5 +317,5 @@ def bayes_fit_predict(cfg, method, Xml, y, train, test, kf):
         cfg.bayes_iters, cfg.bayes_burnin, cfg.bayes_thin, cfg.seed,
     )
     test_pred = mu + Xml[test] @ beta if len(test) else np.empty(0)
-    info = {"fit_seconds": time.monotonic() - t1, "mu": mu}
+    info = {"fit_seconds": time.monotonic() - t1, "mu": mu, "beta_std": beta}
     return test_pred, fold_metrics, info

@@ -61,6 +61,7 @@ class GsConfig:
     bayes_iters: int = 400
     bayes_burnin: int = 200
     bayes_thin: int = 1
+    save_models: bool = False  # export portable marker-effect .jxmodel.npz
 
 
 @dataclass
@@ -263,12 +264,21 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
         )
         test_pred = preds[0] if preds else np.empty(0)
         info.update(lambda_=model.lbd, vg=model.vg, ve=model.ve, pve=model.pve)
-        if cfg.export_effects or method == "rrBLUP":
+        if cfg.export_effects or cfg.save_models or method == "rrBLUP":
             eff = marker_effects(pg, _alpha_full(model, pg.n), denom)
             info["n_effects"] = len(eff)
             if cfg.write_outputs and cfg.export_effects:
                 _write_effects(
                     f"{cfg.out_prefix}.{trait}.{method}.effect.tsv", pg, eff
+                )
+            if cfg.write_outputs and cfg.save_models:
+                from janusx_tpu.gs.model_io import save_marker_model
+
+                save_marker_model(
+                    f"{cfg.out_prefix}.{trait}.{method}.jxmodel.npz",
+                    pg.sites, eff, pg.mean, float(model.beta[0]), method,
+                    {"trait": str(trait), "lambda": model.lbd,
+                     "vg": model.vg, "ve": model.ve},
                 )
         fit_secs = time.monotonic() - t1
     elif method in BAYES_METHODS:
@@ -279,6 +289,18 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
         )
         cv_secs = time.monotonic() - t0
         fit_secs = info.pop("fit_seconds", 0.0)
+        if cfg.write_outputs and cfg.save_models and "beta_std" in info:
+            from janusx_tpu.gs.model_io import save_marker_model
+
+            var = 2.0 * pg.af * (1.0 - pg.af)
+            inv_sd = np.where(var > 0, 1.0 / np.sqrt(var), 0.0)
+            save_marker_model(
+                f"{cfg.out_prefix}.{trait}.{method}.jxmodel.npz",
+                pg.sites, info.pop("beta_std") * inv_sd, pg.mean,
+                info.get("mu", 0.0), method, {"trait": str(trait)},
+            )
+        else:
+            info.pop("beta_std", None)
     elif method in ML_METHODS:
         X = Xml
         for fold, (tr_loc, va_loc) in enumerate(kf.split(len(train))):

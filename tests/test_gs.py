@@ -144,3 +144,32 @@ def test_gblup_dominance_kernels(gs_problem):
     assert len(pred) == 40
     r = regression_metrics(y[test], pred)["pearson"]
     assert r > 0.25
+
+
+def test_model_save_and_predict(gs_problem, tmp_path):
+    from janusx_tpu.cli.main import main as jx_main
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.gdata import GenotypeData
+
+    pg, K, y = gs_problem
+    prefix = str(tmp_path / "mm")
+    gd = GenotypeData(pg.dosages(), pg.sites, pg.samples)
+    plink.write_plink_genotypes(prefix, gd)
+    with open(prefix + ".pheno", "wt") as fh:
+        fh.write("\tt\n")
+        for s, v in zip(pg.samples, y):
+            fh.write(f"{s}\t{v:.6f}\n")
+    rc = jx_main(["gs", "-bfile", prefix, "-p", prefix + ".pheno", "-rrBLUP",
+                  "-cv", "3", "-save-model", "-maf", "0.0", "-geno", "1.0",
+                  "-o", str(tmp_path), "-prefix", "g"])
+    assert rc == 0
+    model_path = str(tmp_path / "g.t.rrBLUP.jxmodel.npz")
+    assert os.path.exists(model_path)
+    # predict back on the SAME panel: must correlate strongly with y
+    rc = jx_main(["gspredict", "-model", model_path, "-bfile", prefix,
+                  "-o", str(tmp_path), "-prefix", "pred"])
+    assert rc == 0
+    rows = [l.split("\t") for l in open(str(tmp_path / "pred.gebv.tsv")).readlines()[1:]]
+    pred = np.array([float(r[1]) for r in rows])
+    r = regression_metrics(y, pred)["pearson"]
+    assert r > 0.8  # in-sample fitted values
