@@ -16,6 +16,8 @@ def build_parser(prog="jx gstats") -> argparse.ArgumentParser:
     o = p.add_argument_group("Options")
     o.add_argument("-site", "--site", action="store_true", help="per-site stats (default)")
     o.add_argument("-ind", "--ind", action="store_true", help="per-sample stats")
+    o.add_argument("-ldscore", "--ldscore", type=int, default=None, metavar="WIN",
+                   help="also compute per-site LD scores over a WIN-SNP window")
     common.add_out_args(p, default_prefix="jx")
     return p
 
@@ -39,15 +41,49 @@ def main(argv=None) -> int:
             maf = np.minimum(af, 1 - af)
             het_rate = np.where(nm > 0, het / nm, np.nan)
         miss = 1.0 - nm / n
+        ld = None
+        if args.ldscore:
+            from janusx_tpu.models.ldprune import _corr_chunk
+            from janusx_tpu.io.packed import QcParams
+            from janusx_tpu.ops import decode as _dec
+            import jax.numpy as jnp
+
+            # LD score: per-site sum of r^2 with neighbors in the window
+            from janusx_tpu.io.packed import pack_from_codes
+
+            pgq = pack_from_codes(raw.packed, n, raw.sites, raw.samples,
+                                  QcParams(maf=0.0, geno=1.0))
+            win = int(args.ldscore)
+            ld = np.zeros(raw.m)
+            packed_pad = _dec.pad_packed_cols(pgq.packed)
+            step = 2048
+            for s0 in range(0, pgq.m, step):
+                e0 = min(s0 + step + win, pgq.m)
+                r = np.asarray(_corr_chunk(
+                    jnp.asarray(packed_pad[s0:e0]),
+                    jnp.asarray(pgq.mean[s0:e0].astype(np.float32)),
+                ))
+                r2 = r * r
+                hi = min(s0 + step, pgq.m)
+                for li in range(hi - s0):
+                    lo = max(0, li - win)
+                    up = min(e0 - s0, li + win + 1)
+                    ld[s0 + li] = r2[li, lo:up].sum() - 1.0
         path = f"{prefix}.site.stats.tsv"
         with open(path, "wt") as fh:
-            fh.write("chrom\tpos\tsnp\tallele0\tallele1\taf\tmaf\tmiss\thet\n")
+            hdr = "chrom\tpos\tsnp\tallele0\tallele1\taf\tmaf\tmiss\thet"
+            if ld is not None:
+                hdr += "\tldscore"
+            fh.write(hdr + "\n")
             s = raw.sites
             for i in range(raw.m):
-                fh.write(
+                row = (
                     f"{s.chrom[i]}\t{s.pos[i]}\t{s.snp[i]}\t{s.allele0[i]}\t{s.allele1[i]}"
-                    f"\t{af[i]:.6g}\t{maf[i]:.6g}\t{miss[i]:.6g}\t{het_rate[i]:.6g}\n"
+                    f"\t{af[i]:.6g}\t{maf[i]:.6g}\t{miss[i]:.6g}\t{het_rate[i]:.6g}"
                 )
+                if ld is not None:
+                    row += f"\t{ld[i]:.6g}"
+                fh.write(row + "\n")
         outputs.append(path)
     if args.ind:
         codes = bitcodec.unpack_codes(raw.packed, n)

@@ -120,7 +120,10 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
     # load_or_build_grm_with_cache, workflow.py:3123)
     from janusx_tpu.utils.cache import load_or_build_grm
 
-    pg_full = raw.prepare(qc)
+    from janusx_tpu.utils.progress import stage
+
+    with stage("QC/pack (full sample set)", log):
+        pg_full = raw.prepare(qc)
     K = load_or_build_grm(
         cfg.genotype, pg_full, cfg.maf, cfg.geno, method=cfg.grm_method,
         block=cfg.block, use_cache=cfg.use_cache,
@@ -148,7 +151,8 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             continue
         y_t = y[keep]
         cov_t = None if cov_full is None else cov_full[keep]
-        pg_t = raw.prepare(qc, sample_idx=keep)
+        with stage(f"prepare subset ({trait})", log):
+            pg_t = raw.prepare(qc, sample_idx=keep)
         log.info(
             "trait %s: n=%d m=%d models=%s", trait, len(keep), pg_t.m, cfg.models
         )

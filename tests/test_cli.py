@@ -194,3 +194,13 @@ def test_cli_gs(sim_dataset, tmp_path):
     gebv = open(str(tmp_path / "gsout.trait0.gebv.tsv")).readlines()
     assert len(gebv) == 31  # header + 30 test samples
     assert os.path.exists(str(tmp_path / "gsout.gs.summary.json"))
+
+
+def test_cli_gstats_ldscore(sim_dataset, tmp_path):
+    rc = jx_main(["gstats", "-bfile", sim_dataset, "-site", "-ldscore", "20",
+                  "-o", str(tmp_path), "-prefix", "ls"])
+    assert rc == 0
+    lines = open(str(tmp_path / "ls.site.stats.tsv")).readlines()
+    assert lines[0].rstrip("\n").split("\t")[-1] == "ldscore"
+    vals = [float(l.split("\t")[-1]) for l in lines[1:]]
+    assert all(v >= -1e-6 for v in vals)
