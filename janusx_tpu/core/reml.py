@@ -438,6 +438,82 @@ def lmm_grid_scan(rot: RotatedData, Gr: jax.Array, grid_lg: jax.Array):
     return lg_star
 
 
+def final_stats_f32(
+    sh_rot: RotatedData, Gr32: jax.Array, log10_lbd: jax.Array, with_ml: bool
+):
+    """Final (beta, se[, ml]) at per-lane λ* with f32 MXU grams.
+
+    The hot-path replacement for beta_se_snp_batch inside the resident
+    scan: the (B, n) weighted grams run as f32-HIGHEST matmuls (the f64
+    elementwise/matmul chain dominates scan time on TPU), then the small
+    (p+1) Schur algebra runs in f64. Gram rounding (~1e-7 relative)
+    perturbs beta/se by ~1e-6 — far inside the λ-search tolerance.
+    """
+    rot = sh_rot
+    p = rot.p
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+    s32 = rot.s.astype(f32)
+    lbd32 = jnp.power(10.0, log10_lbd).astype(f32)
+    v = s32[None, :] + lbd32[:, None]  # (B, n) f32
+    w = 1.0 / v
+    Gw = Gr32 * w
+    PXX32 = rot.PXX.astype(f32)
+    PXy32 = rot.PXy.astype(f32)
+    Pyy32 = rot.Pyy.astype(f32)
+    Xr32 = rot.Xr.astype(f32)
+    yr32 = rot.yr.astype(f32)
+    Axx = jnp.dot(w, PXX32, precision=hp).astype(jnp.float64).reshape(-1, p, p)
+    axy = jnp.dot(w, PXy32, precision=hp).astype(jnp.float64)
+    ayy = jnp.dot(w, Pyy32, precision=hp).astype(jnp.float64)
+    axg = jnp.dot(Gw, Xr32, precision=hp).astype(jnp.float64)
+    agy = jnp.dot(Gw, yr32, precision=hp).astype(jnp.float64)
+    agg = jnp.sum(Gw * Gr32, axis=-1).astype(jnp.float64)
+
+    ridge = config.GRAM_RIDGE
+    Ar = Axx + ridge * jnp.eye(p, dtype=jnp.float64)
+    L = jnp.linalg.cholesky(Ar)
+    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+    badA = jnp.any(~jnp.isfinite(diag) | (diag <= 0), axis=-1)
+    Ls = jnp.where(badA[:, None, None], jnp.eye(p, dtype=jnp.float64), L)
+
+    def chosolve(b):
+        z = jax.lax.linalg.triangular_solve(
+            Ls, b[..., None], left_side=True, lower=True, transpose_a=False
+        )
+        return jax.lax.linalg.triangular_solve(
+            Ls, z, left_side=True, lower=True, transpose_a=True
+        )[..., 0]
+
+    u = chosolve(axg)  # (B, p) = Ar^-1 axg
+    Ainv_axy = chosolve(axy)
+    schur = (agg + ridge) - jnp.sum(axg * u, axis=-1)
+    beta_g = (agy - jnp.sum(axg * Ainv_axy, axis=-1)) / schur
+    beta_X = Ainv_axy - beta_g[:, None] * u
+    lin = jnp.sum(beta_X * axy, axis=-1) + beta_g * agy
+    quad = (
+        jnp.einsum("bp,bpq,bq->b", beta_X, Axx, beta_X)
+        + 2.0 * beta_g * jnp.sum(axg * beta_X, axis=-1)
+        + beta_g * beta_g * agg
+    )
+    rtwr = ayy - 2.0 * lin + quad
+    n = rot.n
+    p1 = p + 1
+    sigma2 = rtwr / (float(n) - float(p1))
+    var_k = sigma2 / schur  # (Mr^-1)_kk = 1/schur for the last coordinate
+    ok = ~badA & (schur > 0) & (var_k > 0) & jnp.isfinite(var_k) & (rtwr > 0)
+    beta = jnp.where(ok, beta_g, jnp.nan)
+    se = jnp.where(ok, jnp.sqrt(jnp.where(ok, var_k, 1.0)), jnp.nan)
+    if not with_ml:
+        return beta, se, jnp.zeros_like(beta)
+    logdetV = jnp.sum(jnp.log(v), axis=-1).astype(jnp.float64)  # f32 logs
+    nf = float(n)
+    c = nf * (math.log(nf) - 1.0 - math.log(2.0 * math.pi)) / 2.0
+    ml = c - 0.5 * (nf * jnp.log(rtwr) + logdetV)
+    ml = jnp.where(ok, ml, -_BAD)
+    return beta, se, ml
+
+
 # --------------------------------------------------------------- null model
 def _null_grams(log10_lbd: jax.Array, rot: RotatedData):
     p = rot.p

@@ -30,6 +30,7 @@ from janusx_tpu.core.reml import (
     NullFit,
     RotatedData,
     beta_se_snp_batch,
+    final_stats_f32,
     fit_null_reml,
     grid_shared,
     lmm_grid_scan,
@@ -93,18 +94,13 @@ def _lmm_scan_resident(
             # (K2, N2) operand (janusx_tpu.ops.pallas_kernels)
             from janusx_tpu.ops.pallas_kernels import decode_rotate_planar
 
-            Gr = decode_rotate_planar(pkb, mnb[:, None], U32)[:, :n].astype(
-                jnp.float64
-            )
+            Gr32 = decode_rotate_planar(pkb, mnb[:, None], U32)[:, :n]
         else:
             Graw = decode.decode_centered(pkb, mnb, dtype=jnp.float32)[:, :n]
-            Gr = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST).astype(
-                jnp.float64
-            )
-        ssq = jnp.sum(Gr * Gr, axis=-1)
-        lgs = lmm_grid_scan_with(sh, rot, Gr)
-        beta, se = beta_se_snp_batch(lgs, rot, Gr)
-        ml = ml_snp_batch(lgs, rot, Gr) if with_ml else jnp.zeros_like(lgs)
+            Gr32 = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST)
+        ssq = jnp.sum(Gr32 * Gr32, axis=-1).astype(jnp.float64)
+        lgs = lmm_grid_scan_with(sh, rot, Gr32)  # internally casts to f32
+        beta, se, ml = final_stats_f32(rot, Gr32, lgs, with_ml)
         return None, (lgs, beta, se, ml, ssq)
 
     _, (lgs, beta, se, ml, ssq) = jax.lax.scan(body, None, (pk, mn))
