@@ -38,6 +38,7 @@ _MODULES: dict[str, tuple[str, str]] = {
     "refcheck": ("janusx_tpu.cli.refcheck", "Input consistency checks"),
     "treeplot": ("janusx_tpu.cli.treeplot", "Render a Newick tree"),
     "gspredict": ("janusx_tpu.cli.gspredict", "Predict gebv from a saved model"),
+    "benchmark": ("janusx_tpu.cli.benchmark", "Time core kernels on simulated data"),
 }
 
 # secondary entry points living inside a module file

@@ -204,3 +204,12 @@ def test_cli_gstats_ldscore(sim_dataset, tmp_path):
     assert lines[0].rstrip("\n").split("\t")[-1] == "ldscore"
     vals = [float(l.split("\t")[-1]) for l in lines[1:]]
     assert all(v >= -1e-6 for v in vals)
+
+
+def test_cli_benchmark_small(tmp_path):
+    rc = jx_main(["benchmark", "-nind", "150", "-nsnp", "600",
+                  "-modules", "grm,lm", "-repeats", "1",
+                  "-o", str(tmp_path), "-prefix", "b"])
+    assert rc == 0
+    data = json.load(open(str(tmp_path / "b.benchmark.json")))
+    assert {r["module"] for r in data["results"]} == {"grm", "lm_scan"}
