@@ -29,23 +29,40 @@ from janusx_tpu.models.scan_common import ScanResult, finalize_invalid, iter_blo
 from janusx_tpu.ops import decode
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _fvlmm_block(packed, mean, U32, w, X, Cw, Py, n: int):
-    """gPy, gPg, ssq for one padded block.
+@partial(jax.jit, static_argnames=("n", "block"))
+def _fvlmm_scan_resident(packed, mean, U32, w, X, Cw, Py, n: int, block: int):
+    """Whole fixed-λ scan in ONE dispatch (lax.scan over blocks, f32 MXU
+    grams — weights are shared, so everything is matmuls).
 
     w: (n,) weights; X: (n, p) rotated design; Cw = (X'WX + ridge)^{-1};
-    Py: (n,) = P y.
+    Py: (n,) = P y. Returns stacked (3, m_pad): gPy, gPg, ssq.
     """
-    Graw = decode.decode_centered(packed, mean, dtype=jnp.float32)[:, :n]
-    Gr = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST).astype(jnp.float64)
+    m_pad = packed.shape[0]
+    nblk = m_pad // block
+    pk = packed.reshape(nblk, block, packed.shape[1])
+    mn = mean.reshape(nblk, block)
+    f32 = jnp.float32
+    w32 = w.astype(f32)
+    X32 = X.astype(f32)
+    Cw32 = Cw.astype(f32)
+    Py32 = Py.astype(f32)
     hp = jax.lax.Precision.HIGHEST
-    ssq = jnp.sum(Gr * Gr, axis=-1)
-    wG = Gr * w[None, :]
-    gPy = jnp.dot(Gr, Py, precision=hp)
-    XWg = jnp.dot(wG, X, precision=hp)  # (B, p) = g'WX
-    gWg = jnp.sum(wG * Gr, axis=-1)
-    gPg = gWg - jnp.einsum("bp,pq,bq->b", XWg, Cw, XWg)
-    return gPy, gPg, ssq
+
+    def body(_, xs):
+        pkb, mnb = xs
+        Graw = decode.decode_centered(pkb, mnb, dtype=f32)[:, :n]
+        Gr = jnp.dot(Graw, U32, precision=hp)
+        ssq = jnp.sum(Gr * Gr, axis=-1)
+        wG = Gr * w32[None, :]
+        gPy = jnp.dot(Gr, Py32, precision=hp)
+        XWg = jnp.dot(wG, X32, precision=hp)
+        gWg = jnp.sum(wG * Gr, axis=-1)
+        gPg = gWg - jnp.einsum("bp,pq,bq->b", XWg, Cw32, XWg)
+        return None, (gPy.astype(jnp.float64), gPg.astype(jnp.float64),
+                      ssq.astype(jnp.float64))
+
+    _, (gPy, gPg, ssq) = jax.lax.scan(body, None, (pk, mn))
+    return jnp.stack([gPy.reshape(m_pad), gPg.reshape(m_pad), ssq.reshape(m_pad)])
 
 
 def fvlmm_scan(
@@ -78,28 +95,24 @@ def fvlmm_scan(
     Py = w * yr - (w[:, None] * Xr) @ (Cw @ XWy)
     yPy = float(yr @ Py)
 
-    U32 = jnp.asarray(basis.U, jnp.float32)
-    wd = jnp.asarray(w)
-    Xd = jnp.asarray(Xr)
-    Cwd = jnp.asarray(Cw)
-    Pyd = jnp.asarray(Py)
-    packed = decode.pad_packed_cols(pg.packed)
+    from janusx_tpu.utils import devcache
+
+    U32 = devcache.to_device(basis.U, jnp.float32)
     m = pg.m
-    beta = np.empty(m)
-    se = np.empty(m)
-    ssq_all = np.empty(m)
-    for s0, e0 in iter_blocks(m, block):
-        pk = pad_rows(packed[s0:e0], block, 0xFF)
-        mn = pad_rows(pg.mean[s0:e0].astype(np.float32), block)
-        gPy, gPg, ssq = _fvlmm_block(
-            jnp.asarray(pk), jnp.asarray(mn), U32, wd, Xd, Cwd, Pyd, n
+    block = min(block, m)
+    m_pad = -(-m // block) * block
+    pk = devcache.device_packed(pg, m_pad)
+    mn = devcache.to_device_padded_rows(pg.mean, m_pad, 0.0, dtype=jnp.float32)
+    out = np.asarray(
+        _fvlmm_scan_resident(
+            pk, mn, U32, jnp.asarray(w), jnp.asarray(Xr), jnp.asarray(Cw),
+            jnp.asarray(Py), n, block,
         )
-        gPy = np.asarray(gPy)[: e0 - s0]
-        gPg = np.asarray(gPg)[: e0 - s0]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            beta[s0:e0] = gPy / gPg
-            se[s0:e0] = np.sqrt((yPy / df) / gPg)
-        ssq_all[s0:e0] = np.asarray(ssq)[: e0 - s0]
+    )
+    gPy_all, gPg_all, ssq_all = out[0, :m], out[1, :m], out[2, :m]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        beta = gPy_all / gPg_all
+        se = np.sqrt((yPy / df) / gPg_all)
 
     pwald = jstats.pwald_from_beta_se(beta, se)
     beta, se, pwald, _ = finalize_invalid(beta, se, pwald, ssq_all)

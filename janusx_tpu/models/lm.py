@@ -59,6 +59,33 @@ def _lm_step(packed, mean, X, C, My, n: int):
     return gMy, gMg
 
 
+@partial(jax.jit, static_argnames=("n", "block"))
+def _lm_scan_resident(packed, mean, X, C, My, n: int, block: int):
+    """Whole LM scan in one dispatch: f32 MXU grams (the projection is
+    exact linear algebra; f32-HIGHEST rounding ~1e-7 relative)."""
+    m_pad = packed.shape[0]
+    nblk = m_pad // block
+    pk = packed.reshape(nblk, block, packed.shape[1])
+    mn = mean.reshape(nblk, block)
+    f32 = jnp.float32
+    X32 = X.astype(f32)
+    C32 = C.astype(f32)
+    My32 = My.astype(f32)
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(_, xs):
+        pkb, mnb = xs
+        G = decode.decode_centered(pkb, mnb, dtype=f32)[:, :n]
+        gMy = jnp.dot(G, My32, precision=hp)
+        GX = jnp.dot(G, X32, precision=hp)
+        gg = jnp.sum(G * G, axis=-1)
+        gMg = gg - jnp.einsum("bp,pq,bq->b", GX, C32, GX)
+        return None, (gMy.astype(jnp.float64), gMg.astype(jnp.float64))
+
+    _, (gMy, gMg) = jax.lax.scan(body, None, (pk, mn))
+    return jnp.stack([gMy.reshape(m_pad), gMg.reshape(m_pad)])
+
+
 def design_matrix(n: int, covariates: np.ndarray | None) -> np.ndarray:
     ones = np.ones((n, 1), dtype=np.float64)
     if covariates is None:
@@ -87,28 +114,23 @@ def lm_scan(
     My = y - X @ (C @ (X.T @ y))
     yMy = float(y @ My)
 
-    Xd = jnp.asarray(X)
-    Cd = jnp.asarray(C)
-    Myd = jnp.asarray(My)
-    packed = decode.pad_packed_cols(pg.packed)
+    from janusx_tpu.utils import devcache
+
     m = pg.m
-    beta = np.empty(m)
-    se = np.empty(m)
-    gMg_all = np.empty(m)
-    for s, e in iter_blocks(m, block):
-        pk = pad_rows(packed[s:e], block, 0xFF)
-        mn = pad_rows(pg.mean[s:e].astype(np.float32), block)
-        gMy, gMg = _lm_step(jnp.asarray(pk), jnp.asarray(mn), Xd, Cd, Myd, n)
-        gMy = np.asarray(gMy)[: e - s]
-        gMgb = np.asarray(gMg)[: e - s]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            b = gMy / gMgb
-            rss = yMy - gMy * gMy / gMgb
-            s2 = rss / df
-            sb = np.sqrt(s2 / gMgb)
-        beta[s:e] = b
-        se[s:e] = sb
-        gMg_all[s:e] = gMgb
+    block = min(block, m)
+    m_pad = -(-m // block) * block
+    pk = devcache.device_packed(pg, m_pad)
+    mn = devcache.to_device_padded_rows(pg.mean, m_pad, 0.0, dtype=jnp.float32)
+    out = np.asarray(
+        _lm_scan_resident(
+            pk, mn, jnp.asarray(X), jnp.asarray(C), jnp.asarray(My), n, block
+        )
+    )
+    gMy_all, gMg_all = out[0, :m], out[1, :m]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        beta = gMy_all / gMg_all
+        rss = yMy - gMy_all * gMy_all / gMg_all
+        se = np.sqrt(rss / df / gMg_all)
 
     ok = np.isfinite(beta) & np.isfinite(se) & (se > 0) & (gMg_all > 1e-12)
     with np.errstate(divide="ignore", invalid="ignore"):
