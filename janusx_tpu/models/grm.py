@@ -67,29 +67,48 @@ def _grm_accum_step(acc, packed, mean, inv_sd, dom: bool = False):
 
 @partial(jax.jit, static_argnames=("block", "acc_dtype", "dom"))
 def _grm_resident(packed, mean, inv_sd, block: int, acc_dtype, dom: bool = False):
-    """Whole-matrix GRM in ONE dispatch: lax.scan over SNP blocks.
+    """Whole-matrix GRM in ONE dispatch, two-level accumulation.
 
-    packed rows must be padded to a multiple of ``block``. Preferred when
-    the 2-bit buffer fits in HBM (it is 16x smaller than f32): one
-    host->device transfer, one kernel launch, no per-block round-trips.
+    packed rows must be padded to a multiple of ``block`` (and internally
+    to 16 blocks). Inner level: 16 SNP blocks accumulate their C^T C
+    products in f32 (native rate). Outer level: one f64 add per
+    superblock. f64 elementwise ops are software-emulated on TPU at
+    ~100x the f32 cost, so keeping them out of the per-block loop is the
+    difference between HBM-speed and emulation-speed GRM builds; the f32
+    partial over 16 blocks bounds rounding at ~16·eps32 relative.
     """
     n_pad = packed.shape[1] * 4
     nblk = packed.shape[0] // block
-    pk = packed.reshape(nblk, block, packed.shape[1])
-    mn = mean.reshape(nblk, block)
-    iv = inv_sd.reshape(nblk, block)
+    FLUSH = 16
+    n_super = -(-nblk // FLUSH)
+    pad_blocks = n_super * FLUSH - nblk
+    if pad_blocks:
+        packed = jnp.concatenate(
+            [packed, jnp.full((pad_blocks * block, packed.shape[1]), 0xFF, jnp.uint8)]
+        )
+        mean = jnp.concatenate([mean, jnp.zeros(pad_blocks * block, mean.dtype)])
+        inv_sd = jnp.concatenate([inv_sd, jnp.zeros(pad_blocks * block, inv_sd.dtype)])
+    pk = packed.reshape(n_super, FLUSH, block, packed.shape[1])
+    mn = mean.reshape(n_super, FLUSH, block)
+    iv = inv_sd.reshape(n_super, FLUSH, block)
 
-    def body(acc, xs):
-        p, m, s = xs
+    def inner(acc32, xs):
+        p, m, sd = xs
         if dom:
             c = decode.decode_dominance(p, m, dtype=jnp.float32)
         else:
-            c = decode.decode_standardized(p, m, s, dtype=jnp.float32)
+            c = decode.decode_standardized(p, m, sd, dtype=jnp.float32)
         part = jnp.dot(c.T, c, precision=jax.lax.Precision.HIGHEST)
-        return acc + part.astype(acc_dtype), None
+        return acc32 + part, None
+
+    def outer(acc, xs):
+        p, m, sd = xs
+        acc32 = jnp.zeros((n_pad, n_pad), jnp.float32)
+        acc32, _ = jax.lax.scan(inner, acc32, (p, m, sd))
+        return acc + acc32.astype(acc_dtype), None
 
     acc0 = jnp.zeros((n_pad, n_pad), dtype=acc_dtype)
-    acc, _ = jax.lax.scan(body, acc0, (pk, mn, iv))
+    acc, _ = jax.lax.scan(outer, acc0, (pk, mn, iv))
     return acc
 
 
@@ -116,18 +135,17 @@ def grm_from_packed(
     mn = mean.astype(np.float32)
     iv = inv_sd.astype(np.float32)
     if packed.nbytes <= RESIDENT_LIMIT_BYTES:
+        from janusx_tpu.utils import devcache
+
         m_pad = -(-m // block) * block
-        if m_pad != m:
-            pad = m_pad - m
-            packed = np.concatenate(
-                [packed, np.full((pad, packed.shape[1]), 0xFF, np.uint8)]
-            )
-            mn = np.concatenate([mn, np.zeros(pad, np.float32)])
-            iv = np.concatenate([iv, np.zeros(pad, np.float32)])
-        acc = _grm_resident(
-            jnp.asarray(packed), jnp.asarray(mn), jnp.asarray(iv), block,
-            acc_dtype, method == 3,
+        pk_dev = devcache.device_packed(pg, m_pad)
+        mn_dev = devcache.to_device_padded_rows(
+            mean.astype(np.float32), m_pad, 0.0, dtype=jnp.float32
         )
+        iv_dev = devcache.to_device_padded_rows(
+            inv_sd.astype(np.float32), m_pad, 0.0, dtype=jnp.float32
+        )
+        acc = _grm_resident(pk_dev, mn_dev, iv_dev, block, acc_dtype, method == 3)
     else:
         n_pad = packed.shape[1] * 4
         acc = jnp.zeros((n_pad, n_pad), dtype=acc_dtype)

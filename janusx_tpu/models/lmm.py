@@ -144,6 +144,7 @@ def lmm_scan(
     method: str = "grid",  # "grid" (TPU-fast) | "brent" (reference-faithful)
     grid_points: int = 1024,
     use_pallas: bool | None = None,  # fused decode+rotate kernel; None = auto (TPU)
+    superblock: int = 1 << 20,  # SNPs resident on device per host chunk
 ) -> tuple[ScanResult, NullFit]:
     """Exact LMM scan over all SNPs of the (subset) packed genotypes."""
     if use_pallas is None:
@@ -168,6 +169,36 @@ def lmm_scan(
         ),
         jnp.float64,
     )
+    if method == "grid" and m > superblock:
+        # streaming superblock mode: chunk the packed matrix through the
+        # resident scan so HBM never holds more than `superblock` SNPs
+        # (reference analog: WindowedBedMatrix streaming, src/io/gload.rs)
+        parts = []
+        sb = (superblock // block) * block
+        for s0 in range(0, m, sb):
+            e0 = min(s0 + sb, m)
+            sub = pg.take_snps(np.arange(s0, e0))
+            r, null = lmm_scan(
+                sub, basis, y, covariates, block=block, lmm2=lmm2, null=null,
+                method=method, grid_points=grid_points, use_pallas=use_pallas,
+            )
+            parts.append(r)
+        from janusx_tpu.models.scan_common import ScanResult as _SR
+        from janusx_tpu.io.gdata import SiteInfo as _SI
+
+        res = _SR(
+            sites=_SI.concat([p_.sites for p_ in parts]),
+            af=np.concatenate([p_.af for p_ in parts]),
+            miss=np.concatenate([p_.miss for p_ in parts]),
+            beta=np.concatenate([p_.beta for p_ in parts]),
+            se=np.concatenate([p_.se for p_ in parts]),
+            pwald=np.concatenate([p_.pwald for p_ in parts]),
+            plrt=None if parts[0].plrt is None else np.concatenate([p_.plrt for p_ in parts]),
+            lbd=None if parts[0].lbd is None else np.concatenate([p_.lbd for p_ in parts]),
+            ml=None if parts[0].ml is None else np.concatenate([p_.ml for p_ in parts]),
+            extras=parts[0].extras,
+        )
+        return res, null
     if method == "grid":
         m_pad = -(-m // block) * block
         if use_pallas:

@@ -158,3 +158,14 @@ def test_lmm_grid_matches_brent(scan_problem):
     # on near-flat likelihood surfaces (null SNPs) lambda* is ill-defined to
     # the scan tolerance, so beta can move slightly with the optimizer
     np.testing.assert_allclose(res_g.beta[ok], res_b.beta[ok], rtol=1e-2, atol=1e-3)
+
+
+def test_lmm_superblock_streaming_matches(scan_problem):
+    pg, K, basis, cov, y = scan_problem
+    res_full, null = lmm_scan(pg, basis, y, cov, block=64)
+    res_stream, _ = lmm_scan(
+        pg, basis, y, cov, block=64, null=null, superblock=128
+    )
+    np.testing.assert_allclose(res_stream.pwald, res_full.pwald, rtol=1e-6)
+    ok = np.isfinite(res_full.beta)
+    np.testing.assert_allclose(res_stream.beta[ok], res_full.beta[ok], rtol=1e-6)
