@@ -4,9 +4,7 @@
 from __future__ import annotations
 
 import argparse
-import glob
 import json
-import os
 
 from janusx_tpu.cli import common
 

@@ -7,7 +7,6 @@ import argparse
 import glob
 import os
 
-import numpy as np
 
 from janusx_tpu.cli import common
 

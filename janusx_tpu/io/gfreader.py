@@ -21,7 +21,7 @@ import numpy as np
 
 from janusx_tpu.io import bitcodec, hapmap, plink, txt, vcf
 from janusx_tpu.io.gdata import GenotypeData
-from janusx_tpu.io.packed import PackedGenotypes, QcParams, pack_from_codes, pack_genotypes
+from janusx_tpu.io.packed import PackedGenotypes, QcParams, pack_from_codes
 
 
 @dataclass

@@ -30,7 +30,6 @@ from dataclasses import dataclass
 import numpy as np
 
 from janusx_tpu import config
-from janusx_tpu.core import stats as jstats
 from janusx_tpu.io.packed import PackedGenotypes
 from janusx_tpu.models.lm import lm_scan, student_t_p_two_sided, design_matrix
 from janusx_tpu.models.scan_common import ScanResult

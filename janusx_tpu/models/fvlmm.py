@@ -25,7 +25,7 @@ from janusx_tpu.core import stats as jstats
 from janusx_tpu.core.reml import NullFit, fit_null_reml, make_rotated
 from janusx_tpu.core.spectral import SpectralBasis
 from janusx_tpu.io.packed import PackedGenotypes
-from janusx_tpu.models.scan_common import ScanResult, finalize_invalid, iter_blocks, pad_rows
+from janusx_tpu.models.scan_common import ScanResult, finalize_invalid
 from janusx_tpu.ops import decode
 
 

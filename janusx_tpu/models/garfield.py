@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from janusx_tpu import config
 from janusx_tpu.io.packed import PackedGenotypes
 
 _EPS = 1e-9

@@ -22,12 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from janusx_tpu import config
-from janusx_tpu.core import stats as jstats
 from janusx_tpu.core.reml import NullFit, fit_null_reml, make_rotated
 from janusx_tpu.core.spectral import SpectralBasis
 from janusx_tpu.io.packed import PackedGenotypes
 from janusx_tpu.models.lm import design_matrix, student_t_p_two_sided
-from janusx_tpu.models.scan_common import ScanResult, finalize_invalid, iter_blocks, pad_rows
+from janusx_tpu.models.scan_common import ScanResult, iter_blocks, pad_rows
 from janusx_tpu.ops import decode
 
 

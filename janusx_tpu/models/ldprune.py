@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from janusx_tpu import config
 from janusx_tpu.io.packed import PackedGenotypes
 from janusx_tpu.ops import decode
 

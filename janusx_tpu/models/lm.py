@@ -24,7 +24,7 @@ from scipy import special as sp_special
 
 from janusx_tpu import config
 from janusx_tpu.io.packed import PackedGenotypes
-from janusx_tpu.models.scan_common import ScanResult, iter_blocks, pad_rows
+from janusx_tpu.models.scan_common import ScanResult
 from janusx_tpu.ops import decode
 
 _DBL_MIN = np.finfo(np.float64).tiny

@@ -22,7 +22,7 @@ import numpy as np
 from janusx_tpu import config
 from janusx_tpu.core.spectral import eigh_grm
 from janusx_tpu.io.packed import PackedGenotypes
-from janusx_tpu.models.grm import _snp_scales, grm_from_packed
+from janusx_tpu.models.grm import _snp_scales
 from janusx_tpu.ops import decode
 from janusx_tpu.utils import devcache
 

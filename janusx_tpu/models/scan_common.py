@@ -14,7 +14,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from janusx_tpu.core import stats as jstats
 from janusx_tpu.io.gdata import SiteInfo
 from janusx_tpu.utils import tsv
 

@@ -33,7 +33,6 @@ from janusx_tpu.io.packed import PackedGenotypes
 from janusx_tpu.models.lm import design_matrix, _lm_step
 from janusx_tpu.models.scan_common import ScanResult, finalize_invalid, iter_blocks
 from janusx_tpu.ops import decode
-from janusx_tpu.utils import devcache
 
 import jax.numpy as jnp
 

@@ -19,24 +19,22 @@ import json
 import logging
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from janusx_tpu import config
 from janusx_tpu.core import stats as jstats
-from janusx_tpu.core.reml import fit_null_reml, make_rotated, ml_null
+from janusx_tpu.core.reml import fit_null_reml, make_rotated
 from janusx_tpu.core.spectral import eigh_grm
-from janusx_tpu.io.gfreader import RawPacked, load_raw_packed
+from janusx_tpu.io.gfreader import load_raw_packed
 from janusx_tpu.io.packed import QcParams
 from janusx_tpu.io.pheno import load_phenotype, load_covariates
 from janusx_tpu.models import lm as lm_mod
 from janusx_tpu.models import fvlmm as fvlmm_mod
 from janusx_tpu.models import lmm as lmm_mod
-from janusx_tpu.models.grm import grm_from_packed
 from janusx_tpu.models.scan_common import ScanResult, analysis_sample_index
 
-import jax.numpy as jnp
 
 log = logging.getLogger("janusx_tpu.gwas")
 
