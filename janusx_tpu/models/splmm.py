@@ -23,6 +23,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from functools import partial
+
+import jax
 import numpy as np
 import scipy.sparse
 import scipy.sparse.linalg
@@ -39,6 +42,78 @@ import jax.numpy as jnp
 DEFAULT_SPARSE_CUTOFF = 0.05
 NULL_CHI2_CUTOFF = 5.0  # fastGWA-style null-marker filter
 N_GAMMA_MARKERS = 500
+
+
+@partial(jax.jit, static_argnames=("block", "n_rows"))
+def _grm_rowband(packed, mean, inv_sd, row_lo: int, n_rows: int, block: int):
+    """One row-band of the GRM: C[rows]^T-style partial — computed as
+    (n_rows, n_pad) accumulation over SNP blocks without ever holding the
+    dense (n, n) matrix (reference tiled builder, src/stats/spgrm.rs:33-45).
+    """
+    nblk = packed.shape[0] // block
+    pk = packed.reshape(nblk, block, packed.shape[1])
+    mn = mean.reshape(nblk, block)
+    iv = inv_sd.reshape(nblk, block)
+    n_pad = packed.shape[1] * 4
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(acc, xs):
+        p, m, s = xs
+        c = decode.decode_standardized(p, m, s, dtype=jnp.float32)  # (B, n_pad)
+        rows = jax.lax.dynamic_slice(c, (0, row_lo), (c.shape[0], n_rows))
+        acc = acc + jnp.dot(rows.T, c, precision=hp)
+        return acc, None
+
+    acc0 = jnp.zeros((n_rows, n_pad), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (pk, mn, iv))
+    return acc
+
+
+def build_sparse_grm(
+    pg,
+    cutoff: float = DEFAULT_SPARSE_CUTOFF,
+    method: int = 1,
+    row_band: int = 4096,
+    block: int = config.DEFAULT_SNP_BLOCK,
+) -> scipy.sparse.csr_matrix:
+    """Thresholded sparse GRM built band-by-band — memory O(row_band x n)
+    instead of O(n²), for biobank n (reference spgrm tile pipeline).
+
+    Diagonal entries always kept; off-diagonals kept when |K_ij| >= cutoff
+    (negative cutoff keeps everything — then prefer the dense builder).
+    """
+    from janusx_tpu.models.grm import _snp_scales
+    from janusx_tpu.utils import devcache
+
+    mean, inv_sd, var = _snp_scales(pg, method)
+    n = pg.n_samples
+    m = pg.m
+    block = min(block, m)
+    m_pad = -(-m // block) * block
+    band = min(row_band, n)
+    # lane-align so n_pad is a multiple of the band width: every band is a
+    # full in-bounds slice (pad lanes decode to zero)
+    pk = devcache.device_packed(pg, m_pad, lane_align=max(128, band))
+    mn = devcache.to_device_padded_rows(
+        mean.astype(np.float32), m_pad, 0.0, dtype=jnp.float32
+    )
+    iv = devcache.to_device_padded_rows(
+        inv_sd.astype(np.float32), m_pad, 0.0, dtype=jnp.float32
+    )
+    denom = float(var.sum()) if method in (1, 3) else float(m)
+    parts = []
+    for lo in range(0, n, band):
+        n_rows = band
+        tile = np.asarray(_grm_rowband(pk, mn, iv, lo, n_rows, block), np.float64)
+        tile = tile[: max(0, min(band, n - lo)), :n] / denom
+        if cutoff >= 0:
+            mask = np.abs(tile) >= cutoff
+            rr = np.arange(lo, lo + tile.shape[0])
+            mask[np.arange(tile.shape[0]), rr] = True  # keep diagonal
+            tile = np.where(mask, tile, 0.0)
+        parts.append(scipy.sparse.csr_matrix(tile))
+    K = scipy.sparse.vstack(parts).tocsr()
+    return K
 
 
 def sparsify_grm(K: np.ndarray, cutoff: float = DEFAULT_SPARSE_CUTOFF):

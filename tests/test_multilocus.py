@@ -88,3 +88,32 @@ def test_farmcpu_finds_qtns(ml_problem):
     # pseudo-QTN set should include at least one of the planted markers
     if len(out.qtns):
         assert any(abs(int(q) - t) <= 2 for q in out.qtns for t in qtn)
+
+
+def test_tiled_sparse_grm_matches_dense(ml_problem):
+    import scipy.sparse
+
+    from janusx_tpu.models.splmm import build_sparse_grm, sparsify_grm
+
+    pg, K, y, qtn = ml_problem
+    Ks_tiled = build_sparse_grm(pg, cutoff=0.05, row_band=64)
+    Ks_dense = sparsify_grm(K, 0.05)
+    assert Ks_tiled.shape == Ks_dense.shape
+    d = (Ks_tiled - Ks_dense).toarray()
+    # f32 band matmuls vs f64 dense: entries agree to f32 noise; the
+    # threshold can flip entries within ~1e-5 of the cutoff
+    near = np.abs(np.abs(Ks_dense.toarray()) - 0.05) < 1e-4
+    assert np.abs(np.where(near, 0.0, d)).max() < 1e-4
+
+
+def test_tiled_sparse_grm_odd_band(ml_problem):
+    from janusx_tpu.models.splmm import build_sparse_grm, sparsify_grm
+
+    pg, K, y, qtn = ml_problem
+    # band that does not divide n: last band must still be produced
+    Ks = build_sparse_grm(pg, cutoff=0.05, row_band=96)
+    assert Ks.shape == (pg.n, pg.n)
+    Kd = sparsify_grm(K, 0.05)
+    d = np.abs((Ks - Kd).toarray())
+    near = np.abs(np.abs(Kd.toarray()) - 0.05) < 1e-4
+    assert np.abs(np.where(near, 0.0, d)).max() < 1e-4
