@@ -90,10 +90,10 @@ def build_sparse_grm(
     m = pg.m
     block = min(block, m)
     m_pad = -(-m // block) * block
-    band = min(row_band, n)
-    # lane-align so n_pad is a multiple of the band width: every band is a
-    # full in-bounds slice (pad lanes decode to zero)
-    pk = devcache.device_packed(pg, m_pad, lane_align=max(128, band))
+    # band must be a lane multiple AND divide n_pad so every row-band slice
+    # is a full in-bounds dynamic_slice (pad lanes decode to zero)
+    band = max(128, (min(row_band, n) // 128) * 128)
+    pk = devcache.device_packed(pg, m_pad, lane_align=band)
     mn = devcache.to_device_padded_rows(
         mean.astype(np.float32), m_pad, 0.0, dtype=jnp.float32
     )
