@@ -26,6 +26,11 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
         "-splmm-approx", "--splmm-approx", dest="splmm", nargs="?", const=0.05,
         type=float, help=argparse.SUPPRESS,
     )
+    m.add_argument(
+        "-splmm-exact", "--splmm-exact", dest="splmm_exact", nargs="?",
+        const=0.05, type=float, default=None, metavar="CUTOFF",
+        help="sparse-GRM exact fixed-V scan (spectral route)",
+    )
     m.add_argument("-farmcpu", "--farmcpu", action="store_true", help="FarmCPU multi-locus scan")
     m.add_argument("-algwas", "--algwas", action="store_true", help=argparse.SUPPRESS)
     common.add_qc_args(p)
@@ -59,6 +64,8 @@ def main(argv=None) -> int:
         models.append("fvlmm")
     if args.splmm is not None:
         models.append("splmm")
+    if args.splmm_exact is not None:
+        models.append("splmm-exact")
     if args.farmcpu:
         models.append("farmcpu")
     if args.algwas:
@@ -81,7 +88,11 @@ def main(argv=None) -> int:
         het=args.het,
         grm_method=args.grm_method,
         force_model=args.force_model,
-        splmm_cutoff=args.splmm if args.splmm is not None else 0.05,
+        splmm_cutoff=(
+            args.splmm if args.splmm is not None
+            else args.splmm_exact if args.splmm_exact is not None
+            else 0.05
+        ),
     )
     runs = run_gwas(cfg)
     for r in runs:

@@ -198,6 +198,20 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                     block=cfg.block,
                 )
                 lbd_null = info["lambda_null"]
+            elif model == "splmm-exact":
+                # exact fixed-V scan under the THRESHOLDED kinship: spectral
+                # route on the sparsified K (reference splmm.rs exact scan;
+                # identical V, eigh instead of per-SNP sparse solves)
+                from janusx_tpu.models.splmm import sparsify_grm
+
+                Ksp = np.asarray(
+                    sparsify_grm(K[np.ix_(keep, keep)], cfg.splmm_cutoff).todense()
+                )
+                basis_sp = eigh_grm(Ksp, diag_ridge=1e-6)
+                res, null = fvlmm_mod.fvlmm_scan(
+                    pg_t, basis_sp, y_t, cov_t, block=cfg.block
+                )
+                lbd_null = null.lbd
             elif model == "farmcpu":
                 from janusx_tpu.models.farmcpu import farmcpu_scan
 
@@ -232,7 +246,8 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             if cfg.write_tsv:
                 tag = {
                     "lm": "LM", "lmm": "LMM", "lmm2": "LMM2", "fvlmm": "FvLMM",
-                    "splmm": "SparseLMM", "farmcpu": "FarmCPU", "algwas": "ALGWAS",
+                    "splmm": "SparseLMM", "splmm-exact": "SparseLMM",
+                    "farmcpu": "FarmCPU", "algwas": "ALGWAS",
                     "lm2": "LM2", "fvlmm2": "FvLMM2",
                 }[requested if requested != model and model == "lm" else model]
                 tsv_path = f"{cfg.out_prefix}.{trait}.{tag}.assoc.tsv"

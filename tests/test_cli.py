@@ -213,3 +213,17 @@ def test_cli_benchmark_small(tmp_path):
     assert rc == 0
     data = json.load(open(str(tmp_path / "b.benchmark.json")))
     assert {r["module"] for r in data["results"]} == {"grm", "lm_scan"}
+
+
+def test_cli_splmm_exact(sim_dataset, tmp_path):
+    rc = jx_main([
+        "gwas", "-bfile", sim_dataset, "-p", sim_dataset + ".pheno",
+        "-splmm-exact", "-force-model",
+        "-o", str(tmp_path), "-prefix", "sx",
+    ])
+    assert rc == 0
+    path = str(tmp_path / "sx.trait0.SparseLMM.assoc.tsv")
+    assert os.path.exists(path)
+    with open(path) as fh:
+        assert fh.readline().startswith("chrom\tpos")
+        assert sum(1 for _ in fh) > 700
