@@ -135,6 +135,9 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
     os.makedirs(os.path.dirname(os.path.abspath(cfg.out_prefix)) or ".", exist_ok=True)
     out: list[TraitRunResult] = []
     summary = []
+    # traits with identical analysis-sample masks share the prepared subset
+    # and eigenbasis (common case: fully-observed multi-trait tables)
+    prep_cache: dict = {}
     for ti, trait in enumerate(ph.traits):
         y = y_all[:, ti]
         cov_parts = []
@@ -149,19 +152,24 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             continue
         y_t = y[keep]
         cov_t = None if cov_full is None else cov_full[keep]
-        with stage(f"prepare subset ({trait})", log):
-            pg_t = raw.prepare(qc, sample_idx=keep)
+        mask_key = keep.tobytes()
+        if mask_key in prep_cache:
+            entry = prep_cache[mask_key]
+            pg_t = entry["pg"]
+        else:
+            with stage(f"prepare subset ({trait})", log):
+                pg_t = raw.prepare(qc, sample_idx=keep)
+            entry = {"pg": pg_t, "basis": None}
+            prep_cache[mask_key] = entry
         log.info(
             "trait %s: n=%d m=%d models=%s", trait, len(keep), pg_t.m, cfg.models
         )
-        basis = None
 
         def get_basis():
-            nonlocal basis
-            if basis is None:
+            if entry["basis"] is None:
                 Ksub = K[np.ix_(keep, keep)]
-                basis = eigh_grm(Ksub, diag_ridge=1e-6)
-            return basis
+                entry["basis"] = eigh_grm(Ksub, diag_ridge=1e-6)
+            return entry["basis"]
 
         for model in cfg.models:
             t1 = time.monotonic()
