@@ -112,16 +112,32 @@ class Pipeline:
                 if opts.scheduler == "nohup":
                     cmd = f"nohup {cmd} > {shlex.quote(log_file or '/dev/null')} 2>&1"
                 log.info("%s/%s: %s", step.name, key, cmd)
+                from janusx_tpu.utils.interrupt import interrupted, register_child
+
+                if interrupted():
+                    report["failed"] += 1
+                    return report
                 try:
                     if log_file and opts.scheduler == "local":
                         with open(log_file, "wt") as lf:
-                            subprocess.run(
-                                cmd, shell=True, check=True, stdout=lf,
+                            proc = subprocess.Popen(
+                                cmd, shell=True, stdout=lf,
                                 stderr=subprocess.STDOUT,
                             )
+                            register_child(proc)
+                            rc = proc.wait()
+                            if rc != 0:
+                                raise subprocess.CalledProcessError(rc, cmd)
                     else:
-                        subprocess.run(cmd, shell=True, check=True,
-                                       capture_output=log_file is None)
+                        proc = subprocess.Popen(
+                            cmd, shell=True,
+                            stdout=subprocess.DEVNULL if log_file is None else None,
+                            stderr=subprocess.DEVNULL if log_file is None else None,
+                        )
+                        register_child(proc)
+                        rc = proc.wait()
+                        if rc != 0:
+                            raise subprocess.CalledProcessError(rc, cmd)
                 except subprocess.CalledProcessError as e:
                     failed += 1
                     log.error("%s/%s failed (rc=%s)", step.name, key, e.returncode)

@@ -112,3 +112,16 @@ def test_kmer_revcomp_invariance(tmp_path):
     cb, nb = kmer.count_kmers(str(fb), k=5)
     np.testing.assert_array_equal(ca, cb)
     np.testing.assert_array_equal(na, nb)
+
+
+def test_graceful_interrupts_scope():
+    import signal
+
+    from janusx_tpu.utils.interrupt import graceful_interrupts, interrupted
+
+    with graceful_interrupts():
+        assert not interrupted()
+        # simulate first Ctrl-C: cooperative flag set, no exception
+        signal.raise_signal(signal.SIGINT)
+        assert interrupted()
+    assert not interrupted()  # cleared on exit
