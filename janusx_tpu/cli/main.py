@@ -39,6 +39,7 @@ _MODULES: dict[str, tuple[str, str]] = {
     "treeplot": ("janusx_tpu.cli.treeplot", "Render a Newick tree"),
     "gspredict": ("janusx_tpu.cli.gspredict", "Predict gebv from a saved model"),
     "benchmark": ("janusx_tpu.cli.benchmark", "Time core kernels on simulated data"),
+    "postgarfield": ("janusx_tpu.cli.postgarfield", "GARFIELD rule plots"),
 }
 
 # secondary entry points living inside a module file

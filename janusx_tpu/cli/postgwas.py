@@ -21,6 +21,11 @@ def build_parser(prog="jx postgwas") -> argparse.ArgumentParser:
     p.add_argument("-pcol", "--pcol", type=str, default="pwald", help="p-value column")
     p.add_argument("-gff", "--gff", type=str, default=None,
                    help="GFF3 file: annotate top hits with overlapping/nearest genes")
+    p.add_argument("-ldblock", "--ldblock", type=str, default=None, metavar="CHR:START-END",
+                   help="draw an LD r² heatmap for a region (needs a genotype input)")
+    from janusx_tpu.cli.common import add_genotype_args
+
+    g = add_genotype_args(p, required=False)
     common.add_out_args(p, default_prefix="postgwas")
     return p
 
@@ -76,4 +81,40 @@ def main(argv=None) -> int:
         top.to_csv(top_path, sep="\t", index=False)
         outputs += [man, qq, top_path]
         print(f"{tag}\tlambda_GC={lam:.3f}\t{man}")
+    if args.ldblock:
+        import numpy as np
+
+        from janusx_tpu.cli import common as _c
+        from janusx_tpu.io.gfreader import load_raw_packed
+        from janusx_tpu.io.packed import QcParams
+        from janusx_tpu.models.ldprune import _corr_chunk
+        from janusx_tpu.ops import decode as _dec
+        from janusx_tpu.plots.structure import ld_heatmap
+        import jax.numpy as jnp
+
+        chrom, span = args.ldblock.split(":")
+        lo, hi = (int(x) for x in span.split("-"))
+        geno = next(
+            (v for v in (args.bfile, args.vcf, args.hmp, args.file) if v), None
+        )
+        if geno is None:
+            raise SystemExit("-ldblock needs a genotype input (-bfile/-vcf/...)")
+        raw = load_raw_packed(geno)
+        pg = raw.prepare(QcParams(maf=0.01, geno=0.2))
+        sel = np.nonzero(
+            (pg.sites.chrom.astype(str) == chrom)
+            & (pg.sites.pos >= lo) & (pg.sites.pos <= hi)
+        )[0]
+        if len(sel) < 2:
+            raise SystemExit(f"no markers in region {args.ldblock}")
+        if len(sel) > 400:
+            sel = sel[:: len(sel) // 400 + 1]
+        sub = pg.take_snps(sel)
+        r = np.asarray(_corr_chunk(
+            jnp.asarray(_dec.pad_packed_cols(sub.packed)),
+            jnp.asarray(sub.mean.astype(np.float32)),
+        ))
+        path = f"{prefix}.ldblock.{chrom}_{lo}_{hi}.png"
+        ld_heatmap(r * r, path, title=f"{chrom}:{lo}-{hi} ({len(sel)} SNPs)")
+        print(path)
     return 0

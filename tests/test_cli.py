@@ -227,3 +227,32 @@ def test_cli_splmm_exact(sim_dataset, tmp_path):
     with open(path) as fh:
         assert fh.readline().startswith("chrom\tpos")
         assert sum(1 for _ in fh) > 700
+
+
+def test_cli_postgwas_ldblock(sim_dataset, tmp_path):
+    rc = jx_main([
+        "gwas", "-bfile", sim_dataset, "-p", sim_dataset + ".pheno",
+        "-lm", "-o", str(tmp_path), "-prefix", "lb",
+    ])
+    assert rc == 0
+    rc = jx_main([
+        "postgwas", "-i", str(tmp_path / "lb.trait0.LM.assoc.tsv"),
+        "-ldblock", "1:10000:999999".replace(":999999", "-999999"),
+        "-bfile", sim_dataset, "-o", str(tmp_path), "-prefix", "pgl",
+    ])
+    assert rc == 0
+    import glob as _g
+
+    assert _g.glob(str(tmp_path / "pgl.ldblock.*.png"))
+
+
+def test_cli_postgarfield(tmp_path):
+    tsv = tmp_path / "g.tsv"
+    tsv.write_text(
+        "rule\tdepth\tsupport\tscore\tpperm\n"
+        "s1 AND s2\t2\t12\t0.15\t0.02\n"
+        "s3\t1\t40\t0.08\t0.3\n"
+    )
+    rc = jx_main(["postgarfield", "-i", str(tsv), "-o", str(tmp_path), "-prefix", "pgf"])
+    assert rc == 0
+    assert (tmp_path / "pgf.rules.png").exists()
