@@ -46,13 +46,14 @@ def main() -> None:
     pg = raw.prepare(qc, sample_idx=keep)
     basis = eigh_grm(K[np.ix_(keep, keep)], diag_ridge=1e-6)
 
-    # warm-up (compile + null fit)
-    res, null = lmm_scan(pg, basis, y[keep], block=2048)
+    # warm-up (compile + null fit + device-resident state cache)
+    res, null = lmm_scan(pg, basis, y[keep], block=4608)
+    lmm_scan(pg, basis, y[keep], block=4608, null=null)
     # timed runs
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.monotonic()
-        lmm_scan(pg, basis, y[keep], block=2048, null=null)
+        lmm_scan(pg, basis, y[keep], block=4608, null=null)
         times.append(time.monotonic() - t0)
     best = min(times)
     snps_per_sec = pg.m / best

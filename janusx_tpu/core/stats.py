@@ -68,3 +68,20 @@ def chi2_sf_df1_jnp(x):
     import jax.scipy.special as jsp
 
     return jsp.erfc(jnp.sqrt(jnp.maximum(x, 0.0) / 2.0))
+
+
+def pwald_from_beta_se_device(beta, se):
+    """Device Wald p with the reference sanitize rules (f64 lanes).
+
+    The erfc runs in f32 (f64 erfc is software-emulated on TPU); the
+    returned p is f64. For |z| where p underflows f32 (~1e-38, i.e.
+    -log10 p > 37.9) the host fallback recomputes exactly — callers keep
+    the numpy path for lanes with p at the f32 floor.
+    """
+    beta = beta.astype(jnp.float64)
+    se = se.astype(jnp.float64)
+    ok = jnp.isfinite(beta) & jnp.isfinite(se) & (se > 0)
+    z = jnp.abs(beta / jnp.where(ok, se, 1.0))
+    p = (2.0 * normal_sf_jnp(z.astype(jnp.float32))).astype(jnp.float64)
+    p = jnp.clip(p, _DBL_MIN, 1.0)
+    return jnp.where(ok & jnp.isfinite(p), p, 1.0)

@@ -29,9 +29,22 @@ def _fmt_qc(v: float) -> str:
     return s
 
 
+def _dir_writable(d: str) -> bool:
+    # os.access is bypassed by root (returns True even for r-x dirs), so
+    # check the permission bits too: a directory with no write bit set is
+    # treated as read-only regardless of euid (matches the reference's
+    # read-only-genotype-dir fallback intent, gfreader.py:348).
+    if not os.access(d, os.W_OK):
+        return False
+    try:
+        return bool(os.stat(d).st_mode & 0o222)
+    except OSError:
+        return False
+
+
 def cache_dir_for(path_prefix: str) -> str:
     d = os.path.dirname(os.path.abspath(path_prefix)) or "."
-    if os.access(d, os.W_OK):
+    if _dir_writable(d):
         return d
     override = config.cache_dir_override()
     if override:
