@@ -14,7 +14,7 @@ matmuls against precomputed P-pieces. Everything after rotation is f64.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -29,18 +29,14 @@ from janusx_tpu.models.scan_common import ScanResult, finalize_invalid
 from janusx_tpu.ops import decode
 
 
-@partial(jax.jit, static_argnames=("n", "block"))
-def _fvlmm_scan_resident(packed, mean, U32, w, X, Cw, Py, n: int, block: int):
-    """Whole fixed-λ scan in ONE dispatch (lax.scan over blocks, f32 MXU
-    grams — weights are shared, so everything is matmuls).
+def _fvlmm_scan_core(pk, mn, U32, w, X, Cw, Py, n: int):
+    """Whole fixed-λ scan body on pre-blocked (nblk, B, K) packed rows
+    (lax.scan over blocks, f32 MXU grams — weights are shared, so
+    everything is matmuls).
 
     w: (n,) weights; X: (n, p) rotated design; Cw = (X'WX + ridge)^{-1};
-    Py: (n,) = P y. Returns stacked (3, m_pad): gPy, gPg, ssq.
+    Py: (n,) = P y. Returns stacked (3, nblk, B): gPy, gPg, ssq.
     """
-    m_pad = packed.shape[0]
-    nblk = m_pad // block
-    pk = packed.reshape(nblk, block, packed.shape[1])
-    mn = mean.reshape(nblk, block)
     f32 = jnp.float32
     w32 = w.astype(f32)
     X32 = X.astype(f32)
@@ -62,7 +58,30 @@ def _fvlmm_scan_resident(packed, mean, U32, w, X, Cw, Py, n: int, block: int):
                       ssq.astype(jnp.float64))
 
     _, (gPy, gPg, ssq) = jax.lax.scan(body, None, (pk, mn))
-    return jnp.stack([gPy.reshape(m_pad), gPg.reshape(m_pad), ssq.reshape(m_pad)])
+    return jnp.stack([gPy, gPg, ssq])
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _fvlmm_scan_resident(pk, mn, U32, w, X, Cw, Py, n: int):
+    return _fvlmm_scan_core(pk, mn, U32, w, X, Cw, Py, n)
+
+
+@lru_cache(maxsize=8)
+def _fvlmm_scan_sharded(mesh, n: int):
+    """SNP-sharded fixed-λ scan (shard_map over the mesh 'snp' axis)."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    fn = partial(_fvlmm_scan_core, n=n)
+    return jax.jit(
+        shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(None, "snp", None), P(None, "snp"),
+                      P(), P(), P(), P(), P()),
+            out_specs=P(None, None, "snp"),
+        )
+    )
 
 
 def fvlmm_scan(
@@ -72,6 +91,7 @@ def fvlmm_scan(
     covariates: np.ndarray | None = None,
     block: int = config.DEFAULT_SNP_BLOCK,
     null: NullFit | None = None,
+    mesh=None,
 ) -> tuple[ScanResult, NullFit]:
     """Fixed-λ scan. ``basis`` must be the eigh of the (ridged) GRM on the
     same sample subset as ``pg``."""
@@ -100,15 +120,22 @@ def fvlmm_scan(
     U32 = devcache.to_device(basis.U, jnp.float32)
     m = pg.m
     block = min(block, m)
+    if mesh is not None:
+        block = -(-block // mesh.devices.size) * mesh.devices.size
     m_pad = -(-m // block) * block
-    pk = devcache.device_packed(pg, m_pad)
-    mn = devcache.to_device_padded_rows(pg.mean, m_pad, 0.0, dtype=jnp.float32)
-    out = np.asarray(
-        _fvlmm_scan_resident(
-            pk, mn, U32, jnp.asarray(w), jnp.asarray(Xr), jnp.asarray(Cw),
-            jnp.asarray(Py), n, block,
-        )
+    nblk = m_pad // block
+    pk = devcache.device_packed_blocks(pg, (nblk, block), mesh=mesh)
+    mn = devcache.to_device_blocks(
+        pg.mean, (nblk, block), 0.0, dtype=jnp.float32, mesh=mesh
     )
+    args = (U32, jnp.asarray(w), jnp.asarray(Xr), jnp.asarray(Cw),
+            jnp.asarray(Py))
+    if mesh is not None:
+        args = devcache.replicate_tree(args, mesh)
+        out = np.asarray(_fvlmm_scan_sharded(mesh, n)(pk, mn, *args))
+    else:
+        out = np.asarray(_fvlmm_scan_resident(pk, mn, *args, n))
+    out = out.reshape(3, m_pad)
     gPy_all, gPg_all, ssq_all = out[0, :m], out[1, :m], out[2, :m]
     with np.errstate(divide="ignore", invalid="ignore"):
         beta = gPy_all / gPg_all

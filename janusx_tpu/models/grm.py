@@ -19,7 +19,7 @@ them (see janusx_tpu.parallel.mesh).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -65,32 +65,24 @@ def _grm_accum_step(acc, packed, mean, inv_sd, dom: bool = False):
     return acc + part.astype(acc.dtype)
 
 
-@partial(jax.jit, static_argnames=("block", "acc_dtype", "dom"))
-def _grm_resident(packed, mean, inv_sd, block: int, acc_dtype, dom: bool = False):
-    """Whole-matrix GRM in ONE dispatch, two-level accumulation.
+# blocks per f32 flush to the f64 accumulator (bounds rounding at ~16·eps32)
+_FLUSH = 16
 
-    packed rows must be padded to a multiple of ``block`` (and internally
-    to 16 blocks). Inner level: 16 SNP blocks accumulate their C^T C
-    products in f32 (native rate). Outer level: one f64 add per
-    superblock. f64 elementwise ops are software-emulated on TPU at
-    ~100x the f32 cost, so keeping them out of the per-block loop is the
-    difference between HBM-speed and emulation-speed GRM builds; the f32
-    partial over 16 blocks bounds rounding at ~16·eps32 relative.
+
+def _grm_core(pk, mn, iv, acc_dtype, dom: bool, axis_name: str | None = None):
+    """Whole-matrix GRM body on pre-blocked (n_super, FLUSH, B, K) packed
+    rows — ONE dispatch, two-level accumulation.
+
+    Inner level: FLUSH SNP blocks accumulate their C^T C products in f32
+    (native rate). Outer level: one f64 add per superblock. f64
+    elementwise ops are software-emulated on TPU at ~100x the f32 cost,
+    so keeping them out of the per-block loop is the difference between
+    HBM-speed and emulation-speed GRM builds.
+
+    Under shard_map (``axis_name``) the B axis is the per-device SNP
+    slice; partial products merge with ONE psum over ICI at the end.
     """
-    n_pad = packed.shape[1] * 4
-    nblk = packed.shape[0] // block
-    FLUSH = 16
-    n_super = -(-nblk // FLUSH)
-    pad_blocks = n_super * FLUSH - nblk
-    if pad_blocks:
-        packed = jnp.concatenate(
-            [packed, jnp.full((pad_blocks * block, packed.shape[1]), 0xFF, jnp.uint8)]
-        )
-        mean = jnp.concatenate([mean, jnp.zeros(pad_blocks * block, mean.dtype)])
-        inv_sd = jnp.concatenate([inv_sd, jnp.zeros(pad_blocks * block, inv_sd.dtype)])
-    pk = packed.reshape(n_super, FLUSH, block, packed.shape[1])
-    mn = mean.reshape(n_super, FLUSH, block)
-    iv = inv_sd.reshape(n_super, FLUSH, block)
+    n_pad = pk.shape[3] * 4
 
     def inner(acc32, xs):
         p, m, sd = xs
@@ -104,12 +96,42 @@ def _grm_resident(packed, mean, inv_sd, block: int, acc_dtype, dom: bool = False
     def outer(acc, xs):
         p, m, sd = xs
         acc32 = jnp.zeros((n_pad, n_pad), jnp.float32)
+        if axis_name is not None:
+            acc32 = jax.lax.pcast(acc32, (axis_name,), to="varying")
         acc32, _ = jax.lax.scan(inner, acc32, (p, m, sd))
         return acc + acc32.astype(acc_dtype), None
 
     acc0 = jnp.zeros((n_pad, n_pad), dtype=acc_dtype)
+    if axis_name is not None:
+        acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
     acc, _ = jax.lax.scan(outer, acc0, (pk, mn, iv))
+    if axis_name is not None:
+        acc = jax.lax.psum(acc, axis_name)
     return acc
+
+
+@partial(jax.jit, static_argnames=("acc_dtype", "dom"))
+def _grm_resident(pk, mn, iv, acc_dtype, dom: bool = False):
+    return _grm_core(pk, mn, iv, acc_dtype, dom)
+
+
+@lru_cache(maxsize=8)
+def _grm_sharded(mesh, acc_dtype, dom: bool):
+    """SNP-sharded GRM accumulate: each device reduces its SNP rows, one
+    psum over ICI merges the (n, n) partials."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    fn = partial(_grm_core, acc_dtype=acc_dtype, dom=dom, axis_name="snp")
+    return jax.jit(
+        shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(None, None, "snp", None), P(None, None, "snp"),
+                      P(None, None, "snp")),
+            out_specs=P(),
+        )
+    )
 
 
 # Packed buffers below this many bytes go device-resident in one dispatch.
@@ -121,31 +143,40 @@ def grm_from_packed(
     method: int = 1,
     block: int = config.DEFAULT_SNP_BLOCK,
     dtype=np.float64,
+    mesh=None,
 ) -> np.ndarray:
     """Build the dense (n, n) GRM from packed genotypes, streaming SNP blocks.
 
-    Returns float64 host array.
+    Returns float64 host array. With ``mesh``, SNP blocks shard across the
+    mesh's 'snp' axis and partial C^T C products merge with one psum.
     """
     mean, inv_sd, var = _snp_scales(pg, method)
     n = pg.n_samples
     packed = decode.pad_packed_cols(pg.packed)
     m = pg.m
     block = min(block, m)
+    if mesh is not None:
+        block = -(-block // mesh.devices.size) * mesh.devices.size
     acc_dtype = jnp.float64 if dtype == np.float64 else jnp.float32
     mn = mean.astype(np.float32)
     iv = inv_sd.astype(np.float32)
     if packed.nbytes <= RESIDENT_LIMIT_BYTES:
         from janusx_tpu.utils import devcache
 
-        m_pad = -(-m // block) * block
-        pk_dev = devcache.device_packed(pg, m_pad)
-        mn_dev = devcache.to_device_padded_rows(
-            mean.astype(np.float32), m_pad, 0.0, dtype=jnp.float32
+        nblk = -(-m // block)
+        n_super = -(-nblk // _FLUSH)
+        shape = (n_super, _FLUSH, block)
+        pk_dev = devcache.device_packed_blocks(pg, shape, mesh=mesh, shard_axis=2)
+        mn_dev = devcache.to_device_blocks(
+            mn, shape, 0.0, dtype=jnp.float32, mesh=mesh, shard_axis=2
         )
-        iv_dev = devcache.to_device_padded_rows(
-            inv_sd.astype(np.float32), m_pad, 0.0, dtype=jnp.float32
+        iv_dev = devcache.to_device_blocks(
+            iv, shape, 0.0, dtype=jnp.float32, mesh=mesh, shard_axis=2
         )
-        acc = _grm_resident(pk_dev, mn_dev, iv_dev, block, acc_dtype, method == 3)
+        if mesh is not None:
+            acc = _grm_sharded(mesh, acc_dtype, method == 3)(pk_dev, mn_dev, iv_dev)
+        else:
+            acc = _grm_resident(pk_dev, mn_dev, iv_dev, acc_dtype, method == 3)
     else:
         n_pad = packed.shape[1] * 4
         acc = jnp.zeros((n_pad, n_pad), dtype=acc_dtype)

@@ -15,7 +15,7 @@ by (B, n) x (n, p+1) MXU work.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -59,14 +59,10 @@ def _lm_step(packed, mean, X, C, My, n: int):
     return gMy, gMg
 
 
-@partial(jax.jit, static_argnames=("n", "block"))
-def _lm_scan_resident(packed, mean, X, C, My, n: int, block: int):
-    """Whole LM scan in one dispatch: f32 MXU grams (the projection is
-    exact linear algebra; f32-HIGHEST rounding ~1e-7 relative)."""
-    m_pad = packed.shape[0]
-    nblk = m_pad // block
-    pk = packed.reshape(nblk, block, packed.shape[1])
-    mn = mean.reshape(nblk, block)
+def _lm_scan_core(pk, mn, X, C, My, n: int):
+    """Whole LM scan body on pre-blocked (nblk, B, K) packed rows: f32 MXU
+    grams (the projection is exact linear algebra; f32-HIGHEST rounding
+    ~1e-7 relative). Returns (2, nblk, B)."""
     f32 = jnp.float32
     X32 = X.astype(f32)
     C32 = C.astype(f32)
@@ -83,7 +79,29 @@ def _lm_scan_resident(packed, mean, X, C, My, n: int, block: int):
         return None, (gMy.astype(jnp.float64), gMg.astype(jnp.float64))
 
     _, (gMy, gMg) = jax.lax.scan(body, None, (pk, mn))
-    return jnp.stack([gMy.reshape(m_pad), gMg.reshape(m_pad)])
+    return jnp.stack([gMy, gMg])
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _lm_scan_resident(pk, mn, X, C, My, n: int):
+    return _lm_scan_core(pk, mn, X, C, My, n)
+
+
+@lru_cache(maxsize=8)
+def _lm_scan_sharded(mesh, n: int):
+    """SNP-sharded LM scan (shard_map over the mesh 'snp' axis)."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    fn = partial(_lm_scan_core, n=n)
+    return jax.jit(
+        shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(None, "snp", None), P(None, "snp"), P(), P(), P()),
+            out_specs=P(None, None, "snp"),
+        )
+    )
 
 
 def design_matrix(n: int, covariates: np.ndarray | None) -> np.ndarray:
@@ -98,6 +116,7 @@ def lm_scan(
     y: np.ndarray,
     covariates: np.ndarray | None = None,
     block: int = config.DEFAULT_SNP_BLOCK,
+    mesh=None,
 ) -> ScanResult:
     """Run the LM scan over all SNPs of an (already subset) PackedGenotypes."""
     y = np.asarray(y, dtype=np.float64).reshape(-1)
@@ -118,14 +137,21 @@ def lm_scan(
 
     m = pg.m
     block = min(block, m)
+    if mesh is not None:
+        block = -(-block // mesh.devices.size) * mesh.devices.size
     m_pad = -(-m // block) * block
-    pk = devcache.device_packed(pg, m_pad)
-    mn = devcache.to_device_padded_rows(pg.mean, m_pad, 0.0, dtype=jnp.float32)
-    out = np.asarray(
-        _lm_scan_resident(
-            pk, mn, jnp.asarray(X), jnp.asarray(C), jnp.asarray(My), n, block
-        )
+    nblk = m_pad // block
+    pk = devcache.device_packed_blocks(pg, (nblk, block), mesh=mesh)
+    mn = devcache.to_device_blocks(
+        pg.mean, (nblk, block), 0.0, dtype=jnp.float32, mesh=mesh
     )
+    args = (jnp.asarray(X), jnp.asarray(C), jnp.asarray(My))
+    if mesh is not None:
+        args = devcache.replicate_tree(args, mesh)
+        out = np.asarray(_lm_scan_sharded(mesh, n)(pk, mn, *args))
+    else:
+        out = np.asarray(_lm_scan_resident(pk, mn, *args, n))
+    out = out.reshape(2, m_pad)
     gMy_all, gMg_all = out[0, :m], out[1, :m]
     with np.errstate(divide="ignore", invalid="ignore"):
         beta = gMy_all / gMg_all

@@ -18,7 +18,7 @@ changes nothing beyond the Brent tolerance.
 from __future__ import annotations
 
 import os
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -72,22 +72,18 @@ def _lmm_block(
     return lgs, beta, se, ml, ssq
 
 
-@partial(jax.jit, static_argnames=("n", "with_ml", "block", "use_pallas"))
-def _lmm_scan_resident(
-    packed, mean, U32, rot: RotatedData, sh, n: int, with_ml: bool,
-    block: int, use_pallas: bool = False,
-):
-    """Whole-scan single dispatch: packed genotypes live in HBM (16x smaller
-    than f32), lax.scan streams SNP blocks through decode -> rotate ->
-    grid λ-search -> exact f64 beta/se. One host->device upload, one fetch.
+def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
+                   use_pallas: bool):
+    """Whole-scan body on pre-blocked (nblk, B, K) packed genotypes:
+    lax.scan streams SNP blocks through decode -> rotate -> grid λ-search
+    -> f32-gram beta/se -> device Wald p. Under shard_map the B axis is
+    the per-device slice; per-SNP statistics need no communication.
+    Returns (6, nblk, B) — the block structure is kept so the sharded
+    axis reassembles in SNP order.
 
     ``sh`` is the precomputed GridShared state (cached across calls — its
     f64 (G, n) lattice work is per-trait, not per-scan).
     """
-    m_pad = packed.shape[0]
-    nblk = m_pad // block
-    pk = packed.reshape(nblk, block, packed.shape[1])
-    mn = mean.reshape(nblk, block)
 
     def body(_, xs):
         pkb, mnb = xs
@@ -111,16 +107,34 @@ def _lmm_scan_resident(
     pwald = jstats.pwald_from_beta_se_device(beta, se)
     # one stacked output -> a single host fetch (remote links charge per
     # round trip)
-    return jnp.stack(
-        [
-            lgs.reshape(m_pad),
-            beta.reshape(m_pad),
-            se.reshape(m_pad),
-            ml.reshape(m_pad),
-            ssq.reshape(m_pad),
-            pwald.reshape(m_pad),
-        ]
+    return jnp.stack([lgs, beta, se, ml, ssq, pwald])
+
+
+@partial(jax.jit, static_argnames=("n", "with_ml", "use_pallas"))
+def _lmm_scan_resident(pk, mn, U32, rot, sh, n, with_ml, use_pallas=False):
+    return _lmm_scan_core(pk, mn, U32, rot, sh, n, with_ml, use_pallas)
+
+
+@lru_cache(maxsize=8)
+def _lmm_scan_sharded(mesh, n: int, with_ml: bool, use_pallas: bool):
+    """SNP-sharded whole scan: shard_map over the mesh 'snp' axis.
+
+    pk/mn arrive with their per-block SNP axis sharded; U32/rot/sh are
+    replicated. Each device scans its SNP rows — the TPU-native
+    replacement for the reference's rayon x BLAS two-level thread plan
+    (reference python/janusx/assoc/workflow.py:5296-5460)."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    fn = partial(_lmm_scan_core, n=n, with_ml=with_ml, use_pallas=use_pallas)
+    mapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(None, "snp", None), P(None, "snp"), P(), P(), P()),
+        out_specs=P(None, None, "snp"),
     )
+    return jax.jit(mapped)
 
 
 @partial(jax.jit, static_argnames=("n", "with_ml"))
@@ -189,6 +203,7 @@ def lmm_scan(
     grid_points: int = 1024,
     use_pallas: bool | None = None,  # fused decode+rotate kernel; None = auto (TPU)
     superblock: int = 1 << 20,  # SNPs resident on device per host chunk
+    mesh=None,  # jax.sharding.Mesh with a 'snp' axis: SNP-shard the scan
 ) -> tuple[ScanResult, NullFit]:
     """Exact LMM scan over all SNPs of the (subset) packed genotypes."""
     if use_pallas is None:
@@ -219,6 +234,7 @@ def lmm_scan(
             r, null = lmm_scan(
                 sub, basis, y, covariates, block=block, lmm2=lmm2, null=null,
                 method=method, grid_points=grid_points, use_pallas=use_pallas,
+                mesh=mesh,
             )
             parts.append(r)
         from janusx_tpu.models.scan_common import ScanResult as _SR
@@ -238,13 +254,23 @@ def lmm_scan(
         )
         return res, null
     if method == "grid":
+        if mesh is not None:
+            ndev = mesh.devices.size
+            # every device needs the same whole blocks: pad block to a
+            # multiple of the mesh, and keep the local slice pallas-tileable
+            block = -(-block // ndev) * ndev
+            if use_pallas and (block // ndev) % 512 != 0:
+                use_pallas = False
         m_pad = -(-m // block) * block
+        nblk = m_pad // block
         if use_pallas:
             from janusx_tpu.ops.pallas_kernels import plane_permutation
 
             bk, bn = 512, 256
-            pk = devcache.device_packed(pg, m_pad, lane_align=bk)
-            K2 = pk.shape[1] * 4
+            pk = devcache.device_packed_blocks(
+                pg, (nblk, block), lane_align=bk, mesh=mesh
+            )
+            K2 = pk.shape[2] * 4
             N2 = -(-n // bn) * bn
             key = (id(basis.U), "Uplanar", K2, N2)
             U_op = devcache._cache.get(key)
@@ -254,14 +280,19 @@ def lmm_scan(
                 U_op = jnp.asarray(U2[plane_permutation(K2, bk)])
                 devcache._cache[key] = U_op
         else:
-            pk = devcache.device_packed(pg, m_pad)
+            pk = devcache.device_packed_blocks(pg, (nblk, block), mesh=mesh)
             U_op = U32
-        mn = devcache.to_device_padded_rows(pg.mean, m_pad, 0.0, dtype=jnp.float32)
-        out = np.asarray(
-            _lmm_scan_resident(
-                pk, mn, U_op, rot, sh, n, lmm2, block, use_pallas
-            )
+        mn = devcache.to_device_blocks(
+            pg.mean, (nblk, block), 0.0, dtype=jnp.float32, mesh=mesh
         )
+        if mesh is not None:
+            U_op, rot_d, sh_d = devcache.replicate_tree((U_op, rot, sh), mesh)
+            fn = _lmm_scan_sharded(mesh, n, lmm2, use_pallas)
+            out = np.asarray(fn(pk, mn, U_op, rot_d, sh_d)).reshape(6, m_pad)
+        else:
+            out = np.asarray(
+                _lmm_scan_resident(pk, mn, U_op, rot, sh, n, lmm2, use_pallas)
+            ).reshape(6, m_pad)
         lbd = 10.0 ** out[0, :m]
         beta = out[1, :m]
         se = out[2, :m]

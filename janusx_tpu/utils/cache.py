@@ -77,6 +77,7 @@ def load_or_build_grm(
     method: int = 1,
     block: int | None = None,
     use_cache: bool = True,
+    mesh=None,
 ) -> np.ndarray:
     """GRM with reference-style npy+id cache keyed by sample IDs."""
     from janusx_tpu import config as _cfg
@@ -95,7 +96,9 @@ def load_or_build_grm(
             except Exception:
                 pass
         log.info("GRM cache stale (ids changed): %s", npy_path)
-    K = grm_from_packed(pg, method=method, block=block or _cfg.DEFAULT_SNP_BLOCK)
+    K = grm_from_packed(
+        pg, method=method, block=block or _cfg.DEFAULT_SNP_BLOCK, mesh=mesh
+    )
     if use_cache:
         try:
             atomic_save_npy(npy_path, K)

@@ -60,6 +60,9 @@ class GwasConfig:
     splmm_cutoff: float = 0.05  # reference default (workflow.py:6701)
     scan_method: str = "grid"  # lmm lambda search: "grid" | "brent"
     use_cache: bool = True  # GRM npy+id cache with reference naming
+    # devices over the 'snp' mesh axis: None = all local devices (mesh is
+    # skipped when only 1 is available), 1 = force single-device
+    n_devices: int | None = None
 
 
 @dataclass
@@ -99,9 +102,26 @@ def lmm_to_lm_switch_p(basis, y, covariates) -> float:
     return min(max(p, np.finfo(np.float64).tiny), 1.0)
 
 
+def resolve_mesh(n_devices: int | None):
+    """The production device mesh: all local devices on the 'snp' axis
+    (None when that degenerates to a single device)."""
+    import jax
+
+    from janusx_tpu.parallel.mesh import make_mesh
+
+    avail = jax.device_count()
+    nd = avail if n_devices is None else min(n_devices, avail)
+    if nd <= 1:
+        return None
+    return make_mesh(nd)
+
+
 def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
     t0 = time.monotonic()
     qc = QcParams(maf=cfg.maf, geno=cfg.geno, het=cfg.het)
+    mesh = resolve_mesh(cfg.n_devices)
+    if mesh is not None:
+        log.info("device mesh: %d devices on the 'snp' axis", mesh.devices.size)
     raw = load_raw_packed(cfg.genotype)
     log.info("genotype: %d SNPs x %d samples", raw.m, raw.n_samples)
 
@@ -124,7 +144,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
         pg_full = raw.prepare(qc)
     K = load_or_build_grm(
         cfg.genotype, pg_full, cfg.maf, cfg.geno, method=cfg.grm_method,
-        block=cfg.block, use_cache=cfg.use_cache,
+        block=cfg.block, use_cache=cfg.use_cache, mesh=mesh,
     )
 
     pcs_full = None
@@ -184,17 +204,17 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                     )
                     model = "lm"
             if model == "lm":
-                res = lm_mod.lm_scan(pg_t, y_t, cov_t, block=cfg.block)
+                res = lm_mod.lm_scan(pg_t, y_t, cov_t, block=cfg.block, mesh=mesh)
                 lbd_null = None
             elif model == "fvlmm":
                 res, null = fvlmm_mod.fvlmm_scan(
-                    pg_t, get_basis(), y_t, cov_t, block=cfg.block
+                    pg_t, get_basis(), y_t, cov_t, block=cfg.block, mesh=mesh
                 )
                 lbd_null = null.lbd
             elif model in ("lmm", "lmm2"):
                 res, null = lmm_mod.lmm_scan(
                     pg_t, get_basis(), y_t, cov_t, block=cfg.block,
-                    lmm2=(model == "lmm2"), method=cfg.scan_method,
+                    lmm2=(model == "lmm2"), method=cfg.scan_method, mesh=mesh,
                 )
                 lbd_null = null.lbd
             elif model == "splmm":

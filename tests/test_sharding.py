@@ -84,3 +84,112 @@ def test_pad_to_multiple():
     x = np.arange(10)
     assert pad_to_multiple(x, 8).shape[0] == 16
     assert pad_to_multiple(x, 5).shape[0] == 10
+
+
+# ---------------------------------------------------------------------------
+# PRODUCTION-path sharding: the real model entry points with mesh=...
+# ---------------------------------------------------------------------------
+def _toy_pg(rng, m=500, n=96):
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io.packed import QcParams, pack_genotypes
+
+    g = rng.binomial(2, rng.uniform(0.05, 0.5, size=(m, 1)), size=(m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(m, dtype=np.int64) + 1,
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    return pack_genotypes(gd, QcParams(maf=0.01))
+
+
+def test_production_grm_sharded(mesh8, rng):
+    from janusx_tpu.models.grm import grm_from_packed
+
+    pg = _toy_pg(rng)
+    # f32 partial products flush in different groupings across devices, so
+    # agreement is at f32 rounding level (the f64 outer accumulate keeps
+    # the error from growing with m)
+    K1 = grm_from_packed(pg, method=1, block=64)
+    K8 = grm_from_packed(pg, method=1, block=64, mesh=mesh8)
+    np.testing.assert_allclose(K8, K1, rtol=2e-3, atol=1e-6)
+    S1 = grm_from_packed(pg, method=2, block=64)
+    S8 = grm_from_packed(pg, method=2, block=64, mesh=mesh8)
+    np.testing.assert_allclose(S8, S1, rtol=2e-3, atol=1e-6)
+
+
+def test_production_scans_sharded(mesh8, rng):
+    from janusx_tpu.core.spectral import eigh_grm
+    from janusx_tpu.models.fvlmm import fvlmm_scan
+    from janusx_tpu.models.grm import grm_from_packed
+    from janusx_tpu.models.lm import lm_scan
+    from janusx_tpu.models.lmm import lmm_scan
+    from janusx_tpu.utils import devcache
+
+    pg = _toy_pg(rng)
+    n = pg.n
+    K = grm_from_packed(pg, block=64)
+    basis = eigh_grm(K, diag_ridge=1e-6)
+    y = rng.normal(size=n) + pg.centered()[3] * 0.4
+
+    def close(a, b):
+        # f32 MXU grams reduce in different tilings across devices, so
+        # agreement is at f32-gram noise level; -log10 p within the
+        # project's 5e-3 parity tolerance
+        np.testing.assert_allclose(b.beta, a.beta, rtol=2e-3, equal_nan=True)
+        dlogp = np.abs(np.log10(b.pwald) - np.log10(a.pwald))
+        assert np.nanmax(dlogp) < 5e-3
+
+    r1 = lm_scan(pg, y, block=64)
+    r8 = lm_scan(pg, y, block=64, mesh=mesh8)
+    close(r1, r8)
+
+    f1, _ = fvlmm_scan(pg, basis, y, block=64)
+    f8, _ = fvlmm_scan(pg, basis, y, block=64, mesh=mesh8)
+    close(f1, f8)
+
+    l1, n1 = lmm_scan(pg, basis, y, block=64, use_pallas=False)
+    l8, n8 = lmm_scan(pg, basis, y, block=64, use_pallas=False, mesh=mesh8)
+    assert n1.lbd == n8.lbd
+    close(l1, l8)
+
+    # the uploaded packed buffer really spans all 8 devices
+    sharded = [
+        v for v in devcache._cache.values()
+        if hasattr(v, "sharding") and getattr(v.sharding, "num_devices", 1) == 8
+    ]
+    assert sharded, "no device-cache entry is sharded across the mesh"
+
+
+def test_run_gwas_sharded_matches_single(tmp_path):
+    """The actual run_gwas entry on the 8-device mesh vs single device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from janusx_tpu.io.plink import write_plink
+    from janusx_tpu.workflows.gwas import GwasConfig, run_gwas
+
+    rng = np.random.default_rng(42)
+    pg = _toy_pg(rng, m=300, n=80)
+    # materialize as PLINK + pheno
+    geno = str(tmp_path / "toy")
+    write_plink(geno, pg.packed, pg.n_samples, pg.sites, pg.samples)
+    y = rng.normal(size=pg.n) + pg.centered()[7] * 0.6
+    with open(tmp_path / "toy.pheno", "wt") as fh:
+        fh.write("id\tt1\n")
+        for s, v in zip(pg.samples, y):
+            fh.write(f"{s}\t{v:.6f}\n")
+
+    common = dict(
+        genotype=geno + ".bed", phenotype=str(tmp_path / "toy.pheno"),
+        models=("lmm",), force_model=True, block=64, use_cache=False,
+    )
+    res1 = run_gwas(GwasConfig(out_prefix=str(tmp_path / "o1"), n_devices=1, **common))
+    res8 = run_gwas(GwasConfig(out_prefix=str(tmp_path / "o8"), n_devices=8, **common))
+    a, b = res1[0].result, res8[0].result
+    # the sharded run builds a (f32-rounding-level) different GRM, so the
+    # basis and per-SNP lambda differ slightly; p-parity is the contract
+    np.testing.assert_allclose(b.beta, a.beta, rtol=2e-3, atol=1e-5, equal_nan=True)
+    dlogp = np.abs(np.log10(b.pwald) - np.log10(a.pwald))
+    assert np.nanmax(dlogp) < 5e-3

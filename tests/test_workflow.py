@@ -11,7 +11,10 @@ from janusx_tpu.workflows.gwas import GwasConfig, run_gwas
 
 
 @pytest.fixture
-def toy_dataset(toy_genotypes, tmp_path, rng):
+def toy_dataset(toy_genotypes, tmp_path):
+    # local seeded rng: the 'noise' trait's LMM->LM switch assertion needs
+    # a draw that is deterministic regardless of test execution order
+    rng = np.random.default_rng(20260817)
     prefix = str(tmp_path / "toy")
     plink.write_plink_genotypes(prefix, toy_genotypes)
     # simulate 2 traits: one polygenic (mixed model), one with missing values
