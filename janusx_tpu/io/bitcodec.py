@@ -50,8 +50,9 @@ DOSAGE_TO_BED_LUT = byte_lut(np.array([3, 2, 0, 1], dtype=np.uint8))
 # Minor-allele flip on dosage codes: 0<->2, 1->1, 3->3.
 FLIP_LUT = byte_lut(np.array([2, 1, 0, 3], dtype=np.uint8))
 
-# (256, 4) int32: per-byte count of each code value — for packed stats.
+# (256, 4) per-byte count of each code value — for packed stats.
 _CODE_ONEHOT = np.eye(4, dtype=np.int32)[_BYTE_CODES].sum(axis=1)  # (256, 4)
+_CODE_ONEHOT_U8 = _CODE_ONEHOT.astype(np.uint8)
 
 
 def n_bytes(n_samples: int) -> int:
@@ -120,9 +121,15 @@ def packed_code_counts(packed: np.ndarray) -> np.ndarray:
 
     Assumes tail padding is code 3; subtract the pad count from column 3
     yourself if you need exact missing counts (see :func:`row_stats`).
+
+    One (m, nb) uint8 LUT pass per code — the naive (m, nb, 4) int32
+    one-hot gather costs 16x the packed size in transient RAM (10+ GB at
+    biobank windows) and is what the windowed low-memory path must avoid.
     """
-    counts = _CODE_ONEHOT[packed]  # (m, nb, 4)
-    return counts.sum(axis=1, dtype=np.int64)
+    out = np.empty((packed.shape[0], 4), np.int64)
+    for c in range(4):
+        out[:, c] = _CODE_ONEHOT_U8[:, c][packed].sum(axis=1, dtype=np.int64)
+    return out
 
 
 def subset_columns(

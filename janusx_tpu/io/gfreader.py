@@ -256,19 +256,47 @@ def _write_tilde_cache(src_path: str, raw: RawPacked) -> None:
         pass
 
 
+# BED files above this byte size switch to the windowed disk-backed path
+# (genotypes never fully resident in host RAM). Override with
+# JX_TPU_LOWMEM_BYTES; JX_TPU_LOWMEM=1 forces it for any size.
+def _lowmem_threshold() -> int:
+    return int(os.environ.get("JX_TPU_LOWMEM_BYTES", 1 << 30))
+
+
 def load_raw_packed(
-    path: str, chunk_snps: int = 8192, use_cache: bool = True
-) -> RawPacked:
+    path: str, chunk_snps: int = 8192, use_cache: bool = True,
+    low_memory: bool | None = None,
+):
     """Load any supported input as pre-QC packed dosage codes.
 
+    Returns RawPacked (in-RAM) or, for large BED filesets (or
+    ``low_memory=True``), a disk-backed io.windowed.WindowedBed with the
+    same ``.prepare(qc, sample_idx)`` interface — the biobank-scale path
+    (reference analog: mmap windowed BED, src/io/gload.rs:1-12).
+
     Text inputs (VCF/HapMap/TXT) are materialized once into a ``~name``
-    PLINK cache next to the source (reference tilde-cache contract), so
-    repeat analyses skip the parse entirely."""
+    PLINK cache (reference tilde-cache contract), so repeat analyses skip
+    the parse entirely; a large materialized cache also reloads windowed."""
     fmt, p = detect_format(path)
     if fmt == "bed":
+        bed_size = os.path.getsize(p + ".bed")
+        if low_memory or (low_memory is None and (
+            bed_size > _lowmem_threshold()
+            or os.environ.get("JX_TPU_LOWMEM") == "1"
+        )):
+            from janusx_tpu.io.windowed import WindowedBed
+
+            return WindowedBed(p)
         packed, n, sites, samples = plink.read_bed_packed(p)
         return RawPacked(packed, n, sites, samples)
     if use_cache:
+        cprefix = _tilde_cache_prefix(p)
+        if (low_memory or os.environ.get("JX_TPU_LOWMEM") == "1") and \
+                os.path.exists(cprefix + ".bed"):
+            if os.path.getmtime(cprefix + ".bed") >= os.path.getmtime(p):
+                from janusx_tpu.io.windowed import WindowedBed
+
+                return WindowedBed(cprefix)
         cached = _load_tilde_cache(p)
         if cached is not None:
             return cached

@@ -92,9 +92,22 @@ def fvlmm_scan(
     block: int = config.DEFAULT_SNP_BLOCK,
     null: NullFit | None = None,
     mesh=None,
+    superblock: int = 1 << 20,
 ) -> tuple[ScanResult, NullFit]:
     """Fixed-λ scan. ``basis`` must be the eigh of the (ridged) GRM on the
     same sample subset as ``pg``."""
+    superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
+    if pg.m > superblock:
+        sb = (superblock // block) * block
+        parts = []
+        for s in range(0, pg.m, sb):
+            sub = pg.take_snps(np.arange(s, min(s + sb, pg.m)))
+            r, null = fvlmm_scan(sub, basis, y, covariates, block=block,
+                                 null=null, mesh=mesh)
+            parts.append(r)
+        return ScanResult.concat(parts), null
+    if not hasattr(pg, "packed"):  # lazy input small enough: materialize
+        pg = pg.take_snps(np.arange(pg.m))
     y = np.asarray(y, np.float64).reshape(-1)
     n = pg.n
     rot = make_rotated(basis, y, covariates)

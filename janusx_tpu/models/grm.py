@@ -150,6 +150,43 @@ def grm_from_packed(
     Returns float64 host array. With ``mesh``, SNP blocks shard across the
     mesh's 'snp' axis and partial C^T C products merge with one psum.
     """
+    if not hasattr(pg, "packed"):
+        # disk-backed lazy input (io.windowed.WindowedPacked): stream
+        # materialized windows through the resident accumulate, summing
+        # the f64 partial K on device (reference analog: streamed GRM,
+        # src/stats/grm.rs block decode -> syrk loop)
+        n = pg.n_samples
+        acc = None
+        denom = 0.0
+        for _, _, sub in pg.iter_materialized():
+            mean, inv_sd, var = _snp_scales(sub, method)
+            blk = min(block, sub.m)
+            if mesh is not None:
+                blk = -(-blk // mesh.devices.size) * mesh.devices.size
+            nblk = -(-sub.m // blk)
+            n_super = -(-nblk // _FLUSH)
+            shape = (n_super, _FLUSH, blk)
+            from janusx_tpu.utils import devcache
+
+            pk_dev = devcache.device_packed_blocks(sub, shape, mesh=mesh, shard_axis=2)
+            mn_dev = devcache.to_device_blocks(
+                mean.astype(np.float32), shape, 0.0, dtype=jnp.float32,
+                mesh=mesh, shard_axis=2,
+            )
+            iv_dev = devcache.to_device_blocks(
+                inv_sd.astype(np.float32), shape, 0.0, dtype=jnp.float32,
+                mesh=mesh, shard_axis=2,
+            )
+            acc_dtype = jnp.float64 if dtype == np.float64 else jnp.float32
+            if mesh is not None:
+                part = _grm_sharded(mesh, acc_dtype, method == 3)(pk_dev, mn_dev, iv_dev)
+            else:
+                part = _grm_resident(pk_dev, mn_dev, iv_dev, acc_dtype, method == 3)
+            acc = part if acc is None else acc + part
+            denom += float(var.sum()) if method in (1, 3) else float(sub.m)
+        if acc is None or denom <= 0:
+            raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
+        return np.asarray(acc[:n, :n], dtype=np.float64) / denom
     mean, inv_sd, var = _snp_scales(pg, method)
     n = pg.n_samples
     packed = decode.pad_packed_cols(pg.packed)

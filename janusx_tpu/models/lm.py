@@ -117,8 +117,20 @@ def lm_scan(
     covariates: np.ndarray | None = None,
     block: int = config.DEFAULT_SNP_BLOCK,
     mesh=None,
+    superblock: int = 1 << 20,
 ) -> ScanResult:
     """Run the LM scan over all SNPs of an (already subset) PackedGenotypes."""
+    superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
+    if pg.m > superblock:
+        sb = (superblock // block) * block
+        parts = [
+            lm_scan(pg.take_snps(np.arange(s, min(s + sb, pg.m))), y,
+                    covariates, block=block, mesh=mesh)
+            for s in range(0, pg.m, sb)
+        ]
+        return ScanResult.concat(parts)
+    if not hasattr(pg, "packed"):  # lazy input small enough: materialize
+        pg = pg.take_snps(np.arange(pg.m))
     y = np.asarray(y, dtype=np.float64).reshape(-1)
     n = pg.n
     if len(y) != n:

@@ -219,12 +219,15 @@ def lmm_scan(
         null = fit_null_reml(rot)
 
     U32 = devcache.to_device(basis.U, jnp.float32)
-    packed = None if method == "grid" else decode.pad_packed_cols(pg.packed)
     m = pg.m
     block = min(block, m) if m else block
-    if method == "grid" and m > superblock:
-        # streaming superblock mode: chunk the packed matrix through the
-        # resident scan so HBM never holds more than `superblock` SNPs
+    # lazy disk-backed inputs (io.windowed.WindowedPacked) bound their
+    # resident-SNP chunk; in-RAM inputs chunk only above `superblock`
+    superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
+    if m > superblock:
+        # streaming superblock mode: chunk the (possibly disk-backed)
+        # matrix through the resident scan so neither host RAM nor HBM
+        # ever holds more than `superblock` materialized SNPs
         # (reference analog: WindowedBedMatrix streaming, src/io/gload.rs)
         parts = []
         sb = (superblock // block) * block
@@ -237,22 +240,10 @@ def lmm_scan(
                 mesh=mesh,
             )
             parts.append(r)
-        from janusx_tpu.models.scan_common import ScanResult as _SR
-        from janusx_tpu.io.gdata import SiteInfo as _SI
-
-        res = _SR(
-            sites=_SI.concat([p_.sites for p_ in parts]),
-            af=np.concatenate([p_.af for p_ in parts]),
-            miss=np.concatenate([p_.miss for p_ in parts]),
-            beta=np.concatenate([p_.beta for p_ in parts]),
-            se=np.concatenate([p_.se for p_ in parts]),
-            pwald=np.concatenate([p_.pwald for p_ in parts]),
-            plrt=None if parts[0].plrt is None else np.concatenate([p_.plrt for p_ in parts]),
-            lbd=None if parts[0].lbd is None else np.concatenate([p_.lbd for p_ in parts]),
-            ml=None if parts[0].ml is None else np.concatenate([p_.ml for p_ in parts]),
-            extras=parts[0].extras,
-        )
-        return res, null
+        return ScanResult.concat(parts), null
+    if not hasattr(pg, "packed"):  # lazy input small enough: materialize
+        pg = pg.take_snps(np.arange(m))
+    packed = None if method == "grid" else decode.pad_packed_cols(pg.packed)
     if method == "grid":
         if mesh is not None:
             ndev = mesh.devices.size

@@ -72,6 +72,28 @@ class ScanResult:
                     )
                 )
 
+    @staticmethod
+    def concat(parts: list["ScanResult"]) -> "ScanResult":
+        """Concatenate window/superblock partial results in SNP order."""
+        first = parts[0]
+
+        def cat(get):
+            vals = [get(p) for p in parts]
+            return None if vals[0] is None else np.concatenate(vals)
+
+        return ScanResult(
+            sites=SiteInfo.concat([p.sites for p in parts]),
+            af=np.concatenate([p.af for p in parts]),
+            miss=np.concatenate([p.miss for p in parts]),
+            beta=np.concatenate([p.beta for p in parts]),
+            se=np.concatenate([p.se for p in parts]),
+            pwald=np.concatenate([p.pwald for p in parts]),
+            plrt=cat(lambda p: p.plrt),
+            lbd=cat(lambda p: p.lbd),
+            ml=cat(lambda p: p.ml),
+            extras=first.extras,
+        )
+
     def to_dataframe(self):
         import pandas as pd
 

@@ -1,0 +1,146 @@
+"""Windowed (disk-backed, low-memory) genotype path vs in-RAM path.
+
+The WindowedBed/WindowedPacked layer must produce byte-identical QC
+decisions, stats, and scan results to the in-RAM RawPacked path
+(reference analog: src/io/gload.rs windowed BED)."""
+
+import numpy as np
+import pytest
+
+from janusx_tpu.io import plink
+from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+from janusx_tpu.io.gfreader import RawPacked, load_raw_packed
+from janusx_tpu.io.packed import QcParams, pack_genotypes
+from janusx_tpu.io.windowed import WindowedBed
+
+
+@pytest.fixture(scope="module")
+def plink_files(tmp_path_factory):
+    rng = np.random.default_rng(77)
+    m, n = 1000, 121  # n % 4 != 0: tail-byte handling matters
+    p = rng.uniform(0.01, 0.5, size=m)
+    g = rng.binomial(2, p[:, None], size=(m, n)).astype(np.int8)
+    g[rng.random((m, n)) < 0.03] = -1
+    g[5] = 0  # monomorphic row
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(m, dtype=np.int64) + 1,
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    prefix = str(tmp_path_factory.mktemp("wbed") / "toy")
+    plink.write_plink_genotypes(prefix, gd)
+    return prefix, gd
+
+
+def test_windowed_prepare_matches_inram(plink_files):
+    prefix, gd = plink_files
+    qc = QcParams(maf=0.02, geno=0.05)
+    ram = pack_genotypes(gd, qc)
+    wb = WindowedBed(prefix, window=173)  # deliberately awkward window
+    wp = wb.prepare(qc)
+    assert wp.m == ram.m
+    np.testing.assert_allclose(wp.af, ram.af)
+    np.testing.assert_allclose(wp.miss, ram.miss)
+    np.testing.assert_allclose(wp.mean, ram.mean)
+    assert list(wp.sites.snp) == list(ram.sites.snp)
+    assert list(wp.sites.allele1) == list(ram.sites.allele1)  # flips applied
+    # materialized bytes identical
+    full = wp.take_snps(np.arange(wp.m))
+    np.testing.assert_array_equal(full.packed, ram.packed)
+
+
+def test_windowed_prepare_sample_subset(plink_files):
+    prefix, gd = plink_files
+    qc = QcParams(maf=0.05)
+    idx = np.arange(7, 100, 3)
+    from janusx_tpu.io.packed import pack_from_codes
+    from janusx_tpu.io import bitcodec
+
+    codes = np.where(gd.genotypes < 0, np.uint8(3), gd.genotypes.astype(np.uint8))
+    ram = pack_from_codes(
+        bitcodec.pack_codes(codes), gd.n, gd.sites, gd.samples, qc, sample_idx=idx
+    )
+    wp = WindowedBed(prefix, window=89).prepare(qc, sample_idx=idx)
+    assert wp.m == ram.m
+    np.testing.assert_allclose(wp.af, ram.af)
+    np.testing.assert_array_equal(
+        wp.take_snps(np.arange(wp.m)).packed, ram.packed
+    )
+    assert list(wp.samples) == list(ram.samples)
+
+
+def test_windowed_grm_and_scans_match(plink_files):
+    prefix, gd = plink_files
+    from janusx_tpu.core.spectral import eigh_grm
+    from janusx_tpu.models.grm import grm_from_packed
+    from janusx_tpu.models.lm import lm_scan
+    from janusx_tpu.models.lmm import lmm_scan
+
+    qc = QcParams()
+    ram = pack_genotypes(gd, qc)
+    wp = WindowedBed(prefix, window=211).prepare(qc)
+    wp.max_resident_snps = 256  # force multi-chunk streaming
+
+    # window boundaries regroup the f32 partial-product flushes, so
+    # agreement is at f32 rounding level
+    K1 = grm_from_packed(ram, block=128)
+    K2 = grm_from_packed(wp, block=128)
+    np.testing.assert_allclose(K2, K1, rtol=2e-3, atol=1e-8)
+
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=ram.n) + ram.centered()[11] * 0.5
+    r1 = lm_scan(ram, y, block=128)
+    r2 = lm_scan(wp, y, block=128)
+    np.testing.assert_allclose(r2.beta, r1.beta, rtol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(r2.pwald, r1.pwald, rtol=1e-6)
+
+    basis = eigh_grm(K1, diag_ridge=1e-6)
+    l1, n1 = lmm_scan(ram, basis, y, block=128, use_pallas=False)
+    l2, n2 = lmm_scan(wp, basis, y, block=128, use_pallas=False)
+    assert n1.lbd == n2.lbd
+    np.testing.assert_allclose(l2.beta, l1.beta, rtol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(l2.pwald, l1.pwald, rtol=1e-6)
+
+
+def test_load_raw_packed_lowmem_switch(plink_files):
+    prefix, _ = plink_files
+    raw = load_raw_packed(prefix + ".bed")
+    assert isinstance(raw, RawPacked)
+    wb = load_raw_packed(prefix + ".bed", low_memory=True)
+    assert isinstance(wb, WindowedBed)
+    qc = QcParams()
+    a = raw.prepare(qc)
+    b = wb.prepare(qc)
+    assert a.m == b.m and a.n == b.n
+    np.testing.assert_array_equal(b.take_snps(np.arange(b.m)).packed, a.packed)
+
+
+def test_run_gwas_lowmem_matches(plink_files, tmp_path):
+    """The actual run_gwas entry with a windowed (low-memory) input."""
+    prefix, gd = plink_files
+    from janusx_tpu.workflows.gwas import GwasConfig, run_gwas
+    import os
+
+    rng = np.random.default_rng(5)
+    ram = pack_genotypes(gd, QcParams())
+    y = rng.normal(size=gd.n) + ram.centered()[11] * 0.5
+    pheno = tmp_path / "t.pheno"
+    with open(pheno, "wt") as fh:
+        fh.write("id\ty\n")
+        for s, v in zip(gd.samples, y):
+            fh.write(f"{s}\t{v:.6f}\n")
+    common = dict(genotype=prefix + ".bed", phenotype=str(pheno),
+                  models=("lmm",), force_model=True, block=128,
+                  use_cache=False, n_devices=1)
+    r1 = run_gwas(GwasConfig(out_prefix=str(tmp_path / "a"), **common))
+    os.environ["JX_TPU_LOWMEM"] = "1"
+    try:
+        r2 = run_gwas(GwasConfig(out_prefix=str(tmp_path / "b"), **common))
+    finally:
+        del os.environ["JX_TPU_LOWMEM"]
+    a, b = r1[0].result, r2[0].result
+    np.testing.assert_allclose(b.beta, a.beta, rtol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(b.pwald, a.pwald, rtol=1e-6)
