@@ -1,0 +1,206 @@
+"""Block-spectral sparse kinship: the TPU-native sparse-Cholesky replacement.
+
+The reference factorizes ``V_lambda = K_sparse + lambda I`` with an
+AMD-ordered sparse LLT once per lambda evaluation (its symbolic analysis
+is cached, the numeric factorization is not —
+/root/reference/src/math/cholesky.rs:31-45) and performs per-SNP sparse
+triangular solves (/root/reference/src/stats/splmm.rs:1-9).
+
+A thresholded GRM is block-diagonal up to a permutation: its nonzero
+pattern decomposes into connected components (family/relatedness
+clusters; unrelated samples are singletons). We exploit this once, at
+construction: eigendecompose each component (batched ``np.linalg.eigh``
+over size-bucketed, zero-padded stacks), after which
+
+- every lambda evaluation (REML null fit) is O(n) elementwise on the
+  rotated coordinates — NO numeric refactorization, ever;
+- ``V^-1 b`` solves are batched tiny matmuls;
+- the per-SNP exact-scan quadratic g' V^-1 g becomes a bucketed batched
+  einsum over SNP blocks — MXU work, not sparse triangular solves.
+
+Padding convention: components are zero-padded into power-of-two size
+buckets with identity diagonal, so every pad dimension contributes an
+exact eigenpair (eigenvalue 1.0, eigenvector confined to pad rows).
+Solves/quads are automatically exact (gathered pad coordinates are zero);
+logdet subtracts the analytic pad contribution ``n_pad * log(1+lambda)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import scipy.sparse
+import scipy.sparse.csgraph
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class _Bucket:
+    idx: np.ndarray  # (nc, s) int64 sample indices, pad = n
+    U: np.ndarray  # (nc, s, s) eigenvectors (pad dims = unit vectors)
+    svals: np.ndarray  # (nc, s) eigenvalues (pad dims = 1.0 exactly)
+    n_pad: int  # number of pad dimensions in this bucket
+
+
+@dataclass
+class BlockSpectralK:
+    """Spectral form of a (permuted-)block-diagonal symmetric sparse K."""
+
+    n: int
+    buckets: list[_Bucket] = field(default_factory=list)
+    n_pad: int = 0
+    max_comp: int = 0  # largest component size (diagnostic)
+
+    # -- construction -----------------------------------------------------
+
+    @staticmethod
+    def from_sparse(K: scipy.sparse.spmatrix) -> "BlockSpectralK":
+        K = K.tocsr()
+        n = K.shape[0]
+        ncomp, labels = scipy.sparse.csgraph.connected_components(
+            K, directed=False
+        )
+        order = np.argsort(labels, kind="stable")
+        bounds = np.searchsorted(labels[order], np.arange(ncomp + 1))
+        sizes = np.diff(bounds)
+        out = BlockSpectralK(n=n, max_comp=int(sizes.max()) if ncomp else 0)
+
+        # group components into power-of-two size buckets
+        size_class = np.maximum(1, 1 << np.ceil(np.log2(sizes)).astype(int))
+        Kl = K.tolil()
+        for s in np.unique(size_class):
+            comps = np.nonzero(size_class == s)[0]
+            nc = len(comps)
+            idx = np.full((nc, s), n, np.int64)
+            blocks = np.zeros((nc, s, s), np.float64)
+            blocks[:, np.arange(s), np.arange(s)] = 1.0  # identity padding
+            for bi, c in enumerate(comps):
+                rows = order[bounds[c]:bounds[c + 1]]
+                k = len(rows)
+                idx[bi, :k] = rows
+                blocks[bi, :k, :k] = Kl[np.ix_(rows, rows)].todense()
+            if s == 1:
+                svals = blocks[:, :, 0].copy()
+                U = np.ones((nc, 1, 1))
+            else:
+                svals, U = np.linalg.eigh(blocks)
+            n_pad = int((idx == n).sum())
+            out.buckets.append(_Bucket(idx=idx, U=U, svals=svals, n_pad=n_pad))
+            out.n_pad += n_pad
+        return out
+
+    # -- host ops (null fits, small solves) -------------------------------
+
+    def rotate(self, B: np.ndarray) -> list[np.ndarray]:
+        """U_c' B[idx_c] per bucket: list of (nc, s, k) rotated coords."""
+        B = np.atleast_2d(np.asarray(B, np.float64))
+        if B.shape[0] != self.n:
+            B = B.T
+        Bz = np.vstack([B, np.zeros((1, B.shape[1]))])
+        return [
+            np.einsum("cst,csk->ctk", b.U, Bz[b.idx]) for b in self.buckets
+        ]
+
+    def svals_concat(self) -> np.ndarray:
+        """All eigenvalues (incl. pads — pads are exactly 1.0)."""
+        return np.concatenate([b.svals.ravel() for b in self.buckets])
+
+    def logdet(self, lbd: float) -> float:
+        """log det(K + lbd I), pad contribution removed analytically."""
+        tot = 0.0
+        for b in self.buckets:
+            tot += float(np.sum(np.log(np.abs(b.svals + lbd))))
+        return tot - self.n_pad * np.log(abs(1.0 + lbd))
+
+    def solve(self, lbd: float, B: np.ndarray) -> np.ndarray:
+        """(K + lbd I)^-1 B for (n,) or (n, k) B."""
+        B = np.asarray(B, np.float64)
+        squeeze = B.ndim == 1
+        B2 = B.reshape(self.n, -1)
+        out = np.zeros((self.n + 1, B2.shape[1]))
+        Bz = np.vstack([B2, np.zeros((1, B2.shape[1]))])
+        for b in self.buckets:
+            rot = np.einsum("cst,csk->ctk", b.U, Bz[b.idx])
+            rot /= (b.svals + lbd)[:, :, None]
+            back = np.einsum("cst,ctk->csk", b.U, rot)
+            # pad indices all collide on row n (dropped); real indices are
+            # unique across components so assignment scatter is exact
+            out[b.idx.ravel()] = back.reshape(-1, B2.shape[1])
+        res = out[: self.n]
+        return res[:, 0] if squeeze else res
+
+    def quad(self, lbd: float, B: np.ndarray) -> np.ndarray:
+        """b' (K + lbd I)^-1 b for each column of B — (k,)."""
+        B = np.asarray(B, np.float64).reshape(self.n, -1)
+        tot = np.zeros(B.shape[1])
+        for rot, b in zip(self.rotate(B), self.buckets):
+            tot += np.einsum("ctk,ct->k", rot**2, 1.0 / (b.svals + lbd))
+        return tot
+
+    # -- device op (per-SNP scan quadratics) -------------------------------
+
+    def device_quad_fn(self, lbd: float):
+        """Jitted G (B, n) f32 -> per-row g' (K + lbd I)^-1 g (B,)."""
+        parts = [
+            (
+                jnp.asarray(b.idx, jnp.int32),
+                jnp.asarray(b.U, jnp.float32),
+                jnp.asarray(1.0 / (b.svals + lbd), jnp.float32),
+            )
+            for b in self.buckets
+        ]
+
+        @jax.jit
+        def quad(G):
+            Gz = jnp.pad(G.astype(jnp.float32), ((0, 0), (0, 1)))
+            hp = jax.lax.Precision.HIGHEST
+            tot = jnp.zeros(G.shape[0], jnp.float32)
+            for I, U, w in parts:
+                Gg = Gz[:, I]  # (B, nc, s)
+                rot = jnp.einsum("bcs,cst->bct", Gg, U, precision=hp)
+                tot = tot + jnp.einsum("bct,ct->b", rot * rot, w)
+            return tot
+
+        return quad
+
+
+def profiled_null_fit(
+    bs: BlockSpectralK,
+    ytilde: np.ndarray,
+    n_eff: int,
+    low: float,
+    high: float,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+):
+    """Profiled-variance null fit of the residualized phenotype over
+    log10 lambda — every evaluation is O(n) on cached rotated coordinates
+    (replaces one sparse factorization per evaluation).
+
+    Returns (lbd, sigma2, loglik)."""
+    import scipy.optimize
+
+    rots = bs.rotate(np.asarray(ytilde, np.float64).reshape(-1, 1))
+    yr2 = [r[:, :, 0] ** 2 for r in rots]
+    svals = [b.svals for b in bs.buckets]
+
+    def nll(lg):
+        lbd = 10.0 ** lg
+        quad = sum(float(np.sum(y2 / (s + lbd))) for y2, s in zip(yr2, svals))
+        if quad <= 0:
+            return 1e8
+        logdet = bs.logdet(lbd)
+        return 0.5 * (n_eff * np.log(quad) + logdet)
+
+    res = scipy.optimize.minimize_scalar(
+        nll, bounds=(low, high), method="bounded",
+        options={"xatol": tol, "maxiter": max_iter},
+    )
+    lbd = 10.0 ** float(res.x)
+    quad = sum(float(np.sum(y2 / (s + lbd))) for y2, s in zip(yr2, svals))
+    sigma2 = quad / n_eff
+    return lbd, sigma2, -float(res.fun)

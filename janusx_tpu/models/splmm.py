@@ -69,6 +69,24 @@ def _grm_rowband(packed, mean, inv_sd, row_lo: int, n_rows: int, block: int):
     return acc
 
 
+def _rowband_accum(sub, method: int, lo: int, band: int, block: int):
+    """One chunk's contribution to GRM rows [lo, lo+band): f64 (band, n_pad)."""
+    from janusx_tpu.models.grm import _snp_scales
+    from janusx_tpu.utils import devcache
+
+    mean, inv_sd, _ = _snp_scales(sub, method)
+    blk = min(block, sub.m)
+    m_pad = -(-sub.m // blk) * blk
+    pk = devcache.device_packed(sub, m_pad, lane_align=band)
+    mn = devcache.to_device_padded_rows(
+        mean.astype(np.float32), m_pad, 0.0, dtype=jnp.float32
+    )
+    iv = devcache.to_device_padded_rows(
+        inv_sd.astype(np.float32), m_pad, 0.0, dtype=jnp.float32
+    )
+    return np.asarray(_grm_rowband(pk, mn, iv, lo, band, blk), np.float64)
+
+
 def build_sparse_grm(
     pg,
     cutoff: float = DEFAULT_SPARSE_CUTOFF,
@@ -77,34 +95,40 @@ def build_sparse_grm(
     block: int = config.DEFAULT_SNP_BLOCK,
 ) -> scipy.sparse.csr_matrix:
     """Thresholded sparse GRM built band-by-band — memory O(row_band x n)
-    instead of O(n²), for biobank n (reference spgrm tile pipeline).
+    instead of O(n²), for biobank n (reference spgrm tile pipeline,
+    src/stats/spgrm.rs:33-45).
+
+    Accepts in-RAM PackedGenotypes or the disk-backed WindowedPacked: lazy
+    inputs stream materialized windows per row-band, so neither the dense
+    n² matrix nor the full packed matrix is ever resident.
 
     Diagonal entries always kept; off-diagonals kept when |K_ij| >= cutoff
     (negative cutoff keeps everything — then prefer the dense builder).
     """
     from janusx_tpu.models.grm import _snp_scales
-    from janusx_tpu.utils import devcache
 
-    mean, inv_sd, var = _snp_scales(pg, method)
     n = pg.n_samples
     m = pg.m
+    lazy = not hasattr(pg, "packed")
+    denom = 0.0
+    for sub in ([pg] if not lazy else (s for _, _, s in pg.iter_materialized())):
+        _, _, var = _snp_scales(sub, method)
+        denom += float(var.sum()) if method in (1, 3) else float(sub.m)
+    if denom <= 0:
+        raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
     block = min(block, m)
-    m_pad = -(-m // block) * block
     # band must be a lane multiple AND divide n_pad so every row-band slice
     # is a full in-bounds dynamic_slice (pad lanes decode to zero)
     band = max(128, (min(row_band, n) // 128) * 128)
-    pk = devcache.device_packed(pg, m_pad, lane_align=band)
-    mn = devcache.to_device_padded_rows(
-        mean.astype(np.float32), m_pad, 0.0, dtype=jnp.float32
-    )
-    iv = devcache.to_device_padded_rows(
-        inv_sd.astype(np.float32), m_pad, 0.0, dtype=jnp.float32
-    )
-    denom = float(var.sum()) if method in (1, 3) else float(m)
     parts = []
     for lo in range(0, n, band):
-        n_rows = band
-        tile = np.asarray(_grm_rowband(pk, mn, iv, lo, n_rows, block), np.float64)
+        if lazy:
+            tile = None
+            for _, _, sub in pg.iter_materialized():
+                part = _rowband_accum(sub, method, lo, band, block)
+                tile = part if tile is None else tile + part
+        else:
+            tile = _rowband_accum(pg, method, lo, band, block)
         tile = tile[: max(0, min(band, n - lo)), :n] / denom
         if cutoff >= 0:
             mask = np.abs(tile) >= cutoff
@@ -128,72 +152,104 @@ def sparsify_grm(K: np.ndarray, cutoff: float = DEFAULT_SPARSE_CUTOFF):
     return scipy.sparse.csc_matrix(np.where(mask, K, 0.0))
 
 
+class _SpectralFactor:
+    """Drop-in ``.solve(b)`` handle for a fixed lambda over BlockSpectralK."""
+
+    def __init__(self, bs, lbd: float):
+        self.bs = bs
+        self.lbd = lbd
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        return self.bs.solve(self.lbd, b)
+
+
 @dataclass
 class SparseNullFit:
     lbd: float
     sigma2: float
     loglik: float
-    factor: object  # splu of (K + lbd I)
-
-
-def _neg_profiled_loglik(log10_lbd, Ks, ytilde, n_eff):
-    lbd = 10.0 ** log10_lbd
-    n = Ks.shape[0]
-    V = (Ks + lbd * scipy.sparse.identity(n, format="csc")).tocsc()
-    try:
-        lu = scipy.sparse.linalg.splu(V)
-    except RuntimeError:
-        return 1e8, None
-    diagU = lu.U.diagonal()
-    if np.any(diagU <= 0):
-        # LU of SPD should have positive pivots up to permutation sign
-        logdet = float(np.sum(np.log(np.abs(diagU))))
-    else:
-        logdet = float(np.sum(np.log(diagU)))
-    a = lu.solve(ytilde)
-    quad = float(ytilde @ a)
-    if quad <= 0:
-        return 1e8, None
-    nll = n_eff * np.log(quad) + logdet
-    return 0.5 * nll, lu
+    factor: _SpectralFactor  # V_lambda^-1 apply (block-spectral)
 
 
 def fit_sparse_null(
-    Ks: scipy.sparse.csc_matrix,
+    Ks: scipy.sparse.spmatrix,
     ytilde: np.ndarray,
     n_eff: int,
     low: float = config.LOG10_LAMBDA_LOW,
     high: float = config.LOG10_LAMBDA_HIGH,
-    tol: float = 1e-4,
-    max_iter: int = 40,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    bs=None,
 ) -> SparseNullFit:
-    """Profiled-variance null fit of the residualized phenotype by golden
-    section over log10 λ (host; each eval is one sparse factorization)."""
-    import scipy.optimize
+    """Profiled-variance null fit of the residualized phenotype over
+    log10 λ.
 
-    res = scipy.optimize.minimize_scalar(
-        lambda lg: _neg_profiled_loglik(lg, Ks, ytilde, n_eff)[0],
-        bounds=(low, high),
-        method="bounded",
-        options={"xatol": tol, "maxiter": max_iter},
+    The reference pays one sparse LLT factorization per λ evaluation
+    (spreml.rs golden search over cholesky.rs LLT); here the thresholded
+    K is eigendecomposed ONCE per connected component (sparse_spectral),
+    after which every λ evaluation is O(n) elementwise — and the returned
+    factor solves V^-1 b with batched tiny matmuls at any λ for free."""
+    from janusx_tpu.models.sparse_spectral import (
+        BlockSpectralK, profiled_null_fit,
     )
-    nll, lu = _neg_profiled_loglik(res.x, Ks, ytilde, n_eff)
-    lbd = 10.0 ** res.x
-    a = lu.solve(ytilde)
-    sigma2 = float(ytilde @ a) / n_eff
-    return SparseNullFit(lbd=lbd, sigma2=sigma2, loglik=-nll, factor=lu)
+
+    if bs is None:
+        bs = BlockSpectralK.from_sparse(Ks)
+    lbd, sigma2, loglik = profiled_null_fit(
+        bs, ytilde, n_eff, low, high, tol=tol, max_iter=max_iter
+    )
+    return SparseNullFit(
+        lbd=lbd, sigma2=sigma2, loglik=loglik, factor=_SpectralFactor(bs, lbd)
+    )
+
+
+def _coerce_sparse(K, cutoff: float) -> scipy.sparse.csc_matrix:
+    """Accept a dense kinship (thresholded here) or an already-sparse one."""
+    if scipy.sparse.issparse(K):
+        return K.tocsc()
+    return sparsify_grm(K, cutoff)
+
+
+def _calibrate_gamma(pg, proj, null: SparseNullFit, a, seed: int):
+    """GRAMMAR-gamma calibration on sampled null markers, batched: one
+    take_snps + dense proj/solve for the whole sample (the reference's
+    per-marker loop, splmm_approx.rs gamma pass — here a single batched
+    V^-1 apply over all sampled markers)."""
+    rng = np.random.default_rng(seed)
+    m = pg.m
+    n_samp = min(N_GAMMA_MARKERS, m)
+    samp = np.sort(rng.choice(m, size=n_samp, replace=False))
+    G = pg.take_snps(samp).centered()  # (k, n)
+    Gt = proj(G.T).T  # (k, n)
+    gg = np.einsum("kn,kn->k", Gt, Gt)
+    VG = null.factor.solve(Gt.T)  # (n, k)
+    gPg = np.einsum("kn,nk->k", Gt, VG) / null.sigma2
+    ga = Gt @ a
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi2 = np.where(gPg > 0, ga * ga / gPg, np.inf)
+    mask = (gg > 1e-12) & (chi2 < NULL_CHI2_CUTOFF) & (gPg > 0)
+    if not mask.any():
+        return 1.0, 0
+    gammas = gPg[mask] / gg[mask] * null.sigma2
+    return float(np.mean(gammas)), int(mask.sum())
 
 
 def splmm_grammar_scan(
     pg: PackedGenotypes,
-    K: np.ndarray,
+    K,
     y: np.ndarray,
     covariates: np.ndarray | None = None,
     cutoff: float = DEFAULT_SPARSE_CUTOFF,
     block: int = config.DEFAULT_SNP_BLOCK,
     seed: int = 0,
+    superblock: int = 1 << 20,
 ) -> tuple[ScanResult, dict]:
-    """GRAMMAR-gamma approximate scan (the ``-splmm`` route)."""
+    """GRAMMAR-gamma approximate scan (the ``-splmm`` route).
+
+    ``K`` may be a dense kinship (thresholded at ``cutoff`` here) or an
+    already-thresholded scipy sparse matrix (the biobank path — the dense
+    n² matrix is then never formed). ``pg`` may be in-RAM or the
+    disk-backed WindowedPacked (chunk-streamed through the scan)."""
     y = np.asarray(y, np.float64).reshape(-1)
     n = pg.n
     X = design_matrix(n, covariates)
@@ -203,29 +259,10 @@ def splmm_grammar_scan(
     ytilde = proj(y)
     n_eff = n - p
 
-    Ks = sparsify_grm(K, cutoff)
+    Ks = _coerce_sparse(K, cutoff)
     null = fit_sparse_null(Ks, ytilde, n_eff)
     a = null.factor.solve(ytilde) / null.sigma2
-
-    # gamma calibration on sampled markers (host decode of a small subset)
-    rng = np.random.default_rng(seed)
-    m = pg.m
-    n_samp = min(N_GAMMA_MARKERS, m)
-    samp = np.sort(rng.choice(m, size=n_samp, replace=False))
-    gammas = []
-    for i in samp:
-        g = pg.centered(i, i + 1)[0]
-        gt = proj(g)
-        gg = float(gt @ gt)
-        if gg <= 1e-12:
-            continue
-        vg = null.factor.solve(gt)
-        gPg = float(gt @ vg) / null.sigma2
-        ga = float(gt @ a)
-        chi2 = ga * ga / gPg if gPg > 0 else np.inf
-        if chi2 < NULL_CHI2_CUTOFF:
-            gammas.append(gPg / gg * null.sigma2)
-    gamma = float(np.mean(gammas)) if gammas else 1.0
+    gamma, n_markers = _calibrate_gamma(pg, proj, null, a, seed)
     gamma_eff = gamma / null.sigma2
 
     # device scan: g~'a and g~'g~ via the residualized LM machinery
@@ -233,23 +270,30 @@ def splmm_grammar_scan(
     Xd = jnp.asarray(X)
     Cd = jnp.asarray(C)
     Mad = jnp.asarray(Ma)
-    packed = decode.pad_packed_cols(pg.packed)
+    m = pg.m
+    block = min(block, m)
     beta = np.empty(m)
     se = np.empty(m)
     gMg_all = np.empty(m)
-    block = min(block, m)
-    for s0, e0 in iter_blocks(m, block):
-        from janusx_tpu.models.scan_common import pad_rows
+    superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
+    sb = max((superblock // block) * block, block)
+    from janusx_tpu.models.scan_common import pad_rows
 
-        pk = pad_rows(packed[s0:e0], block, 0xFF)
-        mn = pad_rows(pg.mean[s0:e0].astype(np.float32), block)
-        gA, gMg = _lm_step(jnp.asarray(pk), jnp.asarray(mn), Xd, Cd, Mad, n)
-        gA = np.asarray(gA)[: e0 - s0]
-        gMgb = np.asarray(gMg)[: e0 - s0]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            beta[s0:e0] = gA / (gamma_eff * gMgb)
-            se[s0:e0] = 1.0 / np.sqrt(gamma_eff * gMgb)
-        gMg_all[s0:e0] = gMgb
+    for c0 in range(0, m, sb):
+        c1 = min(c0 + sb, m)
+        sub = pg if (c0 == 0 and c1 == m and hasattr(pg, "packed")) else \
+            pg.take_snps(np.arange(c0, c1))
+        packed = decode.pad_packed_cols(sub.packed)
+        for s0, e0 in iter_blocks(c1 - c0, block):
+            pk = pad_rows(packed[s0:e0], block, 0xFF)
+            mn = pad_rows(sub.mean[s0:e0].astype(np.float32), block)
+            gA, gMg = _lm_step(jnp.asarray(pk), jnp.asarray(mn), Xd, Cd, Mad, n)
+            gA = np.asarray(gA)[: e0 - s0]
+            gMgb = np.asarray(gMg)[: e0 - s0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                beta[c0 + s0:c0 + e0] = gA / (gamma_eff * gMgb)
+                se[c0 + s0:c0 + e0] = 1.0 / np.sqrt(gamma_eff * gMgb)
+            gMg_all[c0 + s0:c0 + e0] = gMgb
 
     pwald = jstats.pwald_from_beta_se(beta, se)
     beta, se, pwald, _ = finalize_invalid(beta, se, pwald, gMg_all)
@@ -258,7 +302,109 @@ def splmm_grammar_scan(
         "sigma2": null.sigma2,
         "gamma": gamma,
         "nnz_frac": Ks.nnz / (n * n),
-        "n_gamma_markers": len(gammas),
+        "n_gamma_markers": n_markers,
+        "max_component": null.factor.bs.max_comp,
+    }
+    res = ScanResult(
+        sites=pg.sites, af=pg.af, miss=pg.miss, beta=beta, se=se, pwald=pwald,
+        extras=info,
+    )
+    return res, info
+
+
+def splmm_exact_scan(
+    pg: PackedGenotypes,
+    K,
+    y: np.ndarray,
+    covariates: np.ndarray | None = None,
+    cutoff: float = DEFAULT_SPARSE_CUTOFF,
+    block: int = config.DEFAULT_SNP_BLOCK,
+    superblock: int = 1 << 20,
+) -> tuple[ScanResult, dict]:
+    """Exact SparseLMM scan (the ``-splmm-exact`` route).
+
+    Reference semantics (/root/reference/src/stats/splmm.rs:1-9):
+        V = K_sparse + lambda I   (lambda from the null fit, fixed)
+        P = V^-1 - V^-1 X (X'V^-1X)^-1 X'V^-1
+        beta = (g'Py)/(g'Pg);  sigma2 = (y'Py)/(n - p - 1)
+        se = sqrt(sigma2/(g'Pg));  chisq = (beta/se)^2 -> Wald p
+
+    The reference runs one sparse triangular solve per SNP; here
+    ``g'V^-1 g`` is a bucketed block-spectral einsum over SNP blocks on
+    device (models.sparse_spectral) and everything else is two device
+    matmuls per block against precomputed V^-1 y and V^-1 X.
+    """
+    y = np.asarray(y, np.float64).reshape(-1)
+    n = pg.n
+    X = design_matrix(n, covariates)
+    p = X.shape[1]
+    C0 = np.linalg.inv(X.T @ X)
+    proj = lambda v: v - X @ (C0 @ (X.T @ v))
+    n_eff = n - p
+
+    Ks = _coerce_sparse(K, cutoff)
+    null = fit_sparse_null(Ks, proj(y), n_eff)
+    bs = null.factor.bs
+    lbd = null.lbd
+
+    a_y = bs.solve(lbd, y)  # V^-1 y
+    A_X = bs.solve(lbd, X)  # V^-1 X  (n, p)
+    XVX = X.T @ A_X
+    Cv = np.linalg.inv(XVX)  # (X'V^-1X)^-1
+    Xa = X.T @ a_y  # (p,)
+    yPy = float(y @ a_y) - float(Xa @ (Cv @ Xa))
+    df = n - p - 1
+    sigma2 = yPy / max(df, 1)
+
+    quad_fn = bs.device_quad_fn(lbd)
+    Ayd = jnp.asarray(a_y, jnp.float32)
+    AXd = jnp.asarray(A_X, jnp.float32)
+    CvXa = jnp.asarray(Cv @ Xa, jnp.float32)
+    Cvd = jnp.asarray(Cv, jnp.float32)
+
+    @jax.jit
+    def _block(pk, mn):
+        G = decode.decode_centered(pk, mn, dtype=jnp.float32)[:, :n]
+        hp = jax.lax.Precision.HIGHEST
+        t1 = jnp.dot(G, Ayd, precision=hp)  # g'V^-1 y
+        T2 = jnp.dot(G, AXd, precision=hp)  # g'V^-1 X  (B, p)
+        gVg = quad_fn(G)
+        gPg = gVg - jnp.einsum("bp,pq,bq->b", T2, Cvd, T2, precision=hp)
+        gPy = t1 - jnp.dot(T2, CvXa, precision=hp)
+        return gPy.astype(jnp.float64), gPg.astype(jnp.float64)
+
+    m = pg.m
+    block = min(block, m)
+    beta = np.empty(m)
+    se = np.empty(m)
+    gPg_all = np.empty(m)
+    superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
+    sb = max((superblock // block) * block, block)
+    from janusx_tpu.models.scan_common import pad_rows
+
+    for c0 in range(0, m, sb):
+        c1 = min(c0 + sb, m)
+        sub = pg if (c0 == 0 and c1 == m and hasattr(pg, "packed")) else \
+            pg.take_snps(np.arange(c0, c1))
+        packed = decode.pad_packed_cols(sub.packed)
+        for s0, e0 in iter_blocks(c1 - c0, block):
+            pk = pad_rows(packed[s0:e0], block, 0xFF)
+            mn = pad_rows(sub.mean[s0:e0].astype(np.float32), block)
+            gPy, gPg = _block(jnp.asarray(pk), jnp.asarray(mn))
+            gPy = np.asarray(gPy)[: e0 - s0]
+            gPgb = np.asarray(gPg)[: e0 - s0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                beta[c0 + s0:c0 + e0] = gPy / gPgb
+                se[c0 + s0:c0 + e0] = np.sqrt(sigma2 / gPgb)
+            gPg_all[c0 + s0:c0 + e0] = gPgb
+
+    pwald = jstats.pwald_from_beta_se(beta, se)
+    beta, se, pwald, _ = finalize_invalid(beta, se, pwald, gPg_all)
+    info = {
+        "lambda_null": null.lbd,
+        "sigma2": sigma2,
+        "nnz_frac": Ks.nnz / (n * n),
+        "max_component": bs.max_comp,
     }
     res = ScanResult(
         sites=pg.sites, af=pg.af, miss=pg.miss, beta=beta, se=se, pwald=pwald,

@@ -69,6 +69,69 @@ def atomic_save_npy(path: str, arr: np.ndarray) -> None:
     os.replace(tmp, path)
 
 
+def sparse_grm_cache_paths(
+    geno_prefix: str, maf: float, geno: float, cutoff: float, method: int = 1
+):
+    """`.jxgrm` + `.id` cache paths (reference `_ensure_splmm_sparse_grm`
+    cache, workflow_model_packed.py:807; file format spgrm.rs)."""
+    base = os.path.basename(geno_prefix)
+    d = cache_dir_for(geno_prefix)
+    tag = "cGRM" if method != 2 else "sGRM"
+    stem = os.path.join(
+        d,
+        f"{base}.maf{_fmt_qc(maf)}.geno{_fmt_qc(geno)}"
+        f".cut{_fmt_qc(cutoff)}.sp{tag}",
+    )
+    return stem + ".jxgrm", stem + ".id"
+
+
+def load_or_build_sparse_grm(
+    geno_prefix: str,
+    pg,
+    maf: float,
+    geno: float,
+    cutoff: float,
+    method: int = 1,
+    block: int | None = None,
+    use_cache: bool = True,
+):
+    """Thresholded sparse GRM with a `.jxgrm`+`.id` cache — the dense n²
+    matrix is never formed (band-streamed builder, models.splmm)."""
+    from janusx_tpu import config as _cfg
+    from janusx_tpu.io.jxgrm import read_jxgrm, write_jxgrm
+    from janusx_tpu.models.splmm import build_sparse_grm
+
+    jxgrm_path, id_path = sparse_grm_cache_paths(
+        geno_prefix, maf, geno, cutoff, method
+    )
+    ids = [str(s) for s in pg.samples]
+    if use_cache and os.path.exists(jxgrm_path) and os.path.exists(id_path):
+        cached_ids = [l.split()[0] for l in open(id_path) if l.strip()]
+        if cached_ids == ids:
+            try:
+                K = read_jxgrm(jxgrm_path)
+                if K.shape == (len(ids), len(ids)):
+                    log.info("sparse GRM cache hit: %s", jxgrm_path)
+                    return K
+            except Exception:
+                pass
+        log.info("sparse GRM cache stale (ids changed): %s", jxgrm_path)
+    K = build_sparse_grm(
+        pg, cutoff=cutoff, method=method, block=block or _cfg.DEFAULT_SNP_BLOCK
+    )
+    if use_cache:
+        try:
+            write_jxgrm(jxgrm_path, K)
+            tmp = id_path + ".tmp"
+            with open(tmp, "wt") as fh:
+                fh.write("\n".join(ids) + "\n")
+            os.replace(tmp, id_path)
+            log.info("sparse GRM cached: %s", jxgrm_path)
+        except OSError as e:
+            log.warning("sparse GRM cache write failed: %s", e)
+    return K.tocsc()
+
+
 def load_or_build_grm(
     geno_prefix: str,
     pg,

@@ -135,17 +135,33 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
     )
 
     # GRM on all genotyped samples with full-set QC (reference:
-    # load_or_build_grm_with_cache, workflow.py:3123)
-    from janusx_tpu.utils.cache import load_or_build_grm
+    # load_or_build_grm_with_cache, workflow.py:3123). Sparse-only model
+    # sets (-splmm/-splmm-exact) skip the dense n^2 GRM entirely and build
+    # the thresholded sparse GRM band-streamed with a .jxgrm cache
+    # (reference _ensure_splmm_sparse_grm, workflow_model_packed.py:807).
+    from janusx_tpu.utils.cache import load_or_build_grm, load_or_build_sparse_grm
 
     from janusx_tpu.utils.progress import stage
 
     with stage("QC/pack (full sample set)", log):
         pg_full = raw.prepare(qc)
-    K = load_or_build_grm(
-        cfg.genotype, pg_full, cfg.maf, cfg.geno, method=cfg.grm_method,
-        block=cfg.block, use_cache=cfg.use_cache, mesh=mesh,
+    need_sparse = any(m in ("splmm", "splmm-exact") for m in cfg.models)
+    need_dense = cfg.n_pcs > 0 or any(
+        m in ("lmm", "lmm2", "fvlmm", "fvlmm2") for m in cfg.models
     )
+    K = None
+    Ksp = None
+    if need_dense:
+        K = load_or_build_grm(
+            cfg.genotype, pg_full, cfg.maf, cfg.geno, method=cfg.grm_method,
+            block=cfg.block, use_cache=cfg.use_cache, mesh=mesh,
+        )
+    if need_sparse:
+        with stage("sparse GRM (band-streamed)", log):
+            Ksp = load_or_build_sparse_grm(
+                cfg.genotype, pg_full, cfg.maf, cfg.geno, cfg.splmm_cutoff,
+                method=cfg.grm_method, block=cfg.block, use_cache=cfg.use_cache,
+            )
 
     pcs_full = None
     if cfg.n_pcs > 0:
@@ -220,26 +236,24 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             elif model == "splmm":
                 from janusx_tpu.models.splmm import splmm_grammar_scan
 
-                Ksub = K[np.ix_(keep, keep)]
+                Ksub = Ksp[keep][:, keep].tocsc()
                 res, info = splmm_grammar_scan(
                     pg_t, Ksub, y_t, cov_t, cutoff=cfg.splmm_cutoff,
                     block=cfg.block,
                 )
                 lbd_null = info["lambda_null"]
             elif model == "splmm-exact":
-                # exact fixed-V scan under the THRESHOLDED kinship: spectral
-                # route on the sparsified K (reference splmm.rs exact scan;
-                # identical V, eigh instead of per-SNP sparse solves)
-                from janusx_tpu.models.splmm import sparsify_grm
+                # exact fixed-V scan under the thresholded kinship via
+                # block-spectral per-SNP solves (models.splmm_exact_scan;
+                # reference splmm.rs per-SNP sparse-Cholesky solves)
+                from janusx_tpu.models.splmm import splmm_exact_scan
 
-                Ksp = np.asarray(
-                    sparsify_grm(K[np.ix_(keep, keep)], cfg.splmm_cutoff).todense()
+                Ksub = Ksp[keep][:, keep].tocsc()
+                res, info = splmm_exact_scan(
+                    pg_t, Ksub, y_t, cov_t, cutoff=cfg.splmm_cutoff,
+                    block=cfg.block,
                 )
-                basis_sp = eigh_grm(Ksp, diag_ridge=1e-6)
-                res, null = fvlmm_mod.fvlmm_scan(
-                    pg_t, basis_sp, y_t, cov_t, block=cfg.block
-                )
-                lbd_null = null.lbd
+                lbd_null = info["lambda_null"]
             elif model == "farmcpu":
                 from janusx_tpu.models.farmcpu import farmcpu_scan
 
@@ -274,7 +288,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             if cfg.write_tsv:
                 tag = {
                     "lm": "LM", "lmm": "LMM", "lmm2": "LMM2", "fvlmm": "FvLMM",
-                    "splmm": "SparseLMM", "splmm-exact": "SparseLMM",
+                    "splmm": "SparseLMM", "splmm-exact": "SparseLMM2",
                     "farmcpu": "FarmCPU", "algwas": "ALGWAS",
                     "lm2": "LM2", "fvlmm2": "FvLMM2",
                 }[requested if requested != model and model == "lm" else model]

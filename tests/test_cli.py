@@ -222,7 +222,7 @@ def test_cli_splmm_exact(sim_dataset, tmp_path):
         "-o", str(tmp_path), "-prefix", "sx",
     ])
     assert rc == 0
-    path = str(tmp_path / "sx.trait0.SparseLMM.assoc.tsv")
+    path = str(tmp_path / "sx.trait0.SparseLMM2.assoc.tsv")
     assert os.path.exists(path)
     with open(path) as fh:
         assert fh.readline().startswith("chrom\tpos")

@@ -1,0 +1,272 @@
+"""Sparse biobank path: .jxgrm format, block-spectral solver, exact scan.
+
+Reference analogs: src/stats/spgrm.rs (.jxgrm CSC), src/math/cholesky.rs
+(sparse factorization), src/stats/splmm.rs (exact scan)."""
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+from janusx_tpu.io.jxgrm import jxgrm_n_samples, read_jxgrm, write_jxgrm
+from janusx_tpu.models.sparse_spectral import BlockSpectralK, profiled_null_fit
+
+
+def _family_sparse_k(n, rng, fam=8, rel=0.3):
+    """Symmetric PSD-ish sparse kinship with family blocks + singletons."""
+    K = scipy.sparse.lil_matrix((n, n))
+    K.setdiag(1.0 + 0.05 * rng.random(n))
+    i = 0
+    while i + fam <= n // 2:
+        sz = int(rng.integers(2, fam + 1))
+        for a in range(i, i + sz):
+            for b in range(a + 1, i + sz):
+                v = rel * rng.random()
+                K[a, b] = v
+                K[b, a] = v
+        i += sz
+    return K.tocsc()
+
+
+def test_jxgrm_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    K = _family_sparse_k(60, rng)
+    path = str(tmp_path / "k.jxgrm")
+    write_jxgrm(path, K)
+    assert jxgrm_n_samples(path) == 60
+    K2 = read_jxgrm(path)
+    np.testing.assert_allclose(K2.toarray(), K.toarray(), atol=0)
+    # header layout: u64 n, u64 nnz, per the reference byte spec
+    raw = open(path, "rb").read()
+    n_hdr = int(np.frombuffer(raw[:8], "<u8")[0])
+    nnz_hdr = int(np.frombuffer(raw[8:16], "<u8")[0])
+    assert n_hdr == 60
+    assert nnz_hdr == scipy.sparse.tril(K).nnz
+    # lower triangle only
+    L = read_jxgrm(path, symmetrize=False)
+    assert (L.tocoo().row >= L.tocoo().col).all()
+
+
+def test_jxgrm_legacy_unpadded_layout(tmp_path):
+    """nnz*4 not divisible by 8 -> padded file; strip the pad to emulate
+    the legacy layout the reference also accepts (cholesky.rs:305-320)."""
+    K = scipy.sparse.csc_matrix(np.array([[1.0, 0.2], [0.2, 1.0]]))
+    path = str(tmp_path / "k.jxgrm")
+    write_jxgrm(path, K)
+    nnz = scipy.sparse.tril(K).nnz
+    assert nnz % 2 == 1  # odd -> 4 pad bytes present
+    raw = open(path, "rb").read()
+    hdr_end = 16 + 3 * 8 + nnz * 4
+    legacy = raw[:hdr_end] + raw[hdr_end + 4:]
+    lp = str(tmp_path / "legacy.jxgrm")
+    open(lp, "wb").write(legacy)
+    K2 = read_jxgrm(lp)
+    np.testing.assert_allclose(K2.toarray(), K.toarray())
+
+
+def test_jxgrm_size_mismatch_rejected(tmp_path):
+    K = scipy.sparse.identity(4, format="csc")
+    path = str(tmp_path / "k.jxgrm")
+    write_jxgrm(path, K)
+    open(path, "ab").write(b"xx")
+    with pytest.raises(ValueError, match="layout"):
+        read_jxgrm(path)
+
+
+class TestBlockSpectral:
+    def setup_method(self):
+        self.rng = np.random.default_rng(42)
+        self.K = _family_sparse_k(97, self.rng)  # odd n, mixed comp sizes
+        self.bs = BlockSpectralK.from_sparse(self.K)
+        self.Kd = self.K.toarray()
+
+    def test_logdet(self):
+        for lbd in (0.01, 1.0, 37.0):
+            expect = np.linalg.slogdet(self.Kd + lbd * np.eye(97))[1]
+            assert self.bs.logdet(lbd) == pytest.approx(expect, rel=1e-10)
+
+    def test_solve_and_quad(self):
+        B = self.rng.normal(size=(97, 3))
+        for lbd in (0.05, 2.0):
+            V = self.Kd + lbd * np.eye(97)
+            expect = np.linalg.solve(V, B)
+            np.testing.assert_allclose(self.bs.solve(lbd, B), expect, rtol=1e-9)
+            np.testing.assert_allclose(
+                self.bs.solve(lbd, B[:, 0]), expect[:, 0], rtol=1e-9
+            )
+            np.testing.assert_allclose(
+                self.bs.quad(lbd, B), np.einsum("nk,nk->k", B, expect), rtol=1e-9
+            )
+
+    def test_device_quad(self):
+        G = self.rng.normal(size=(8, 97)).astype(np.float32)
+        lbd = 0.7
+        V = self.Kd + lbd * np.eye(97)
+        expect = np.einsum("bn,bn->b", G, np.linalg.solve(V, G.T).T)
+        got = np.asarray(self.bs.device_quad_fn(lbd)(G))
+        np.testing.assert_allclose(got, expect, rtol=2e-4)
+
+    def test_null_fit_matches_dense_spectral(self):
+        # profiled fit via block-spectral == brute-force dense version
+        y = self.rng.normal(size=97)
+        n_eff = 95
+        lbd, sigma2, _ = profiled_null_fit(self.bs, y, n_eff, -5.0, 5.0)
+
+        import scipy.optimize
+
+        s, U = np.linalg.eigh(self.Kd)
+        yr2 = (U.T @ y) ** 2
+
+        def nll(lg):
+            l = 10.0 ** lg
+            quad = float(np.sum(yr2 / (s + l)))
+            return 0.5 * (n_eff * np.log(quad) + np.sum(np.log(s + l)))
+
+        ref = scipy.optimize.minimize_scalar(
+            nll, bounds=(-5.0, 5.0), method="bounded",
+            options={"xatol": 1e-6, "maxiter": 100},
+        )
+        assert np.log10(lbd) == pytest.approx(float(ref.x), abs=1e-3)
+
+
+@pytest.fixture(scope="module")
+def geno_problem():
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io.packed import QcParams, pack_genotypes
+    from janusx_tpu.models.grm import grm_from_packed
+
+    rng = np.random.default_rng(7)
+    m, n = 400, 150
+    p = rng.uniform(0.05, 0.5, size=m)
+    g = rng.binomial(2, p[:, None], size=(m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(m, dtype=np.int64) + 1,
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    pg = pack_genotypes(gd, QcParams())
+    K = grm_from_packed(pg)
+    y = rng.normal(size=n) + pg.centered()[7] * 0.8
+    return pg, K, y
+
+
+def test_exact_scan_matches_dense_reference(geno_problem):
+    """splmm_exact_scan vs a direct dense implementation of the reference
+    formulas (splmm.rs:1-9) at the SAME lambda."""
+    from janusx_tpu.models.splmm import sparsify_grm, splmm_exact_scan
+
+    pg, K, y = geno_problem
+    n = pg.n
+    cov = np.random.default_rng(1).normal(size=(n, 2))
+    res, info = splmm_exact_scan(pg, K, y, covariates=cov, cutoff=0.05)
+
+    Ks = sparsify_grm(K, 0.05).toarray()
+    V = Ks + info["lambda_null"] * np.eye(n)
+    Vi = np.linalg.inv(V)
+    X = np.concatenate([np.ones((n, 1)), cov], axis=1)
+    P = Vi - Vi @ X @ np.linalg.solve(X.T @ Vi @ X, X.T @ Vi)
+    sigma2 = float(y @ P @ y) / (n - X.shape[1] - 1)
+    G = pg.centered()
+    gPg = np.einsum("kn,nm,km->k", G, P, G)
+    gPy = G @ (P @ y)
+    beta = gPy / gPg
+    se = np.sqrt(sigma2 / gPg)
+    np.testing.assert_allclose(res.beta, beta, rtol=5e-4)
+    np.testing.assert_allclose(res.se, se, rtol=5e-4)
+    assert info["sigma2"] == pytest.approx(sigma2, rel=1e-6)
+    assert np.isfinite(res.pwald).all()
+
+
+def test_grammar_scan_sparse_input_matches_dense_input(geno_problem):
+    from janusx_tpu.models.splmm import sparsify_grm, splmm_grammar_scan
+
+    pg, K, y = geno_problem
+    r_dense, i_dense = splmm_grammar_scan(pg, K, y, cutoff=0.05)
+    r_sparse, i_sparse = splmm_grammar_scan(pg, sparsify_grm(K, 0.05), y)
+    assert i_dense["lambda_null"] == pytest.approx(i_sparse["lambda_null"])
+    np.testing.assert_allclose(r_sparse.beta, r_dense.beta, rtol=1e-9)
+    np.testing.assert_allclose(r_sparse.pwald, r_dense.pwald, rtol=1e-9)
+
+
+def test_workflow_sparse_only_never_builds_dense_grm(geno_problem, tmp_path, monkeypatch):
+    """-splmm/-splmm-exact end-to-end: dense GRM must never be formed;
+    the .jxgrm cache is written and hit on re-run."""
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.gdata import GenotypeData
+    from janusx_tpu.workflows.gwas import GwasConfig, run_gwas
+    import janusx_tpu.models.grm as grm_mod
+    import janusx_tpu.utils.cache as cache_mod
+
+    pg, K, y = geno_problem
+    gd = GenotypeData(
+        np.asarray(pg.dosages(), np.int8), pg.sites, pg.samples
+    )
+    prefix = str(tmp_path / "toy")
+    plink.write_plink_genotypes(prefix, gd)
+    pheno = tmp_path / "t.pheno"
+    with open(pheno, "wt") as fh:
+        fh.write("id\ty\n")
+        for s, v in zip(pg.samples, y):
+            fh.write(f"{s}\t{v:.6f}\n")
+
+    def boom(*a, **k):
+        raise AssertionError("dense GRM built on sparse-only route")
+
+    monkeypatch.setattr(grm_mod, "grm_from_packed", boom)
+    monkeypatch.setattr(cache_mod, "load_or_build_grm", boom)
+    runs = run_gwas(GwasConfig(
+        genotype=prefix + ".bed", phenotype=str(pheno),
+        out_prefix=str(tmp_path / "o"), models=("splmm", "splmm-exact"),
+        force_model=True, n_devices=1,
+    ))
+    assert len(runs) == 2
+    for r in runs:
+        assert np.isfinite(r.result.pwald).all()
+        assert r.lambda_null is not None
+    jx = [f for f in os.listdir(tmp_path) if f.endswith(".jxgrm")]
+    assert len(jx) == 1
+    # cache hit on re-run
+    runs2 = run_gwas(GwasConfig(
+        genotype=prefix + ".bed", phenotype=str(pheno),
+        out_prefix=str(tmp_path / "o2"), models=("splmm",),
+        force_model=True, n_devices=1,
+    ))
+    np.testing.assert_allclose(
+        runs2[0].result.pwald, runs[0].result.pwald, rtol=1e-12
+    )
+
+
+import os
+
+
+def test_build_sparse_grm_windowed_input(tmp_path):
+    """Band-streamed sparse GRM from a disk-backed WindowedPacked matches
+    the in-RAM build exactly."""
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io.packed import QcParams, pack_genotypes
+    from janusx_tpu.io.windowed import WindowedBed
+    from janusx_tpu.models.splmm import build_sparse_grm
+
+    rng = np.random.default_rng(9)
+    m, n = 600, 130
+    p = rng.uniform(0.05, 0.5, size=m)
+    g = rng.binomial(2, p[:, None], size=(m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(m, dtype=np.int64) + 1,
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    prefix = str(tmp_path / "w")
+    plink.write_plink_genotypes(prefix, gd)
+    ram = pack_genotypes(gd, QcParams())
+    wp = WindowedBed(prefix, window=113).prepare(QcParams())
+    wp.max_resident_snps = 128
+    K1 = build_sparse_grm(ram, cutoff=0.05, row_band=64)
+    K2 = build_sparse_grm(wp, cutoff=0.05, row_band=64)
+    np.testing.assert_allclose(K2.toarray(), K1.toarray(), rtol=2e-3, atol=1e-9)
