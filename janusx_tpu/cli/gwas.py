@@ -32,6 +32,7 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
         help="sparse-GRM exact fixed-V scan (spectral route)",
     )
     m.add_argument("-farmcpu", "--farmcpu", action="store_true", help="FarmCPU multi-locus scan")
+    m.add_argument("-frgwas", "--frgwas", action="store_true", help=argparse.SUPPRESS)
     m.add_argument("-algwas", "--algwas", action="store_true", help=argparse.SUPPRESS)
     common.add_qc_args(p)
     o = p.add_argument_group("Model options")
@@ -68,6 +69,8 @@ def main(argv=None) -> int:
         models.append("splmm-exact")
     if args.farmcpu:
         models.append("farmcpu")
+    if args.frgwas:
+        models.append("frgwas")
     if args.algwas:
         models.append("algwas")
     if not models:

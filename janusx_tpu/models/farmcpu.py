@@ -180,8 +180,13 @@ def farmcpu_scan(
 
 
 def _decode_rows(pg: PackedGenotypes, idx: np.ndarray) -> np.ndarray:
-    rows = [pg.centered(int(i), int(i) + 1)[0] for i in idx]
-    return np.asarray(rows) if rows else np.empty((0, pg.n))
+    """Batched centered decode of the requested SNP rows (one take_snps
+    pass — the per-row loop this replaces cost O(q) full decode pipeline
+    invocations per REM scoring round)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    if len(idx) == 0:
+        return np.empty((0, pg.n))
+    return pg.take_snps(idx).centered()
 
 
 def _qtn_pvalues(pg, y, covariates, qtns) -> np.ndarray:
@@ -220,3 +225,197 @@ def _prune_correlated(pg, cand, pvals, r_cut):
         if all(abs(R[i, j]) <= r_cut for j in keep):
             keep.append(i)
     return np.sort(cand[np.array(keep, dtype=np.int64)])
+
+
+# ---------------------------------------------------------------------------
+# Unified route (`-frgwas`): r^2 window merging + seen-set masking + local
+# stage2 re-scans (reference farmcpu.rs:44-68 algorithm doc).
+
+STAGE1_MERGE_R2 = 0.8  # farmcpu.rs:2031
+FINAL_MERGE_R2 = 0.5  # farmcpu.rs:2043
+FINAL_WINDOW_BP = min(WINDOW_SIZES)  # farmcpu_final_window_bp
+
+
+def _find(parent, a):
+    while parent[a] != a:
+        parent[a] = parent[parent[a]]
+        a = parent[a]
+    return a
+
+
+def _merged_groups(
+    pg, qtn_idx: np.ndarray, window_bp: int, r2_thr: float,
+    merge_overlapping: bool,
+) -> list[np.ndarray]:
+    """Union-find groups of QTNs on the same chromosome joined by
+    r^2 >= r2_thr (and, optionally, by +-window_bp overlap) —
+    build_farmcpu_final_windows semantics."""
+    k = len(qtn_idx)
+    if k == 0:
+        return []
+    parent = list(range(k))
+    chrom = pg.sites.chrom[qtn_idx]
+    pos = pg.sites.pos[qtn_idx]
+    Z = _decode_rows(pg, qtn_idx)
+    Zs = Z - Z.mean(axis=1, keepdims=True)
+    norms = np.sqrt((Zs * Zs).sum(axis=1))
+    norms[norms == 0] = 1.0
+    R2 = ((Zs / norms[:, None]) @ (Zs / norms[:, None]).T) ** 2
+    for a in range(k):
+        for b in range(a + 1, k):
+            if chrom[a] != chrom[b]:
+                continue
+            joined = R2[a, b] >= r2_thr
+            if merge_overlapping and not joined:
+                joined = (pos[a] - window_bp <= pos[b] + window_bp) and (
+                    pos[b] - window_bp <= pos[a] + window_bp
+                )
+            if joined:
+                ra, rb = _find(parent, a), _find(parent, b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    groups: dict = {}
+    for j in range(k):
+        groups.setdefault(_find(parent, j), []).append(j)
+    return [np.asarray(g, np.int64) for g in groups.values()]
+
+
+def _merge_qtns(
+    pg, qtn_idx: np.ndarray, scores: dict, window_bp: int, r2_thr: float,
+    merge_overlapping: bool, cap: int,
+) -> np.ndarray:
+    """One best-score representative per merged group, capped at ``cap``
+    (farmcpu_prune_qtn_by_merged_windows)."""
+    if len(qtn_idx) == 0:
+        return qtn_idx
+    reps = []
+    for g in _merged_groups(pg, qtn_idx, window_bp, r2_thr, merge_overlapping):
+        members = qtn_idx[g]
+        sc = np.array([scores.get(int(i), 1.0) for i in members])
+        reps.append((float(sc.min()), int(members[int(np.argmin(sc))])))
+    reps.sort()
+    return np.sort(np.array([i for _, i in reps[:cap]], dtype=np.int64))
+
+
+def farmcpu_unified_scan(
+    pg: PackedGenotypes,
+    y: np.ndarray,
+    covariates: np.ndarray | None = None,
+    p_threshold: float | None = None,
+    qtn_threshold: float = 0.01,
+    max_loops: int = MAX_LOOPS,
+    qtn_cap: int = 150,
+    block: int = config.DEFAULT_SNP_BLOCK,
+) -> FarmcpuResult:
+    """The `-frgwas` unified FarmCPU route (farmcpu.rs:44-68):
+
+    stage1 per loop: FEM scan on the current background; REM grid pick of
+    the lead set FROM UNMASKED markers (every pseudo-QTN ever selected is
+    masked out of later candidate selection); union with the carried set;
+    strict r^2 >= 0.8 merge to one representative per group. Converges on
+    set fixed point / 2-cycle / nothing unmasked passing tau.
+    stage2: relaxed r^2 >= 0.5 + overlapping-window merge, final scan,
+    then per merged window a LOCAL conditional re-scan with that window's
+    QTNs dropped from the background — window rows (incl. the pseudo-QTNs
+    inside) report the local refit statistics."""
+    y = np.asarray(y, np.float64).reshape(-1)
+    m = pg.m
+    if p_threshold is None:
+        p_threshold = 0.01 / m
+
+    chrom_ids = {c: i for i, c in enumerate(dict.fromkeys(pg.sites.chrom))}
+    pos_key = np.array(
+        [chrom_ids[c] * 10_000_000_000 + p for c, p in zip(pg.sites.chrom, pg.sites.pos)],
+        dtype=np.int64,
+    )
+
+    qtns = np.array([], dtype=np.int64)
+    seen: set = set()
+    best_score: dict = {}
+    history = []
+    for loop in range(max_loops):
+        cov = covariates
+        if len(qtns):
+            cov_q = _decode_rows(pg, qtns).T
+            cov = cov_q if cov is None else np.concatenate([cov, cov_q], axis=1)
+        res = lm_scan(pg, y, cov, block=block)
+        femp = res.pwald.copy()
+        if len(qtns):
+            femp[qtns] = _qtn_pvalues(pg, y, covariates, qtns)
+        masked = femp.copy()
+        if seen:
+            masked[np.fromiter(seen, dtype=np.int64)] = 1.0
+        if np.nanmin(masked) >= p_threshold:
+            log.info("frgwas loop %d: no unmasked marker passes tau", loop + 1)
+            break
+
+        best_rem = np.inf
+        opt_lead = np.array([], dtype=np.int64)
+        for win in WINDOW_SIZES:
+            for nb in LEAD_COUNTS:
+                leads = _bin_leads(pos_key, masked, win, nb)
+                leads = leads[masked[leads] < qtn_threshold]
+                if len(leads) == 0:
+                    continue
+                score = _rem_score(_decode_rows(pg, leads), y)
+                if score < best_rem:
+                    best_rem = score
+                    opt_lead = leads
+        union = np.unique(np.concatenate([qtns, opt_lead]))
+        for i in union:
+            s = femp[i] if np.isfinite(femp[i]) else 1.0
+            best_score[int(i)] = min(best_score.get(int(i), 1.0), float(s))
+        nxt = _merge_qtns(
+            pg, union, best_score, FINAL_WINDOW_BP, STAGE1_MERGE_R2,
+            merge_overlapping=False, cap=qtn_cap,
+        )
+        seen.update(int(i) for i in nxt)
+        key = tuple(nxt.tolist())
+        if np.array_equal(nxt, qtns) or key in history:
+            qtns = nxt
+            break
+        history.append(key)
+        qtns = nxt
+        log.info("frgwas loop %d: %d pseudo-QTNs", loop + 1, len(qtns))
+
+    # final relaxed merge (r^2 >= 0.5 + window overlap, farmcpu.rs:58)
+    qtns = _merge_qtns(
+        pg, qtns, best_score, FINAL_WINDOW_BP, FINAL_MERGE_R2,
+        merge_overlapping=True, cap=qtn_cap,
+    )
+
+    cov = covariates
+    if len(qtns):
+        cov_q = _decode_rows(pg, qtns).T
+        cov = cov_q if cov is None else np.concatenate([cov, cov_q], axis=1)
+    final = lm_scan(pg, y, cov, block=block)
+    if len(qtns):
+        final.pwald[qtns] = _qtn_pvalues(pg, y, covariates, qtns)
+        # stage2 merged-window local re-scans
+        groups = _merged_groups(
+            pg, qtns, FINAL_WINDOW_BP, FINAL_MERGE_R2, merge_overlapping=True
+        )
+        for g in groups:
+            members = qtns[g]
+            wchrom = pg.sites.chrom[members[0]]
+            lo = int(pg.sites.pos[members].min()) - FINAL_WINDOW_BP
+            hi = int(pg.sites.pos[members].max()) + FINAL_WINDOW_BP
+            rows = np.nonzero(
+                (pg.sites.chrom == wchrom)
+                & (pg.sites.pos >= lo)
+                & (pg.sites.pos <= hi)
+            )[0]
+            if len(rows) == 0:
+                continue
+            local_bg = np.setdiff1d(qtns, members)
+            cov_l = covariates
+            if len(local_bg):
+                cov_b = _decode_rows(pg, local_bg).T
+                cov_l = cov_b if cov_l is None else np.concatenate(
+                    [cov_l, cov_b], axis=1
+                )
+            res_l = lm_scan(pg.take_snps(rows), y, cov_l, block=block)
+            final.beta[rows] = res_l.beta
+            final.se[rows] = res_l.se
+            final.pwald[rows] = res_l.pwald
+    return FarmcpuResult(result=final, qtns=qtns, loops=loop + 1)

@@ -260,6 +260,12 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 out_f = farmcpu_scan(pg_t, y_t, cov_t, block=cfg.block)
                 res = out_f.result
                 lbd_null = None
+            elif model == "frgwas":
+                from janusx_tpu.models.farmcpu import farmcpu_unified_scan
+
+                out_f = farmcpu_unified_scan(pg_t, y_t, cov_t, block=cfg.block)
+                res = out_f.result
+                lbd_null = None
             elif model == "algwas":
                 from janusx_tpu.models.algwas import algwas_scan
 
@@ -289,7 +295,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 tag = {
                     "lm": "LM", "lmm": "LMM", "lmm2": "LMM2", "fvlmm": "FvLMM",
                     "splmm": "SparseLMM", "splmm-exact": "SparseLMM2",
-                    "farmcpu": "FarmCPU", "algwas": "ALGWAS",
+                    "farmcpu": "FarmCPU", "frgwas": "FarmCPU", "algwas": "ALGWAS",
                     "lm2": "LM2", "fvlmm2": "FvLMM2",
                 }[requested if requested != model and model == "lm" else model]
                 tsv_path = f"{cfg.out_prefix}.{trait}.{tag}.assoc.tsv"
