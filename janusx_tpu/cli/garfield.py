@@ -20,6 +20,12 @@ def build_parser(prog="jx garfield") -> argparse.ArgumentParser:
     o.add_argument("-grm", "--grm-residualize", action="store_true",
                    help="residualize on the GRM (mixed-model residuals)")
     o.add_argument("-seed", "--seed", type=int, default=0)
+    o.add_argument("-binary", "--binary", action="store_true",
+                   help="force binary-trait MCC scoring (auto-detected for 0/1 traits)")
+    o.add_argument("-preselect", "--preselect", type=int, default=0,
+                   help="ML feature pre-selection: keep top-K markers before the beam")
+    o.add_argument("-windows", "--windows", type=float, default=None, metavar="KB",
+                   help="window-restricted scans of this size in kb")
     common.add_out_args(p, default_prefix="garfield")
     return p
 
@@ -48,9 +54,31 @@ def main(argv=None) -> int:
         keep = analysis_sample_index(y)
         pg = raw.prepare(qc, sample_idx=keep)
         K = grm_from_packed(pg) if args.grm_residualize else None
+        ttype = "binary" if args.binary else "auto"
+        if args.windows:
+            from janusx_tpu.models.garfield import garfield_window_scan
+
+            wins = garfield_window_scan(
+                pg, y[keep], window_kb=args.windows, K=K, depth=args.depth,
+                beam=args.beam, n_perm=args.perm, seed=args.seed,
+                trait_type=ttype, preselect=args.preselect,
+            )
+            path = f"{prefix}.{trait}.garfield.windows.tsv"
+            with open(path, "wt") as fh:
+                fh.write("chrom\tstart\tend\trule\tdepth\tsupport\tscore\tpperm\n")
+                for c, s, e, r in wins:
+                    for ru, pv in zip(r.rules, r.pvalues):
+                        fh.write(
+                            f"{c}\t{s}\t{e}\t{ru.describe(pg.sites.snp)}\t"
+                            f"{len(ru.snps)}\t{ru.support}\t{ru.score:.6g}\t{pv:.4g}\n"
+                        )
+            outputs.append(path)
+            print(f"{trait}\t{len(wins)} windows\t{path}")
+            continue
         res = garfield_scan(
             pg, y[keep], K=K, depth=args.depth, beam=args.beam,
-            n_perm=args.perm, seed=args.seed,
+            n_perm=args.perm, seed=args.seed, trait_type=ttype,
+            preselect=args.preselect,
         )
         path = f"{prefix}.{trait}.garfield.tsv"
         write_garfield_tsv(path, res, pg.sites)

@@ -2,21 +2,23 @@
 
 TPU-native re-design of the reference's GARFIELD engine
 (/root/reference/src/garfield/: packed 0/1 homozygote bitsets, AND/XOR
-beam search, correlation/MCC scoring, permutation null calibration, GRM
-residualization — ~38k LoC of Rust/Metal).
+beam search with negation, correlation/MCC scoring, permutation null
+calibration, GRM residualization — ~38k LoC of Rust/Metal).
 
 Redesign: binary SNP features (hom-alt indicators) are rows of a 0/1
-matrix B (m, n). Scoring a rule vector v against the residualized
-phenotype r uses the point-biserial correlation, which needs only
-Σ v_i r_i, Σ v_i and Σ r² — so scoring EVERY AND-extension of a beam seed
-against EVERY marker reduces to two MXU matmuls:
+matrix B (m, n). Scoring every AND/AND-NOT/XOR extension of a beam seed
+against every marker reduces to two MXU matmuls:
 
-    num[s, j]  = (b_s ∘ r) · b_j     -> (S, n) @ (n, m)
+    num[s, j]  = (b_s ∘ t) · b_j     -> (S, n) @ (n, m)
     cnt[s, j]  = b_s · b_j           -> (S, n) @ (n, m)
 
-XOR extensions derive from the same products plus the single-marker
-sums. The beam keeps the top-B rules per depth; significance comes from
-a maxT permutation null (the reference's permutation calibration).
+where t is the centered residual (continuous traits, point-biserial
+corr^2 score) or the 0/1 phenotype (binary traits, MCC^2 score — the
+confusion matrix is fully determined by tp, rule support, case count
+and n). AND-NOT derives from the same products via complements
+(cnt_andn = seed_cnt - cnt_and), XOR from inclusion-exclusion. The beam
+keeps the top-B rules per depth; significance comes from a maxT
+permutation null (the reference's permutation calibration).
 """
 
 from __future__ import annotations
@@ -31,52 +33,69 @@ import numpy as np
 from janusx_tpu.io.packed import PackedGenotypes
 
 _EPS = 1e-9
+_OPS = ("AND", "ANDN", "XOR")
 
 
-@partial(jax.jit, static_argnames=())
-def _extension_scores(Bseed, B, r, r2sum):
-    """Correlation scores of AND/XOR extensions.
+@partial(jax.jit, static_argnames=("mode",))
+def _extension_scores(Bseed, B, t, t2sum, n_real: float, mode: str):
+    """Scores of AND / AND-NOT / XOR extensions for each (seed, marker).
 
     Bseed: (S, n) 0/1 seed rule vectors; B: (m, n) 0/1 marker features;
-    r: (n,) centered residual. Returns (score_and, score_xor, cnt_and).
+    t: (n,) centered residual (mode="corr") or 0/1 phenotype
+    (mode="mcc"). Returns dict op -> ((S, m) score, (S, m) support).
     """
     hp = jax.lax.Precision.HIGHEST
-    n = B.shape[1]
-    br = Bseed * r[None, :]
-    num_and = jnp.dot(br, B.T, precision=hp)  # (S, m): Σ r over AND support
+    bt = Bseed * t[None, :]
+    num_and = jnp.dot(bt, B.T, precision=hp)  # (S, m)
     cnt_and = jnp.dot(Bseed, B.T, precision=hp)  # (S, m)
     seed_cnt = jnp.sum(Bseed, axis=1)[:, None]
-    seed_num = jnp.sum(br, axis=1)[:, None]
+    seed_num = jnp.sum(bt, axis=1)[:, None]
     mark_cnt = jnp.sum(B, axis=1)[None, :]
-    mark_num = jnp.dot(B, r, precision=hp)[None, :]
-    # XOR = seed + marker - 2*AND
-    num_xor = seed_num + mark_num - 2.0 * num_and
-    cnt_xor = seed_cnt + mark_cnt - 2.0 * cnt_and
+    mark_num = jnp.dot(B, t, precision=hp)[None, :]
+    pairs = {
+        "AND": (num_and, cnt_and),
+        "ANDN": (seed_num - num_and, seed_cnt - cnt_and),
+        "XOR": (
+            seed_num + mark_num - 2.0 * num_and,
+            seed_cnt + mark_cnt - 2.0 * cnt_and,
+        ),
+    }
 
-    def corr2(num, cnt):
-        # point-biserial: corr² = num² / (r'r · cnt (1 - cnt/n))
-        p = cnt / n
-        var = cnt * (1.0 - p)
-        return jnp.where(
-            (var > _EPS) & (cnt >= 5) & (cnt <= n - 5),
-            (num * num) / (r2sum * jnp.maximum(var, _EPS)),
-            0.0,
-        )
+    if mode == "corr":
 
-    return corr2(num_and, cnt_and), corr2(num_xor, cnt_xor), cnt_and
+        def score(num, cnt):
+            # point-biserial: corr^2 = num^2 / (t't · cnt (1 - cnt/n))
+            var = cnt * (1.0 - cnt / n_real)
+            return (num * num) / (t2sum * jnp.maximum(var, _EPS))
+
+    else:  # mcc: num = tp, t2sum = #cases
+
+        def score(tp, cnt):
+            fp = cnt - tp
+            fn = t2sum - tp
+            tn = n_real - cnt - fn
+            num = tp * tn - fp * fn
+            den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+            return (num * num) / jnp.maximum(den, _EPS)
+
+    return {
+        op: (score(num, cnt), cnt) for op, (num, cnt) in pairs.items()
+    }
 
 
 @dataclass
 class Rule:
     snps: tuple  # marker indices
-    ops: tuple  # "VAR", then "AND"/"XOR" per extension
-    score: float  # corr^2 with residual
+    ops: tuple  # "VAR"/"NOT", then "AND"/"ANDN"/"XOR" per extension
+    score: float  # corr^2 (continuous) or MCC^2 (binary) vs target
     support: int  # carriers
 
     def describe(self, snp_names) -> str:
-        parts = [str(snp_names[self.snps[0]])]
+        head = str(snp_names[self.snps[0]])
+        parts = [f"NOT {head}" if self.ops[0] == "NOT" else head]
         for op, idx in zip(self.ops[1:], self.snps[1:]):
-            parts.append(f"{op} {snp_names[idx]}")
+            shown = "AND NOT" if op == "ANDN" else op
+            parts.append(f"{shown} {snp_names[idx]}")
         return " ".join(parts)
 
 
@@ -85,6 +104,7 @@ class GarfieldResult:
     rules: list  # Rule, sorted by score desc
     perm_max_scores: np.ndarray  # maxT null distribution
     pvalues: np.ndarray  # empirical p per rule
+    mode: str = "corr"
 
 
 def _residualize(y, covariates, K=None):
@@ -105,55 +125,84 @@ def _residualize(y, covariates, K=None):
     return r - r.mean()
 
 
-def _beam_search(B, r, depth, beam, snp_min_support):
-    m, n = B.shape
-    r = jnp.asarray(r, jnp.float32)
-    r2sum = jnp.dot(r, r, precision=jax.lax.Precision.HIGHEST)
-    Bj = jnp.asarray(B, jnp.float32)
-    # depth-1 scores
-    cnt1 = np.asarray(jnp.sum(Bj, axis=1))
-    num1 = np.asarray(jnp.dot(Bj, r, precision=jax.lax.Precision.HIGHEST))
-    p1 = cnt1 / n
-    var1 = cnt1 * (1 - p1)
+def _single_scores(B, t, t2sum, mode, n):
+    """Depth-1 scores for every marker and its negation."""
+    cnt = B.sum(axis=1).astype(np.float64)
+    num = B @ t
+    t_sum = float(t.sum())
+    # negated literal: support n - cnt, num t_sum - num
+    cnts = np.concatenate([cnt, n - cnt])
+    nums = np.concatenate([num, t_sum - num])
     with np.errstate(divide="ignore", invalid="ignore"):
-        s1 = np.where(
-            (var1 > _EPS) & (cnt1 >= snp_min_support) & (cnt1 <= n - snp_min_support),
-            num1**2 / (float(r2sum) * np.maximum(var1, _EPS)),
-            0.0,
-        )
+        if mode == "corr":
+            var = cnts * (1.0 - cnts / n)
+            s = nums**2 / (t2sum * np.maximum(var, _EPS))
+        else:
+            tp = nums
+            fp = cnts - tp
+            fn = t2sum - tp
+            tn = n - cnts - fn
+            den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+            s = (tp * tn - fp * fn) ** 2 / np.maximum(den, _EPS)
+    return s, cnts
+
+
+def _beam_search(B, t, depth, beam, snp_min_support, mode="corr"):
+    m, n = B.shape
+    t = np.asarray(t, np.float64)
+    t2sum = float(t @ t) if mode == "corr" else float(t.sum())
+    tj = jnp.asarray(t, jnp.float32)
+    Bj = jnp.asarray(B, jnp.float32)
+
+    s1, cnts1 = _single_scores(B, t, t2sum, mode, n)
+    valid = (cnts1 >= snp_min_support) & (cnts1 <= n - snp_min_support)
+    s1 = np.where(valid, s1, 0.0)
     order = np.argsort(s1)[::-1]
-    rules: list[Rule] = [
-        Rule((int(i),), ("VAR",), float(s1[i]), int(cnt1[i]))
-        for i in order[:beam]
+    rules: list[Rule] = []
+    for i in order[:beam]:
+        neg = i >= m
+        j = int(i % m)
+        rules.append(
+            Rule((j,), ("NOT" if neg else "VAR",), float(s1[i]), int(cnts1[i]))
+        )
+    frontier = [
+        (ru, (1 - B[ru.snps[0]] if ru.ops[0] == "NOT" else B[ru.snps[0]]))
+        for ru in rules
     ]
-    frontier = [(ru, B[ru.snps[0]]) for ru in rules]
     all_rules = list(rules)
     for _d in range(1, depth):
         seeds = np.stack([v for _, v in frontier]).astype(np.float32)
-        sa, sx, ca = _extension_scores(jnp.asarray(seeds), Bj, r, r2sum)
-        sa = np.asarray(sa)
-        sx = np.asarray(sx)
-        ca = np.asarray(ca)
+        ext = _extension_scores(
+            jnp.asarray(seeds), Bj, tj, t2sum, float(n), mode
+        )
+        ext = {op: (np.asarray(s), np.asarray(c)) for op, (s, c) in ext.items()}
         cand = []
         for si, (ru, vec) in enumerate(frontier):
-            for op, scores in (("AND", sa[si]), ("XOR", sx[si])):
-                top = np.argsort(scores)[::-1][: max(4, beam // len(frontier))]
+            for op in _OPS:
+                scores, counts = ext[op][0][si], ext[op][1][si]
+                ok = (counts >= snp_min_support) & (counts <= n - snp_min_support)
+                scr = np.where(ok, scores, 0.0)
+                top = np.argsort(scr)[::-1][: max(4, beam // len(frontier))]
                 for j in top:
-                    if int(j) in ru.snps or scores[j] <= ru.score + 1e-9:
+                    if int(j) in ru.snps or scr[j] <= ru.score + 1e-9:
                         continue
-                    cand.append((float(scores[j]), si, int(j), op))
+                    cand.append((float(scr[j]), si, int(j), op))
         cand.sort(reverse=True)
         next_frontier = []
         seen = set()
         for score, si, j, op in cand:
             ru, vec = frontier[si]
-            key = (tuple(sorted(ru.snps + (j,))), op)
+            key = (tuple(sorted(ru.snps + (j,))), op, ru.ops[0])
             if key in seen:
                 continue
             seen.add(key)
-            newvec = (
-                vec & B[j] if op == "AND" else vec ^ B[j]
-            ).astype(np.uint8)
+            if op == "AND":
+                newvec = vec & B[j]
+            elif op == "ANDN":
+                newvec = vec & (1 - B[j])
+            else:
+                newvec = vec ^ B[j]
+            newvec = newvec.astype(np.uint8)
             new_rule = Rule(
                 ru.snps + (j,), ru.ops + (op,), score, int(newvec.sum())
             )
@@ -168,6 +217,39 @@ def _beam_search(B, r, depth, beam, snp_min_support):
     return all_rules
 
 
+def preselect_features(
+    B: np.ndarray, t: np.ndarray, mode: str, top_k: int,
+    pair_sample: int = 2000, seed: int = 0,
+) -> np.ndarray:
+    """ML feature pre-selection (reference src/ml/engine.rs:14-27):
+    univariate scores plus a sampled pairwise-AND interaction screen —
+    keeps markers that score well alone OR inside a sampled AND pair."""
+    m, n = B.shape
+    if m <= top_k:
+        return np.arange(m)
+    t = np.asarray(t, np.float64)
+    t2sum = float(t @ t) if mode == "corr" else float(t.sum())
+    s1, _ = _single_scores(B, t, t2sum, mode, n)
+    uni = np.maximum(s1[:m], s1[m:])  # best of literal / negated literal
+    rng = np.random.default_rng(seed)
+    n_pairs = min(pair_sample, m * (m - 1) // 2)
+    ii = rng.integers(0, m, size=n_pairs)
+    jj = rng.integers(0, m, size=n_pairs)
+    pair_best = np.zeros(m)
+    if n_pairs:
+        ext = _extension_scores(
+            jnp.asarray(B[ii], jnp.float32), jnp.asarray(B[jj], jnp.float32),
+            jnp.asarray(t, jnp.float32), t2sum, float(n), mode,
+        )
+        # diagonal of the (P, P) cross-products = each sampled pair
+        for op in _OPS:
+            d = np.asarray(jnp.diagonal(ext[op][0])).copy()
+            np.maximum.at(pair_best, ii, d)
+            np.maximum.at(pair_best, jj, d)
+    combined = np.maximum(uni, 0.5 * pair_best)
+    return np.sort(np.argsort(combined)[::-1][:top_k])
+
+
 def garfield_scan(
     pg: PackedGenotypes,
     y: np.ndarray,
@@ -179,25 +261,103 @@ def garfield_scan(
     top_rules: int = 50,
     min_support: int = 5,
     seed: int = 0,
+    trait_type: str = "auto",
+    preselect: int = 0,
+    snp_subset: np.ndarray | None = None,
 ) -> GarfieldResult:
-    """Search AND/XOR rules over hom-alt indicators; maxT permutation p."""
-    d = pg.dosages()
-    B = (d == 2).astype(np.uint8)  # hom-alt bitplanes (reference bitsets)
-    r = _residualize(y, covariates, K)
-    rules = _beam_search(B, r, depth, beam, min_support)[:top_rules]
+    """Search AND/AND-NOT/XOR rules over hom-alt indicators.
 
-    # permutation null: max depth-1..depth score under shuffled residuals
+    Continuous traits score by residualized point-biserial corr^2
+    (optionally GRM-residualized via K); binary 0/1 traits score by MCC^2
+    on the raw phenotype (reference beam_search_and_binary_mcc).
+    ``preselect`` > 0 screens markers with the ML feature scorer first;
+    ``snp_subset`` restricts the search to those marker rows (window
+    scans)."""
+    d = pg.dosages()
+    if snp_subset is not None:
+        d = d[np.asarray(snp_subset)]
+    B = (d == 2).astype(np.uint8)  # hom-alt bitplanes (reference bitsets)
+
+    y = np.asarray(y, np.float64).reshape(-1)
+    uniq = np.unique(y[np.isfinite(y)])
+    binary = trait_type == "binary" or (
+        trait_type == "auto" and len(uniq) <= 2 and set(uniq) <= {0.0, 1.0}
+    )
+    if binary:
+        mode = "mcc"
+        t = y.astype(np.float64)
+    else:
+        mode = "corr"
+        t = _residualize(y, covariates, K)
+
+    if preselect and preselect < B.shape[0]:
+        kept = preselect_features(B, t, mode, preselect, seed=seed)
+        B = B[kept]
+    else:
+        kept = None
+
+    rules = _beam_search(B, t, depth, beam, min_support, mode)[:top_rules]
+
+    # permutation null: max score under shuffled target (maxT)
     rng = np.random.default_rng(seed)
     null_max = np.empty(n_perm)
     for p_i in range(n_perm):
-        rp = rng.permutation(r)
-        null_rules = _beam_search(B, rp, depth, max(8, beam // 4), min_support)
+        tp = rng.permutation(t)
+        null_rules = _beam_search(B, tp, depth, max(8, beam // 4), min_support, mode)
         null_max[p_i] = null_rules[0].score if null_rules else 0.0
     scores = np.array([ru.score for ru in rules])
     pvals = np.array(
         [(1 + np.sum(null_max >= s)) / (n_perm + 1) for s in scores]
     )
-    return GarfieldResult(rules=rules, perm_max_scores=null_max, pvalues=pvals)
+    if kept is not None:  # map pre-selection indices back to marker rows
+        rules = [
+            Rule(tuple(int(kept[s]) for s in ru.snps), ru.ops, ru.score, ru.support)
+            for ru in rules
+        ]
+    if snp_subset is not None:
+        sub = np.asarray(snp_subset)
+        rules = [
+            Rule(tuple(int(sub[s]) for s in ru.snps), ru.ops, ru.score, ru.support)
+            for ru in rules
+        ]
+    return GarfieldResult(
+        rules=rules, perm_max_scores=null_max, pvalues=pvals, mode=mode
+    )
+
+
+def garfield_window_scan(
+    pg: PackedGenotypes,
+    y: np.ndarray,
+    window_kb: float = 500.0,
+    step_kb: float | None = None,
+    top_per_window: int = 3,
+    **kw,
+) -> list[tuple[str, int, int, GarfieldResult]]:
+    """Window-restricted rule scans (reference garfield_scan_windows_bin):
+    the rule search runs independently inside each genomic window, so
+    rules stay local (cis-epistasis) and windows parallelize trivially.
+
+    Returns [(chrom, start_bp, end_bp, GarfieldResult), ...]."""
+    win = int(window_kb * 1000)
+    step = int((step_kb or window_kb) * 1000)
+    out = []
+    chroms = pg.sites.chrom
+    pos = pg.sites.pos
+    for c in dict.fromkeys(chroms):
+        on_c = np.nonzero(chroms == c)[0]
+        if len(on_c) == 0:
+            continue
+        lo, hi = int(pos[on_c].min()), int(pos[on_c].max())
+        for start in range(lo, hi + 1, step):
+            end = start + win
+            rows = on_c[(pos[on_c] >= start) & (pos[on_c] < end)]
+            if len(rows) < 2:
+                continue
+            res = garfield_scan(pg, y, snp_subset=rows, **kw)
+            res.rules = res.rules[:top_per_window]
+            res.pvalues = res.pvalues[:top_per_window]
+            out.append((str(c), start, end, res))
+    return out
 
 
 def write_garfield_tsv(path: str, res: GarfieldResult, sites) -> None:

@@ -71,3 +71,120 @@ def test_algwas_selects_causal(epi_problem):
     # stage-2 scan ranks causal markers at top
     top = set(np.argsort(out.result.pwald)[:8].tolist())
     assert sum(1 for c in causal if c in top) >= 2
+
+
+def test_garfield_binary_mcc_finds_interaction(epi_problem):
+    """Binary-trait rule search (MCC scoring, reference
+    beam_search_and_binary_mcc) on a planted epistatic pair."""
+    from janusx_tpu.models.garfield import garfield_scan
+
+    pg, y, rule = epi_problem
+    rng = np.random.default_rng(11)
+    # binary trait: rule carriers are cases with high penetrance + noise
+    yb = ((rule > 0) | (rng.random(pg.n) < 0.05)).astype(float)
+    res = garfield_scan(pg, yb, depth=2, beam=48, n_perm=30, seed=4)
+    assert res.mode == "mcc"
+    found = any(
+        len(ru.snps) == 2 and set(ru.snps) == {10, 40} and "AND" in ru.ops
+        for ru in res.rules[:5]
+    )
+    assert found, [(ru.snps, ru.ops, round(ru.score, 3)) for ru in res.rules[:5]]
+    assert res.pvalues[0] <= 0.05
+
+
+def test_garfield_and_not_rule(epi_problem):
+    """Planted AND-NOT signal: carriers of marker A that are NOT hom-alt
+    at marker B."""
+    from janusx_tpu.models.garfield import garfield_scan
+
+    pg, _, _ = epi_problem
+    rng = np.random.default_rng(12)
+    d = pg.dosages()
+    rule = ((d[20] == 2) & ~(d[60] == 2)).astype(float)
+    y = 2.2 * rule + rng.normal(size=pg.n) * 0.7
+    res = garfield_scan(pg, y, depth=2, beam=48, n_perm=20, seed=5)
+    found = any(
+        set(ru.snps) == {20, 60} and "ANDN" in ru.ops for ru in res.rules[:5]
+    )
+    assert found, [(ru.snps, ru.ops, round(ru.score, 3)) for ru in res.rules[:5]]
+    # description renders the negation
+    top = [ru for ru in res.rules if set(ru.snps) == {20, 60}][0]
+    assert "AND NOT" in top.describe(pg.sites.snp)
+
+
+def test_garfield_window_scan(epi_problem):
+    from janusx_tpu.models.garfield import garfield_window_scan
+
+    pg, y, rule = epi_problem
+    # windows of 100 bp over pos 1..300 -> 3 windows; pair (10, 40) is
+    # inside the first window
+    out = garfield_window_scan(
+        pg, y, window_kb=0.1, depth=2, beam=32, n_perm=10, seed=6
+    )
+    assert len(out) >= 3
+    chrom, start, end, res0 = out[0]
+    assert chrom == "1"
+    for _, s, e, r in out:
+        for ru in r.rules:
+            assert all(s <= pg.sites.pos[i] < e for i in ru.snps)
+    top_sets = [set(r.rules[0].snps) for _, s, e, r in out if r.rules]
+    assert {10, 40} in top_sets
+
+
+def test_garfield_preselect(epi_problem):
+    from janusx_tpu.models.garfield import garfield_scan
+
+    pg, y, rule = epi_problem
+    res = garfield_scan(pg, y, depth=2, beam=48, n_perm=10, seed=7,
+                        preselect=80)
+    found = any(set(ru.snps) == {10, 40} for ru in res.rules[:5])
+    assert found
+
+
+def test_logistic_fit_matches_statsmodels_style():
+    from janusx_tpu.models.logreg import logistic_fit
+
+    rng = np.random.default_rng(3)
+    n = 500
+    x = rng.normal(size=(n, 2))
+    eta = 0.5 + 1.2 * x[:, 0] - 0.7 * x[:, 1]
+    y = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(float)
+    X = np.concatenate([np.ones((n, 1)), x], axis=1)
+    beta, se, ll, conv = logistic_fit(X, y)
+    assert conv
+    assert beta[1] == pytest.approx(1.2, abs=0.35)
+    assert beta[2] == pytest.approx(-0.7, abs=0.3)
+    # compare against scipy optimize of the same loglik
+    import scipy.optimize
+
+    def nll(b):
+        e = np.clip(X @ b, -30, 30)
+        return -(y @ e - np.log1p(np.exp(e)).sum())
+
+    ref = scipy.optimize.minimize(nll, np.zeros(3), method="BFGS").x
+    np.testing.assert_allclose(beta, ref, atol=1e-4)
+
+
+def test_fit_best_and_not_binary():
+    from janusx_tpu.models.logreg import fit_best_and_not
+
+    rng = np.random.default_rng(8)
+    m, n = 30, 600
+    X = (rng.random((m, n)) < 0.4).astype(np.uint8)
+    truth = (X[4] & (1 - X[9])).astype(bool)
+    y = (truth | (rng.random(n) < 0.03)).astype(float)
+    fit = fit_best_and_not(X, y, response="binary", score="loglik")
+    lits = set(fit.literals)
+    assert (4, False) in lits and (9, True) in lits, fit.literals
+    assert "x4" in fit.expression and "!x9" in fit.expression
+
+
+def test_fit_best_and_not_continuous():
+    from janusx_tpu.models.logreg import fit_best_and_not
+
+    rng = np.random.default_rng(9)
+    m, n = 20, 500
+    X = (rng.random((m, n)) < 0.5).astype(np.uint8)
+    y = 3.0 * (X[2] & X[11]) + rng.normal(size=n) * 0.3
+    fit = fit_best_and_not(X, y, response="continuous", score="mse")
+    assert {(2, False), (11, False)} <= set(fit.literals)
