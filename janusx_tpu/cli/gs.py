@@ -42,8 +42,37 @@ def build_parser(prog="jx gs") -> argparse.ArgumentParser:
                    help="export portable .jxmodel.npz marker-effect models")
     o.add_argument("--bayes-iters", type=int, default=400)
     o.add_argument("--bayes-burnin", type=int, default=200)
+    o.add_argument(
+        "-select", "--select", nargs="*", default=None, metavar="TARGET",
+        help="enable the TOP multi-trait bundle: rank candidates toward a "
+        "target profile. No values = best observed value per trait ('max'); "
+        "else one raw-scale value per trait, or a file with one row of "
+        "k values (reference --select)",
+    )
+    o.add_argument("--top-l2", type=float, default=1e-3)
+    o.add_argument("--top-max-iter", type=int, default=50)
     common.add_out_args(p, default_prefix="jxgs")
     return p
+
+
+def _parse_select(tokens):
+    """-select → None | 'max' | list of floats (possibly read from a file)."""
+    if tokens is None:
+        return None
+    if len(tokens) == 0:
+        return "max"
+    if len(tokens) == 1:
+        tok = tokens[0]
+        if tok.lower() == "max":
+            return "max"
+        import os
+
+        if os.path.isfile(tok):
+            import numpy as np
+
+            vals = np.loadtxt(tok, ndmin=2)
+            return [float(v) for v in vals[0]]
+    return [float(t) for t in tokens]
 
 
 def main(argv=None) -> int:
@@ -70,6 +99,9 @@ def main(argv=None) -> int:
         save_models=args.save_model,
         bayes_iters=args.bayes_iters,
         bayes_burnin=args.bayes_burnin,
+        select=_parse_select(args.select),
+        top_l2=args.top_l2,
+        top_max_iter=args.top_max_iter,
     )
     results, summary = run_gs(cfg)
     for trait, per_method in summary["traits"].items():

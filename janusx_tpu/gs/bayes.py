@@ -301,6 +301,7 @@ def bayes_fit_predict(cfg, method, Xml, y, train, test, kf):
     from janusx_tpu.gs.metrics import regression_metrics
 
     fold_metrics = []
+    oof = np.full(len(train), np.nan)
     for fold, (tr_loc, va_loc) in enumerate(kf.split(len(train))):
         t0 = time.monotonic()
         beta, mu = bayes_fit(
@@ -308,6 +309,7 @@ def bayes_fit_predict(cfg, method, Xml, y, train, test, kf):
             cfg.bayes_iters, cfg.bayes_burnin, cfg.bayes_thin, cfg.seed + fold,
         )
         pv = mu + Xml[train[va_loc]] @ beta
+        oof[va_loc] = pv
         mets = regression_metrics(y[train[va_loc]], pv)
         mets.update(fold=fold, elapsed_sec=round(time.monotonic() - t0, 3))
         fold_metrics.append(mets)
@@ -317,5 +319,6 @@ def bayes_fit_predict(cfg, method, Xml, y, train, test, kf):
         cfg.bayes_iters, cfg.bayes_burnin, cfg.bayes_thin, cfg.seed,
     )
     test_pred = mu + Xml[test] @ beta if len(test) else np.empty(0)
-    info = {"fit_seconds": time.monotonic() - t1, "mu": mu, "beta_std": beta}
+    info = {"fit_seconds": time.monotonic() - t1, "mu": mu, "beta_std": beta,
+            "oof_pred": oof}
     return test_pred, fold_metrics, info

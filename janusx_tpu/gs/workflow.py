@@ -62,6 +62,12 @@ class GsConfig:
     bayes_burnin: int = 200
     bayes_thin: int = 1
     save_models: bool = False  # export portable marker-effect .jxmodel.npz
+    # TOP bundle selection: None = off; "max" = rank toward best observed
+    # profile; else a (k,) raw-scale target vector (reference --select,
+    # gs/workflow.py:19811 top_requested)
+    select: object = None
+    top_l2: float = 1e-3
+    top_max_iter: int = 50
 
 
 @dataclass
@@ -74,6 +80,7 @@ class MethodRunResult:
     fit_seconds: float
     cv_seconds: float
     model_info: dict = field(default_factory=dict)
+    oof_pred: np.ndarray | None = None  # out-of-fold CV predictions on train
 
 
 def _dispatch_blup_route(n_train: int, m: int) -> str:
@@ -161,6 +168,11 @@ def run_gs(cfg: GsConfig):
         )
     all_results: dict[str, dict[str, MethodRunResult]] = {}
     summary: dict = {"traits": {}, "methods": list(cfg.methods), "m_snps": m}
+    # per-trait full-length prediction/truth columns for the TOP bundle
+    top_traits: list[str] = []
+    top_pred_cols: list[np.ndarray] = []
+    top_true_cols: list[np.ndarray] = []
+    top_sel_methods: list[str] = []
     for ti, trait in enumerate(ph.traits):
         y = y_all[:, ti]
         train = np.nonzero(np.isfinite(y))[0]
@@ -195,6 +207,17 @@ def run_gs(cfg: GsConfig):
             if np.isfinite(rv) and rv > best_r:
                 best_r, best_method = rv, mm
         summary.setdefault("selected_method", {})[str(trait)] = best_method
+        if best_method is not None:
+            res = trait_res[best_method]
+            col = np.full(pg.n, np.nan)
+            if res.oof_pred is not None:
+                col[train] = res.oof_pred
+            if len(test) and res.test_pred.size == len(test):
+                col[test] = res.test_pred
+            top_traits.append(str(trait))
+            top_pred_cols.append(col)
+            top_true_cols.append(y.copy())
+            top_sel_methods.append(best_method)
         summary["traits"][str(trait)] = {
             mm: {
                 "route": r.route,
@@ -206,6 +229,13 @@ def run_gs(cfg: GsConfig):
             }
             for mm, r in trait_res.items()
         }
+    if cfg.select is not None and len(top_traits) >= 2:
+        _run_top_bundle(
+            cfg, pg.samples, top_traits, np.column_stack(top_true_cols),
+            np.column_stack(top_pred_cols), top_sel_methods, summary,
+        )
+    elif cfg.select is not None:
+        log.warning("TOP bundle needs >=2 traits with results; skipped")
     summary["total_seconds"] = round(time.monotonic() - t_start, 3)
     if cfg.write_outputs:
         with open(f"{cfg.out_prefix}.gs.summary.json", "wt") as fh:
@@ -224,6 +254,7 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
     info: dict = {}
     t0 = time.monotonic()
     fold_metrics = []
+    oof = np.full(len(train), np.nan)
     kf = KFold(cfg.cv, shuffle=True, random_state=cfg.seed)
 
     if method in ("GBLUPd", "GBLUPad"):
@@ -235,6 +266,7 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
             tf = time.monotonic()
             mdl = fit_gblup_kernels(Ks, y, train[tr_loc])
             pv = predict_gblup_kernels(mdl, Ks, train[va_loc])
+            oof[va_loc] = pv
             mets = regression_metrics(y[train[va_loc]], pv)
             mets.update(fold=fold, elapsed_sec=round(time.monotonic() - tf, 3))
             fold_metrics.append(mets)
@@ -253,6 +285,7 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
         for fold, (tr_loc, va_loc) in enumerate(kf.split(len(train))):
             tf = time.monotonic()
             model, (pv,) = _run_kernel_method(K, y, train[tr_loc], [train[va_loc]])
+            oof[va_loc] = pv
             mets = regression_metrics(y[train[va_loc]], pv)
             mets.update(fold=fold, elapsed_sec=round(time.monotonic() - tf, 3),
                         pve=model.pve)
@@ -287,6 +320,7 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
         test_pred, fold_metrics, info = bayes_fit_predict(
             cfg, method, Xml, y, train, test, kf
         )
+        oof = info.pop("oof_pred", oof)
         cv_secs = time.monotonic() - t0
         fit_secs = info.pop("fit_seconds", 0.0)
         if cfg.write_outputs and cfg.save_models and "beta_std" in info:
@@ -308,6 +342,7 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
             mdl = _ml_model(method, cfg.seed)
             mdl.fit(X[train[tr_loc]], y[train[tr_loc]])
             pv = mdl.predict(X[train[va_loc]])
+            oof[va_loc] = pv
             mets = regression_metrics(y[train[va_loc]], pv)
             mets.update(fold=fold, elapsed_sec=round(time.monotonic() - tf, 3))
             fold_metrics.append(mets)
@@ -328,8 +363,112 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
     return MethodRunResult(
         method=method, route=route, fold_metrics=fold_metrics, cv_mean=cv_mean,
         test_pred=np.asarray(test_pred), fit_seconds=fit_secs, cv_seconds=cv_secs,
-        model_info=info,
+        model_info=info, oof_pred=oof,
     )
+
+
+def _run_top_bundle(cfg, samples, traits, y_true, y_pred, sel_methods, summary):
+    """Fit the TOP trait-ordered ranking model from out-of-fold CV
+    predictions and rank candidates toward the selection target.
+
+    Reference flow: gs/workflow.py:23260 (top_fit_model from OOF
+    predictions), weights TSV + .gs.TOP.jxmodel bundle + rank output
+    (src/stats/top.rs listwise objective)."""
+    from janusx_tpu.gs.metrics import regression_metrics
+    from janusx_tpu.gs.top import top_fit, top_rank
+
+    valid = np.isfinite(y_pred).all(axis=1)
+    fit_rows = valid & np.isfinite(y_true).any(axis=1)
+    if fit_rows.sum() < 2:
+        log.warning("TOP: fewer than 2 samples with observed phenotypes; skipped")
+        return
+    if (~valid).sum():
+        log.warning("TOP: dropped %d rows with non-finite predictions",
+                    int((~valid).sum()))
+    model = top_fit(
+        y_true[fit_rows], y_pred[fit_rows], traits=traits,
+        l2=cfg.top_l2, max_iter=cfg.top_max_iter,
+    )
+    log.info("TOP weights: %s (loss=%.4f, %d iters%s)",
+             ", ".join(f"{t}={w:.3f}" for t, w in zip(traits, model.weights)),
+             model.loss, model.n_iter, "" if model.converged else ", NOT converged")
+
+    k = len(traits)
+    rows = []
+    for i, trait in enumerate(traits):
+        obs = np.isfinite(y_true[:, i])
+        both = obs & np.isfinite(y_pred[:, i])
+        mets = (regression_metrics(y_true[both, i], y_pred[both, i])
+                if both.sum() >= 3 else {})
+        rows.append({
+            "trait": trait,
+            "observed_n": int(obs.sum()),
+            "missing_n": int(len(samples) - obs.sum()),
+            "selected_gs_model": sel_methods[i],
+            "weight": float(model.weights[i]),
+            "pearson": float(mets.get("pearson", np.nan)),
+            "spearman": float(mets.get("spearman", np.nan)),
+            "r2": float(mets.get("r2", np.nan)),
+            "warning": "LOW_OBSERVED_N" if 0 < obs.sum() < 20 else "",
+        })
+
+    target = cfg.select
+    if isinstance(target, str) and target != "max":
+        raise ValueError("select target must be 'max' or a k-vector")
+    if not isinstance(target, str):
+        target = np.asarray(target, np.float64).reshape(-1)
+        if target.size != k:
+            raise ValueError(
+                f"select target has {target.size} values, expected {k} "
+                f"(traits: {', '.join(traits)})"
+            )
+    scores = top_rank(model, np.where(valid[:, None], y_pred, 0.0), target)
+    scores = np.where(valid, scores, -np.inf)
+    order = np.argsort(-scores)
+
+    summary["top"] = {
+        "traits": traits,
+        "weights": [float(w) for w in model.weights],
+        "selected_gs_model": dict(zip(traits, sel_methods)),
+        "loss": model.loss,
+        "n_iter": model.n_iter,
+        "converged": model.converged,
+        "target": ("max" if isinstance(target, str) else
+                   [float(v) for v in target]),
+        "n_fit": int(fit_rows.sum()),
+    }
+    if not cfg.write_outputs:
+        return
+    wpath = f"{cfg.out_prefix}.gs.TOP.weights.tsv"
+    cols = list(rows[0].keys())
+    with open(wpath, "wt") as fh:
+        fh.write("\t".join(cols) + "\n")
+        for r in rows:
+            fh.write("\t".join(
+                f"{r[c]:.6g}" if isinstance(r[c], float) else str(r[c])
+                for c in cols) + "\n")
+    rpath = f"{cfg.out_prefix}.gs.TOP.rank.tsv"
+    with open(rpath, "wt") as fh:
+        fh.write("rank\tsample\tscore\t" + "\t".join(
+            f"pred_{t}" for t in traits) + "\n")
+        rank = 0
+        for idx in order:
+            if not np.isfinite(scores[idx]):
+                continue
+            rank += 1
+            preds = "\t".join(f"{y_pred[idx, j]:.4f}" for j in range(k))
+            fh.write(f"{rank}\t{samples[idx]}\t{scores[idx]:.6f}\t{preds}\n")
+    np.savez(
+        f"{cfg.out_prefix}.gs.TOP.jxmodel.npz",
+        method="GS_TOP_BUNDLE",
+        traits=np.asarray(traits),
+        weights=model.weights,
+        true_mean=model.true_mean,
+        true_sd=model.true_sd,
+        selected_models=np.asarray(sel_methods),
+        target=(np.asarray("max") if isinstance(target, str) else target),
+    )
+    log.info("TOP bundle written: %s, %s", wpath, rpath)
 
 
 def _alpha_full(model, n: int) -> np.ndarray:
