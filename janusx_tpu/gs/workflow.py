@@ -181,6 +181,21 @@ def run_gs(cfg: GsConfig):
             log.warning("trait %s: too few training samples, skipped", trait)
             continue
         log.info("trait %s: train=%d test=%d", trait, len(train), len(test))
+        # streamed HE variance-component pre-fit (never forms K; reference
+        # he_pcg_bed VC pre-fit, gs/workflow.py:5980 -> src/stats/he.rs)
+        try:
+            from janusx_tpu.models.he import he_streamed
+
+            he = he_streamed(pg, y, sample_idx=train, probes=16, seed=cfg.seed)
+            log.info("trait %s: HE pre-fit h2=%.3f (vg=%.4g ve=%.4g%s)",
+                     trait, he.h2, he.vg, he.ve,
+                     "" if he.boundary == "interior" else f", {he.boundary}")
+            summary.setdefault("he_prefit", {})[str(trait)] = {
+                "h2": round(he.h2, 4), "vg": he.vg, "ve": he.ve,
+                "boundary": he.boundary,
+            }
+        except Exception as e:  # pre-fit is advisory, never fatal
+            log.warning("trait %s: HE pre-fit failed: %s", trait, e)
         trait_res: dict[str, MethodRunResult] = {}
         for method in cfg.methods:
             res = _run_single_method(
