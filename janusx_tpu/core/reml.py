@@ -600,3 +600,75 @@ def fit_null_reml(
     x, reml, ml = _null_fit_device(rot, low, high, tol, max_iter)
     x = float(x)
     return NullFit(lbd=10.0 ** x, log10_lbd=x, reml=float(reml), ml=float(ml))
+
+
+def fit_null_reml_host(
+    S: np.ndarray,
+    Xr: np.ndarray,
+    yr: np.ndarray,
+    low: float = config.LOG10_LAMBDA_LOW,
+    high: float = config.LOG10_LAMBDA_HIGH,
+    tol: float = config.NULL_BRENT_TOL,
+    max_iter: int = config.NULL_BRENT_MAX_ITER,
+):
+    """Host (numpy/LAPACK) twin of fit_null_reml — same objective, scipy
+    bounded-Brent over log10 λ. Returns (NullFit, beta, vg).
+
+    For small-n covariates-only fits (GS per-fold GBLUP, LMM->LM switch
+    tests) the device path pays one XLA compile per distinct sample count
+    (~20-80 s through the TPU relay) plus dispatch round-trips, while the
+    host evaluation is microseconds; measured on mouse_hs1940 this cuts
+    GBLUP 5-fold CV from ~22 s (cold) / 2.7 s (warm) to ~1.2 s total.
+    Objective mirrors neg_reml_null/ml_null exactly (reference
+    src/stats/reml.rs:255,364,572)."""
+    import scipy.linalg as sla
+    from scipy.optimize import minimize_scalar
+
+    S = np.asarray(S, np.float64).reshape(-1)
+    Xr = np.asarray(Xr, np.float64)
+    yr = np.asarray(yr, np.float64).reshape(-1)
+    n, p = Xr.shape
+    ridge = config.GRAM_RIDGE * np.eye(p)
+
+    def pieces(lg: float):
+        lbd = 10.0 ** lg
+        v = S + lbd
+        if not np.all(v > 0):
+            return None
+        w = 1.0 / v
+        Xw = Xr * w[:, None]
+        M = Xw.T @ Xr
+        rhs = Xw.T @ yr
+        ayy = float((w * yr) @ yr)
+        try:
+            L = sla.cholesky(M + ridge, lower=True)
+        except sla.LinAlgError:
+            return None
+        beta = sla.cho_solve((L, True), rhs)
+        logdetA = 2.0 * float(np.sum(np.log(np.diag(L))))
+        rtwr = float(ayy - 2.0 * beta @ rhs + beta @ (M @ beta))
+        logdetV = float(np.sum(np.log(v)))
+        return beta, rtwr, logdetV, logdetA
+
+    def neg_reml(lg: float) -> float:
+        pc = pieces(float(lg))
+        if pc is None:
+            return _BAD
+        _, rtwr, logdetV, logdetA = pc
+        if not np.isfinite(rtwr) or rtwr <= 0:
+            return _BAD
+        c = (n - p) * (math.log(n - p) - 1.0 - math.log(2.0 * math.pi)) / 2.0
+        return -(c - 0.5 * ((n - p) * math.log(rtwr) + logdetV + logdetA))
+
+    res = minimize_scalar(
+        neg_reml, bounds=(low, high), method="bounded",
+        options={"xatol": tol, "maxiter": max_iter},
+    )
+    lg = float(res.x)
+    beta, rtwr, logdetV, _ = pieces(lg)
+    cm = n * (math.log(n) - 1.0 - math.log(2.0 * math.pi)) / 2.0
+    ml = cm - 0.5 * (n * math.log(rtwr) + logdetV)
+    fit = NullFit(
+        lbd=10.0 ** lg, log10_lbd=lg, reml=float(-neg_reml(lg)), ml=float(ml)
+    )
+    return fit, np.asarray(beta, np.float64), float(rtwr / (n - p))

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from janusx_tpu import config
-from janusx_tpu.core.reml import fit_null_reml, make_rotated, null_fit_stats
+from janusx_tpu.core.reml import fit_null_reml_host
 from janusx_tpu.core.spectral import eigh_grm
 from janusx_tpu.io.packed import PackedGenotypes
 from janusx_tpu.ops import decode
@@ -52,20 +52,23 @@ def fit_gblup(
     train_idx: np.ndarray,
     covariates: np.ndarray | None = None,
 ) -> GblupModel:
-    """Fit additive GBLUP on the training subset of a dense GRM."""
+    """Fit additive GBLUP on the training subset of a dense GRM.
+
+    Runs entirely on host (LAPACK eigh + scipy-Brent REML): at GS fold
+    sizes (n <= GBLUP_MAX_N) the device path pays one XLA compile per
+    distinct fold shape plus relay round-trips, dwarfing the O(n^2)
+    algebra — see core.reml.fit_null_reml_host."""
     train_idx = np.asarray(train_idx)
     y_t = np.asarray(y, np.float64).reshape(-1)[train_idx]
     cov_t = None if covariates is None else np.asarray(covariates)[train_idx]
     Ktt = K[np.ix_(train_idx, train_idx)]
     basis = eigh_grm(Ktt, diag_ridge=1e-6)
-    rot = make_rotated(basis, y_t, cov_t)
-    null = fit_null_reml(rot)
-    beta, vg = null_fit_stats(rot, null.log10_lbd)
-    ve = null.lbd * vg
     n_t = len(train_idx)
     X = np.ones((n_t, 1)) if cov_t is None else np.concatenate(
         [np.ones((n_t, 1)), cov_t], axis=1
     )
+    null, beta, vg = fit_null_reml_host(basis.S, basis.U.T @ X, basis.U.T @ y_t)
+    ve = null.lbd * vg
     r = y_t - X @ beta
     w = 1.0 / (basis.S + null.lbd)
     alpha = basis.U @ (w * (basis.U.T @ r))

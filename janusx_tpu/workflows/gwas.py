@@ -25,7 +25,7 @@ import numpy as np
 
 from janusx_tpu import config
 from janusx_tpu.core import stats as jstats
-from janusx_tpu.core.reml import fit_null_reml, make_rotated
+from janusx_tpu.core.reml import fit_null_reml_host
 from janusx_tpu.core.spectral import eigh_grm
 from janusx_tpu.io.gfreader import load_raw_packed
 from janusx_tpu.io.packed import QcParams
@@ -85,12 +85,13 @@ def lmm_to_lm_switch_p(basis, y, covariates) -> float:
     Mirrors the reference exactly (workflow.py:848 +
     src/stats/gwas_unified.rs:121-175): stat = 2*(ML_lmm0 - ML_lm0) with
     ML_lm0 the Gaussian OLS loglik, p = 0.5*chi2_sf_df1(stat) (boundary
-    mixture), switch to LM when p >= 0.05."""
-    rot = make_rotated(basis, y, covariates)
-    null = fit_null_reml(rot)
+    mixture), switch to LM when p >= 0.05. Uses the host null fit — a
+    covariates-only fit is microseconds on host but costs one XLA compile
+    per distinct sample count on device (core.reml.fit_null_reml_host)."""
     y = np.asarray(y, np.float64).reshape(-1)
     n = len(y)
     X = lm_mod.design_matrix(n, covariates)
+    null, _, _ = fit_null_reml_host(basis.S, basis.U.T @ X, basis.U.T @ y)
     beta, *_ = np.linalg.lstsq(X, y, rcond=None)
     rss = float(np.sum((y - X @ beta) ** 2))
     ml_lm = -0.5 * n * (np.log(2.0 * np.pi * rss / n) + 1.0)
