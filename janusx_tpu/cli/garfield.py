@@ -24,10 +24,63 @@ def build_parser(prog="jx garfield") -> argparse.ArgumentParser:
                    help="force binary-trait MCC scoring (auto-detected for 0/1 traits)")
     o.add_argument("-preselect", "--preselect", type=int, default=0,
                    help="ML feature pre-selection: keep top-K markers before the beam")
+    o.add_argument("-bin", "--bin", type=str, default=None, metavar="PATH",
+                   help="search a BIN01 0/1 feature matrix (k-mer presence) "
+                   "instead of genotype hom-alt indicators")
     o.add_argument("-windows", "--windows", type=float, default=None, metavar="KB",
                    help="window-restricted scans of this size in kb")
     common.add_out_args(p, default_prefix="garfield")
     return p
+
+
+def _main_bin(args, prefix: str) -> int:
+    """Rule search over a BIN01 0/1 feature matrix (k-mer presence bits —
+    reference garfield window/bin scans, src/lib.rs:751-767)."""
+    import numpy as np
+
+    from janusx_tpu.io import bin01
+    from janusx_tpu.io.pheno import load_phenotype
+    from janusx_tpu.models.garfield import garfield_scan_features
+    from janusx_tpu.models.scan_common import analysis_sample_index
+
+    bm = bin01.read_bin01(args.bin)
+    samples = bin01.read_samples(bm.path, bm.n_samples)
+    sites = bm.sites()
+    names = np.array(
+        [
+            (s if isinstance(s, str) else f"{s[0]}:{s[1]}")
+            for s in (sites or [])
+        ]
+        + [f"b{i}" for i in range(len(sites or []), bm.n_rows)],
+        object,
+    )
+    ph = load_phenotype(args.pheno).select(common.parse_traits(args.ncol))
+    y_all, _ = ph.align(samples)
+    dense = bm.dense()
+    for ti, trait in enumerate(ph.traits):
+        y = y_all[:, ti]
+        keep = analysis_sample_index(y)
+        B = dense[:, keep]
+        ttype = "binary" if args.binary else "auto"
+        res = garfield_scan_features(
+            B, y[keep], depth=args.depth, beam=args.beam, n_perm=args.perm,
+            seed=args.seed, trait_type=ttype, preselect=args.preselect,
+        )
+        path = f"{prefix}.{trait}.garfield.bin.tsv"
+        with open(path, "wt") as fh:
+            fh.write("rule\tdepth\tsupport\tscore\tpperm\n")
+            for ru, pv in zip(res.rules, res.pvalues):
+                fh.write(
+                    f"{ru.describe(names)}\t{len(ru.snps)}\t{ru.support}"
+                    f"\t{ru.score:.6g}\t{pv:.4g}\n"
+                )
+        best = res.rules[0] if res.rules else None
+        if best:
+            print(f"{trait}\ttop: {best.describe(names)}\t"
+                  f"score={best.score:.4g}\tp={res.pvalues[0]:.4g}\t{path}")
+        else:
+            print(f"{trait}\tno rules\t{path}")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -44,6 +97,8 @@ def main(argv=None) -> int:
     from janusx_tpu.models.grm import grm_from_packed
     from janusx_tpu.models.scan_common import analysis_sample_index
 
+    if args.bin:
+        return _main_bin(args, prefix)
     raw = load_raw_packed(common.resolve_genotype(args))
     ph = load_phenotype(args.pheno).select(common.parse_traits(args.ncol))
     y_all, _ = ph.align(raw.samples)

@@ -41,6 +41,16 @@ def main(argv=None) -> int:
     return 0
 
 
+def _sample_id(path: str) -> str:
+    """Sample ID from a `jx kmer` output name: strips the .k{K}.npz suffix
+    and any leading out-prefix component ({prefix}.{sid}.k{K}.npz)."""
+    import re
+
+    base = os.path.basename(path)
+    base = re.sub(r"\.k\d+\.npz$", "", base)
+    return base.rsplit(".", 1)[-1]
+
+
 def kmerge_main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jx kmerge",
                                 description="merge per-sample k-mer counts to a presence matrix")
@@ -58,15 +68,23 @@ def kmerge_main(argv=None) -> int:
     k = None
     for path in args.inputs:
         z = np.load(path)
-        sid = os.path.basename(path).split(".")[0]
-        per_sample[sid] = (z["codes"], z["counts"])
+        per_sample[_sample_id(path)] = (z["codes"], z["counts"])
         k = int(z["k"])
     codes, mat, samples = kmer.merge_to_matrix(
         per_sample, min_samples=args.min_samples
     )
     gd = kmer.kmer_matrix_to_genotypes(codes, mat, samples, k)
     plink.write_plink_genotypes(prefix, gd)
-    print(f"{prefix}.bed\t{gd.m} segregating k-mers x {gd.n} samples")
+    # BIN01 interchange matrix (presence bits + 2-bit k-mer sidecar —
+    # reference kmerge emits JXBIN001, src/io/bincore.rs:7-32)
+    from janusx_tpu.io import bin01
+    from janusx_tpu.models.kmer import decode_kmer
+
+    with bin01.Bin01Writer(prefix + ".bin", len(samples), "kmer") as bw:
+        kmers = [decode_kmer(int(c), k) for c in codes]
+        bw.write_rows(mat > 0, kmers)
+    bin01.write_samples(prefix + ".bin", samples)
+    print(f"{prefix}.bed + {prefix}.bin\t{gd.m} segregating k-mers x {gd.n} samples")
     return 0
 
 

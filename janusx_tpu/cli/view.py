@@ -27,6 +27,22 @@ def main(argv=None) -> int:
         for k in z.files:
             print(f"{k}\t{z[k].shape}\t{z[k].dtype}")
         return 0
+    if path.endswith(".bin"):
+        from janusx_tpu.io import bin01
+
+        bm = bin01.read_bin01(path)
+        sites = bm.sites()
+        print(f"BIN01\trows={bm.n_rows}\tsamples={bm.n_samples}")
+        head = min(args.head, bm.n_rows)
+        dense = bm.dense(0, head)
+        for i in range(head):
+            label = ""
+            if sites is not None and i < len(sites):
+                s = sites[i]
+                label = s if isinstance(s, str) else "\t".join(map(str, s))
+            bits = "".join(map(str, dense[i, : min(40, bm.n_samples)]))
+            print(f"{i}\t{label}\t{bits}{'...' if bm.n_samples > 40 else ''}")
+        return 0
     from janusx_tpu.io.gfreader import detect_format, inspect_genotype_file, load_raw_packed
 
     fmt, p = detect_format(path)

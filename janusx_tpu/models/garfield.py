@@ -277,7 +277,33 @@ def garfield_scan(
     if snp_subset is not None:
         d = d[np.asarray(snp_subset)]
     B = (d == 2).astype(np.uint8)  # hom-alt bitplanes (reference bitsets)
+    return garfield_scan_features(
+        B, y, covariates=covariates, K=K, depth=depth, beam=beam,
+        n_perm=n_perm, top_rules=top_rules, min_support=min_support,
+        seed=seed, trait_type=trait_type, preselect=preselect,
+        snp_subset=snp_subset,
+    )
 
+
+def garfield_scan_features(
+    B: np.ndarray,
+    y: np.ndarray,
+    covariates: np.ndarray | None = None,
+    K: np.ndarray | None = None,
+    depth: int = 2,
+    beam: int = 64,
+    n_perm: int = 100,
+    top_rules: int = 50,
+    min_support: int = 5,
+    seed: int = 0,
+    trait_type: str = "auto",
+    preselect: int = 0,
+    snp_subset: np.ndarray | None = None,
+) -> GarfieldResult:
+    """Rule search over an explicit (m, n) 0/1 feature matrix ``B`` —
+    e.g. BIN01 k-mer presence/absence rows (reference
+    garfield_scan_windows_bin_py, src/lib.rs:751-767)."""
+    B = np.asarray(B, np.uint8)
     y = np.asarray(y, np.float64).reshape(-1)
     uniq = np.unique(y[np.isfinite(y)])
     binary = trait_type == "binary" or (
