@@ -51,6 +51,11 @@ def build_parser(prog="jx gs") -> argparse.ArgumentParser:
     )
     o.add_argument("--top-l2", type=float, default=1e-3)
     o.add_argument("--top-max-iter", type=int, default=50)
+    o.add_argument(
+        "-hash", "--hash", nargs="*", default=None, metavar=("DIM", "SEED"),
+        help="signed feature hashing before GS (count-sketch of the marker "
+        "matrix). No values = dim 2048, seed 520 (reference --hash)",
+    )
     common.add_out_args(p, default_prefix="jxgs")
     return p
 
@@ -102,6 +107,10 @@ def main(argv=None) -> int:
         select=_parse_select(args.select),
         top_l2=args.top_l2,
         top_max_iter=args.top_max_iter,
+        hash_dim=(None if args.hash is None else
+                  int(args.hash[0]) if args.hash else 2048),
+        hash_seed=(int(args.hash[1]) if args.hash and len(args.hash) > 1
+                   else 520),
     )
     results, summary = run_gs(cfg)
     for trait, per_method in summary["traits"].items():

@@ -68,6 +68,9 @@ class GsConfig:
     select: object = None
     top_l2: float = 1e-3
     top_max_iter: int = 50
+    # signed feature hashing before GS (reference -hash, dim=2048 seed=520)
+    hash_dim: int | None = None
+    hash_seed: int = 520
 
 
 @dataclass
@@ -144,7 +147,34 @@ def run_gs(cfg: GsConfig):
 
     kernel_methods = ("BLUP", "GBLUP", "rrBLUP", "GBLUPd", "GBLUPad")
     needs_kernel = any(mm in kernel_methods for mm in cfg.methods)
-    K = grm_from_packed(pg, method=1, block=cfg.block) if needs_kernel else None
+    needs_ml = any(mm in ML_METHODS for mm in cfg.methods) or any(
+        mm in BAYES_METHODS for mm in cfg.methods
+    )
+    H = None
+    if cfg.hash_dim:
+        # signed-sketch compression: D-dim hashed features replace the m
+        # markers for every downstream model (reference -hash flow,
+        # gs/workflow.py:17720 _hash_packed_for_gs)
+        from janusx_tpu.models.hashing import signed_hash_features
+
+        H, hscale, hkept = signed_hash_features(
+            pg, n_buckets=cfg.hash_dim, seed=cfg.hash_seed, block=cfg.block
+        )
+        log.info("signed hash: %d SNPs -> %d buckets (scale=%.4g)",
+                 hkept, cfg.hash_dim, hscale)
+        summary_hash = {"dim": cfg.hash_dim, "seed": cfg.hash_seed,
+                        "kept_snps": hkept, "scale": hscale}
+        if any(mm in ("GBLUPd", "GBLUPad") for mm in cfg.methods):
+            raise ValueError("-hash does not support dominance kernels")
+        if cfg.export_effects or cfg.save_models:
+            log.warning("-hash: marker effects are not back-projectable "
+                        "from hashed features; effect export disabled")
+            cfg.export_effects = cfg.save_models = False
+    K = None
+    if needs_kernel:
+        K = (H @ H.T).astype(np.float64) if H is not None else grm_from_packed(
+            pg, method=1, block=cfg.block
+        )
     Kd = (
         grm_from_packed(pg, method=3, block=cfg.block)
         if any(mm in ("GBLUPd", "GBLUPad") for mm in cfg.methods)
@@ -153,14 +183,15 @@ def run_gs(cfg: GsConfig):
     denom = grm_denominator(pg, method=1)
 
     Xml = None
-    if any(mm in ML_METHODS for mm in cfg.methods) or any(
-        mm in BAYES_METHODS for mm in cfg.methods
-    ):
-        # sample-major STANDARDIZED matrix (reference Bayes convention:
-        # standardized additive Z, src/stats/bayes.rs:3-5)
-        var = 2.0 * pg.af * (1.0 - pg.af)
-        inv_sd = np.where(var > 0, 1.0 / np.sqrt(var), 0.0)
-        Xml = (pg.centered() * inv_sd[:, None]).T.astype(np.float32)  # (n, m)
+    if needs_ml:
+        if H is not None:
+            Xml = H
+        else:
+            # sample-major STANDARDIZED matrix (reference Bayes convention:
+            # standardized additive Z, src/stats/bayes.rs:3-5)
+            var = 2.0 * pg.af * (1.0 - pg.af)
+            inv_sd = np.where(var > 0, 1.0 / np.sqrt(var), 0.0)
+            Xml = (pg.centered() * inv_sd[:, None]).T.astype(np.float32)  # (n, m)
 
     if cfg.write_outputs:
         os.makedirs(
@@ -168,6 +199,8 @@ def run_gs(cfg: GsConfig):
         )
     all_results: dict[str, dict[str, MethodRunResult]] = {}
     summary: dict = {"traits": {}, "methods": list(cfg.methods), "m_snps": m}
+    if cfg.hash_dim:
+        summary["hash"] = summary_hash
     # per-trait full-length prediction/truth columns for the TOP bundle
     top_traits: list[str] = []
     top_pred_cols: list[np.ndarray] = []
