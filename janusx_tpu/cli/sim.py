@@ -19,6 +19,28 @@ def build_parser(prog="jx sim") -> argparse.ArgumentParser:
     g.add_argument("-miss", "--miss", type=float, default=0.0, help="missing rate")
     g.add_argument("-maf-low", "--maf-low", type=float, default=0.05)
     g.add_argument("-seed", "--seed", type=int, default=0)
+    s = p.add_argument_group("Structure & architecture (g2p)")
+    s.add_argument("-structure", "--structure", type=str, default="unrelated",
+                   choices=["unrelated", "family", "mixed"],
+                   help="population layout (families = 2 parents + offspring)")
+    s.add_argument("-family-size", "--family-size", type=int, default=5)
+    s.add_argument("-family-frac", "--family-frac", type=float, default=0.5,
+                   help="fraction of samples in families (mixed mode)")
+    s.add_argument("-effect-model", "--effect-model", type=str, default="random",
+                   choices=["random", "equal", "geometric"])
+    s.add_argument("-effect-dist", "--effect-dist", type=str, default="normal",
+                   choices=["normal", "gamma", "laplace"])
+    s.add_argument("-dom-pve", "--dom-pve", type=float, default=0.0,
+                   help="dominance-deviation share of h2")
+    s.add_argument("-epi-pairs", "--epi-pairs", type=int, default=0,
+                   help="number of epistatic logic-gate pairs")
+    s.add_argument("-epi-pve", "--epi-pve", type=float, default=0.0,
+                   help="epistasis share of h2")
+    s.add_argument("-gate", "--gate", type=str, default="A",
+                   choices=["A", "NA", "AN", "NAN", "X"],
+                   help="logic gate over hom-alt indicators")
+    s.add_argument("-bg-pve", "--bg-pve", type=float, default=0.0,
+                   help="polygenic-background share of h2")
     common.add_out_args(p, default_prefix="sim")
     return p
 
@@ -37,18 +59,40 @@ def main(argv=None) -> int:
 
     gd = simulate_genotypes(
         args.nind, args.nsnp, maf_low=args.maf_low, missing_rate=args.miss,
-        n_chrom=args.nchr, seed=args.seed,
+        n_chrom=args.nchr, seed=args.seed, structure=args.structure,
+        family_size=args.family_size, family_frac=args.family_frac,
     )
     sim = simulate_phenotype(
-        gd, n_qtl=args.nqtl, h2=args.h2, n_traits=args.ntrait, seed=args.seed
+        gd, n_qtl=args.nqtl, h2=args.h2, n_traits=args.ntrait, seed=args.seed,
+        effect_dist=args.effect_dist, effect_model=args.effect_model,
+        dominance_pve=args.dom_pve, epistasis_pairs=args.epi_pairs,
+        epistasis_pve=args.epi_pve, epistasis_gate=args.gate,
+        bg_pve=args.bg_pve,
     )
     plink.write_plink_genotypes(prefix, gd)
     write_pheno(prefix + ".pheno", gd.samples, sim.phenotypes)
     with open(prefix + ".qtl.tsv", "wt") as fh:
-        fh.write("snp\tchrom\tpos\teffect\n")
-        for i, e in zip(sim.qtl_idx, sim.qtl_effects):
+        fh.write("snp\tchrom\tpos\teffect\tkind\n")
+        for k, (i, e) in enumerate(zip(sim.qtl_idx, sim.qtl_effects)):
             fh.write(
-                f"{gd.sites.snp[i]}\t{gd.sites.chrom[i]}\t{gd.sites.pos[i]}\t{e:.6g}\n"
+                f"{gd.sites.snp[i]}\t{gd.sites.chrom[i]}\t{gd.sites.pos[i]}"
+                f"\t{e:.6g}\tadditive\n"
             )
+            if sim.dom_effects is not None:
+                fh.write(
+                    f"{gd.sites.snp[i]}\t{gd.sites.chrom[i]}\t"
+                    f"{gd.sites.pos[i]}\t{sim.dom_effects[k]:.6g}\tdominance\n"
+                )
+        for i, j, gate, e in sim.epi_pairs:
+            fh.write(
+                f"{gd.sites.snp[i]}*{gd.sites.snp[j]}\t{gd.sites.chrom[i]}\t"
+                f"{gd.sites.pos[i]}\t{e:.6g}\tepistasis[{gate}]\n"
+            )
+    if sim.components:
+        import json
+
+        with open(prefix + ".sim.json", "wt") as fh:
+            json.dump({"components": sim.components,
+                       "structure": args.structure}, fh, indent=2)
     print(f"{prefix}.bed/.bim/.fam\t{prefix}.pheno\t{prefix}.qtl.tsv")
     return 0

@@ -1,14 +1,20 @@
-"""Genotype + phenotype simulation (``jx sim``).
+"""Genotype + phenotype simulation (``jx sim`` / g2p).
 
 Replaces the reference's SimEngine / g2p_simulate
 (/root/reference/src/io/sim.rs, src/sim/g2p.rs): HWE genotype draws with
-uniform allele-frequency spectrum, optional missingness, then an additive
-QTL phenotype with a target heritability (PVE).
+uniform allele-frequency spectrum, optional family structure
+(unrelated/family/mixed layouts, g2p.rs:85 _build_family_layout with
+parent-pair meiosis offspring), then a phenotype composed of additive QTL
+effects (equal/geometric models, g2p.rs CausalEffectModel), dominance
+deviations, epistatic logic gates over hom-alt indicators
+(A/NA/AN/NAN/X modes, g2p.rs LogicGateMode), and a polygenic background
+term with normal/gamma/laplace effect distributions
+(g2p.rs BackgroundDist), mixed to a target PVE split.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -21,6 +27,17 @@ class SimResult:
     phenotypes: np.ndarray  # (n, n_traits)
     qtl_idx: np.ndarray
     qtl_effects: np.ndarray
+    dom_effects: np.ndarray | None = None
+    epi_pairs: list = field(default_factory=list)  # [(i, j, gate, effect)]
+    components: dict = field(default_factory=dict)  # realized variance shares
+
+
+def _family_offspring(rng, parent_a: np.ndarray, parent_b: np.ndarray):
+    """One meiosis child per SNP: draw one allele from each parent's two
+    (dosage k -> allele Bernoulli(k/2)) — g2p.rs family offspring model."""
+    a1 = rng.random(parent_a.shape) < parent_a / 2.0
+    a2 = rng.random(parent_b.shape) < parent_b / 2.0
+    return (a1.astype(np.int8) + a2.astype(np.int8))
 
 
 def simulate_genotypes(
@@ -31,10 +48,44 @@ def simulate_genotypes(
     missing_rate: float = 0.0,
     n_chrom: int = 5,
     seed: int = 0,
+    structure: str = "unrelated",  # unrelated | family | mixed
+    family_size: int = 5,
+    family_frac: float = 0.5,
 ) -> GenotypeData:
+    """HWE draws; with ``structure`` != unrelated, a fraction of samples
+    form nuclear families (2 founder parents + family_size-2 offspring
+    from meiosis) — mirrors g2p.rs:85-119 layout rules."""
+    if structure not in ("unrelated", "family", "mixed"):
+        raise ValueError("structure must be unrelated|family|mixed")
+    if structure != "unrelated" and family_size < 3:
+        raise ValueError("family_size must be >= 3 (two parents + children)")
     rng = np.random.default_rng(seed)
     p = rng.uniform(maf_low, maf_high, size=n_snps)
-    g = rng.binomial(2, p[:, None], size=(n_snps, n_samples)).astype(np.int8)
+    if structure == "unrelated":
+        n_fam_samples = 0
+    elif structure == "family":
+        n_fam_samples = n_samples
+    else:
+        n_fam_samples = int(round(n_samples * min(max(family_frac, 0.0), 1.0)))
+    n_fam_samples = (n_fam_samples // family_size) * family_size
+    n_families = n_fam_samples // family_size
+    n_founder = n_samples - n_fam_samples + 2 * n_families
+    founders = rng.binomial(2, p[:, None], size=(n_snps, n_founder)).astype(
+        np.int8
+    )
+    if n_families == 0:
+        g = founders
+    else:
+        cols = [founders[:, 2 * n_families:]]  # unrelated block last
+        fam_cols = []
+        for f in range(n_families):
+            pa = founders[:, 2 * f].astype(np.float64)
+            pb = founders[:, 2 * f + 1].astype(np.float64)
+            fam_cols.append(founders[:, 2 * f])
+            fam_cols.append(founders[:, 2 * f + 1])
+            for _ in range(family_size - 2):
+                fam_cols.append(_family_offspring(rng, pa, pb))
+        g = np.column_stack(fam_cols + cols).astype(np.int8)
     if missing_rate > 0:
         g[rng.random(g.shape) < missing_rate] = -1
     chrom = np.array(
@@ -57,32 +108,119 @@ def simulate_genotypes(
     return GenotypeData(g, sites, samples)
 
 
+_GATES = ("A", "NA", "AN", "NAN", "X")
+
+
+def _gate_value(gate: str, bi: np.ndarray, bj: np.ndarray) -> np.ndarray:
+    """Logic-gate term over hom-alt indicators (g2p.rs LogicGateMode):
+    A = i AND j, NA = NOT i AND j, AN = i AND NOT j, NAN = NOT i AND NOT j,
+    X = i XOR j."""
+    if gate == "A":
+        return bi & bj
+    if gate == "NA":
+        return (1 - bi) & bj
+    if gate == "AN":
+        return bi & (1 - bj)
+    if gate == "NAN":
+        return (1 - bi) & (1 - bj)
+    if gate == "X":
+        return bi ^ bj
+    raise ValueError(f"unknown logic gate {gate} (choose from {_GATES})")
+
+
+def _scaled(term: np.ndarray, target_var: float) -> np.ndarray:
+    v = np.var(term)
+    if v <= 0 or target_var <= 0:
+        return np.zeros_like(term)
+    return term * np.sqrt(target_var / v)
+
+
 def simulate_phenotype(
     gdata: GenotypeData,
     n_qtl: int = 50,
     h2: float = 0.5,
     n_traits: int = 1,
-    effect_dist: str = "normal",  # "normal" | "gamma"
+    effect_dist: str = "normal",  # "normal" | "gamma" | "laplace"
+    effect_model: str = "random",  # "random" | "equal" | "geometric"
+    dominance_pve: float = 0.0,
+    epistasis_pairs: int = 0,
+    epistasis_pve: float = 0.0,
+    epistasis_gate: str = "A",
+    bg_pve: float = 0.0,
     seed: int = 0,
 ) -> SimResult:
+    """Phenotype = additive QTL + dominance deviations + epistatic logic
+    gates + polygenic background + noise; ``h2`` is the total genetic PVE
+    and the component PVEs partition it (additive takes the remainder).
+
+    Mirrors the reference g2p composition (src/sim/g2p.rs: causal sets
+    with Equal/Geometric effect models, LogicGateMode epistasis terms,
+    BackgroundDist polygenic term, PVE mixing)."""
+    if dominance_pve + epistasis_pve + bg_pve > h2 + 1e-12:
+        raise ValueError("component PVEs exceed total h2")
     rng = np.random.default_rng(seed + 1)
     g = gdata.genotypes.astype(np.float64)
     g[gdata.genotypes < 0] = np.nan
     means = np.nanmean(g, axis=1)
     gc = np.nan_to_num(g - means[:, None])
-    phenos = np.empty((gdata.n, n_traits))
+    n = gdata.n
+    phenos = np.empty((n, n_traits))
     qtl_idx = np.sort(rng.choice(gdata.m, size=min(n_qtl, gdata.m), replace=False))
-    if effect_dist == "gamma":
-        eff = rng.gamma(0.4, 1.0, size=len(qtl_idx)) * rng.choice([-1, 1], len(qtl_idx))
+    q = len(qtl_idx)
+    if effect_model == "equal":
+        eff = rng.choice([-1.0, 1.0], q)
+    elif effect_model == "geometric":
+        eff = 0.9 ** np.arange(q) * rng.choice([-1.0, 1.0], q)
+    elif effect_dist == "gamma":
+        eff = rng.gamma(0.4, 1.0, size=q) * rng.choice([-1, 1], q)
+    elif effect_dist == "laplace":
+        eff = rng.laplace(size=q)
     else:
-        eff = rng.normal(size=len(qtl_idx))
-    gv = gc[qtl_idx].T @ eff
+        eff = rng.normal(size=q)
+
+    add_pve = h2 - dominance_pve - epistasis_pve - bg_pve
+    gv = _scaled(gc[qtl_idx].T @ eff, add_pve)
+
+    dom_eff = None
+    if dominance_pve > 0:
+        het = np.nan_to_num((g[qtl_idx] == 1).astype(np.float64))
+        het -= het.mean(axis=1, keepdims=True)
+        dom_eff = rng.normal(size=q)
+        gv = gv + _scaled(het.T @ dom_eff, dominance_pve)
+
+    epi_pairs: list = []
+    if epistasis_pairs > 0 and epistasis_pve > 0:
+        hom = np.nan_to_num((g == 2).astype(np.int8))
+        cand = rng.choice(gdata.m, size=2 * epistasis_pairs, replace=False)
+        terms = []
+        for k in range(epistasis_pairs):
+            i, j = int(cand[2 * k]), int(cand[2 * k + 1])
+            e = rng.normal()
+            term = _gate_value(epistasis_gate, hom[i], hom[j]).astype(np.float64)
+            terms.append((term - term.mean()) * e)
+            epi_pairs.append((i, j, epistasis_gate, e))
+        gv = gv + _scaled(np.sum(terms, axis=0), epistasis_pve)
+
+    if bg_pve > 0:
+        if effect_dist == "gamma":
+            beff = rng.gamma(0.4, 1.0, size=gdata.m) * rng.choice([-1, 1], gdata.m)
+        elif effect_dist == "laplace":
+            beff = rng.laplace(size=gdata.m)
+        else:
+            beff = rng.normal(size=gdata.m)
+        gv = gv + _scaled(gc.T @ beff, bg_pve)
+
     vg = np.var(gv)
     ve = vg * (1.0 - h2) / max(h2, 1e-9) if vg > 0 else 1.0
     for t in range(n_traits):
-        phenos[:, t] = gv + rng.normal(size=gdata.n) * np.sqrt(ve)
+        phenos[:, t] = gv + rng.normal(size=n) * np.sqrt(ve)
+    comp = {
+        "additive": add_pve, "dominance": dominance_pve,
+        "epistasis": epistasis_pve, "background": bg_pve, "h2": h2,
+    }
     return SimResult(
-        genotypes=gdata, phenotypes=phenos, qtl_idx=qtl_idx, qtl_effects=eff
+        genotypes=gdata, phenotypes=phenos, qtl_idx=qtl_idx, qtl_effects=eff,
+        dom_effects=dom_eff, epi_pairs=epi_pairs, components=comp,
     )
 
 
