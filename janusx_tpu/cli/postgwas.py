@@ -23,6 +23,17 @@ def build_parser(prog="jx postgwas") -> argparse.ArgumentParser:
                    help="GFF3 file: annotate top hits with overlapping/nearest genes")
     p.add_argument("-ldblock", "--ldblock", type=str, default=None, metavar="CHR:START-END",
                    help="draw an LD r² heatmap for a region (needs a genotype input)")
+    p.add_argument("-region", "--region", type=str, default=None, metavar="CHR:START-END",
+                   help="regional association + gene-model plot (needs -gff)")
+    p.add_argument("-hap", "--hap", type=str, default=None, metavar="CHR:POS[,CHR:POS...]",
+                   help="haplotype phenotype plot at the given SNP position(s) "
+                   "(needs a genotype input and -p)")
+    p.add_argument("-p", "--pheno", type=str, default=None,
+                   help="phenotype file (for -hap)")
+    p.add_argument("-n", "--ncol", type=str, default=None,
+                   help="trait selector for -hap")
+    p.add_argument("-hap-mode", "--hap-mode", type=str, default="continuous",
+                   choices=["continuous", "binomial"])
     from janusx_tpu.cli.common import add_genotype_args
 
     g = add_genotype_args(p, required=False)
@@ -117,4 +128,62 @@ def main(argv=None) -> int:
         path = f"{prefix}.ldblock.{chrom}_{lo}_{hi}.png"
         ld_heatmap(r * r, path, title=f"{chrom}:{lo}-{hi} ({len(sel)} SNPs)")
         print(path)
+    if args.region:
+        if not args.gff:
+            raise SystemExit("-region needs -gff for the gene-model track")
+        import numpy as np
+
+        from janusx_tpu.plots.geneplot import gene_model_plot
+
+        chrom, span = args.region.split(":")
+        lo, hi = (int(x) for x in span.split("-"))
+        assoc = None
+        if paths:
+            df = _read_assoc(paths[0], args.pcol)
+            sub = df[(df["chrom"].astype(str) == chrom)
+                     & (df["pos"] >= lo) & (df["pos"] <= hi)]
+            if len(sub):
+                assoc = (sub["pos"].to_numpy(),
+                         -np.log10(np.maximum(sub[args.pcol].to_numpy(), 1e-300)))
+        path = f"{prefix}.region.{chrom}_{lo}_{hi}.png"
+        ngenes = gene_model_plot(
+            args.gff, chrom, lo, hi, path, assoc=assoc,
+            sig_line=args.sig, title=f"{chrom}:{lo}-{hi}",
+        )
+        print(f"{path}\t{ngenes} gene models")
+    if args.hap:
+        import numpy as np
+
+        from janusx_tpu.io.gfreader import load_raw_packed
+        from janusx_tpu.io.packed import QcParams
+        from janusx_tpu.io.pheno import load_phenotype
+        from janusx_tpu.plots.haplotype import haplotype_groups, plot_haplotype
+
+        geno = next(
+            (v for v in (args.bfile, args.vcf, args.hmp, args.file) if v), None
+        )
+        if geno is None or not args.pheno:
+            raise SystemExit("-hap needs a genotype input and -p phenotype")
+        raw = load_raw_packed(geno)
+        pg = raw.prepare(QcParams(maf=0.0, geno=1.0))
+        targets = []
+        for tok in args.hap.split(","):
+            chrom, pos = tok.split(":")
+            hit = np.nonzero((pg.sites.chrom.astype(str) == chrom)
+                             & (pg.sites.pos == int(pos)))[0]
+            if not len(hit):
+                raise SystemExit(f"-hap: no marker at {tok}")
+            targets.append(int(hit[0]))
+        sub = pg.take_snps(np.asarray(targets))
+        alleles = list(zip(sub.sites.allele0, sub.sites.allele1))
+        groups = haplotype_groups(sub.dosages(), alleles=alleles)
+        ph = load_phenotype(args.pheno).select(common.parse_traits(args.ncol))
+        y_all, _ = ph.align(pg.samples)
+        for ti, trait in enumerate(ph.traits):
+            path = f"{prefix}.hap.{trait}.png"
+            res = plot_haplotype(
+                y_all[:, ti], groups, path, mode=args.hap_mode,
+                title=f"{trait} @ {args.hap}",
+            )
+            print(f"{path}\t{len(res['groups'])} haplotypes\t{res['test']}")
     return 0
