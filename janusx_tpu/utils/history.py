@@ -84,3 +84,35 @@ def list_runs(limit: int = 100) -> list:
     ).fetchall()
     con.close()
     return rows
+
+
+def list_runs_full(limit: int = 200) -> list:
+    """Rows of (id, ts, module, out_prefix, params, outputs, seconds,
+    status) for the web UI run registry."""
+    path = _db_path()
+    if path is None or not os.path.exists(path):
+        return []
+    con = sqlite3.connect(path, timeout=5)
+    con.execute(_SCHEMA)
+    rows = con.execute(
+        "SELECT id, ts, module, out_prefix, params, outputs, seconds, status"
+        " FROM runs ORDER BY ts DESC LIMIT ?",
+        (limit,),
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def get_run(run_id: int):
+    path = _db_path()
+    if path is None or not os.path.exists(path):
+        return None
+    con = sqlite3.connect(path, timeout=5)
+    con.execute(_SCHEMA)
+    row = con.execute(
+        "SELECT id, ts, module, out_prefix, params, outputs, seconds, status"
+        " FROM runs WHERE id = ?",
+        (run_id,),
+    ).fetchone()
+    con.close()
+    return row

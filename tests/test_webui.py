@@ -1,0 +1,92 @@
+"""Web UI tests: dashboard, history detail, job lifecycle, file safety
+(reference python/janusx/ui/server.py job/history views)."""
+
+import json
+import os
+import time
+import urllib.request
+import urllib.parse
+
+import pytest
+
+
+@pytest.fixture()
+def ui(tmp_path, monkeypatch):
+    monkeypatch.setenv("JX_TPU_HISTORY_DB", str(tmp_path / "hist.db"))
+    from janusx_tpu.ui.server import serve
+
+    srv, state = serve(str(tmp_path), port=0)
+    import threading
+
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, state, tmp_path
+    srv.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.read().decode()
+
+
+def _post(url: str, data: dict):
+    body = urllib.parse.urlencode(data).encode()
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, r.read().decode()
+
+
+def test_dashboard_and_history(ui):
+    base, state, tmp = ui
+    from janusx_tpu.utils import history
+
+    out = tmp / "res.tsv"
+    out.write_text("chrom\tpos\tpwald\n1\t100\t0.5\n")
+    history.record_run("gwas", str(tmp / "jx"), {"models": ["lmm"]},
+                       [str(out)], 1.5)
+    code, body = _get(base + "/")
+    assert code == 200
+    assert "gwas" in body and "Run history" in body
+    code, body = _get(base + "/api/runs")
+    runs = json.loads(body)
+    assert len(runs) == 1 and runs[0][2] == "gwas"
+    run_id = runs[0][0]
+    code, body = _get(f"{base}/run/{run_id}")
+    assert code == 200
+    assert "res.tsv" in body and "pwald" in body  # TSV preview rendered
+
+
+def test_job_submit_and_cancel(ui):
+    base, state, tmp = ui
+    code, body = _post(base + "/submit", {"module": "sim", "args":
+                                          "-nind 30 -nsnp 50 -o simout"})
+    assert code == 200  # after 303 redirect
+    for _ in range(120):
+        jobs = json.loads(_get(base + "/api/jobs")[1])
+        if jobs and jobs[0]["status"] != "running":
+            break
+        time.sleep(0.5)
+    assert jobs[0]["status"] == "ok", jobs
+    code, body = _get(f"{base}/job/{jobs[0]['id']}")
+    assert ".bed" in body or "sim" in body  # log tail rendered
+    assert os.path.exists(tmp / "simout")
+
+
+def test_submit_rejects_unknown_module(ui):
+    base, state, tmp = ui
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/submit", {"module": "rm_rf", "args": "-x"})
+    assert e.value.code == 400
+
+
+def test_file_access_restricted(ui):
+    base, state, tmp = ui
+    secret = "/etc/hostname"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + f"/file?p={urllib.parse.quote(secret)}")
+    assert e.value.code == 403
+    ok = tmp / "ok.txt"
+    ok.write_text("fine")
+    code, body = _get(base + f"/file?p={urllib.parse.quote(str(ok))}")
+    assert code == 200 and body == "fine"
