@@ -19,6 +19,13 @@ import jax as _jax
 if _config.ENABLE_X64:
     _jax.config.update("jax_enable_x64", True)
 
+# JX_TPU_PLATFORM wins over the ambient JAX_PLATFORMS even when jax was
+# already imported by site hooks (e.g. remote-TPU relay environments pin
+# JAX_PLATFORMS before user code runs).
+_platform = _config.knob("JX_TPU_PLATFORM")
+if _platform:
+    _jax.config.update("jax_platforms", _platform)
+
 # Persistent XLA compilation cache: kernel shapes recur across runs and
 # first-compiles dominate short analyses (especially through remote-TPU
 # tunnels). Opt out with JX_TPU_COMPILE_CACHE=0 or point it elsewhere.

@@ -88,6 +88,7 @@ def main(argv=None) -> int:
     if not methods:
         methods = ("BLUP",)
 
+    from janusx_tpu import config as _cfg
     from janusx_tpu.gs.workflow import GsConfig, run_gs
 
     cfg = GsConfig(
@@ -108,9 +109,9 @@ def main(argv=None) -> int:
         top_l2=args.top_l2,
         top_max_iter=args.top_max_iter,
         hash_dim=(None if args.hash is None else
-                  int(args.hash[0]) if args.hash else 2048),
+                  int(args.hash[0]) if args.hash else _cfg.knob("JX_TPU_HASH_DIM")),
         hash_seed=(int(args.hash[1]) if args.hash and len(args.hash) > 1
-                   else 520),
+                   else _cfg.knob("JX_TPU_HASH_SEED")),
     )
     results, summary = run_gs(cfg)
     for trait, per_method in summary["traits"].items():

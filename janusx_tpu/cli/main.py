@@ -28,7 +28,8 @@ _MODULES: dict[str, tuple[str, str]] = {
     "tree": ("janusx_tpu.cli.tree", "Neighbor-joining phylogeny from genotypes"),
     "bsa": ("janusx_tpu.cli.bsa", "Bulked-segregant analysis preprocessing"),
     "gmerge": ("janusx_tpu.cli.gmerge", "Merge genotype panels"),
-    "webui": ("janusx_tpu.cli.webui", "Local web UI for browsing results"),
+    "webui": ("janusx_tpu.cli.webui", "Local web UI: history dashboard + job manager"),
+    "env": ("janusx_tpu.cli.env", "List JX_* expert environment knobs"),
     "garfield": ("janusx_tpu.cli.garfield", "Logic-rule (epistasis) association search"),
     "kmer": ("janusx_tpu.cli.kmer", "Count k-mers per sample (native C++)"),
     "fastq2vcf": ("janusx_tpu.cli.fastq2vcf", "Reads-to-variants pipeline (external tools)"),

@@ -45,8 +45,12 @@ class SpectralBasis:
 def eigh_grm(
     K: np.ndarray,
     diag_ridge: float = 1e-6,
-    backend: str = "host",
+    backend: str | None = None,
 ) -> SpectralBasis:
+    if backend is None:
+        from janusx_tpu import config
+
+        backend = config.knob("JX_TPU_EIGH_BACKEND")
     K = np.asarray(K, dtype=np.float64)
     if diag_ridge:
         K = K + diag_ridge * np.eye(K.shape[0])

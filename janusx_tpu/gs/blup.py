@@ -196,12 +196,14 @@ def fit_gblup_cg(
     train_idx: np.ndarray,
     lbd: float,
     covariates: np.ndarray | None = None,
-    tol: float = 1e-8,
-    max_iter: int = 1000,
+    tol: float | None = None,
+    max_iter: int | None = None,
 ) -> np.ndarray:
     """α via Jacobi-PCG on (K_tt + λI) — the large-n route that avoids the
     O(n^3) eigendecomposition (reference rrblup_pcg/splmm PCG analog).
     Returns alpha; fixed effects must be handled by the caller."""
+    tol = config.knob("JX_TPU_CG_TOL") if tol is None else tol
+    max_iter = config.knob("JX_TPU_CG_MAX_ITER") if max_iter is None else max_iter
     train_idx = np.asarray(train_idx)
     Ktt = jnp.asarray(K[np.ix_(train_idx, train_idx)], jnp.float32)
     y_t = np.asarray(y, np.float64).reshape(-1)[train_idx]

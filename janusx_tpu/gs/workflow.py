@@ -24,13 +24,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from janusx_tpu import config
-from janusx_tpu.gs.blup import (
-    GBLUP_MAX_N,
-    RRBLUP_EXACT_MAX_MARKERS,
-    fit_gblup,
-    marker_effects,
-    predict_gblup,
-)
+from janusx_tpu.gs.blup import fit_gblup, marker_effects, predict_gblup
 from janusx_tpu.gs.kfold import KFold
 from janusx_tpu.gs.metrics import regression_metrics
 from janusx_tpu.io.gfreader import load_raw_packed
@@ -87,9 +81,9 @@ class MethodRunResult:
 
 
 def _dispatch_blup_route(n_train: int, m: int) -> str:
-    if n_train <= GBLUP_MAX_N:
+    if n_train <= config.knob("JX_TPU_GBLUP_MAX_N"):
         return "GBLUP(add)"
-    if m <= RRBLUP_EXACT_MAX_MARKERS:
+    if m <= config.knob("JX_TPU_RRBLUP_EXACT_MAX_M"):
         return "rrBLUP(exact)"
     return "rrBLUP(PCG)"
 
@@ -219,7 +213,9 @@ def run_gs(cfg: GsConfig):
         try:
             from janusx_tpu.models.he import he_streamed
 
-            he = he_streamed(pg, y, sample_idx=train, probes=16, seed=cfg.seed)
+            he = he_streamed(pg, y, sample_idx=train,
+                             probes=config.knob("JX_TPU_HE_PROBES"),
+                             seed=cfg.seed)
             log.info("trait %s: HE pre-fit h2=%.3f (vg=%.4g ve=%.4g%s)",
                      trait, he.h2, he.vg, he.ve,
                      "" if he.boundary == "interior" else f", {he.boundary}")

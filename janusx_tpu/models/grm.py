@@ -65,8 +65,9 @@ def _grm_accum_step(acc, packed, mean, inv_sd, dom: bool = False):
     return acc + part.astype(acc.dtype)
 
 
-# blocks per f32 flush to the f64 accumulator (bounds rounding at ~16·eps32)
-_FLUSH = 16
+# blocks per f32 flush to the f64 accumulator (bounds rounding at
+# ~FLUSH·eps32); JX_TPU_GRM_FLUSH overrides
+_FLUSH = config.knob("JX_TPU_GRM_FLUSH")
 
 
 def _grm_core(pk, mn, iv, acc_dtype, dom: bool, axis_name: str | None = None):
@@ -134,8 +135,9 @@ def _grm_sharded(mesh, acc_dtype, dom: bool):
     )
 
 
-# Packed buffers below this many bytes go device-resident in one dispatch.
-RESIDENT_LIMIT_BYTES = 2 << 30
+# Packed buffers below this many bytes go device-resident in one dispatch
+# (JX_TPU_GRM_RESIDENT_MB).
+RESIDENT_LIMIT_BYTES = config.knob("JX_TPU_GRM_RESIDENT_MB") * (1 << 20)
 
 
 def grm_from_packed(

@@ -29,8 +29,8 @@ from janusx_tpu import config
 from janusx_tpu.ops import decode
 from janusx_tpu.utils import devcache
 
-DEFAULT_HASH_DIM = 2048  # reference gs/workflow.py:19207
-DEFAULT_HASH_SEED = 520
+DEFAULT_HASH_DIM = config.knob("JX_TPU_HASH_DIM")  # reference gs/workflow.py:19207
+DEFAULT_HASH_SEED = config.knob("JX_TPU_HASH_SEED")
 
 _M1 = np.uint64(0x9E3779B97F4A7C15)
 _M2 = np.uint64(0xBF58476D1CE4E5B9)

@@ -373,12 +373,15 @@ def ml_refine_tree(
     return t
 
 
-def ml_tree(pg, site_budget: int = 2000, seed: int = 0,
+def ml_tree(pg, site_budget: int | None = None, seed: int = 0,
             nni_rounds: int | None = None) -> tuple[str, float]:
     """Approximate-ML tree from packed genotypes: IBS-NJ start + CFN
     NNI/branch-length refinement. Returns (newick, loglik)."""
+    from janusx_tpu import config
     from janusx_tpu.models.tree import nj_tree
 
+    if site_budget is None:
+        site_budget = config.knob("JX_TPU_ML_SITE_BUDGET")
     nwk = nj_tree(pg)
     parts = genotype_leaf_partials(pg.dosages(), site_budget, seed)
     t = ml_refine_tree(nwk, parts, [str(s) for s in pg.samples], k=2,

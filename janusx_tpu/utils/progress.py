@@ -29,6 +29,11 @@ def _rss_mb() -> float:
 
 @contextlib.contextmanager
 def stage(name: str, logger: logging.Logger | None = None):
+    from janusx_tpu import config
+
+    if not config.knob("JX_TPU_PROGRESS"):
+        yield
+        return
     lg = logger or log
     t0 = time.monotonic()
     c0 = time.process_time()

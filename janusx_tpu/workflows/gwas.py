@@ -57,8 +57,8 @@ class GwasConfig:
     force_model: bool = False
     block: int = config.DEFAULT_SNP_BLOCK
     write_tsv: bool = True
-    splmm_cutoff: float = 0.05  # reference default (workflow.py:6701)
-    scan_method: str = "grid"  # lmm lambda search: "grid" | "brent"
+    splmm_cutoff: float = config.knob("JX_TPU_SPARSE_CUTOFF")  # reference default 0.05 (workflow.py:6701)
+    scan_method: str = config.knob("JX_TPU_SCAN_METHOD")  # lmm lambda search: "grid" | "brent"
     use_cache: bool = True  # GRM npy+id cache with reference naming
     # devices over the 'snp' mesh axis: None = all local devices (mesh is
     # skipped when only 1 is available), 1 = force single-device
@@ -105,12 +105,15 @@ def lmm_to_lm_switch_p(basis, y, covariates) -> float:
 
 def resolve_mesh(n_devices: int | None):
     """The production device mesh: all local devices on the 'snp' axis
-    (None when that degenerates to a single device)."""
+    (None when that degenerates to a single device). JX_TPU_DEVICES caps
+    the count when the caller does not."""
     import jax
 
     from janusx_tpu.parallel.mesh import make_mesh
 
     avail = jax.device_count()
+    if n_devices is None:
+        n_devices = config.knob("JX_TPU_DEVICES")
     nd = avail if n_devices is None else min(n_devices, avail)
     if nd <= 1:
         return None
