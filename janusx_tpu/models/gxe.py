@@ -60,32 +60,58 @@ def _gxe_block(packed, mean, X, Cinv, My, cvec, w, n: int):
     return a11, a12, a22, b1, b2
 
 
-def _finalize_gxe(a11, a12, a22, b1, b2, yMy, n, p, joint=True):
+def _finalize_gxe(a11, a12, a22, b1, b2, yMy, n, p):
+    """Reference-exact lm2 statistics from per-SNP projected Gram pieces
+    (src/stats/glm2.rs lm2_fit_single_snp :165-311).
+
+    Design per SNP: Z = [g, g*c]; Schur = Z' M_X Z (a11..a22), rhs e =
+    Z' M_X y (b1, b2); beta = Schur^-1 e; rss = rss0 - e.beta;
+    sigma2 = rss / df with df = n - p (BASE design rank — glm2.rs:161,
+    NOT n - p - 2). Per-coefficient: se_k = sqrt(sigma2 * SchurInv_kk),
+    t-test with df. Joint tests: interaction chisq = beta_i^2 /
+    (SchurInv_11 sigma2) ~ chi2(1) (:294-297); full chisq = e.beta /
+    sigma2 ~ chi2(2) (:306-310)."""
+    from scipy import stats as sps
+
     det = a11 * a22 - a12 * a12
-    ok = det > 1e-10
+    ok = np.isfinite(det) & (det > 1e-12 * np.maximum(a11 * a22, 1e-300))
     det_s = np.where(ok, det, 1.0)
+    # SchurInv = [[a22, -a12], [-a12, a11]] / det
     bg = (a22 * b1 - a12 * b2) / det_s
     bi = (a11 * b2 - a12 * b1) / det_s
     explained = bg * b1 + bi * b2
-    rss = yMy - explained
-    df = n - p - 2
+    rss = np.maximum(yMy - explained, 0.0)
+    df = n - p
     sigma2 = rss / df
-    var_i = sigma2 * a11 / det_s
     with np.errstate(invalid="ignore", divide="ignore"):
-        se_i = np.sqrt(np.maximum(var_i, 0))
-        t = bi / se_i
-    pw = student_t_p_two_sided(np.where(np.isfinite(t), t, 0.0), df)
-    # joint 2-df chi2: explained / sigma2_null-ish; use F->chi2 approx
-    stat = np.where(ok & (sigma2 > 0), explained / sigma2, 0.0)
-    from scipy import stats as sps
+        se_g = np.sqrt(np.maximum(sigma2 * a22 / det_s, 0))
+        se_i = np.sqrt(np.maximum(sigma2 * a11 / det_s, 0))
+        t_g = bg / se_g
+        t_i = bi / se_i
+    pw_g = student_t_p_two_sided(np.where(np.isfinite(t_g), t_g, 0.0), df)
+    pw_i = student_t_p_two_sided(np.where(np.isfinite(t_i), t_i, 0.0), df)
+    # joint interaction (K=1): chisq = bi^2 / (SchurInv_11 * sigma2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        chisq_int = np.where(
+            ok & (sigma2 > 0), bi * bi * det_s / (a11 * sigma2), np.nan
+        )
+        chisq_joint = np.where(ok & (sigma2 > 0), explained / sigma2, np.nan)
+    chisq_int = np.maximum(chisq_int, 0.0)
+    chisq_joint = np.maximum(chisq_joint, 0.0)
+    p_int = sps.chi2.sf(chisq_int, df=1)
+    p_joint = sps.chi2.sf(chisq_joint, df=2)
 
-    plrt = sps.chi2.sf(np.maximum(stat, 0.0), df=2)
-    bad = ~ok | ~np.isfinite(bi) | ~np.isfinite(se_i) | (se_i <= 0)
-    bi = np.where(bad, np.nan, bi)
-    se_i = np.where(bad, np.nan, se_i)
-    pw = np.where(bad, 1.0, pw)
-    plrt = np.where(bad, 1.0, np.clip(plrt, np.finfo(float).tiny, 1.0))
-    return bi, se_i, pw, plrt
+    def clean(beta, se, pw):
+        bad = ~ok | ~np.isfinite(beta) | ~np.isfinite(se) | (se <= 0)
+        return (np.where(bad, np.nan, beta), np.where(bad, np.nan, se),
+                np.where(bad, 1.0, np.clip(pw, np.finfo(float).tiny, 1.0)))
+
+    bg, se_g, pw_g = clean(bg, se_g, pw_g)
+    bi, se_i, pw_i = clean(bi, se_i, pw_i)
+    p_int = np.where(np.isfinite(p_int), np.clip(p_int, np.finfo(float).tiny, 1.0), 1.0)
+    p_joint = np.where(np.isfinite(p_joint), np.clip(p_joint, np.finfo(float).tiny, 1.0), 1.0)
+    return (bg, se_g, pw_g, bi, se_i, pw_i,
+            chisq_int, p_int, chisq_joint, p_joint)
 
 
 def gxe_scan(
@@ -180,10 +206,18 @@ def gxe_scan(
         for arr, out in zip(r, (a11, a12, a22, b1, b2)):
             out[s0:e0] = np.asarray(arr)[:k]
 
-    bi, se_i, pw, plrt = _finalize_gxe(a11, a12, a22, b1, b2, yMy, n, p, True)
+    (bg, se_g, pw_g, bi, se_i, pw_i, chisq_int, p_int, chisq_joint,
+     p_joint) = _finalize_gxe(a11, a12, a22, b1, b2, yMy, n, p)
+    # reference lm2 column layout (glm2.rs lm2_header :58-67): base
+    # columns carry the SNP main effect; interaction + joint tests follow
     res = ScanResult(
-        sites=pg.sites, af=pg.af, miss=pg.miss, beta=bi, se=se_i,
-        pwald=pw, plrt=plrt,
+        sites=pg.sites, af=pg.af, miss=pg.miss, beta=bg, se=se_g,
+        pwald=pw_g,
+        extra_cols={
+            "beta_i1": bi, "se_i1": se_i, "pwald_i1": pw_i,
+            "chisq_int_joint": chisq_int, "p_int_joint": p_int,
+            "chisq_joint": chisq_joint, "p_joint": p_joint,
+        },
         extras={"interaction": True, "lambda_null": None if null is None else null.lbd},
     )
     return res, null

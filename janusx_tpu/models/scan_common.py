@@ -32,6 +32,9 @@ class ScanResult:
     lbd: np.ndarray | None = None  # per-SNP lambda (lmm2 output)
     ml: np.ndarray | None = None
     extras: dict = field(default_factory=dict)
+    # named extra per-SNP columns appended after the base schema (lm2 /
+    # fvlmm2 interaction stats — reference glm2.rs lm2_header)
+    extra_cols: dict | None = None
 
     @property
     def m(self) -> int:
@@ -45,6 +48,8 @@ class ScanResult:
         return np.where(ok, z2, np.nan)
 
     def schema(self) -> str:
+        if self.extra_cols:
+            return tsv.HEADER_BASIC + "\t" + "\t".join(self.extra_cols)
         if self.lbd is not None:
             return tsv.HEADER_LMM2
         if self.plrt is not None:
@@ -69,6 +74,9 @@ class ScanResult:
                         None
                         if self.lbd is None
                         else (self.lbd[s:e], self.ml[s:e]),
+                        extras=None if not self.extra_cols else [
+                            (k, v[s:e]) for k, v in self.extra_cols.items()
+                        ],
                     )
                 )
 
@@ -81,6 +89,12 @@ class ScanResult:
             vals = [get(p) for p in parts]
             return None if vals[0] is None else np.concatenate(vals)
 
+        extra_cols = None
+        if first.extra_cols:
+            extra_cols = {
+                k: np.concatenate([p.extra_cols[k] for p in parts])
+                for k in first.extra_cols
+            }
         return ScanResult(
             sites=SiteInfo.concat([p.sites for p in parts]),
             af=np.concatenate([p.af for p in parts]),
@@ -92,6 +106,7 @@ class ScanResult:
             lbd=cat(lambda p: p.lbd),
             ml=cat(lambda p: p.ml),
             extras=first.extras,
+            extra_cols=extra_cols,
         )
 
     def to_dataframe(self):
@@ -115,6 +130,8 @@ class ScanResult:
             d["ml"] = self.ml
         if self.plrt is not None:
             d["plrt"] = self.plrt
+        if self.extra_cols:
+            d.update(self.extra_cols)
         return pd.DataFrame(d)
 
 

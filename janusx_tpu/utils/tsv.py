@@ -44,6 +44,7 @@ def format_assoc_rows(
     pwald: np.ndarray,
     plrt: np.ndarray | None = None,
     lmm2: tuple[np.ndarray, np.ndarray] | None = None,  # (lambda, ml)
+    extras: list | None = None,  # [(name, array)] appended columns
 ) -> str:
     """Format a block of rows to TSV text (no header)."""
     out = []
@@ -63,6 +64,15 @@ def format_assoc_rows(
             base += f"\t{lbd[i]:.6e}\t{ml[i]:.6e}\t{plrt[i]:.4e}"
         elif plrt is not None:
             base += f"\t{plrt[i]:.4e}"
+        if extras:
+            for name, arr in extras:
+                v = float(arr[i])
+                if name.startswith(("beta", "se")):
+                    base += f"\t{v:.4f}"
+                elif name.startswith("chisq"):
+                    base += f"\t{_fmt_chisq(v)}"
+                else:
+                    base += f"\t{v:.4e}"
         out.append(base)
     return "\n".join(out) + "\n"
 

@@ -35,13 +35,21 @@ def gxe_problem():
 def test_lm2_interaction_detection(gxe_problem):
     pg, y, env = gxe_problem
     res, _ = gxe_scan(pg, y, env, block=64)
-    lp = -np.log10(res.pwald)
-    assert np.argmax(lp) == 30  # interaction SNP tops the interaction test
-    # main-effect-only SNP should NOT show interaction signal
-    assert lp[90] < 3.0 < lp[30]
-    # joint test catches both
-    jl = -np.log10(res.plrt)
+    # reference lm2 layout: base columns = SNP main effect; interaction
+    # stats in the appended columns (glm2.rs lm2_header)
+    lp_main = -np.log10(res.pwald)
+    assert np.argmax(lp_main) == 90  # main-effect SNP tops the main test
+    lp_int = -np.log10(res.extra_cols["pwald_i1"])
+    assert np.argmax(lp_int) == 30  # interaction SNP tops the interaction test
+    assert lp_int[90] < 3.0 < lp_int[30]
+    # joint 2-df test catches both
+    jl = -np.log10(res.extra_cols["p_joint"])
     assert jl[30] > 3 and jl[90] > 3
+    # interaction-joint equals the single-interaction Wald chisq at K=1
+    assert res.extra_cols["chisq_int_joint"][30] == pytest.approx(
+        (res.extra_cols["beta_i1"][30] / res.extra_cols["se_i1"][30]) ** 2,
+        rel=1e-8,
+    )
 
 
 def test_lm2_matches_numpy_ols(gxe_problem):
@@ -62,9 +70,14 @@ def test_lm2_matches_numpy_ols(gxe_problem):
         cov = s2 * np.linalg.inv(X.T @ X)
         t = beta[3] / np.sqrt(cov[3, 3])
         pexp = 2 * scipy.stats.t.sf(abs(t), df)
-        assert res.beta[i] == pytest.approx(beta[3], rel=2e-2, abs=1e-4)
-        lp_o, lp_e = -np.log10(res.pwald[i]), -np.log10(pexp)
+        assert res.extra_cols["beta_i1"][i] == pytest.approx(
+            beta[3], rel=2e-2, abs=1e-4
+        )
+        lp_o = -np.log10(res.extra_cols["pwald_i1"][i])
+        lp_e = -np.log10(pexp)
         assert lp_o == pytest.approx(lp_e, abs=0.3)
+        # SNP main-effect column matches the OLS g coefficient
+        assert res.beta[i] == pytest.approx(beta[2], rel=2e-2, abs=1e-4)
 
 
 def test_fvlmm2_route(gxe_problem):
@@ -73,5 +86,5 @@ def test_fvlmm2_route(gxe_problem):
     basis = eigh_grm(K, diag_ridge=1e-6)
     res, null = gxe_scan(pg, y, env, basis=basis, block=64)
     assert null is not None and null.lbd > 0
-    lp = -np.log10(res.pwald)
+    lp = -np.log10(res.extra_cols["pwald_i1"])
     assert np.argmax(lp) == 30
