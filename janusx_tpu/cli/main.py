@@ -47,6 +47,12 @@ _MODULES: dict[str, tuple[str, str]] = {
 _SUBENTRY = {
     "kmerge": ("janusx_tpu.cli.kmer", "kmerge_main", "Merge k-mer counts to a presence matrix"),
     "kstats": ("janusx_tpu.cli.kmer", "kstats_main", "K-mer count statistics"),
+    "gblupbench": ("janusx_tpu.cli.benchmark", "gblupbench_main",
+                   "GBLUP/rrBLUP route timing + accuracy benchmark"),
+    "bayesbench": ("janusx_tpu.cli.benchmark", "bayesbench_main",
+                   "Bayes A/B/Cpi vs BLUP chain benchmark"),
+    "garfieldbench": ("janusx_tpu.cli.benchmark", "garfieldbench_main",
+                      "Planted-epistasis recovery power benchmark"),
 }
 
 _ALIASES = {"simulation": "sim", "adamixture": "fastpop"}

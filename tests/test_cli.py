@@ -256,3 +256,32 @@ def test_cli_postgarfield(tmp_path):
     rc = jx_main(["postgarfield", "-i", str(tsv), "-o", str(tmp_path), "-prefix", "pgf"])
     assert rc == 0
     assert (tmp_path / "pgf.rules.png").exists()
+
+
+def test_bench_module_clis(tmp_path):
+    """gblupbench/bayesbench/garfieldbench produce their JSON artifacts
+    (reference: script/gblupbench.py, bayesbench.py, garfieldbench.py)."""
+    import json
+    import os
+
+    from janusx_tpu.cli.benchmark import (
+        bayesbench_main,
+        garfieldbench_main,
+        gblupbench_main,
+    )
+
+    out = str(tmp_path / "b")
+    assert gblupbench_main(["-nind", "200", "-nsnp", "800", "-cv", "2",
+                            "-o", out + "1"]) == 0
+    g = json.load(open(os.path.join(out + "1", "gblupbench.gblupbench.json")))
+    assert {r["route"] for r in g["routes"]} == {"GBLUP", "rrBLUP-PCG"}
+    assert bayesbench_main(["-nind", "150", "-nsnp", "500", "-iters", "120",
+                            "-burnin", "40", "-o", out + "2"]) == 0
+    b = json.load(open(os.path.join(out + "2", "bayesbench.bayesbench.json")))
+    assert len(b["methods"]) == 4
+    assert garfieldbench_main(["-nind", "200", "-nsnp", "200", "-reps", "1",
+                               "-o", out + "3"]) == 0
+    from janusx_tpu.cli.main import _SUBENTRY
+
+    for name in ("gblupbench", "bayesbench", "garfieldbench"):
+        assert name in _SUBENTRY
