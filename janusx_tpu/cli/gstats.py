@@ -18,6 +18,12 @@ def build_parser(prog="jx gstats") -> argparse.ArgumentParser:
     o.add_argument("-ind", "--ind", action="store_true", help="per-sample stats")
     o.add_argument("-ldscore", "--ldscore", type=int, default=None, metavar="WIN",
                    help="also compute per-site LD scores over a WIN-SNP window")
+    o.add_argument("-king", "--king", nargs="?", type=float, const=0.0884,
+                   default=None, metavar="THRESH",
+                   help="KING-robust related pairs above THRESH (default "
+                   "0.0884 = 2nd degree) + greedy unrelated set; tiled "
+                   "sweep, scales to biobank n")
+    o.add_argument("-king-tile", "--king-tile", type=int, default=8192)
     common.add_out_args(p, default_prefix="jx")
     return p
 
@@ -98,5 +104,30 @@ def main(argv=None) -> int:
                 het_rate = hets[j] / nm[j] if nm[j] else 0.0
                 fh.write(f"{sid}\t{raw.m}\t{miss_rate:.6g}\t{het_rate:.6g}\n")
         outputs.append(path)
+    if args.king is not None:
+        from janusx_tpu.io.packed import QcParams, pack_from_codes
+        from janusx_tpu.models.king import (
+            king_related_pairs,
+            unrelated_set_from_pairs,
+        )
+
+        pgq = pack_from_codes(raw.packed, n, raw.sites, raw.samples,
+                              QcParams(maf=0.01, geno=0.2))
+        ii, jj, vv = king_related_pairs(
+            pgq, threshold=args.king, tile=args.king_tile
+        )
+        path = f"{prefix}.king.pairs.tsv"
+        with open(path, "wt") as fh:
+            fh.write("sample_i\tsample_j\tkinship\n")
+            for i, j, v in zip(ii, jj, vv):
+                fh.write(f"{raw.samples[i]}\t{raw.samples[j]}\t{v:.6g}\n")
+        keep = unrelated_set_from_pairs(ii, jj, n)
+        upath = f"{prefix}.king.unrelated.id"
+        with open(upath, "wt") as fh:
+            for k in keep:
+                fh.write(f"{raw.samples[k]}\n")
+        print(f"KING: {len(ii)} related pairs > {args.king}; "
+              f"unrelated set {len(keep)}/{n}")
+        outputs += [path, upath]
     print("\t".join(outputs))
     return 0

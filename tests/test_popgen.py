@@ -95,3 +95,36 @@ def test_run_history(tmp_path, monkeypatch):
     record_run("gwas", "/tmp/x", {"models": ["lmm"]}, ["a.tsv"], 1.5)
     rows = list_runs()
     assert len(rows) == 1 and rows[0][1] == "gwas"
+
+
+def test_king_tiled_matches_dense(rng):
+    """Tiled sparse related-pair sweep == dense kinship + threshold
+    (reference KING.rs streaming pair graph)."""
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io.packed import QcParams, pack_genotypes
+    from janusx_tpu.models.king import (
+        DEGREE2_THRESHOLD,
+        king_kinship,
+        king_related_pairs,
+        unrelated_set,
+        unrelated_set_from_pairs,
+    )
+    from janusx_tpu.models.sim import simulate_genotypes
+
+    gd = simulate_genotypes(220, 900, seed=9, structure="mixed",
+                            family_size=5, family_frac=0.4)
+    pg = pack_genotypes(gd, QcParams(maf=0.01))
+    phi = king_kinship(pg)
+    ii, jj, vv = king_related_pairs(pg, tile=64)  # force many tile pairs
+    dense_pairs = {
+        (i, j) for i, j in zip(*np.nonzero(np.triu(phi, 1) > DEGREE2_THRESHOLD))
+    }
+    assert {(int(i), int(j)) for i, j in zip(ii, jj)} == dense_pairs
+    got = dict(zip(zip(ii, jj), vv))
+    for (i, j), v in got.items():
+        assert v == pytest.approx(phi[i, j], rel=1e-5)
+    # family structure must produce related pairs and pruning must act
+    assert len(ii) > 10
+    keep_sparse = unrelated_set_from_pairs(ii, jj, pg.n)
+    keep_dense = unrelated_set(phi)
+    np.testing.assert_array_equal(keep_sparse, keep_dense)
