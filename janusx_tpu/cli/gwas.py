@@ -31,6 +31,11 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
         const=0.05, type=float, default=None, metavar="CUTOFF",
         help="sparse-GRM exact fixed-V scan (spectral route)",
     )
+    m.add_argument(
+        "-lowrank", "--lowrank", nargs="?", const=4096, type=int, default=None,
+        metavar="Q",
+        help="FaST-LMM low-rank exact scan: kinship from Q SNPs (default 4096)",
+    )
     m.add_argument("-farmcpu", "--farmcpu", action="store_true", help="FarmCPU multi-locus scan")
     m.add_argument("-frgwas", "--frgwas", action="store_true", help=argparse.SUPPRESS)
     m.add_argument("-algwas", "--algwas", action="store_true", help=argparse.SUPPRESS)
@@ -41,6 +46,11 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
     o.add_argument("-gk", "--grm-method", type=int, default=1, choices=(1, 2), help="GRM: 1=centered 2=standardized")
     o.add_argument("-force-model", "--force-model", action="store_true", help="disable the LMM->LM auto-switch")
     o.add_argument("-scan-method", "--scan-method", type=str, default="grid", choices=("grid", "brent"), help=argparse.SUPPRESS)
+    o.add_argument(
+        "-gmodel", "--genetic-model", type=str, default="add",
+        choices=("add", "dom", "rec", "het"),
+        help="genetic model for -lowrank (reference fastlmm route)",
+    )
     common.add_out_args(p, default_prefix="jx")
     return p
 
@@ -67,6 +77,8 @@ def main(argv=None) -> int:
         models.append("splmm")
     if args.splmm_exact is not None:
         models.append("splmm-exact")
+    if args.lowrank is not None:
+        models.append("lowrank")
     if args.farmcpu:
         models.append("farmcpu")
     if args.frgwas:
@@ -96,6 +108,8 @@ def main(argv=None) -> int:
             else args.splmm_exact if args.splmm_exact is not None
             else 0.05
         ),
+        lowrank_snps=(args.lowrank if args.lowrank is not None else 4096),
+        genetic_model=args.genetic_model,
     )
     runs = run_gwas(cfg)
     for r in runs:

@@ -252,26 +252,18 @@ def grid_shared(rot: RotatedData, grid_lg: jax.Array) -> GridShared:
     )
 
 
-def lmm_grid_scan_with(sh: GridShared, rot: RotatedData, Gr: jax.Array):
-    """Per-block grid scan against precomputed shared pieces."""
-    n, p = rot.n, rot.p
+def grid_argmin_schur(sh: GridShared, agg, agy, axg, n: int):
+    """λ*-selection from per-SNP (B, G) grid pieces + shared pieces.
+
+    Shared by the full-rank resident scan and the FaST-LMM low-rank scan
+    (models/fastlmm.py), which differ only in how agg/agy/axg and the
+    shared grams are produced. Schur-complement closed form on the ridged
+    covariate Gram -> profiled REML per (SNP, λ) cell -> argmin + 3-point
+    parabolic refinement. Returns lg_star (B,)."""
     grid_lg = sh.grid_lg
     G = grid_lg.shape[0]
-    hp = jax.lax.Precision.HIGHEST
+    p = axg.shape[-1]
     f32 = jnp.float32
-    Gr32 = Gr.astype(f32)
-    yr32 = rot.yr.astype(f32)
-    Xr32 = rot.Xr.astype(f32)
-    wT = sh.w32.T  # (n, G)
-    agg = jnp.dot(Gr32 * Gr32, wT, precision=hp)  # (B, G)
-    agy = jnp.dot(Gr32 * yr32[None, :], wT, precision=hp)
-    axg = jnp.stack(
-        [
-            jnp.dot(Gr32 * Xr32[None, :, k], wT, precision=hp)
-            for k in range(p)
-        ],
-        axis=-1,
-    )
     ridge32 = jnp.asarray(config.GRAM_RIDGE, f32)
     u = jnp.einsum("gpq,bgq->bgp", sh.Ar_inv32, axg)
     schur = (agg + ridge32) - jnp.einsum("bgp,bgp->bg", axg, u)
@@ -311,6 +303,27 @@ def lmm_grid_scan_with(sh: GridShared, rot: RotatedData, Gr: jax.Array):
     lg_star = grid_lg[i0] + shift.astype(grid_lg.dtype) * h
     lg_star = jnp.where((idx == 0) | (idx == G - 1), grid_lg[idx], lg_star)
     return lg_star
+
+
+def lmm_grid_scan_with(sh: GridShared, rot: RotatedData, Gr: jax.Array):
+    """Per-block grid scan against precomputed shared pieces."""
+    n, p = rot.n, rot.p
+    hp = jax.lax.Precision.HIGHEST
+    f32 = jnp.float32
+    Gr32 = Gr.astype(f32)
+    yr32 = rot.yr.astype(f32)
+    Xr32 = rot.Xr.astype(f32)
+    wT = sh.w32.T  # (n, G)
+    agg = jnp.dot(Gr32 * Gr32, wT, precision=hp)  # (B, G)
+    agy = jnp.dot(Gr32 * yr32[None, :], wT, precision=hp)
+    axg = jnp.stack(
+        [
+            jnp.dot(Gr32 * Xr32[None, :, k], wT, precision=hp)
+            for k in range(p)
+        ],
+        axis=-1,
+    )
+    return grid_argmin_schur(sh, agg, agy, axg, n)
 
 
 def lmm_grid_scan(rot: RotatedData, Gr: jax.Array, grid_lg: jax.Array):

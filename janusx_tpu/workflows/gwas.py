@@ -58,6 +58,8 @@ class GwasConfig:
     block: int = config.DEFAULT_SNP_BLOCK
     write_tsv: bool = True
     splmm_cutoff: float = config.knob("JX_TPU_SPARSE_CUTOFF")  # reference default 0.05 (workflow.py:6701)
+    lowrank_snps: int = 4096  # kinship SNPs for the -lowrank FaST-LMM route
+    genetic_model: str = "add"  # add|dom|rec|het (fastlmm_lowrank.rs)
     scan_method: str = config.knob("JX_TPU_SCAN_METHOD")  # lmm lambda search: "grid" | "brent"
     use_cache: bool = True  # GRM npy+id cache with reference naming
     # devices over the 'snp' mesh axis: None = all local devices (mesh is
@@ -258,6 +260,38 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                     block=cfg.block,
                 )
                 lbd_null = info["lambda_null"]
+            elif model == "lowrank":
+                # FaST-LMM low-rank exact scan: kinship from q SNP columns,
+                # O(n q^2) basis + O(n k) per-SNP rotation — never forms
+                # the dense n^2 GRM (src/stats/fastlmm_lowrank.rs)
+                from janusx_tpu.models import fastlmm as fl
+
+                lrb = entry.get("lrb")
+                if lrb is None:
+                    with stage(f"low-rank kinship basis ({trait})", log):
+                        lrb = fl.lowrank_basis_from_snps(
+                            pg_t, q=cfg.lowrank_snps, method=cfg.grm_method
+                        )
+                    entry["lrb"] = lrb
+                rot_lr = fl.make_rotated_lr(lrb, y_t, cov_t)
+                if not cfg.force_model:
+                    switch_p = fl.lowrank_switch_p(rot_lr)
+                    if switch_p >= 0.05:
+                        log.info(
+                            "trait %s: null LRT p=%.3g >= 0.05, switching lowrank -> lm",
+                            trait, switch_p,
+                        )
+                        model = "lm"
+                        res = lm_mod.lm_scan(
+                            pg_t, y_t, cov_t, block=cfg.block, mesh=mesh
+                        )
+                        lbd_null = None
+                if model == "lowrank":
+                    res, null = fl.fastlmm_scan(
+                        pg_t, lrb, y_t, cov_t, block=cfg.block,
+                        model=cfg.genetic_model,
+                    )
+                    lbd_null = null.lbd
             elif model == "farmcpu":
                 from janusx_tpu.models.farmcpu import farmcpu_scan
 
@@ -300,7 +334,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                     "lm": "LM", "lmm": "LMM", "lmm2": "LMM2", "fvlmm": "FvLMM",
                     "splmm": "SparseLMM", "splmm-exact": "SparseLMM2",
                     "farmcpu": "FarmCPU", "frgwas": "FarmCPU", "algwas": "ALGWAS",
-                    "lm2": "LM2", "fvlmm2": "FvLMM2",
+                    "lm2": "LM2", "fvlmm2": "FvLMM2", "lowrank": "FaSTLMM",
                 }[requested if requested != model and model == "lm" else model]
                 tsv_path = f"{cfg.out_prefix}.{trait}.{tag}.assoc.tsv"
                 res.write_tsv(tsv_path)

@@ -1,0 +1,106 @@
+"""FaST-LMM low-rank scan: parity against the dense spectral route.
+
+The low-rank route is mathematically the SAME model as the dense exact
+LMM whenever the kinship used by the dense route is exactly the low-rank
+K = W W' (+ diag ridge): identical REML objective, identical λ*, beta,
+se. These tests build K from q < n SNP columns, run both routes, and
+require agreement."""
+
+import numpy as np
+import pytest
+
+from janusx_tpu.core.spectral import eigh_grm
+from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+from janusx_tpu.io.packed import QcParams, pack_genotypes
+from janusx_tpu.models.fastlmm import (
+    fastlmm_scan,
+    fit_null_reml_lr,
+    lowrank_basis_from_snps,
+    make_rotated_lr,
+    select_kinship_snps,
+)
+from janusx_tpu.models.grm import grm_from_packed
+from janusx_tpu.models.lmm import lmm_scan
+
+
+@pytest.fixture(scope="module")
+def lr_problem():
+    rng = np.random.default_rng(11)
+    m, n, q = 300, 200, 64
+    p = rng.uniform(0.1, 0.5, size=m)
+    g = rng.binomial(2, p[:, None], size=(m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"rs{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    pg = pack_genotypes(gd, QcParams(maf=0.05, geno=0.05))
+    idx = select_kinship_snps(pg.m, q)
+    lrb = lowrank_basis_from_snps(pg, snp_idx=idx, ridge=1e-6)
+    # dense kinship from the SAME columns + the same ridge
+    K = grm_from_packed(pg.take_snps(idx), method=1)
+    basis = eigh_grm(K, diag_ridge=1e-6)
+    cov = rng.normal(size=(n, 1))
+    # trait with real signal so λ* is interior
+    u = lrb.U[:, 0]
+    y = 0.4 * cov[:, 0] + 3.0 * u + pg.centered()[5] * 0.8 + rng.normal(size=n)
+    return pg, lrb, basis, cov, y
+
+
+def test_lowrank_basis_matches_dense_eigh(lr_problem):
+    pg, lrb, basis, cov, y = lr_problem
+    # top eigenvalues of the dense (ridged) K = low-rank S + ridge
+    k = lrb.k
+    dense_top = basis.S[::-1][:k]  # basis.S ascending
+    np.testing.assert_allclose(dense_top, lrb.S + 1e-6, rtol=1e-6, atol=1e-6)
+
+
+def test_lowrank_null_matches_dense_null(lr_problem):
+    from janusx_tpu.core.reml import fit_null_reml_host
+
+    pg, lrb, basis, cov, y = lr_problem
+    rot = make_rotated_lr(lrb, y, cov)
+    null_lr, beta_lr, vg_lr = fit_null_reml_lr(rot)
+    X = np.concatenate([np.ones((pg.n, 1)), cov], axis=1)
+    null_d, beta_d, vg_d = fit_null_reml_host(
+        basis.S, basis.U.T @ X, basis.U.T @ y
+    )
+    assert null_lr.log10_lbd == pytest.approx(null_d.log10_lbd, abs=2e-2)
+    assert null_lr.ml == pytest.approx(null_d.ml, rel=1e-5, abs=1e-4)
+    np.testing.assert_allclose(beta_lr, beta_d, rtol=1e-4, atol=1e-6)
+
+
+def test_lowrank_scan_matches_dense_scan(lr_problem):
+    pg, lrb, basis, cov, y = lr_problem
+    res_lr, null_lr = fastlmm_scan(pg, lrb, y, cov, block=128)
+    res_d, null_d = lmm_scan(pg, basis, y, cov, block=128)
+    ok = np.isfinite(res_d.beta) & np.isfinite(res_lr.beta)
+    assert ok.mean() > 0.95
+    np.testing.assert_allclose(res_lr.beta[ok], res_d.beta[ok], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(res_lr.se[ok], res_d.se[ok], rtol=2e-3, atol=2e-4)
+    lp_lr = -np.log10(np.clip(res_lr.pwald[ok], 1e-300, 1.0))
+    lp_d = -np.log10(np.clip(res_d.pwald[ok], 1e-300, 1.0))
+    np.testing.assert_allclose(lp_lr, lp_d, atol=2e-2)
+
+
+def test_lowrank_lmm2_lrt(lr_problem):
+    pg, lrb, basis, cov, y = lr_problem
+    res_lr, _ = fastlmm_scan(pg, lrb, y, cov, block=128, lmm2=True)
+    res_d, _ = lmm_scan(pg, basis, y, cov, block=128, lmm2=True)
+    ok = np.isfinite(res_d.plrt) & np.isfinite(res_lr.plrt) & (res_d.plrt < 1) & (res_lr.plrt < 1)
+    lp_lr = -np.log10(np.clip(res_lr.plrt[ok], 1e-300, 1.0))
+    lp_d = -np.log10(np.clip(res_d.plrt[ok], 1e-300, 1.0))
+    np.testing.assert_allclose(lp_lr, lp_d, atol=5e-2)
+
+
+def test_genetic_models_run(lr_problem):
+    pg, lrb, basis, cov, y = lr_problem
+    for model in ("dom", "rec", "het"):
+        res, _ = fastlmm_scan(pg, lrb, y, cov, block=128, model=model)
+        assert np.isfinite(res.pwald[np.isfinite(res.beta)]).all()
+        # indicator transforms change the tested predictor: betas differ
+        # from the additive route for polymorphic sites
+        assert res.m == pg.m
