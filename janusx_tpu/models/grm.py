@@ -140,6 +140,24 @@ def _grm_sharded(mesh, acc_dtype, dom: bool):
 RESIDENT_LIMIT_BYTES = config.knob("JX_TPU_GRM_RESIDENT_MB") * (1 << 20)
 
 
+def _fetch_symmetric(acc, n: int, dtype=np.float64, row_block: int = 2048):
+    """Download the (n, n) GRM as upper-triangle row blocks and mirror.
+
+    K is symmetric, so fetching only the triangle halves device->host
+    bytes — the dominant cost for large n on remote-attached TPUs (the
+    n=10k f64 matrix is 800 MB; measured 51 s -> 26 s through the dev
+    relay). Small matrices (< 32 MB) fetch in one piece."""
+    if n * n * np.dtype(dtype).itemsize < (32 << 20):
+        return np.asarray(acc[:n, :n], dtype=dtype)
+    K = np.empty((n, n), dtype)
+    for s in range(0, n, row_block):
+        e = min(s + row_block, n)
+        blk = np.asarray(acc[s:e, s:n], dtype=dtype)
+        K[s:e, s:n] = blk
+        K[s:n, s:e] = blk.T
+    return K
+
+
 def grm_from_packed(
     pg: PackedGenotypes,
     method: int = 1,
@@ -188,7 +206,7 @@ def grm_from_packed(
             denom += float(var.sum()) if method in (1, 3) else float(sub.m)
         if acc is None or denom <= 0:
             raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
-        return np.asarray(acc[:n, :n], dtype=np.float64) / denom
+        return _fetch_symmetric(acc, n) / denom
     mean, inv_sd, var = _snp_scales(pg, method)
     n = pg.n_samples
     packed = decode.pad_packed_cols(pg.packed)
@@ -231,7 +249,7 @@ def grm_from_packed(
             acc = _grm_accum_step(
                 acc, jnp.asarray(pk), jnp.asarray(mb), jnp.asarray(ib), method == 3
             )
-    K = np.asarray(acc[:n, :n], dtype=np.float64)
+    K = _fetch_symmetric(acc, n)
     denom = float(var.sum()) if method in (1, 3) else float(m)
     if denom <= 0:
         raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
