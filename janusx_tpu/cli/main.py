@@ -27,6 +27,7 @@ _MODULES: dict[str, tuple[str, str]] = {
     "fastpop": ("janusx_tpu.cli.fastpop", "ADMIXTURE-style ancestry inference"),
     "tree": ("janusx_tpu.cli.tree", "Neighbor-joining phylogeny from genotypes"),
     "bsa": ("janusx_tpu.cli.bsa", "Bulked-segregant analysis preprocessing"),
+    "postbsa": ("janusx_tpu.cli.postbsa", "BSA thresholds (CI/G' FDR) + genome plots"),
     "gmerge": ("janusx_tpu.cli.gmerge", "Merge genotype panels"),
     "webui": ("janusx_tpu.cli.webui", "Local web UI: history dashboard + job manager"),
     "env": ("janusx_tpu.cli.env", "List JX_* expert environment knobs"),

@@ -1,0 +1,186 @@
+"""WGCNA helpers: correlation, soft-threshold adjacency, TOM, modules.
+
+Reference: /root/reference/python/janusx/gtools/wgcna.py (cor :69,
+adj :94, tom :201, cluster :248 — numpy loops + dynamicTreeCut).
+
+TPU mapping: every heavy step is a dense gene×gene matmul — the
+correlation Gram, the scale-free-fit sweep, and the TOM numerator
+A@A all run as single f32-HIGHEST MXU matmuls under jit instead of
+the reference's chunked numpy. Clustering (scipy hierarchy) stays on
+host; dynamicTreeCut is optional with a fcluster fallback."""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Union
+
+import numpy as np
+
+
+def _device_corr(expr: np.ndarray) -> np.ndarray:
+    """Gene-gene Pearson correlation on device: standardize columns, one
+    (g, n) @ (n, g) MXU matmul."""
+    import jax
+    import jax.numpy as jnp
+
+    X = jnp.asarray(expr, jnp.float32)  # (n_samples, n_genes)
+    X = X - jnp.mean(X, axis=0, keepdims=True)
+    sd = jnp.sqrt(jnp.mean(X * X, axis=0, keepdims=True))
+    X = X / jnp.where(sd > 0, sd, 1.0)
+    n = X.shape[0]
+    C = jnp.dot(X.T, X, precision=jax.lax.Precision.HIGHEST) / n
+    return np.asarray(jnp.clip(C, -1.0, 1.0), np.float64)
+
+
+def cor(
+    expr: np.ndarray, cortype: str = "unsigned"
+) -> np.ndarray:
+    """Correlation-based similarity: |r| (unsigned) or (1+r)/2 (signed)."""
+    C = _device_corr(np.asarray(expr, np.float64))
+    if cortype == "signed":
+        return (1.0 + C) / 2.0
+    if cortype == "unsigned":
+        return np.abs(C)
+    raise ValueError("cortype must be 'signed' or 'unsigned'")
+
+
+def _scale_free_fit(A: np.ndarray, nbreaks: int = 10) -> float:
+    """R² of the log-log degree-distribution fit (WGCNA scaleFreeFitIndex)."""
+    k = A.sum(axis=0) - 1.0  # connectivity (drop self)
+    k = k[np.isfinite(k) & (k > 0)]
+    if len(k) < nbreaks:
+        return 0.0
+    cuts = np.quantile(k, np.linspace(0, 1, nbreaks + 1))
+    cuts[-1] += 1e-9
+    which = np.clip(np.searchsorted(cuts, k, side="right") - 1, 0, nbreaks - 1)
+    pk = np.bincount(which, minlength=nbreaks) / len(k)
+    kmean = np.array([
+        k[which == i].mean() if (which == i).any() else np.nan
+        for i in range(nbreaks)
+    ])
+    ok = (pk > 0) & np.isfinite(kmean) & (kmean > 0)
+    if ok.sum() < 3:
+        return 0.0
+    x, y = np.log10(kmean[ok]), np.log10(pk[ok])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = np.corrcoef(x, y)[0, 1]
+    return float(r * r) if np.isfinite(r) else 0.0
+
+
+def pick_soft_threshold(
+    sim: np.ndarray, powers: Iterable[int] = range(1, 21), target_r2: float = 0.85
+) -> tuple[int, list[tuple[int, float, float]]]:
+    """Smallest power whose scale-free fit R² >= target (WGCNA
+    pickSoftThreshold); falls back to the best R². Returns
+    (power, [(power, r2, mean_k), ...])."""
+    table = []
+    best = None
+    for p in powers:
+        A = sim ** p
+        r2 = _scale_free_fit(A)
+        mean_k = float((A.sum(axis=0) - 1.0).mean())
+        table.append((int(p), r2, mean_k))
+        if best is None or r2 > best[1]:
+            best = (int(p), r2)
+        if r2 >= target_r2:
+            return int(p), table
+    return best[0], table
+
+
+def adj(
+    cov: np.ndarray, sft: Union[List[int], int] = 6, cortype: str = "unsigned"
+) -> np.ndarray:
+    """Soft-threshold adjacency A = sim^power. ``cov`` may be an
+    expression matrix (samples x genes) or a precomputed similarity
+    (square). A list ``sft`` triggers automatic power selection."""
+    cov = np.asarray(cov, np.float64)
+    sim = cov if cov.shape[0] == cov.shape[1] else cor(cov, cortype)
+    if isinstance(sft, (list, tuple, range, np.ndarray)):
+        power, _ = pick_soft_threshold(sim, sft)
+    else:
+        power = int(sft)
+    A = sim ** power
+    np.fill_diagonal(A, 1.0)
+    return A
+
+
+def tom(adjm: np.ndarray) -> np.ndarray:
+    """Topological overlap matrix:
+    TOM_ij = (L_ij + A_ij) / (min(k_i, k_j) + 1 - A_ij), L = A@A (device).
+    Returns the DISSIMILARITY 1 - TOM (reference wgcna.tom)."""
+    import jax
+    import jax.numpy as jnp
+
+    A = jnp.asarray(adjm, jnp.float32)
+    A = A - jnp.diag(jnp.diag(A))  # zero diagonal for L and k
+    L = jnp.dot(A, A, precision=jax.lax.Precision.HIGHEST)
+    k = jnp.sum(A, axis=0)
+    kmin = jnp.minimum(k[:, None], k[None, :])
+    T = (L + A) / (kmin + 1.0 - A)
+    T = T - jnp.diag(jnp.diag(T)) + jnp.eye(A.shape[0], dtype=A.dtype)
+    return np.asarray(1.0 - T, np.float64)
+
+
+def cluster(
+    tomd: np.ndarray,
+    method: str = "average",
+    min_cluster_size: int = 30,
+    cut_height: float | None = None,
+    num_modules: int | None = None,
+    return_linkage: bool = False,
+):
+    """Hierarchical modules from a TOM dissimilarity.
+
+    Uses dynamicTreeCut when installed (reference behavior); otherwise a
+    scipy fcluster cut — by ``num_modules`` (binary-search on height so
+    modules >= min_cluster_size count matches) or ``cut_height``. Label 0
+    = unassigned (modules smaller than min_cluster_size)."""
+    from scipy.cluster.hierarchy import fcluster, linkage
+    from scipy.spatial.distance import squareform
+
+    D = np.asarray(tomd, np.float64)
+    condensed = squareform((D + D.T) / 2.0, checks=False)
+    Z = linkage(condensed, method=method)
+
+    try:
+        from dynamicTreeCut import cutreeHybrid
+
+        labels = np.asarray(
+            cutreeHybrid(
+                Z, condensed, minClusterSize=min_cluster_size,
+                cutHeight=cut_height,
+            )["labels"]
+        )
+        return (labels, Z) if return_linkage else labels
+    except ImportError:
+        pass
+
+    def labels_at(h: float) -> np.ndarray:
+        raw = fcluster(Z, t=h, criterion="distance")
+        out = np.zeros_like(raw)
+        nxt = 1
+        for lab in np.unique(raw):
+            members = raw == lab
+            if members.sum() >= min_cluster_size:
+                out[members] = nxt
+                nxt += 1
+        return out
+
+    if num_modules is not None:
+        lo, hi = float(Z[:, 2].min()), float(Z[:, 2].max())
+        best = labels_at((lo + hi) / 2)
+        for _ in range(40):
+            mid = (lo + hi) / 2
+            lab = labels_at(mid)
+            nmod = lab.max()
+            best = lab
+            if nmod == num_modules:
+                break
+            if nmod > num_modules:
+                lo = mid
+            else:
+                hi = mid
+        labels = best
+    else:
+        h = cut_height if cut_height is not None else float(np.quantile(Z[:, 2], 0.99))
+        labels = labels_at(h)
+    return (labels, Z) if return_linkage else labels

@@ -160,3 +160,47 @@ def test_gff_index(tmp_path):
     assert g.name == "GeneB" and d == 1000
     g, d = idx.nearest("2", 200)
     assert g.name == "g3" and d == 0
+
+
+def test_postbsa_cli(rng, tmp_path):
+    import pandas as pd
+
+    from janusx_tpu.cli.bsa import main as bsa_main
+    from janusx_tpu.cli.postbsa import main as postbsa_main
+
+    m = 600
+    depth = 40
+    p2 = np.full(m, 0.5)
+    p2[250:350] = 0.95
+    df = pd.DataFrame(
+        {
+            "chrom": ["1"] * (m // 2) + ["2"] * (m - m // 2),
+            "pos": np.concatenate(
+                [np.arange(1, m // 2 + 1), np.arange(1, m - m // 2 + 1)]
+            ) * 10_000,
+            "alt1": rng.binomial(depth, 0.5, m),
+            "ref1": 0,
+            "alt2": rng.binomial(depth, p2),
+            "ref2": 0,
+        }
+    )
+    df["ref1"] = depth - df["alt1"]
+    df["ref2"] = depth - df["alt2"]
+    dp = tmp_path / "depths.tsv"
+    df.to_csv(dp, sep="\t", index=False)
+    assert bsa_main(["-i", str(dp), "-o", str(tmp_path), "-p", "x",
+                     "-win", "500000"]) == 0
+    bsa_tsv = str(tmp_path / "x.bsa.tsv")
+    assert postbsa_main(["-i", bsa_tsv, "-d", str(dp), "-o", str(tmp_path),
+                         "-p", "x", "-win", "500000", "-sims", "2000"]) == 0
+    out = pd.read_csv(tmp_path / "x.postbsa.tsv", sep="\t")
+    for col in ("delta_ci_hi", "delta_smoothed", "gprime_p", "gprime_q",
+                "sig_delta", "sig_gprime"):
+        assert col in out.columns
+    assert (out["gprime_p"] >= 0).all() and (out["gprime_p"] <= 1).all()
+    # the planted divergent region (chrom 1 second half) must light up
+    c1 = out[out["chrom"] == 1]
+    sig_pos = c1.loc[c1["sig_gprime"], "pos"]
+    assert len(sig_pos) > 0
+    assert sig_pos.between(2_300_000, 3_700_000).mean() > 0.8
+    assert (tmp_path / "x.bsa.png").exists()
