@@ -83,6 +83,37 @@ def _lasso_path(Zt, y, lambdas, n_steps: int, inner_iters: int = 150):
     return betas, rss
 
 
+def active_set_polish(
+    Zs: np.ndarray, r: np.ndarray, lam: float, b0: np.ndarray,
+    max_iter: int = 500, tol: float = 1e-10,
+) -> np.ndarray:
+    """Exact coordinate descent on the active set (reference
+    src/math/active_path.rs role: CD restricted to the current support).
+
+    FISTA's fixed iteration budget leaves tiny non-zero coefficients and
+    slightly biased values; polishing the EBIC-selected path point with
+    exact CD drives true zeros to zero (sharper support) and satisfies
+    the KKT conditions on the support. The support is small (q <= a few
+    hundred), so f64 host CD is exact and effectively free."""
+    Zs = np.asarray(Zs, np.float64)
+    b = np.asarray(b0, np.float64).copy()
+    resid = r - Zs.T @ b
+    d = np.einsum("qn,qn->q", Zs, Zs)
+    d = np.where(d > 0, d, 1.0)
+    for _ in range(max_iter):
+        delta = 0.0
+        for j in range(len(b)):
+            rho = Zs[j] @ resid + d[j] * b[j]
+            bj = np.sign(rho) * max(abs(rho) - lam, 0.0) / d[j]
+            if bj != b[j]:
+                resid += Zs[j] * (b[j] - bj)
+                delta = max(delta, abs(bj - b[j]))
+                b[j] = bj
+        if delta < tol:
+            break
+    return b
+
+
 @dataclass
 class AlgwasResult:
     result: ScanResult
@@ -130,7 +161,26 @@ def algwas_scan(
         )
     ebic = np.where(k <= max_selected, ebic, np.inf)
     best = int(np.argmin(ebic))
-    selected = np.nonzero(np.abs(betas[best]) > 1e-8)[0]
+    support = np.nonzero(np.abs(betas[best]) > 1e-8)[0]
+    if len(support):
+        # exact active-set CD polish at the chosen λ, then re-evaluate the
+        # support and EBIC from the polished solution
+        b_pol = active_set_polish(
+            Zt[support].astype(np.float64), r,
+            float(lambdas[best]), betas[best][support],
+        )
+        keep = np.abs(b_pol) > 1e-8
+        selected = support[keep]
+        resid = r - Zt[support].astype(np.float64).T @ b_pol
+        rss_pol = float(resid @ resid)
+        kq = int(keep.sum())
+        ebic[best] = (
+            n * np.log(max(rss_pol, 1e-12) / n)
+            + kq * np.log(n)
+            + 2.0 * EBIC_GAMMA * kq * np.log(max(m, 2))
+        )
+    else:
+        selected = support
 
     # stage 2: conditional LM scan with selected markers as covariates
     cov2 = covariates

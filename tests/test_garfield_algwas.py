@@ -188,3 +188,24 @@ def test_fit_best_and_not_continuous():
     y = 3.0 * (X[2] & X[11]) + rng.normal(size=n) * 0.3
     fit = fit_best_and_not(X, y, response="continuous", score="mse")
     assert {(2, False), (11, False)} <= set(fit.literals)
+
+
+def test_active_set_polish_kkt():
+    from janusx_tpu.models.algwas import active_set_polish
+
+    rng = np.random.default_rng(9)
+    q, n = 12, 150
+    Zs = rng.normal(size=(q, n))
+    b_true = np.zeros(q)
+    b_true[:3] = [2.0, -1.5, 1.0]
+    r = Zs.T @ b_true + rng.normal(size=n) * 0.3
+    lam = 8.0
+    b = active_set_polish(Zs, r, lam, np.zeros(q))
+    resid = r - Zs.T @ b
+    grad = Zs @ resid
+    on = np.abs(b) > 1e-10
+    # KKT: active coords have gradient exactly lam*sign(b); zeros within lam
+    np.testing.assert_allclose(grad[on], lam * np.sign(b[on]), atol=1e-6)
+    assert (np.abs(grad[~on]) <= lam + 1e-6).all()
+    # planted signals survive, most nulls are exactly zero
+    assert on[:3].all()
