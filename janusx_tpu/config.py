@@ -77,6 +77,7 @@ KNOBS: dict = {
     "JX_TPU_COMPILE_CACHE": (str, "~/.cache/janusx_tpu_xla", "persistent XLA compile cache dir (0 disables)"),
     "JX_TPU_PALLAS": (bool, True, "fused Pallas decode+rotate kernel in the LMM scan (non-CPU backends)"),
     "JX_TPU_SCAN_METHOD": (str, "grid", "LMM per-SNP lambda search: grid | brent"),
+    "JX_TPU_GRID_POINTS": (int, 256, "shared log10-lambda grid size for the grid scan (3-point parabolic refinement localizes lambda* to ~1e-3, inside the 1e-2 Brent tol; raise for finer search)"),
     "JX_TPU_SCAN_BRENT_TOL": (float, 1e-2, "per-SNP Brent tolerance (reference lmm.rs:334)"),
     "JX_TPU_SCAN_BRENT_MAX_ITER": (int, 50, "per-SNP Brent iteration cap"),
     "JX_TPU_NULL_BRENT_TOL": (float, 1e-6, "null-REML Brent tolerance (reference reml.rs:650)"),

@@ -478,10 +478,12 @@ def fastlmm_scan(
     covariates: np.ndarray | None = None,
     block: int = config.DEFAULT_SNP_BLOCK,
     lmm2: bool = False,
-    grid_points: int = 1024,
+    grid_points: int | None = None,
     model: str = "add",
 ) -> tuple[ScanResult, NullFit]:
     """Low-rank exact LMM scan over all SNPs (FaST-LMM semantics)."""
+    if grid_points is None:
+        grid_points = config.knob("JX_TPU_GRID_POINTS")
     rot = make_rotated_lr(lrb, y, covariates)
     null, _, _ = fit_null_reml_lr(rot)
     grid_lg = np.linspace(

@@ -200,7 +200,7 @@ def lmm_scan(
     lmm2: bool = False,
     null: NullFit | None = None,
     method: str = "grid",  # "grid" (TPU-fast) | "brent" (reference-faithful)
-    grid_points: int = 1024,
+    grid_points: int | None = None,  # None = JX_TPU_GRID_POINTS (default 256)
     use_pallas: bool | None = None,  # fused decode+rotate kernel; None = auto (TPU)
     superblock: int = 1 << 20,  # SNPs resident on device per host chunk
     mesh=None,  # jax.sharding.Mesh with a 'snp' axis: SNP-shard the scan
@@ -212,6 +212,8 @@ def lmm_scan(
             and jax.default_backend() not in ("cpu",)
             and os.environ.get("JX_TPU_PALLAS", "1") not in ("0", "false")
         )
+    if grid_points is None:
+        grid_points = config.knob("JX_TPU_GRID_POINTS")
     y = np.asarray(y, np.float64).reshape(-1)
     n = pg.n
     rot, grid_lg, sh = _scan_state(basis, y, covariates, grid_points)
