@@ -34,26 +34,29 @@ def _load():
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             try:
                 subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-pthread", _SRC, "-o", _SO],
                     check=True, capture_output=True, timeout=120,
                 )
             except Exception:
                 return None
         try:
             lib = ctypes.CDLL(_SO)
-            lib.jx_kmer_count.restype = ctypes.c_void_p
-            lib.jx_kmer_count.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_int]
-            lib.jx_kmer_table_size.restype = ctypes.c_long
-            lib.jx_kmer_table_size.argtypes = [ctypes.c_void_p]
-            lib.jx_kmer_export.restype = ctypes.c_long
-            lib.jx_kmer_export.argtypes = [
+            lib.jx_kmt_new.restype = ctypes.c_void_p
+            lib.jx_kmt_new.argtypes = [ctypes.c_int, ctypes.c_int]
+            lib.jx_kmt_add.restype = ctypes.c_int
+            lib.jx_kmt_add.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+            lib.jx_kmt_size.restype = ctypes.c_long
+            lib.jx_kmt_size.argtypes = [ctypes.c_void_p]
+            lib.jx_kmt_export.restype = ctypes.c_long
+            lib.jx_kmt_export.argtypes = [
                 ctypes.c_void_p,
                 ctypes.POINTER(ctypes.c_uint64),
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.c_long,
                 ctypes.c_uint32,
             ]
-            lib.jx_kmer_free.argtypes = [ctypes.c_void_p]
+            lib.jx_kmt_free.argtypes = [ctypes.c_void_p]
             _lib = lib
         except OSError:
             _lib = None
@@ -64,38 +67,81 @@ def available() -> bool:
     return _load() is not None
 
 
-def _read_seq_file(path: str) -> bytes:
+def _open_seq(path: str):
     if str(path).endswith(".gz"):
-        with gzip.open(path, "rb") as fh:
-            return fh.read()
-    with open(path, "rb") as fh:
-        return fh.read()
+        return gzip.open(path, "rb")
+    return open(path, "rb")
 
 
-def count_kmers(path: str, k: int = 21, min_count: int = 1):
+def _last_record_start(chunk: bytes, fastq: bool) -> int:
+    """Offset of the last record header in ``chunk`` (0 if none found).
+
+    FASTA: last '\\n>'. FASTQ: walk '\\n@' candidates backward and accept
+    the first whose line+2 starts with '+' (quality lines that begin with
+    '@' fail that check — mirrors the native splitter)."""
+    if not fastq:
+        i = chunk.rfind(b"\n>")
+        return i + 1 if i >= 0 else 0
+    pos = len(chunk)
+    while True:
+        i = chunk.rfind(b"\n@", 0, pos)
+        if i < 0:
+            return 0
+        l1 = chunk.find(b"\n", i + 1)
+        l2 = chunk.find(b"\n", l1 + 1) if l1 >= 0 else -1
+        if l2 >= 0 and l2 + 1 < len(chunk) and chunk[l2 + 1:l2 + 2] == b"+":
+            return i + 1
+        pos = i
+
+
+def count_kmers(
+    path: str, k: int = 21, min_count: int = 1, threads: int | None = None,
+    chunk_bytes: int = 256 << 20,
+):
     """Count canonical k-mers of one FASTA/FASTQ(.gz) file.
 
-    Returns (codes uint64 sorted, counts uint32)."""
+    Streams the file in record-aligned chunks through the multithreaded
+    native counter — host memory is bounded by the k-mer table plus one
+    chunk, not the (decompressed) file. Returns (codes uint64 sorted,
+    counts uint32)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native k-mer counter unavailable (no g++?)")
-    data = _read_seq_file(path)
-    tbl = lib.jx_kmer_count(data, len(data), k)
-    if not tbl:
-        raise RuntimeError("k-mer counting failed")
+    h = lib.jx_kmt_new(k, 0 if threads is None else threads)
+    if not h:
+        raise RuntimeError(f"bad k for k-mer counting: {k}")
     try:
-        n = lib.jx_kmer_table_size(tbl)
+        carry = b""
+        fastq = None
+        with _open_seq(path) as fh:
+            while True:
+                data = fh.read(chunk_bytes)
+                if not data:
+                    break
+                buf = carry + data
+                if fastq is None:
+                    fastq = buf[:1] == b"@"
+                if len(data) == chunk_bytes:  # maybe more coming: hold the tail record
+                    cut = _last_record_start(buf, fastq)
+                    feed, carry = buf[:cut], buf[cut:]
+                else:
+                    feed, carry = buf, b""
+                if feed and lib.jx_kmt_add(h, feed, len(feed)) != 0:
+                    raise RuntimeError("k-mer counting failed")
+        if carry and lib.jx_kmt_add(h, carry, len(carry)) != 0:
+            raise RuntimeError("k-mer counting failed")
+        n = lib.jx_kmt_size(h)
         keys = np.empty(n, np.uint64)
         cnts = np.empty(n, np.uint32)
-        w = lib.jx_kmer_export(
-            tbl,
+        w = lib.jx_kmt_export(
+            h,
             keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             n,
             min_count,
         )
     finally:
-        lib.jx_kmer_free(tbl)
+        lib.jx_kmt_free(h)
     keys, cnts = keys[:w], cnts[:w]
     order = np.argsort(keys)
     return keys[order], cnts[order]

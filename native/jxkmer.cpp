@@ -1,24 +1,62 @@
 // janusx-tpu native k-mer counter.
 //
 // Replaces the capability of the reference's vendored KMC3 pipeline
-// (/root/reference/src/kmer/ + vendored KMC C++): canonical k-mer counting
-// from FASTA/FASTQ text for k <= 32, 2-bit encoded in a uint64 open-
-// addressing hash table. Intentionally compact: one pass, linear probing,
-// power-of-two capacity with automatic growth.
+// (/root/reference/src/kmer/ + vendored KMC C++ ~38k LoC): canonical
+// k-mer counting from FASTA/FASTQ text for k <= 32, 2-bit encoded in
+// open-addressing hash tables.
+//
+// Scale design (KMC-capability class, not KMC internals):
+//   - streaming handle API: the caller feeds record-aligned buffers of
+//     any size, so host memory is bounded by the table, not the file;
+//   - multithreaded adds: each buffer is split at record boundaries
+//     (FASTA '\n>'; FASTQ 4-line-record header heuristic) across T
+//     threads; every thread APPENDS canonical codes into per-(thread,
+//     partition) buffers (sequential writes, no locks) — P=64
+//     partitions routed by hash top bits;
+//   - parallel partition counting: T workers pull partition indices
+//     from an atomic counter and hash-count that partition's buffers
+//     into the persistent handle table. Each partition table is ~1/64
+//     of the distinct-kmer set, so inserts hit cache instead of DRAM,
+//     and total hash work equals the k-mer count once (a naive
+//     per-thread-table merge re-counts the distinct set up to T times
+//     on high-duplication data);
+//   - multi-line FASTA: the rolling 2-bit encoder carries across
+//     newlines inside a record (KMC semantics; the old single-line
+//     reset dropped k-mers spanning wraps).
 //
 // Plain C ABI for ctypes.
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
+constexpr int kPartitions = 64;
+
 struct Table {
-  uint64_t* keys;     // k-mer codes (key+1 stored; 0 = empty)
-  uint32_t* counts;
-  uint64_t cap;       // power of two
-  uint64_t size;
+  uint64_t* keys = nullptr;  // k-mer code + 1 (0 = empty)
+  uint32_t* counts = nullptr;
+  uint64_t cap = 0;  // power of two
+  uint64_t size = 0;
+
+  void init(uint64_t c) {
+    cap = c;
+    size = 0;
+    keys = (uint64_t*)calloc(cap, sizeof(uint64_t));
+    counts = (uint32_t*)calloc(cap, sizeof(uint32_t));
+  }
+  void destroy() {
+    free(keys);
+    free(counts);
+    keys = nullptr;
+    counts = nullptr;
+    cap = size = 0;
+  }
 };
 
 inline uint64_t hash64(uint64_t x) {
@@ -50,21 +88,20 @@ bool grow(Table* t) {
   return true;
 }
 
-inline bool add(Table* t, uint64_t code) {
+inline bool add_count(Table* t, uint64_t key, uint32_t add) {
   if ((t->size + 1) * 10 > t->cap * 7) {
     if (!grow(t)) return false;
   }
-  uint64_t key = code + 1;  // avoid 0 sentinel
   uint64_t h = hash64(key) & (t->cap - 1);
   while (t->keys[h]) {
     if (t->keys[h] == key) {
-      ++t->counts[h];
+      t->counts[h] += add;
       return true;
     }
     h = (h + 1) & (t->cap - 1);
   }
   t->keys[h] = key;
-  t->counts[h] = 1;
+  t->counts[h] = add;
   ++t->size;
   return true;
 }
@@ -81,86 +118,236 @@ struct BaseInit {
 };
 const BaseInit kBases;
 
+struct Handle {
+  int k;
+  int threads;
+  Table parts[kPartitions];
+  std::atomic<bool> failed{false};
+};
+
+inline int partition_of(uint64_t key) {
+  return (int)(hash64(key) >> 58) & (kPartitions - 1);
+}
+
+// Emit canonical k-mer codes of one sequence stretch [s, e) into the
+// per-partition append buffers; rolling state carries across newlines.
+inline bool count_seq(const char* buf, long s, long e, int k, uint64_t mask,
+                      std::vector<uint64_t>* out) {
+  uint64_t fwd = 0, rev = 0;
+  int have = 0;
+  for (long i = s; i < e; ++i) {
+    unsigned char ch = (unsigned char)buf[i];
+    if (ch == '\n' || ch == '\r') continue;
+    int8_t b = kBases.table[ch];
+    if (b < 0) {
+      have = 0;
+      fwd = rev = 0;
+      continue;
+    }
+    fwd = ((fwd << 2) | (uint64_t)b) & mask;
+    rev = (rev >> 2) | (((uint64_t)(3 - b)) << (2 * (k - 1)));
+    if (++have >= k) {
+      uint64_t canon = fwd < rev ? fwd : rev;
+      out[partition_of(canon + 1)].push_back(canon + 1);
+    }
+  }
+  return true;
+}
+
+inline long line_end(const char* buf, long i, long len) {
+  while (i < len && buf[i] != '\n') ++i;
+  return i;
+}
+
+// Parse records in [s, e): FASTA (multi-line seq) or FASTQ (4-line).
+bool count_range(const char* buf, long s, long e, int k,
+                 std::vector<uint64_t>* parts) {
+  const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  long i = s;
+  while (i < e) {
+    char c0 = buf[i];
+    if (c0 == '>') {
+      i = line_end(buf, i, e) + 1;  // header
+      long seq_start = i;
+      while (i < e && buf[i] != '>') i = line_end(buf, i, e) + 1;
+      if (!count_seq(buf, seq_start, i < e ? i : e, k, mask, parts))
+        return false;
+    } else if (c0 == '@') {
+      i = line_end(buf, i, e) + 1;  // header
+      long seq_s = i;
+      long seq_e = line_end(buf, i, e);
+      if (!count_seq(buf, seq_s, seq_e, k, mask, parts)) return false;
+      i = line_end(buf, seq_e + 1, e) + 1;  // skip '+' line
+      i = line_end(buf, i, e) + 1;          // skip quality line
+    } else {
+      // bare sequence text (no headers): treat the stretch as FASTA body
+      long seq_start = i;
+      while (i < e && buf[i] != '>' && buf[i] != '@')
+        i = line_end(buf, i, e) + 1;
+      if (!count_seq(buf, seq_start, i < e ? i : e, k, mask, parts))
+        return false;
+    }
+  }
+  return true;
+}
+
+// Find the next record start at/after pos: FASTA -> line starting '>';
+// FASTQ -> line L with buf[L]=='@' whose line L+2 starts with '+'
+// (quality lines that start with '@' fail that check).
+long next_record_start(const char* buf, long pos, long len, bool fastq) {
+  long i = pos;
+  if (i > 0) i = line_end(buf, i - 1, len) + 1;  // align to a line start
+  while (i < len) {
+    if (!fastq) {
+      if (buf[i] == '>') return i;
+    } else if (buf[i] == '@') {
+      long l1 = line_end(buf, i, len) + 1;
+      long l2 = line_end(buf, l1, len) + 1;
+      if (l2 < len && buf[l2] == '+') return i;
+    }
+    i = line_end(buf, i, len) + 1;
+  }
+  return len;
+}
+
 }  // namespace
 
 extern "C" {
 
-// Count canonical k-mers in sequence text (FASTA or FASTQ; headers and
-// quality lines are skipped by format detection on '>'/'@'/'+').
-// Returns an opaque table pointer, or nullptr on failure.
-void* jx_kmer_count(const char* buf, long len, int k) {
+void* jx_kmt_new(int k, int threads) {
   if (k < 1 || k > 32) return nullptr;
-  Table* t = (Table*)malloc(sizeof(Table));
-  t->cap = 1 << 16;
-  t->size = 0;
-  t->keys = (uint64_t*)calloc(t->cap, sizeof(uint64_t));
-  t->counts = (uint32_t*)calloc(t->cap, sizeof(uint32_t));
-  if (!t->keys || !t->counts) return nullptr;
+  Handle* h = new Handle();
+  h->k = k;
+  int hw = (int)std::thread::hardware_concurrency();
+  if (threads <= 0) threads = hw > 0 ? hw : 4;
+  if (threads > 32) threads = 32;
+  h->threads = threads;
+  for (int p = 0; p < kPartitions; ++p) h->parts[p].init(1 << 10);
+  return h;
+}
 
-  const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
-  bool fastq = len > 0 && buf[0] == '@';
-  long i = 0;
-  while (i < len) {
-    // line dispatch
-    char c0 = buf[i];
-    if (c0 == '>' || (fastq && (c0 == '@' || c0 == '+'))) {
-      // skip header line (and for '+', also the following quality line)
-      while (i < len && buf[i] != '\n') ++i;
-      ++i;
-      if (fastq && c0 == '+') {
-        while (i < len && buf[i] != '\n') ++i;
-        ++i;
-      }
-      continue;
-    }
-    // sequence line: rolling 2-bit encode
-    uint64_t fwd = 0, rev = 0;
-    int have = 0;
-    while (i < len && buf[i] != '\n') {
-      int8_t b = kBases.table[(unsigned char)buf[i]];
-      ++i;
-      if (b < 0) {
-        have = 0;
-        fwd = rev = 0;
-        continue;
-      }
-      fwd = ((fwd << 2) | (uint64_t)b) & mask;
-      rev = (rev >> 2) | (((uint64_t)(3 - b)) << (2 * (k - 1)));
-      if (++have >= k) {
-        uint64_t canon = fwd < rev ? fwd : rev;
-        if (!add(t, canon)) return nullptr;
-      }
-    }
-    ++i;
+// Feed one buffer of whole records. Thread-splits at record boundaries,
+// counts into thread-local partition tables, merges partitions in
+// parallel into the persistent handle tables. Returns 0 on success.
+int jx_kmt_add(void* handle, const char* buf, long len) {
+  Handle* h = (Handle*)handle;
+  if (!h || h->failed.load()) return 1;
+  if (len <= 0) return 0;
+  const int k = h->k;
+  bool fastq = buf[0] == '@';
+  int T = h->threads;
+  if (len < (long)1 << 20) T = 1;  // small buffers: no thread overhead
+
+  // record-aligned split points
+  std::vector<long> split(T + 1);
+  split[0] = 0;
+  split[T] = len;
+  for (int t = 1; t < T; ++t)
+    split[t] = next_record_start(buf, len / T * t, len, fastq);
+
+  // phase 1: threads append canonical codes into per-(thread, partition)
+  // buffers — sequential writes, no locks
+  std::vector<std::vector<std::vector<uint64_t>>> local(T);
+  std::atomic<bool> ok{true};
+  std::vector<std::thread> workers;
+  for (int t = 0; t < T; ++t) {
+    workers.emplace_back([&, t]() {
+      local[t].resize(kPartitions);
+      long span = split[t + 1] - split[t];
+      if (span <= 0) return;
+      for (int p = 0; p < kPartitions; ++p)
+        local[t][p].reserve((size_t)(span / kPartitions + 16));
+      if (!count_range(buf, split[t], split[t + 1], k, local[t].data()))
+        ok.store(false);
+    });
   }
-  return t;
+  for (auto& w : workers) w.join();
+  if (!ok.load()) {
+    h->failed.store(true);
+    return 1;
+  }
+
+  // phase 2: T workers hash-count whole partitions (disjoint -> lock-
+  // free). One hash insert per occurrence; total hash work equals the
+  // k-mer count once — a naive per-thread-table merge would re-count the
+  // distinct set up to T times on high-duplication data. (A sort-then-
+  // run-collapse variant was measured slower on both high- and low-
+  // duplication inputs: the sort's sequential bandwidth costs more than
+  // the duplicate inserts it saves.)
+  std::atomic<int> next{0};
+  workers.clear();
+  for (int t = 0; t < T; ++t) {
+    workers.emplace_back([&]() {
+      for (;;) {
+        int p = next.fetch_add(1);
+        if (p >= kPartitions) return;
+        Table* dst = &h->parts[p];
+        for (int s = 0; s < T; ++s)
+          for (uint64_t key : local[s][p])
+            if (!add_count(dst, key, 1)) {
+              ok.store(false);
+              return;
+            }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  if (!ok.load()) {
+    h->failed.store(true);
+    return 1;
+  }
+  return 0;
 }
 
-long jx_kmer_table_size(void* table) {
-  return (long)((Table*)table)->size;
+long jx_kmt_size(void* handle) {
+  Handle* h = (Handle*)handle;
+  long n = 0;
+  for (int p = 0; p < kPartitions; ++p) n += (long)h->parts[p].size;
+  return n;
 }
 
-// Export (kmer_code, count) pairs with count >= min_count into caller
-// arrays sized via jx_kmer_table_size. Returns entries written.
-long jx_kmer_export(void* table, uint64_t* out_keys, uint32_t* out_counts,
-                    long max_out, uint32_t min_count) {
-  Table* t = (Table*)table;
+long jx_kmt_export(void* handle, uint64_t* out_keys, uint32_t* out_counts,
+                   long max_out, uint32_t min_count) {
+  Handle* h = (Handle*)handle;
   long w = 0;
-  for (uint64_t i = 0; i < t->cap && w < max_out; ++i) {
-    if (t->keys[i] && t->counts[i] >= min_count) {
-      out_keys[w] = t->keys[i] - 1;
-      out_counts[w] = t->counts[i];
-      ++w;
+  for (int p = 0; p < kPartitions && w < max_out; ++p) {
+    Table& t = h->parts[p];
+    for (uint64_t i = 0; i < t.cap && w < max_out; ++i) {
+      if (t.keys[i] && t.counts[i] >= min_count) {
+        out_keys[w] = t.keys[i] - 1;
+        out_counts[w] = t.counts[i];
+        ++w;
+      }
     }
   }
   return w;
 }
 
-void jx_kmer_free(void* table) {
-  Table* t = (Table*)table;
-  free(t->keys);
-  free(t->counts);
-  free(t);
+void jx_kmt_free(void* handle) {
+  Handle* h = (Handle*)handle;
+  for (int p = 0; p < kPartitions; ++p) h->parts[p].destroy();
+  delete h;
 }
+
+// ---- legacy one-shot API (kept for compatibility) ----
+
+void* jx_kmer_count(const char* buf, long len, int k) {
+  void* h = jx_kmt_new(k, 0);
+  if (!h) return nullptr;
+  if (jx_kmt_add(h, buf, len) != 0) {
+    jx_kmt_free(h);
+    return nullptr;
+  }
+  return h;
+}
+
+long jx_kmer_table_size(void* table) { return jx_kmt_size(table); }
+
+long jx_kmer_export(void* table, uint64_t* out_keys, uint32_t* out_counts,
+                    long max_out, uint32_t min_count) {
+  return jx_kmt_export(table, out_keys, out_counts, max_out, min_count);
+}
+
+void jx_kmer_free(void* table) { jx_kmt_free(table); }
 
 }  // extern "C"

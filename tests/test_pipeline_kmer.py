@@ -125,3 +125,67 @@ def test_graceful_interrupts_scope():
         signal.raise_signal(signal.SIGINT)
         assert interrupted()
     assert not interrupted()  # cleared on exit
+
+
+def test_kmer_multiline_fasta_spanning(tmp_path):
+    """k-mers spanning FASTA line wraps are counted (KMC semantics)."""
+    kmer = pytest.importorskip("janusx_tpu.models.kmer")
+    if not kmer.available():
+        pytest.skip("no native counter")
+    seq = "ACGTACGTACGTACGT"
+    k = 8
+    # one-line vs wrapped every 5 bases: identical k-mer multiset
+    p1 = tmp_path / "a.fa"
+    p1.write_text(">s\n" + seq + "\n")
+    p2 = tmp_path / "b.fa"
+    wrapped = "\n".join(seq[i:i + 5] for i in range(0, len(seq), 5))
+    p2.write_text(">s\n" + wrapped + "\n")
+    c1, n1 = kmer.count_kmers(str(p1), k=k)
+    c2, n2 = kmer.count_kmers(str(p2), k=k)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(n1, n2)
+    assert int(n1.sum()) == len(seq) - k + 1
+
+
+def test_kmer_streaming_chunks_match_oneshot(tmp_path):
+    kmer = pytest.importorskip("janusx_tpu.models.kmer")
+    if not kmer.available():
+        pytest.skip("no native counter")
+    rng = np.random.default_rng(5)
+    reads = []
+    for i in range(400):
+        s = "".join("ACGT"[b] for b in rng.integers(0, 4, 80))
+        reads.append(f"@r{i}\n{s}\n+\n{'I' * 80}\n")
+    fq = tmp_path / "r.fastq"
+    fq.write_text("".join(reads))
+    c_big, n_big = kmer.count_kmers(str(fq), k=15)
+    c_small, n_small = kmer.count_kmers(str(fq), k=15, chunk_bytes=1 << 12)
+    np.testing.assert_array_equal(c_big, c_small)
+    np.testing.assert_array_equal(n_big, n_small)
+    # cross-check total k-mer mass: 400 reads x (80-15+1)
+    assert int(n_big.sum()) == 400 * 66
+
+
+def test_kmer_threaded_matches_python_reference(tmp_path):
+    kmer = pytest.importorskip("janusx_tpu.models.kmer")
+    if not kmer.available():
+        pytest.skip("no native counter")
+    rng = np.random.default_rng(6)
+    k = 9
+    seqs = ["".join("ACGT"[b] for b in rng.integers(0, 4, 120)) for _ in range(60)]
+    fa = tmp_path / "g.fa"
+    fa.write_text("".join(f">c{i}\n{s}\n" for i, s in enumerate(seqs)))
+
+    def canon(s):
+        rc = s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+        return min(s, rc)
+
+    from collections import Counter
+
+    ref = Counter()
+    for s in seqs:
+        for i in range(len(s) - k + 1):
+            ref[canon(s[i:i + k])] += 1
+    codes, counts = kmer.count_kmers(str(fa), k=k, threads=8)
+    got = {kmer.decode_kmer(c, k): int(n) for c, n in zip(codes, counts)}
+    assert got == dict(ref)
