@@ -25,6 +25,15 @@ def build_parser(prog="jx postgwas") -> argparse.ArgumentParser:
                    help="draw an LD r² heatmap for a region (needs a genotype input)")
     p.add_argument("-region", "--region", type=str, default=None, metavar="CHR:START-END",
                    help="regional association + gene-model plot (needs -gff)")
+    p.add_argument("-autoregion", "--autoregion", nargs="?", const=3, type=int,
+                   default=None, metavar="K",
+                   help="LocusZoom-style reports for the top K independent "
+                        "loci (LD-colored when a genotype input is given)")
+    p.add_argument("-region-window", "--region-window", type=int,
+                   default=250_000, help="half-window around each locus (bp)")
+    p.add_argument("-jobs", "--jobs", type=int, default=None,
+                   help="process-pool size for per-file Manhattan/QQ "
+                        "rendering (default: min(4, files, cpus))")
     p.add_argument("-hap", "--hap", type=str, default=None, metavar="CHR:POS[,CHR:POS...]",
                    help="haplotype phenotype plot at the given SNP position(s) "
                    "(needs a genotype input and -p)")
@@ -51,45 +60,65 @@ def _read_assoc(path: str, pcol: str):
     return df
 
 
+def _render_one(task: tuple) -> tuple:
+    """Manhattan + QQ + annotated top table for ONE assoc TSV.
+
+    Top-level (picklable) so multiple files render in a process pool —
+    reference postgwas parallel plotting (postgwas.py:581)."""
+    path, pcol, prefix, sig, top_n, gff_path = task
+    from janusx_tpu.plots.gwasplots import manhattan_plot, qq_plot
+
+    df = _read_assoc(path, pcol)
+    tag = os.path.basename(path).replace(".assoc.tsv", "").replace(".tsv", "")
+    man = f"{prefix}.{tag}.manhattan.png"
+    qq = f"{prefix}.{tag}.qq.png"
+    manhattan_plot(
+        df["chrom"].to_numpy(), df["pos"].to_numpy(),
+        df[pcol].to_numpy(), man, sig_line=sig, title=tag,
+    )
+    lam = qq_plot(df[pcol].to_numpy(), qq, title=tag)
+    top = df.nsmallest(top_n, pcol).copy()
+    if gff_path:
+        from janusx_tpu.utils.gff import GffIndex
+
+        gff = GffIndex.from_file(gff_path)
+        genes, dists = [], []
+        for _, row in top.iterrows():
+            g, d = gff.nearest(str(row["chrom"]), int(row["pos"]))
+            genes.append("" if g is None else g.name)
+            dists.append("" if d is None else d)
+        top["gene"] = genes
+        top["gene_dist"] = dists
+    top_path = f"{prefix}.{tag}.top.tsv"
+    top.to_csv(top_path, sep="\t", index=False)
+    return tag, lam, man, qq, top_path
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "postgwas")
 
-    from janusx_tpu.plots.gwasplots import manhattan_plot, qq_plot
-
-    gff = None
-    if args.gff:
-        from janusx_tpu.utils.gff import GffIndex
-
-        gff = GffIndex.from_file(args.gff)
-
     paths = []
     for pat in args.input:
         hits = sorted(glob.glob(pat))
         paths.extend(hits if hits else [pat])
+    tasks = [
+        (path, args.pcol, prefix, args.sig, args.top, args.gff)
+        for path in paths
+    ]
+    jobs = args.jobs
+    if jobs is None:
+        jobs = min(4, len(tasks), os.cpu_count() or 1)
     outputs = []
-    for path in paths:
-        df = _read_assoc(path, args.pcol)
-        tag = os.path.basename(path).replace(".assoc.tsv", "").replace(".tsv", "")
-        man = f"{prefix}.{tag}.manhattan.png"
-        qq = f"{prefix}.{tag}.qq.png"
-        manhattan_plot(
-            df["chrom"].to_numpy(), df["pos"].to_numpy(),
-            df[args.pcol].to_numpy(), man, sig_line=args.sig, title=tag,
-        )
-        lam = qq_plot(df[args.pcol].to_numpy(), qq, title=tag)
-        top = df.nsmallest(args.top, args.pcol).copy()
-        if gff is not None:
-            genes, dists = [], []
-            for _, row in top.iterrows():
-                g, d = gff.nearest(str(row["chrom"]), int(row["pos"]))
-                genes.append("" if g is None else g.name)
-                dists.append("" if d is None else d)
-            top["gene"] = genes
-            top["gene_dist"] = dists
-        top_path = f"{prefix}.{tag}.top.tsv"
-        top.to_csv(top_path, sep="\t", index=False)
+    if jobs > 1 and len(tasks) > 1:
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(jobs) as pool:
+            results = pool.map(_render_one, tasks)
+    else:
+        results = [_render_one(t) for t in tasks]
+    for tag, lam, man, qq, top_path in results:
         outputs += [man, qq, top_path]
         print(f"{tag}\tlambda_GC={lam:.3f}\t{man}")
     if args.ldblock:
@@ -151,6 +180,41 @@ def main(argv=None) -> int:
             sig_line=args.sig, title=f"{chrom}:{lo}-{hi}",
         )
         print(f"{path}\t{ngenes} gene models")
+    if args.autoregion:
+        import numpy as np
+
+        from janusx_tpu.plots.regionreport import pick_loci, region_report
+
+        pg = None
+        geno = next(
+            (v for v in (args.bfile, args.vcf, args.hmp, args.file) if v), None
+        )
+        if geno is not None:
+            from janusx_tpu.io.gfreader import load_raw_packed
+            from janusx_tpu.io.packed import QcParams
+
+            pg = load_raw_packed(geno).prepare(QcParams(maf=0.01, geno=0.2))
+        for path in paths:
+            df = _read_assoc(path, args.pcol)
+            tag = os.path.basename(path).replace(".assoc.tsv", "").replace(".tsv", "")
+            m = max(int(np.isfinite(df[args.pcol]).sum()), 1)
+            sig = args.sig if args.sig is not None else -np.log10(0.05 / m)
+            loci = pick_loci(
+                df["chrom"].to_numpy(), df["pos"].to_numpy(),
+                df[args.pcol].to_numpy(), n_loci=args.autoregion,
+                window=args.region_window,
+            )
+            if not loci:
+                print(f"{tag}\tno loci below 1e-4; no region reports")
+            for chrom, center in loci:
+                out = f"{prefix}.{tag}.locus.{chrom}_{center}.png"
+                info = region_report(
+                    df, chrom, center, out, pcol=args.pcol,
+                    window=args.region_window, gff_path=args.gff, pg=pg,
+                    sig_line=sig,
+                )
+                print(f"{out}\tlead={info['lead']}\tgenes={info['n_genes']}"
+                      f"\tsnps={info['n_snps']}")
     if args.hap:
         import numpy as np
 

@@ -89,7 +89,6 @@ def gene_model_plot(
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    from matplotlib.patches import Rectangle
 
     models = read_gene_models(gff_path, chrom, start, end)
     rows, n_rows = _assign_rows(models)
@@ -110,6 +109,21 @@ def gene_model_plot(
         fig, ax = plt.subplots(figsize=(9, 1.2 + 0.4 * max(n_rows, 1)))
         if title:
             ax.set_title(title)
+    draw_gene_track(ax, models, rows, n_rows)
+    ax.set_xlim(start / 1e6, end / 1e6)
+    ax.set_xlabel(f"chr{chrom} position (Mb)")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return len(models)
+
+
+def draw_gene_track(ax, models, rows, n_rows: int) -> None:
+    """Draw stacked gene models (exon boxes, intron lines, strand arrows)
+    onto an existing axes — shared by gene_model_plot and the postgwas
+    region reports (plots.regionreport)."""
+    from matplotlib.patches import Rectangle
+
     for g, row in zip(models, rows):
         y = -row
         ax.plot([g["start"] / 1e6, g["end"] / 1e6], [y, y],
@@ -126,9 +140,3 @@ def gene_model_plot(
                 ha="center", fontsize=7)
     ax.set_ylim(-(max(n_rows, 1) - 0.3), 0.8)
     ax.set_yticks([])
-    ax.set_xlim(start / 1e6, end / 1e6)
-    ax.set_xlabel(f"chr{chrom} position (Mb)")
-    fig.tight_layout()
-    fig.savefig(out_path, dpi=150)
-    plt.close(fig)
-    return len(models)

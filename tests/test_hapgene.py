@@ -147,3 +147,56 @@ def test_postgwas_hap_region_cli(tmp_path):
     outs = os.listdir(str(tmp_path / "pg"))
     assert any("region.1_1_80000" in f for f in outs)
     assert any(".hap." in f for f in outs)
+
+
+def test_postgwas_autoregion_cli(tmp_path):
+    from janusx_tpu.cli.postgwas import main as pg_main
+    from janusx_tpu.cli.sim import main as sim_main
+
+    out = str(tmp_path / "d")
+    assert sim_main(["-nind", "120", "-nsnp", "300", "-nqtl", "3",
+                     "-h2", "0.7", "-o", out]) == 0
+    base = os.path.join(out, "sim")
+    import pandas as pd
+
+    rng = np.random.default_rng(1)
+    bim = pd.read_csv(base + ".bim", sep="\t", header=None,
+                      names=["chrom", "snp", "cm", "pos", "a1", "a0"])
+    p = rng.uniform(1e-3, 1, len(bim))
+    p[7] = 1e-12   # planted lead 1
+    p[200] = 1e-9  # planted lead 2
+    df = pd.DataFrame({
+        "chrom": bim["chrom"], "pos": bim["pos"], "snp": bim["snp"],
+        "pwald": p,
+    })
+    assoc = str(tmp_path / "a.assoc.tsv")
+    df.to_csv(assoc, sep="\t", index=False)
+    gff = str(tmp_path / "toy.gff3")
+    pos7 = int(bim["pos"][7])
+    open(gff, "wt").write(
+        f"1\tsrc\tgene\t{max(pos7 - 5000, 1)}\t{pos7 + 5000}\t.\t+\t.\tID=g1;Name=NEAR_LEAD\n"
+    )
+    rc = pg_main([
+        "-i", assoc, "-gff", gff, "-autoregion", "2",
+        "-region-window", "100000", "-bfile", base,
+        "-o", str(tmp_path / "pg"),
+    ])
+    assert rc == 0
+    outs = os.listdir(str(tmp_path / "pg"))
+    locus_files = [f for f in outs if ".locus." in f]
+    assert len(locus_files) == 2
+    # lead-1 report centered at the planted SNP
+    assert any(f"1_{pos7}" in f for f in locus_files)
+
+
+def test_pick_loci_independent():
+    from janusx_tpu.plots.regionreport import pick_loci
+
+    chrom = np.array(["1"] * 100 + ["2"] * 100)
+    pos = np.concatenate([np.arange(100), np.arange(100)]) * 10_000
+    p = np.ones(200)
+    p[10] = 1e-10
+    p[12] = 1e-9   # within window of 10 -> masked
+    p[150] = 1e-8
+    loci = pick_loci(chrom, pos, p, n_loci=5, window=50_000)
+    assert loci == [("1", 100_000), ("2", 500_000)]
