@@ -306,7 +306,12 @@ def grid_argmin_schur(sh: GridShared, agg, agy, axg, n: int):
 
 
 def lmm_grid_scan_with(sh: GridShared, rot: RotatedData, Gr: jax.Array):
-    """Per-block grid scan against precomputed shared pieces."""
+    """Per-block grid scan against precomputed shared pieces.
+
+    The 2+p per-SNP grid pieces (agg, agy, axg_k) share the same (n, G)
+    weight operand, so they run as ONE ((2+p)B, n) @ (n, G) MXU matmul
+    instead of 2+p separate launches — measured ~20% whole-scan gain on
+    v5e (BENCH_NOTES round 2)."""
     n, p = rot.n, rot.p
     hp = jax.lax.Precision.HIGHEST
     f32 = jnp.float32
@@ -314,14 +319,17 @@ def lmm_grid_scan_with(sh: GridShared, rot: RotatedData, Gr: jax.Array):
     yr32 = rot.yr.astype(f32)
     Xr32 = rot.Xr.astype(f32)
     wT = sh.w32.T  # (n, G)
-    agg = jnp.dot(Gr32 * Gr32, wT, precision=hp)  # (B, G)
-    agy = jnp.dot(Gr32 * yr32[None, :], wT, precision=hp)
+    B = Gr32.shape[0]
+    E = jnp.concatenate(
+        [Gr32 * Gr32, Gr32 * yr32[None, :]]
+        + [Gr32 * Xr32[None, :, k] for k in range(p)],
+        axis=0,
+    )
+    A = jnp.dot(E, wT, precision=hp)  # ((2+p)B, G)
+    agg = A[:B]
+    agy = A[B:2 * B]
     axg = jnp.stack(
-        [
-            jnp.dot(Gr32 * Xr32[None, :, k], wT, precision=hp)
-            for k in range(p)
-        ],
-        axis=-1,
+        [A[(2 + k) * B:(3 + k) * B] for k in range(p)], axis=-1
     )
     return grid_argmin_schur(sh, agg, agy, axg, n)
 
