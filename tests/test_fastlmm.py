@@ -104,3 +104,53 @@ def test_genetic_models_run(lr_problem):
         # indicator transforms change the tested predictor: betas differ
         # from the additive route for polymorphic sites
         assert res.m == pg.m
+
+
+def test_lowrank_workflow_route(tmp_path):
+    """run_gwas -lowrank end-to-end: no dense GRM is built, TSV written,
+    and the LMM->LM auto-switch fires on a heritability-free trait."""
+    import os
+
+    import pandas as pd
+
+    from janusx_tpu.workflows.gwas import GwasConfig, run_gwas
+
+    rng = np.random.default_rng(2)
+    m, n = 240, 120
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io import plink
+
+    p = rng.uniform(0.2, 0.5, size=m)
+    g = rng.binomial(2, p[:, None], size=(m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(1, m + 1, dtype=np.int64) * 100,
+        snp=np.array([f"rs{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    base = str(tmp_path / "toy")
+    plink.write_plink_genotypes(base, gd)
+    # trait 0: strong polygenic signal; trait 1: pure noise (switch -> lm)
+    gc = g - g.mean(axis=1, keepdims=True)
+    y0 = gc[:40].sum(axis=0) * 0.3 + rng.normal(size=n) * 0.5
+    y1 = rng.normal(size=n)
+    with open(base + ".pheno", "wt") as fh:
+        fh.write("id\tt0\tt1\n")
+        for j in range(n):
+            fh.write(f"i{j}\t{y0[j]:.5f}\t{y1[j]:.5f}\n")
+    cfg = GwasConfig(
+        genotype=base + ".bed", phenotype=base + ".pheno",
+        out_prefix=str(tmp_path / "jx"), models=("lowrank",),
+        lowrank_snps=64, maf=0.01, use_cache=False, n_devices=1,
+    )
+    runs = run_gwas(cfg)
+    assert len(runs) == 2
+    r0 = runs[0]
+    assert r0.model == "lowrank" and r0.tsv_path.endswith("FaSTLMM.assoc.tsv")
+    df = pd.read_csv(r0.tsv_path, sep="\t")
+    assert len(df) == r0.n_snps and np.isfinite(df["pwald"]).all()
+    # noise trait switches to LM
+    assert runs[1].model == "lm" and runs[1].switch_lrt_p >= 0.05
+    assert os.path.exists(str(tmp_path / "jx") + ".gwas.summary.json")
