@@ -287,6 +287,16 @@ def grid_argmin_schur(sh: GridShared, agg, agy, axg, n: int):
     )
     bad = ~jnp.isfinite(neg_reml) | (rtwr <= 0) | (schur <= 0)
     neg_reml = jnp.where(bad, jnp.asarray(jnp.inf, f32), neg_reml)
+    return argmin_parabolic(neg_reml, grid_lg)
+
+
+def argmin_parabolic(neg_reml: jax.Array, grid_lg: jax.Array):
+    """Per-row argmin over the λ grid + 3-point parabolic refinement.
+
+    neg_reml: (B, G) objective lattice (inf on invalid cells) — from the
+    XLA closed form (grid_argmin_schur) or the fused Pallas lattice
+    kernel (ops.pallas_kernels.grid_neg_reml_lattice)."""
+    G = neg_reml.shape[-1]
     idx = jnp.argmin(neg_reml, axis=-1)
     i0 = jnp.clip(idx, 1, G - 2)
     fm = jnp.take_along_axis(neg_reml, (i0 - 1)[:, None], axis=1)[:, 0]

@@ -85,6 +85,41 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
     f64 (G, n) lattice work is per-trait, not per-scan).
     """
 
+    p = rot.p
+    # fused Pallas λ-lattice: the whole (B, G) Schur/-REML closed form in
+    # VMEM (ops.pallas_kernels.grid_neg_reml_lattice) instead of ~15 XLA
+    # (B, G) HBM intermediates; needs MXU-aligned B and G tiles
+    use_lattice = (
+        use_pallas
+        and p <= 4
+        and sh.grid_lg.shape[0] % 128 == 0
+        and pk.shape[1] % 256 == 0
+        and os.environ.get("JX_TPU_PALLAS_GRID", "1") not in ("0", "false")
+    )
+    if use_lattice:
+        from janusx_tpu.ops.pallas_kernels import grid_neg_reml_lattice
+
+        N2 = U32.shape[1]  # plane-permuted operand's padded sample lanes
+        G = sh.grid_lg.shape[0]
+        f32 = jnp.float32
+        Wp = jnp.zeros((G, N2), f32).at[:, :n].set(sh.w32)
+        YX = jnp.zeros((1 + p, N2), f32)
+        YX = YX.at[0, :n].set(rot.yr.astype(f32))
+        for q in range(p):
+            YX = YX.at[1 + q, :n].set(rot.Xr[:, q].astype(f32))
+        SH = jnp.concatenate(
+            [
+                sh.Ar_inv32.reshape(G, p * p).T,
+                sh.Ainv_axy32.T,
+                sh.Axx32.reshape(G, p * p).T,
+                sh.axy32.T,
+                sh.ayy32[None, :],
+                sh.logdetAr32[None, :],
+                sh.logdetV32[None, :],
+            ],
+            axis=0,
+        )
+
     def body(_, xs):
         pkb, mnb = xs
         if use_pallas:
@@ -92,12 +127,22 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
             # (K2, N2) operand (janusx_tpu.ops.pallas_kernels)
             from janusx_tpu.ops.pallas_kernels import decode_rotate_planar
 
-            Gr32 = decode_rotate_planar(pkb, mnb[:, None], U32)[:, :n]
+            GrF = decode_rotate_planar(pkb, mnb[:, None], U32)
+            Gr32 = GrF[:, :n]
         else:
             Graw = decode.decode_centered(pkb, mnb, dtype=jnp.float32)[:, :n]
             Gr32 = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST)
         ssq = jnp.sum(Gr32 * Gr32, axis=-1).astype(jnp.float64)
-        lgs = lmm_grid_scan_with(sh, rot, Gr32)  # internally casts to f32
+        if use_lattice:
+            from janusx_tpu.core.reml import argmin_parabolic
+
+            neg = grid_neg_reml_lattice(
+                GrF, Wp, YX, SH, p=p, ridge=float(config.GRAM_RIDGE),
+                nf=float(n),
+            )
+            lgs = argmin_parabolic(neg, sh.grid_lg)
+        else:
+            lgs = lmm_grid_scan_with(sh, rot, Gr32)  # internally casts to f32
         beta, se, ml = final_stats_f32(rot, Gr32, lgs, with_ml)
         return None, (lgs, beta, se, ml, ssq)
 

@@ -121,6 +121,118 @@ def decode_rotate_planar(
     )(packed, mean, U_planar)
 
 
+def _grid_lattice_kernel(p: int, ridge: float, nf: float,
+                         gr_ref, w_ref, yx_ref, sh_ref, out_ref):
+    """One (bB, bG) tile of the per-(SNP, λ) profiled -REML lattice.
+
+    gr_ref: (bB, Npad) rotated SNP rows (f32, zero-padded lanes);
+    w_ref:  (bG, Npad) grid weights 1/(s+λ) (zero-padded lanes);
+    yx_ref: (1+p, Npad) rows = [yr, Xr_0..Xr_{p-1}];
+    sh_ref: (2p²+2p+3, bG) shared per-λ pieces
+            [Ar_inv (p²), Ainv_axy (p), Axx (p²), axy (p), ayy,
+             logdetAr, logdetV];
+    out_ref: (bB, bG) -REML (inf on invalid cells).
+
+    The XLA formulation materializes ~15 (B, G) intermediates in HBM;
+    here the three per-SNP grid grams are MXU contractions against the
+    resident weight tile and the whole Schur closed form stays in VMEM.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    gr = gr_ref[:]
+    w = w_ref[:]
+    dims = (((1,), (1,)), ((), ()))
+
+    def gram(rows):  # (bB, Npad) x (bG, Npad) -> (bB, bG)
+        return jax.lax.dot_general(
+            rows, w, dimension_numbers=dims,
+            preferred_element_type=jnp.float32, precision=hp,
+        )
+
+    agg = gram(gr * gr)
+    agy = gram(gr * yx_ref[0:1, :])
+    axg = [gram(gr * yx_ref[1 + q:2 + q, :]) for q in range(p)]
+
+    sh = sh_ref[:]
+    o_arinv, o_ainvaxy, o_axx, o_axy = 0, p * p, p * p + p, 2 * p * p + p
+    o_ayy = 2 * p * p + 2 * p
+    Ar_inv = [[sh[o_arinv + a * p + b:o_arinv + a * p + b + 1, :]
+               for b in range(p)] for a in range(p)]
+    Ainv_axy = [sh[o_ainvaxy + a:o_ainvaxy + a + 1, :] for a in range(p)]
+    Axx = [[sh[o_axx + a * p + b:o_axx + a * p + b + 1, :]
+            for b in range(p)] for a in range(p)]
+    axy = [sh[o_axy + a:o_axy + a + 1, :] for a in range(p)]
+    ayy = sh[o_ayy:o_ayy + 1, :]
+    logdetAr = sh[o_ayy + 1:o_ayy + 2, :]
+    logdetV = sh[o_ayy + 2:o_ayy + 3, :]
+
+    # u_a = sum_b Ar_inv[a][b] * axg_b   (rows broadcast over bB)
+    u = [sum(Ar_inv[a][b] * axg[b] for b in range(p)) for a in range(p)]
+    schur = (agg + jnp.float32(ridge)) - sum(
+        axg[a] * u[a] for a in range(p)
+    )
+    beta_g = (agy - sum(axg[a] * Ainv_axy[a] for a in range(p))) / schur
+    beta_X = [Ainv_axy[a] - beta_g * u[a] for a in range(p)]
+    lin = sum(beta_X[a] * axy[a] for a in range(p)) + beta_g * agy
+    quad = (
+        sum(beta_X[a] * Axx[a][b] * beta_X[b]
+            for a in range(p) for b in range(p))
+        + 2.0 * beta_g * sum(axg[a] * beta_X[a] for a in range(p))
+        + beta_g * beta_g * agg
+    )
+    rtwr = ayy - 2.0 * lin + quad
+    neg = 0.5 * (
+        jnp.float32(nf - (p + 1)) * jnp.log(rtwr)
+        + logdetV
+        + logdetAr + jnp.log(schur)
+    )
+    bad = ~jnp.isfinite(neg) | (rtwr <= 0) | (schur <= 0)
+    out_ref[:] = jnp.where(bad, jnp.float32(jnp.inf), neg)
+
+
+@partial(jax.jit, static_argnames=("p", "ridge", "nf", "bm", "bg", "interpret"))
+def grid_neg_reml_lattice(
+    Gr: jax.Array,  # (B, Npad) f32, lanes >= n zero
+    W: jax.Array,  # (G, Npad) f32 grid weights, padded lanes zero
+    YX: jax.Array,  # (1+p, Npad) f32 [yr, Xr columns], padded lanes zero
+    SH: jax.Array,  # (2p^2+2p+3, G) f32 shared per-λ pieces
+    p: int,
+    ridge: float,
+    nf: float,
+    bm: int = 256,
+    bg: int = 128,
+    interpret: bool = False,
+):
+    """Fused (B, G) -REML lattice (see _grid_lattice_kernel)."""
+    B, Npad = Gr.shape
+    G = W.shape[0]
+    R = SH.shape[0]
+    grid = (B // bm, G // bg)
+    kern = partial(_grid_lattice_kernel, p, ridge, nf)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            # literal block offsets must stay i32 under jax_enable_x64
+            pl.BlockSpec((bm, Npad),
+                         lambda i, j: (i, jnp.asarray(0, jnp.int32)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, Npad),
+                         lambda i, j: (j, jnp.asarray(0, jnp.int32)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((YX.shape[0], Npad),
+                         lambda i, j: (jnp.asarray(0, jnp.int32),
+                                       jnp.asarray(0, jnp.int32)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, bg),
+                         lambda i, j: (jnp.asarray(0, jnp.int32), j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bg), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, G), jnp.float32),
+        interpret=interpret,
+    )(Gr, W, YX, SH)
+
+
 def rotate_block_pallas(packed_block, mean_block, U, interpret: bool = False):
     """Fused decode+rotate for arbitrary shapes (host-side padding + U row
     permutation). U must have 4*packed_block.shape[1] rows (zero rows for
