@@ -77,6 +77,7 @@ KNOBS: dict = {
     "JX_TPU_COMPILE_CACHE": (str, "~/.cache/janusx_tpu_xla", "persistent XLA compile cache dir (0 disables)"),
     "JX_TPU_PALLAS": (bool, True, "fused Pallas decode+rotate kernel in the LMM scan (non-CPU backends)"),
     "JX_TPU_PALLAS_GRID": (bool, True, "fused Pallas lambda-lattice kernel (whole (SNP, lambda) Schur/-REML closed form in VMEM; requires JX_TPU_PALLAS)"),
+    "JX_TPU_GRID_MXU_PREC": (str, "default", "lambda-lattice gram MXU precision: default (one-pass, selection-grade) | highest (six-pass f32)"),
     "JX_TPU_SCAN_METHOD": (str, "grid", "LMM per-SNP lambda search: grid | brent"),
     "JX_TPU_GRID_POINTS": (int, 256, "shared log10-lambda grid size for the grid scan (3-point parabolic refinement localizes lambda* to ~1e-3, inside the 1e-2 Brent tol; raise for finer search)"),
     "JX_TPU_SCAN_BRENT_TOL": (float, 1e-2, "per-SNP Brent tolerance (reference lmm.rs:334)"),

@@ -73,7 +73,7 @@ def _lmm_block(
 
 
 def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
-                   use_pallas: bool):
+                   use_pallas: bool, lattice: bool = True):
     """Whole-scan body on pre-blocked (nblk, B, K) packed genotypes:
     lax.scan streams SNP blocks through decode -> rotate -> grid λ-search
     -> f32-gram beta/se -> device Wald p. Under shard_map the B axis is
@@ -90,11 +90,11 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
     # VMEM (ops.pallas_kernels.grid_neg_reml_lattice) instead of ~15 XLA
     # (B, G) HBM intermediates; needs MXU-aligned B and G tiles
     use_lattice = (
-        use_pallas
+        lattice
+        and use_pallas
         and p <= 4
         and sh.grid_lg.shape[0] % 128 == 0
         and pk.shape[1] % 256 == 0
-        and os.environ.get("JX_TPU_PALLAS_GRID", "1") not in ("0", "false")
     )
     if use_lattice:
         from janusx_tpu.ops.pallas_kernels import grid_neg_reml_lattice
@@ -155,13 +155,16 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
     return jnp.stack([lgs, beta, se, ml, ssq, pwald])
 
 
-@partial(jax.jit, static_argnames=("n", "with_ml", "use_pallas"))
-def _lmm_scan_resident(pk, mn, U32, rot, sh, n, with_ml, use_pallas=False):
-    return _lmm_scan_core(pk, mn, U32, rot, sh, n, with_ml, use_pallas)
+@partial(jax.jit, static_argnames=("n", "with_ml", "use_pallas", "lattice"))
+def _lmm_scan_resident(pk, mn, U32, rot, sh, n, with_ml, use_pallas=False,
+                       lattice=True):
+    return _lmm_scan_core(pk, mn, U32, rot, sh, n, with_ml, use_pallas,
+                          lattice)
 
 
 @lru_cache(maxsize=8)
-def _lmm_scan_sharded(mesh, n: int, with_ml: bool, use_pallas: bool):
+def _lmm_scan_sharded(mesh, n: int, with_ml: bool, use_pallas: bool,
+                      lattice: bool = True):
     """SNP-sharded whole scan: shard_map over the mesh 'snp' axis.
 
     pk/mn arrive with their per-block SNP axis sharded; U32/rot/sh are
@@ -172,7 +175,8 @@ def _lmm_scan_sharded(mesh, n: int, with_ml: bool, use_pallas: bool):
 
     shard_map = jax.shard_map
 
-    fn = partial(_lmm_scan_core, n=n, with_ml=with_ml, use_pallas=use_pallas)
+    fn = partial(_lmm_scan_core, n=n, with_ml=with_ml, use_pallas=use_pallas,
+                 lattice=lattice)
     mapped = shard_map(
         fn,
         mesh=mesh,
@@ -257,6 +261,7 @@ def lmm_scan(
             and jax.default_backend() not in ("cpu",)
             and os.environ.get("JX_TPU_PALLAS", "1") not in ("0", "false")
         )
+    lattice = os.environ.get("JX_TPU_PALLAS_GRID", "1") not in ("0", "false")
     if grid_points is None:
         grid_points = config.knob("JX_TPU_GRID_POINTS")
     y = np.asarray(y, np.float64).reshape(-1)
@@ -325,11 +330,12 @@ def lmm_scan(
         )
         if mesh is not None:
             U_op, rot_d, sh_d = devcache.replicate_tree((U_op, rot, sh), mesh)
-            fn = _lmm_scan_sharded(mesh, n, lmm2, use_pallas)
+            fn = _lmm_scan_sharded(mesh, n, lmm2, use_pallas, lattice)
             out = np.asarray(fn(pk, mn, U_op, rot_d, sh_d)).reshape(6, m_pad)
         else:
             out = np.asarray(
-                _lmm_scan_resident(pk, mn, U_op, rot, sh, n, lmm2, use_pallas)
+                _lmm_scan_resident(pk, mn, U_op, rot, sh, n, lmm2,
+                                   use_pallas, lattice)
             ).reshape(6, m_pad)
         lbd = 10.0 ** out[0, :m]
         beta = out[1, :m]

@@ -121,6 +121,23 @@ def decode_rotate_planar(
     )(packed, mean, U_planar)
 
 
+# λ-grid gram precision: the lattice only RANKS grid cells (beta/se are
+# re-evaluated exactly at λ*), so the default is the native one-pass MXU
+# mode (bf16 inputs, f32 accumulate) — measured +12% whole-scan vs
+# HIGHEST with max -log10 p shift 0.016 on mouse (inside the 0.05
+# grid-vs-brent envelope). JX_TPU_GRID_MXU_PREC=highest restores the
+# six-pass f32 mode.
+def _grid_precision():
+    from janusx_tpu import config
+
+    val = str(config.knob("JX_TPU_GRID_MXU_PREC")).lower()
+    return (jax.lax.Precision.HIGHEST if val == "highest"
+            else jax.lax.Precision.DEFAULT)
+
+
+_GRID_PRECISION = _grid_precision()
+
+
 def _grid_lattice_kernel(p: int, ridge: float, nf: float,
                          gr_ref, w_ref, yx_ref, sh_ref, out_ref):
     """One (bB, bG) tile of the per-(SNP, λ) profiled -REML lattice.
@@ -145,7 +162,7 @@ def _grid_lattice_kernel(p: int, ridge: float, nf: float,
     def gram(rows):  # (bB, Npad) x (bG, Npad) -> (bB, bG)
         return jax.lax.dot_general(
             rows, w, dimension_numbers=dims,
-            preferred_element_type=jnp.float32, precision=hp,
+            preferred_element_type=jnp.float32, precision=_GRID_PRECISION,
         )
 
     agg = gram(gr * gr)
