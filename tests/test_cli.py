@@ -285,3 +285,11 @@ def test_bench_module_clis(tmp_path):
 
     for name in ("gblupbench", "bayesbench", "garfieldbench"):
         assert name in _SUBENTRY
+
+
+def test_ggval_smoke(tmp_path):
+    from janusx_tpu.cli.ggval import main as ggval_main
+
+    rc = ggval_main(["gwas", "-nind", "120", "-nsnp", "300",
+                     "-o", str(tmp_path)])
+    assert rc == 0
