@@ -34,6 +34,10 @@ def build_parser(prog="jx postgwas") -> argparse.ArgumentParser:
     p.add_argument("-jobs", "--jobs", type=int, default=None,
                    help="process-pool size for per-file Manhattan/QQ "
                         "rendering (default: min(4, files, cpus))")
+    p.add_argument("-report", "--report", action="store_true",
+                   help="bundle Manhattan + QQ + top-hit table + locus "
+                        "pages into one PDF per input file (uses "
+                        "-autoregion settings for the locus pages)")
     p.add_argument("-hap", "--hap", type=str, default=None, metavar="CHR:POS[,CHR:POS...]",
                    help="haplotype phenotype plot at the given SNP position(s) "
                    "(needs a genotype input and -p)")
@@ -215,6 +219,46 @@ def main(argv=None) -> int:
                 )
                 print(f"{out}\tlead={info['lead']}\tgenes={info['n_genes']}"
                       f"\tsnps={info['n_snps']}")
+    if args.report:
+        # one multi-page PDF per input: Manhattan, QQ, top-hit table,
+        # then any locus pages produced above (reference postgwas
+        # region-report bundles)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.image as mpimg
+        import matplotlib.pyplot as plt
+        import pandas as pd
+        from matplotlib.backends.backend_pdf import PdfPages
+
+        for tag, lam, man, qq, top_path in results:
+            pdf_path = f"{prefix}.{tag}.report.pdf"
+            locus_pngs = sorted(
+                glob.glob(f"{prefix}.{tag}.locus.*.png")
+            )
+            with PdfPages(pdf_path) as pdf:
+                for img_path in [man, qq] + locus_pngs:
+                    img = mpimg.imread(img_path)
+                    h, w = img.shape[:2]
+                    fig = plt.figure(figsize=(10, 10 * h / w))
+                    ax = fig.add_axes([0, 0, 1, 1])
+                    ax.imshow(img)
+                    ax.axis("off")
+                    pdf.savefig(fig)
+                    plt.close(fig)
+                top = pd.read_csv(top_path, sep="\t")
+                fig, ax = plt.subplots(figsize=(10, 0.32 * len(top) + 1.2))
+                ax.axis("off")
+                cols = [c for c in top.columns if c not in ("allele0", "allele1")]
+                cell = [[f"{v:.3g}" if isinstance(v, float) else str(v)
+                         for v in row] for row in top[cols].itertuples(index=False)]
+                tbl = ax.table(cellText=cell, colLabels=cols, loc="center")
+                tbl.auto_set_font_size(False)
+                tbl.set_fontsize(7)
+                ax.set_title(f"{tag}: top hits (λ_GC={lam:.3f})", fontsize=10)
+                pdf.savefig(fig)
+                plt.close(fig)
+            print(pdf_path)
     if args.hap:
         import numpy as np
 

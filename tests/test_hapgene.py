@@ -200,3 +200,29 @@ def test_pick_loci_independent():
     p[150] = 1e-8
     loci = pick_loci(chrom, pos, p, n_loci=5, window=50_000)
     assert loci == [("1", 100_000), ("2", 500_000)]
+
+
+def test_postgwas_report_pdf(tmp_path):
+    from janusx_tpu.cli.postgwas import main as pg_main
+    from janusx_tpu.cli.sim import main as sim_main
+
+    out = str(tmp_path / "d")
+    assert sim_main(["-nind", "100", "-nsnp", "200", "-nqtl", "2",
+                     "-h2", "0.6", "-o", out]) == 0
+    base = os.path.join(out, "sim")
+    import pandas as pd
+
+    bim = pd.read_csv(base + ".bim", sep="\t", header=None,
+                      names=["chrom", "snp", "cm", "pos", "a1", "a0"])
+    rng = np.random.default_rng(5)
+    p = rng.uniform(1e-3, 1, len(bim))
+    p[11] = 1e-9
+    pd.DataFrame({"chrom": bim["chrom"], "pos": bim["pos"],
+                  "snp": bim["snp"], "pwald": p}).to_csv(
+        str(tmp_path / "a.assoc.tsv"), sep="\t", index=False)
+    rc = pg_main(["-i", str(tmp_path / "a.assoc.tsv"), "-autoregion", "1",
+                  "-report", "-bfile", base, "-o", str(tmp_path / "pg")])
+    assert rc == 0
+    pdfs = [f for f in os.listdir(str(tmp_path / "pg")) if f.endswith(".report.pdf")]
+    assert len(pdfs) == 1
+    assert os.path.getsize(str(tmp_path / "pg" / pdfs[0])) > 10_000
