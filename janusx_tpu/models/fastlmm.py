@@ -41,12 +41,7 @@ from janusx_tpu import config
 from janusx_tpu.core import stats as jstats
 from janusx_tpu.core.reml import GridShared, NullFit, grid_argmin_schur
 from janusx_tpu.io.packed import PackedGenotypes
-from janusx_tpu.models.scan_common import (
-    ScanResult,
-    finalize_invalid,
-    iter_blocks,
-    pad_rows,
-)
+from janusx_tpu.models.scan_common import ScanResult, finalize_invalid
 from janusx_tpu.ops import decode
 
 _BAD = 1e8
@@ -426,7 +421,6 @@ def _final_stats_lr(cs: _LrConsts, Gr, cgX, cgy, cgg, lg_star, n: int,
     return beta, se, ml
 
 
-@partial(jax.jit, static_argnames=("n", "model", "with_ml"))
 def _lr_block(packed, mean, cs: _LrConsts, sh: GridShared, n: int,
               model: str, with_ml: bool):
     """One SNP block: decode → genetic-model transform → project to the
@@ -471,6 +465,23 @@ def _lr_block(packed, mean, cs: _LrConsts, sh: GridShared, n: int,
     return lg_star, beta, se, ml, gg.astype(f64)
 
 
+@partial(jax.jit, static_argnames=("n", "model", "with_ml"))
+def _lr_scan_resident(pk, mn, cs: _LrConsts, sh: GridShared, n: int,
+                      model: str, with_ml: bool):
+    """Whole-scan resident form: lax.scan over pre-blocked (nblk, B, K)
+    packed rows, one dispatch, one stacked (5, nblk, B) fetch — the
+    low-rank twin of models.lmm._lmm_scan_resident (per-block python
+    dispatch costs ~ms of round-trips per block on remote-attached
+    TPUs, which dominates at chromosome-scale m)."""
+
+    def body(_, xs):
+        pkb, mnb = xs
+        return None, _lr_block(pkb, mnb, cs, sh, n, model, with_ml)
+
+    _, outs = jax.lax.scan(body, None, (pk, mn))
+    return jnp.stack(outs)
+
+
 def fastlmm_scan(
     pg: PackedGenotypes,
     lrb: LowRankBasis,
@@ -493,24 +504,22 @@ def fastlmm_scan(
     cs = _lr_consts(rot)._replace(Uk=jnp.asarray(lrb.U, jnp.float32))
     n, m = pg.n, pg.m
     block = min(block, m) if m else block
-    packed = decode.pad_packed_cols(pg.packed)
-    lbd = np.empty(m)
-    beta = np.empty(m)
-    se = np.empty(m)
-    ml = np.empty(m)
-    ssq = np.empty(m)
-    for s0, e0 in iter_blocks(m, block):
-        pk = jnp.asarray(pad_rows(packed[s0:e0], block, 0xFF))
-        mn = jnp.asarray(pad_rows(pg.mean[s0:e0].astype(np.float32), block))
-        lg_b, b_b, se_b, ml_b, ssq_b = _lr_block(
-            pk, mn, cs, sh, n, model, lmm2
-        )
-        kk = e0 - s0
-        lbd[s0:e0] = 10.0 ** np.asarray(lg_b)[:kk]
-        beta[s0:e0] = np.asarray(b_b)[:kk]
-        se[s0:e0] = np.asarray(se_b)[:kk]
-        ml[s0:e0] = np.asarray(ml_b)[:kk]
-        ssq[s0:e0] = np.asarray(ssq_b)[:kk]
+    from janusx_tpu.utils import devcache
+
+    m_pad = -(-m // block) * block
+    nblk = m_pad // block
+    pk = devcache.device_packed_blocks(pg, (nblk, block))
+    mn = devcache.to_device_blocks(
+        pg.mean, (nblk, block), 0.0, dtype=jnp.float32
+    )
+    out = np.asarray(
+        _lr_scan_resident(pk, mn, cs, sh, n, model, lmm2)
+    ).reshape(5, m_pad)
+    lbd = 10.0 ** out[0, :m]
+    beta = out[1, :m]
+    se = out[2, :m]
+    ml = out[3, :m]
+    ssq = out[4, :m]
     pwald = jstats.pwald_from_beta_se(beta, se)
     if lmm2:
         plrt = jstats.plrt_from_ml(ml, null.ml)
