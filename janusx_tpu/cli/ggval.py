@@ -94,8 +94,12 @@ def run_suites(suites, work: str, nind: int, nsnp: int, chk: _Check) -> None:
         from janusx_tpu.cli.gwas import main as gwas_main
 
         out = os.path.join(work, "gwas")
+        # QC off (-maf 0 -geno 1): the rows==m checks below compare
+        # against the raw .bim count; default MAF filtering could drop
+        # borderline simulated SNPs and fail a healthy install
         rc = gwas_main(["-bfile", base, "-p", pheno, "-lm", "-lmm",
-                        "-force-model", "-o", out])
+                        "-force-model", "-maf", "0", "-geno", "1",
+                        "-o", out])
         chk.ok("gwas: exit 0", rc == 0)
         for tag in ("LM", "LMM"):
             tsv = os.path.join(out, f"jx.trait0.{tag}.assoc.tsv")

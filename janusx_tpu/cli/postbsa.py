@@ -180,6 +180,9 @@ def main(argv=None) -> int:
         dd = pd.read_csv(args.depths, sep="\t")
         dd = dd.sort_values(["chrom", "pos"], kind="stable").reset_index(drop=True)
         key = ["chrom", "pos"]
+        # duplicated positions (e.g. multiallelic rows) would inflate the
+        # left-merge beyond len(df): keep the first depth row per site
+        dd = dd.drop_duplicates(subset=key, keep="first")
         merged = df[key].merge(dd, on=key, how="left")
         d1 = (merged["alt1"] + merged["ref1"]).to_numpy(float)
         d2 = (merged["alt2"] + merged["ref2"]).to_numpy(float)

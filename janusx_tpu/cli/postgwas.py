@@ -184,6 +184,7 @@ def main(argv=None) -> int:
             sig_line=args.sig, title=f"{chrom}:{lo}-{hi}",
         )
         print(f"{path}\t{ngenes} gene models")
+    locus_pages: dict = {}  # input path -> locus PNGs rendered THIS run
     if args.autoregion:
         import numpy as np
 
@@ -217,6 +218,7 @@ def main(argv=None) -> int:
                     window=args.region_window, gff_path=args.gff, pg=pg,
                     sig_line=sig,
                 )
+                locus_pages.setdefault(path, []).append(out)
                 print(f"{out}\tlead={info['lead']}\tgenes={info['n_genes']}"
                       f"\tsnps={info['n_snps']}")
     if args.report:
@@ -231,11 +233,11 @@ def main(argv=None) -> int:
         import pandas as pd
         from matplotlib.backends.backend_pdf import PdfPages
 
-        for tag, lam, man, qq, top_path in results:
+        for (path, *_), (tag, lam, man, qq, top_path) in zip(tasks, results):
             pdf_path = f"{prefix}.{tag}.report.pdf"
-            locus_pngs = sorted(
-                glob.glob(f"{prefix}.{tag}.locus.*.png")
-            )
+            # only locus pages rendered THIS run — a directory glob would
+            # bundle stale pages from earlier runs with other settings
+            locus_pngs = locus_pages.get(path, [])
             with PdfPages(pdf_path) as pdf:
                 for img_path in [man, qq] + locus_pngs:
                     img = mpimg.imread(img_path)

@@ -230,7 +230,13 @@ def fit_null_reml_lr(rot: RotatedLR) -> tuple[NullFit, np.ndarray, float]:
                  "maxiter": config.NULL_BRENT_MAX_ITER},
     )
     lg = float(res.x)
-    beta, rtwr, logdetV, _ = solve(lg)
+    pc = solve(lg)
+    if pc is None:
+        raise ValueError(
+            "low-rank null REML fit failed: covariate Gram is not positive"
+            " definite at the optimum (collinear or constant covariates?)"
+        )
+    beta, rtwr, logdetV, _ = pc
     cm = n * (math.log(n) - 1.0 - math.log(2.0 * math.pi)) / 2.0
     ml = cm - 0.5 * (n * math.log(rtwr) + logdetV)
     fit = NullFit(
@@ -239,9 +245,10 @@ def fit_null_reml_lr(rot: RotatedLR) -> tuple[NullFit, np.ndarray, float]:
     return fit, np.asarray(beta), float(rtwr / (n - p))
 
 
-def lowrank_switch_p(rot: RotatedLR) -> float:
+def lowrank_switch_p(rot: RotatedLR) -> tuple[float, NullFit]:
     """Boundary LRT p for Va=0 (LMM->LM auto-switch) from the low-rank
-    null — mirrors workflows.gwas.lmm_to_lm_switch_p semantics."""
+    null — mirrors workflows.gwas.lmm_to_lm_switch_p semantics. Returns
+    (p, null_fit) so the caller can reuse the null in the scan."""
     null, _, _ = fit_null_reml_lr(rot)
     X, y = rot.X, rot.y
     n = rot.n
@@ -251,7 +258,8 @@ def lowrank_switch_p(rot: RotatedLR) -> float:
     stat = 2.0 * (null.ml - ml_lm)
     stat = max(stat, 0.0) if np.isfinite(stat) else 0.0
     p = 0.5 * float(jstats.chi2_sf_df1(np.asarray(stat)))
-    return min(max(p if np.isfinite(p) else 1.0, np.finfo(np.float64).tiny), 1.0)
+    p = min(max(p if np.isfinite(p) else 1.0, np.finfo(np.float64).tiny), 1.0)
+    return p, null
 
 
 def _grid_shared_lr(rot: RotatedLR, grid_lg: np.ndarray) -> GridShared:
@@ -272,7 +280,13 @@ def _grid_shared_lr(rot: RotatedLR, grid_lg: np.ndarray) -> GridShared:
     axy = w @ rot.PXy + w0[:, None] * rot.cXy
     ayy = w @ rot.Pyy + w0 * rot.cyy
     Ar = Axx + config.GRAM_RIDGE * np.eye(p)
-    L = np.linalg.cholesky(Ar)
+    try:
+        L = np.linalg.cholesky(Ar)
+    except np.linalg.LinAlgError as e:
+        raise ValueError(
+            "low-rank grid setup failed: covariate Gram is not positive"
+            " definite on the λ grid (collinear or constant covariates?)"
+        ) from e
     logdetAr = 2.0 * np.sum(np.log(np.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
     Ar_inv = np.linalg.inv(Ar)
     Ainv_axy = np.einsum("gpq,gq->gp", Ar_inv, axy)
@@ -290,18 +304,36 @@ def _grid_shared_lr(rot: RotatedLR, grid_lg: np.ndarray) -> GridShared:
     )
 
 
-def _transform_dosage(d, model: str):
-    """Genetic-model transform on the (mean-imputed) dosage lattice
-    (fastlmm_lowrank.rs GeneticModel::apply)."""
+def _transform_codes(codes, model: str):
+    """Genetic-model indicator on TRUE hardcall codes 0/1/2
+    (fastlmm_lowrank.rs GeneticModel::apply). Missing (3) handled by the
+    caller — indicators must never see imputed means."""
+    f32 = jnp.float32
     if model == "add":
-        return d
+        return codes.astype(f32)
     if model == "dom":
-        return (d > 0.0).astype(d.dtype)
+        return ((codes == 1) | (codes == 2)).astype(f32)
     if model == "rec":
-        return (jnp.abs(d - 2.0) < 1e-6).astype(d.dtype)
+        return (codes == 2).astype(f32)
     if model == "het":
-        return (jnp.abs(d - 1.0) < 1e-6).astype(d.dtype)
+        return (codes == 1).astype(f32)
     raise ValueError(f"unknown genetic model: {model}")
+
+
+def _decode_transformed_centered(packed, n: int, model: str):
+    """(B, nb) packed -> (B, n) centered genetic-model values.
+
+    The transform is applied to the RAW codes; missing genotypes are
+    imputed with the per-SNP mean of the TRANSFORMED non-missing values
+    (then centering sends them to exactly 0). Applying indicators to
+    mean-imputed dosages would instead code every missing sample as a
+    deterministic carrier/non-carrier."""
+    codes = decode.unpack_codes(packed)[:, :n]
+    obs = codes != 3
+    t = _transform_codes(jnp.where(obs, codes, 0), model)
+    cnt = jnp.maximum(jnp.sum(obs, axis=-1, keepdims=True), 1)
+    tm = jnp.sum(jnp.where(obs, t, 0.0), axis=-1, keepdims=True) / cnt
+    return jnp.where(obs, t - tm, 0.0)
 
 
 class _LrConsts(NamedTuple):
@@ -427,10 +459,7 @@ def _lr_block(packed, mean, cs: _LrConsts, sh: GridShared, n: int,
     k-space → grid λ* → per-lane beta/se. Returns (lg, beta, se, ml, ssq)."""
     hp = jax.lax.Precision.HIGHEST
     f32 = jnp.float32
-    d = decode.decode_dosage(packed, mean, dtype=f32)[:, :n]
-    t = _transform_dosage(d, model)
-    tm = jnp.mean(t, axis=-1, keepdims=True)
-    G = t - tm  # centered transformed column (B, n)
+    G = _decode_transformed_centered(packed, n, model)  # (B, n)
     Gr = jnp.dot(G, cs.Uk, precision=hp)  # (B, k)
     gX = jnp.dot(G, cs.X, precision=hp)  # (B, p)
     gy = jnp.dot(G, cs.y, precision=hp)  # (B,)
@@ -440,20 +469,25 @@ def _lr_block(packed, mean, cs: _LrConsts, sh: GridShared, n: int,
     cgX = gX.astype(f64) - jnp.dot(Gr, cs.Xr, precision=hp).astype(f64)
     cgy = gy.astype(f64) - jnp.dot(Gr, cs.yr, precision=hp).astype(f64)
     cgg = gg.astype(f64) - jnp.sum(Gr * Gr, axis=-1).astype(f64)
-    # (B, G) grid pieces: low-rank matmuls + rank-1 complement correction
+    # (B, G) grid pieces: ONE stacked ((2+p)B, k) @ (k, G) MXU matmul
+    # (same fusion as core.reml.lmm_grid_scan_with) + rank-1 complement
+    # corrections
     wT = sh.w32.T  # (k, G)
     lbdg = jnp.power(10.0, sh.grid_lg).astype(f32)
     w0g = (1.0 / (cs.ridge64.astype(f32) + lbdg))[None, :]  # (1, G)
-    agg = jnp.dot(Gr * Gr, wT, precision=hp) + cgg.astype(f32)[:, None] * w0g
-    agy = (
-        jnp.dot(Gr * cs.yr[None, :], wT, precision=hp)
-        + cgy.astype(f32)[:, None] * w0g
-    )
     p = cs.Xr.shape[1]
+    B = Gr.shape[0]
+    E = jnp.concatenate(
+        [Gr * Gr, Gr * cs.yr[None, :]]
+        + [Gr * cs.Xr[None, :, j] for j in range(p)],
+        axis=0,
+    )
+    A = jnp.dot(E, wT, precision=hp)  # ((2+p)B, G)
+    agg = A[:B] + cgg.astype(f32)[:, None] * w0g
+    agy = A[B:2 * B] + cgy.astype(f32)[:, None] * w0g
     axg = jnp.stack(
         [
-            jnp.dot(Gr * cs.Xr[None, :, j], wT, precision=hp)
-            + cgX[:, j].astype(f32)[:, None] * w0g
+            A[(2 + j) * B:(3 + j) * B] + cgX[:, j].astype(f32)[:, None] * w0g
             for j in range(p)
         ],
         axis=-1,
@@ -491,12 +525,21 @@ def fastlmm_scan(
     lmm2: bool = False,
     grid_points: int | None = None,
     model: str = "add",
+    rot: RotatedLR | None = None,
+    null: NullFit | None = None,
 ) -> tuple[ScanResult, NullFit]:
-    """Low-rank exact LMM scan over all SNPs (FaST-LMM semantics)."""
+    """Low-rank exact LMM scan over all SNPs (FaST-LMM semantics).
+
+    ``rot``/``null`` accept a precomputed rotation and null fit (the
+    workflow computes both for the LMM->LM switch — avoids repeating the
+    O(n k p) rotation + Brent null per trait, as lmm_scan's ``null=``
+    does for the dense route)."""
     if grid_points is None:
         grid_points = config.knob("JX_TPU_GRID_POINTS")
-    rot = make_rotated_lr(lrb, y, covariates)
-    null, _, _ = fit_null_reml_lr(rot)
+    if rot is None:
+        rot = make_rotated_lr(lrb, y, covariates)
+    if null is None:
+        null, _, _ = fit_null_reml_lr(rot)
     grid_lg = np.linspace(
         config.LOG10_LAMBDA_LOW, config.LOG10_LAMBDA_HIGH, grid_points
     )

@@ -94,6 +94,21 @@ def _last_record_start(chunk: bytes, fastq: bool) -> int:
         pos = i
 
 
+_BASES = frozenset(b"ACGTacgt")
+
+
+def _tail_base_cut(buf: bytes, nbases: int) -> int:
+    """Offset such that buf[cut:] holds the last ``nbases`` base chars
+    (plus any interleaved newlines). Returns 0 if fewer bases exist."""
+    seen = 0
+    for i in range(len(buf) - 1, -1, -1):
+        if buf[i] in _BASES:
+            seen += 1
+            if seen >= nbases:
+                return i
+    return 0
+
+
 def count_kmers(
     path: str, k: int = 21, min_count: int = 1, threads: int | None = None,
     chunk_bytes: int = 256 << 20,
@@ -123,7 +138,18 @@ def count_kmers(
                     fastq = buf[:1] == b"@"
                 if len(data) == chunk_bytes:  # maybe more coming: hold the tail record
                     cut = _last_record_start(buf, fastq)
-                    feed, carry = buf[:cut], buf[cut:]
+                    if cut == 0 and not fastq and len(buf) > chunk_bytes:
+                        # single FASTA record larger than the chunk: feed
+                        # the WHOLE partial body now (the parser's
+                        # bare-sequence branch continues it next round)
+                        # and carry only the last k-1 bases — exactly the
+                        # context boundary-spanning k-mers need, while a
+                        # k-1 stretch alone cannot re-form a full window
+                        # (no double counting). Memory stays bounded by
+                        # the chunk, not the record.
+                        feed, carry = buf, buf[_tail_base_cut(buf, k - 1):]
+                    else:
+                        feed, carry = buf[:cut], buf[cut:]
                 else:
                     feed, carry = buf, b""
                 if feed and lib.jx_kmt_add(h, feed, len(feed)) != 0:

@@ -73,7 +73,8 @@ def _lmm_block(
 
 
 def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
-                   use_pallas: bool, lattice: bool = True):
+                   use_pallas: bool, lattice: bool = True,
+                   grid_prec: str = "default"):
     """Whole-scan body on pre-blocked (nblk, B, K) packed genotypes:
     lax.scan streams SNP blocks through decode -> rotate -> grid λ-search
     -> f32-gram beta/se -> device Wald p. Under shard_map the B axis is
@@ -138,7 +139,7 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
 
             neg = grid_neg_reml_lattice(
                 GrF, Wp, YX, SH, p=p, ridge=float(config.GRAM_RIDGE),
-                nf=float(n),
+                nf=float(n), prec=grid_prec,
             )
             lgs = argmin_parabolic(neg, sh.grid_lg)
         else:
@@ -155,16 +156,17 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
     return jnp.stack([lgs, beta, se, ml, ssq, pwald])
 
 
-@partial(jax.jit, static_argnames=("n", "with_ml", "use_pallas", "lattice"))
+@partial(jax.jit, static_argnames=("n", "with_ml", "use_pallas", "lattice",
+                                   "grid_prec"))
 def _lmm_scan_resident(pk, mn, U32, rot, sh, n, with_ml, use_pallas=False,
-                       lattice=True):
+                       lattice=True, grid_prec="default"):
     return _lmm_scan_core(pk, mn, U32, rot, sh, n, with_ml, use_pallas,
-                          lattice)
+                          lattice, grid_prec)
 
 
 @lru_cache(maxsize=8)
 def _lmm_scan_sharded(mesh, n: int, with_ml: bool, use_pallas: bool,
-                      lattice: bool = True):
+                      lattice: bool = True, grid_prec: str = "default"):
     """SNP-sharded whole scan: shard_map over the mesh 'snp' axis.
 
     pk/mn arrive with their per-block SNP axis sharded; U32/rot/sh are
@@ -176,7 +178,7 @@ def _lmm_scan_sharded(mesh, n: int, with_ml: bool, use_pallas: bool,
     shard_map = jax.shard_map
 
     fn = partial(_lmm_scan_core, n=n, with_ml=with_ml, use_pallas=use_pallas,
-                 lattice=lattice)
+                 lattice=lattice, grid_prec=grid_prec)
     mapped = shard_map(
         fn,
         mesh=mesh,
@@ -262,6 +264,7 @@ def lmm_scan(
             and os.environ.get("JX_TPU_PALLAS", "1") not in ("0", "false")
         )
     lattice = os.environ.get("JX_TPU_PALLAS_GRID", "1") not in ("0", "false")
+    grid_prec = str(config.knob("JX_TPU_GRID_MXU_PREC")).lower()
     if grid_points is None:
         grid_points = config.knob("JX_TPU_GRID_POINTS")
     y = np.asarray(y, np.float64).reshape(-1)
@@ -330,12 +333,13 @@ def lmm_scan(
         )
         if mesh is not None:
             U_op, rot_d, sh_d = devcache.replicate_tree((U_op, rot, sh), mesh)
-            fn = _lmm_scan_sharded(mesh, n, lmm2, use_pallas, lattice)
+            fn = _lmm_scan_sharded(mesh, n, lmm2, use_pallas, lattice,
+                                   grid_prec)
             out = np.asarray(fn(pk, mn, U_op, rot_d, sh_d)).reshape(6, m_pad)
         else:
             out = np.asarray(
                 _lmm_scan_resident(pk, mn, U_op, rot, sh, n, lmm2,
-                                   use_pallas, lattice)
+                                   use_pallas, lattice, grid_prec)
             ).reshape(6, m_pad)
         lbd = 10.0 ** out[0, :m]
         beta = out[1, :m]

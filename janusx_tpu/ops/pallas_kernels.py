@@ -121,24 +121,7 @@ def decode_rotate_planar(
     )(packed, mean, U_planar)
 
 
-# λ-grid gram precision: the lattice only RANKS grid cells (beta/se are
-# re-evaluated exactly at λ*), so the default is the native one-pass MXU
-# mode (bf16 inputs, f32 accumulate) — measured +12% whole-scan vs
-# HIGHEST with max -log10 p shift 0.016 on mouse (inside the 0.05
-# grid-vs-brent envelope). JX_TPU_GRID_MXU_PREC=highest restores the
-# six-pass f32 mode.
-def _grid_precision():
-    from janusx_tpu import config
-
-    val = str(config.knob("JX_TPU_GRID_MXU_PREC")).lower()
-    return (jax.lax.Precision.HIGHEST if val == "highest"
-            else jax.lax.Precision.DEFAULT)
-
-
-_GRID_PRECISION = _grid_precision()
-
-
-def _grid_lattice_kernel(p: int, ridge: float, nf: float,
+def _grid_lattice_kernel(p: int, ridge: float, nf: float, prec: str,
                          gr_ref, w_ref, yx_ref, sh_ref, out_ref):
     """One (bB, bG) tile of the per-(SNP, λ) profiled -REML lattice.
 
@@ -154,7 +137,13 @@ def _grid_lattice_kernel(p: int, ridge: float, nf: float,
     here the three per-SNP grid grams are MXU contractions against the
     resident weight tile and the whole Schur closed form stays in VMEM.
     """
-    hp = jax.lax.Precision.HIGHEST
+    # the lattice only RANKS grid cells (beta/se are re-evaluated exactly
+    # at λ*), so prec="default" (one-pass MXU: bf16 inputs, f32
+    # accumulate) is safe and measured +12% whole-scan vs "highest"
+    # (max -log10 p shift 0.016 on mouse, inside the 0.05 grid-vs-brent
+    # envelope); JX_TPU_GRID_MXU_PREC=highest restores six-pass f32
+    gprec = (jax.lax.Precision.HIGHEST if prec == "highest"
+             else jax.lax.Precision.DEFAULT)
     gr = gr_ref[:]
     w = w_ref[:]
     dims = (((1,), (1,)), ((), ()))
@@ -162,7 +151,7 @@ def _grid_lattice_kernel(p: int, ridge: float, nf: float,
     def gram(rows):  # (bB, Npad) x (bG, Npad) -> (bB, bG)
         return jax.lax.dot_general(
             rows, w, dimension_numbers=dims,
-            preferred_element_type=jnp.float32, precision=_GRID_PRECISION,
+            preferred_element_type=jnp.float32, precision=gprec,
         )
 
     agg = gram(gr * gr)
@@ -206,7 +195,8 @@ def _grid_lattice_kernel(p: int, ridge: float, nf: float,
     out_ref[:] = jnp.where(bad, jnp.float32(jnp.inf), neg)
 
 
-@partial(jax.jit, static_argnames=("p", "ridge", "nf", "bm", "bg", "interpret"))
+@partial(jax.jit, static_argnames=("p", "ridge", "nf", "prec", "bm", "bg",
+                                   "interpret"))
 def grid_neg_reml_lattice(
     Gr: jax.Array,  # (B, Npad) f32, lanes >= n zero
     W: jax.Array,  # (G, Npad) f32 grid weights, padded lanes zero
@@ -215,6 +205,7 @@ def grid_neg_reml_lattice(
     p: int,
     ridge: float,
     nf: float,
+    prec: str = "default",
     bm: int = 256,
     bg: int = 128,
     interpret: bool = False,
@@ -224,7 +215,7 @@ def grid_neg_reml_lattice(
     G = W.shape[0]
     R = SH.shape[0]
     grid = (B // bm, G // bg)
-    kern = partial(_grid_lattice_kernel, p, ridge, nf)
+    kern = partial(_grid_lattice_kernel, p, ridge, nf, prec)
     return pl.pallas_call(
         kern,
         grid=grid,

@@ -30,7 +30,10 @@ def pick_loci(
     chrom = np.asarray(chrom).astype(str)
     pos = np.asarray(pos)
     p = np.asarray(p, float)
-    ok = np.isfinite(p) & (p > 0)
+    # underflowed p == 0.0 are the STRONGEST hits, not invalid — clamp to
+    # the smallest positive double so they can lead a locus
+    p = np.where(np.isfinite(p) & (p <= 0.0), 5e-324, p)
+    ok = np.isfinite(p)
     loci = []
     masked = ~ok
     for _ in range(n_loci):

@@ -274,8 +274,9 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                         )
                     entry["lrb"] = lrb
                 rot_lr = fl.make_rotated_lr(lrb, y_t, cov_t)
+                null_lr = None
                 if not cfg.force_model:
-                    switch_p = fl.lowrank_switch_p(rot_lr)
+                    switch_p, null_lr = fl.lowrank_switch_p(rot_lr)
                     if switch_p >= 0.05:
                         log.info(
                             "trait %s: null LRT p=%.3g >= 0.05, switching lowrank -> lm",
@@ -289,7 +290,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 if model == "lowrank":
                     res, null = fl.fastlmm_scan(
                         pg_t, lrb, y_t, cov_t, block=cfg.block,
-                        model=cfg.genetic_model,
+                        model=cfg.genetic_model, rot=rot_lr, null=null_lr,
                     )
                     lbd_null = null.lbd
             elif model == "farmcpu":

@@ -154,3 +154,25 @@ def test_lowrank_workflow_route(tmp_path):
     # noise trait switches to LM
     assert runs[1].model == "lm" and runs[1].switch_lrt_p >= 0.05
     assert os.path.exists(str(tmp_path / "jx") + ".gwas.summary.json")
+
+
+def test_genetic_model_missing_handling():
+    """dom/rec/het indicators come from TRUE codes; missing genotypes are
+    imputed with the transformed-column mean (centering -> exactly 0),
+    never coded as deterministic carriers."""
+    import jax.numpy as jnp
+
+    from janusx_tpu.io import bitcodec
+    from janusx_tpu.models.fastlmm import _decode_transformed_centered
+
+    codes = np.array([[0, 1, 2, 3, 0, 1, 2, 3]], dtype=np.uint8)
+    packed = bitcodec.pack_codes(codes)
+    out = np.asarray(_decode_transformed_centered(jnp.asarray(packed), 8, "dom"))[0]
+    # observed dom indicator: 0,1,1,-,0,1,1,- -> mean 2/3
+    exp_obs = np.array([0, 1, 1, 0, 1, 1]) - 2.0 / 3.0
+    np.testing.assert_allclose(out[[0, 1, 2, 4, 5, 6]], exp_obs, atol=1e-6)
+    np.testing.assert_allclose(out[[3, 7]], 0.0, atol=1e-6)  # missing -> 0
+    out_rec = np.asarray(_decode_transformed_centered(jnp.asarray(packed), 8, "rec"))[0]
+    exp_rec = np.array([0, 0, 1, 0, 0, 1]) - 1.0 / 3.0
+    np.testing.assert_allclose(out_rec[[0, 1, 2, 4, 5, 6]], exp_rec, atol=1e-6)
+    np.testing.assert_allclose(out_rec[[3, 7]], 0.0, atol=1e-6)

@@ -189,3 +189,22 @@ def test_kmer_threaded_matches_python_reference(tmp_path):
     codes, counts = kmer.count_kmers(str(fa), k=k, threads=8)
     got = {kmer.decode_kmer(c, k): int(n) for c, n in zip(codes, counts)}
     assert got == dict(ref)
+
+
+def test_kmer_giant_fasta_record_streaming(tmp_path):
+    """A single FASTA record larger than chunk_bytes streams with bounded
+    carry and identical counts to a one-shot read."""
+    kmer = pytest.importorskip("janusx_tpu.models.kmer")
+    if not kmer.available():
+        pytest.skip("no native counter")
+    rng = np.random.default_rng(8)
+    seq = "".join("ACGT"[b] for b in rng.integers(0, 4, 40_000))
+    fa = tmp_path / "giant.fa"
+    wrapped = "\n".join(seq[i:i + 70] for i in range(0, len(seq), 70))
+    fa.write_text(">chr1\n" + wrapped + "\n")
+    k = 13
+    c1, n1 = kmer.count_kmers(str(fa), k=k)
+    c2, n2 = kmer.count_kmers(str(fa), k=k, chunk_bytes=4096)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(n1, n2)
+    assert int(n1.sum()) == len(seq) - k + 1
