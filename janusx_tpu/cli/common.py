@@ -48,6 +48,30 @@ def add_qc_args(p: argparse.ArgumentParser):
     return g
 
 
+def add_mem_arg(p: argparse.ArgumentParser):
+    """Reference-compatible `-mem GB` host-memory budget (e.g. `-mem
+    0.128` in the reference's SparseLMM RSS benchmarks, doc/release/
+    v1.0.27.md). Maps onto the windowed disk-backed genotype path."""
+    p.add_argument(
+        "-mem", "--mem", type=float, default=None, metavar="GB",
+        help="host memory budget in GB: inputs whose packed size exceeds "
+             "half the budget stream from disk in windows sized to fit",
+    )
+    return p
+
+
+def apply_mem_budget(args) -> None:
+    """Translate -mem into the lowmem env knobs (read by io.gfreader)."""
+    mem = getattr(args, "mem", None)
+    if mem is None:
+        return
+    budget = int(float(mem) * (1 << 30))
+    # stream anything bigger than half the budget; the other half is
+    # working space (decode buffers, results)
+    os.environ["JX_TPU_LOWMEM_BYTES"] = str(max(budget // 2, 1 << 20))
+    os.environ["JX_TPU_MEM_BUDGET_BYTES"] = str(budget)
+
+
 def add_out_args(p: argparse.ArgumentParser, default_prefix: str):
     g = p.add_argument_group("Output")
     g.add_argument("-o", "--out", type=str, default=".", help="output directory")

@@ -56,6 +56,7 @@ def build_parser(prog="jx gs") -> argparse.ArgumentParser:
         help="signed feature hashing before GS (count-sketch of the marker "
         "matrix). No values = dim 2048, seed 520 (reference --hash)",
     )
+    common.add_mem_arg(p)
     common.add_out_args(p, default_prefix="jxgs")
     return p
 
@@ -82,6 +83,7 @@ def _parse_select(tokens):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    common.apply_mem_budget(args)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "gs")
     methods = tuple(n for n, _ in _METHOD_FLAGS if getattr(args, f"m_{n}"))

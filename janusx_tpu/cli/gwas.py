@@ -51,12 +51,14 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
         choices=("add", "dom", "rec", "het"),
         help="genetic model for -lowrank (reference fastlmm route)",
     )
+    common.add_mem_arg(p)
     common.add_out_args(p, default_prefix="jx")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    common.apply_mem_budget(args)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "gwas")
 

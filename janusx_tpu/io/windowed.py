@@ -36,6 +36,18 @@ DEFAULT_WINDOW = 1 << 17
 DEFAULT_MAX_RESIDENT = 1 << 18
 
 
+def _resident_cap(nb_full: int) -> int:
+    """Resident-SNP bound, honoring a `-mem` budget when set
+    (cli.common.apply_mem_budget exports JX_TPU_MEM_BUDGET_BYTES): the
+    materialized window (m_w x nb bytes) is kept within a quarter of the
+    budget — the rest is decode/result working space."""
+    budget = os.environ.get("JX_TPU_MEM_BUDGET_BYTES")
+    if not budget:
+        return DEFAULT_MAX_RESIDENT
+    cap = int(budget) // 4 // max(nb_full, 1)
+    return max(min(cap, DEFAULT_MAX_RESIDENT), 256)
+
+
 def _read_rows(path: str, nb: int, start: int, stop: int) -> np.ndarray:
     """pread BED rows [start, stop) as raw bytes (m_w, nb)."""
     count = (stop - start) * nb
@@ -136,6 +148,7 @@ class WindowedBed:
             af=af,
             miss=miss,
             mean=mean,
+            max_resident_snps=_resident_cap(self._nb),
         )
 
 

@@ -144,3 +144,44 @@ def test_run_gwas_lowmem_matches(plink_files, tmp_path):
     a, b = r1[0].result, r2[0].result
     np.testing.assert_allclose(b.beta, a.beta, rtol=1e-6, equal_nan=True)
     np.testing.assert_allclose(b.pwald, a.pwald, rtol=1e-6)
+
+
+def test_mem_flag_selects_windowed_path(tmp_path, monkeypatch):
+    """-mem translates to lowmem env knobs: small budgets force the
+    disk-backed windowed loader with a budget-derived resident cap."""
+    import argparse
+    import os
+
+    from janusx_tpu.cli import common as cli_common
+    from janusx_tpu.cli.sim import main as sim_main
+    from janusx_tpu.io.gfreader import load_raw_packed
+    from janusx_tpu.io.windowed import WindowedPacked
+
+    out = str(tmp_path / "d")
+    # BED must exceed the 1 MB lowmem floor: 50k x ceil(100/4) B = 1.25 MB
+    assert sim_main(["-nind", "100", "-nsnp", "50000", "-nqtl", "3",
+                     "-h2", "0.5", "-o", out]) == 0
+    base = os.path.join(out, "sim")
+    ns = argparse.Namespace(mem=0.001)  # ~1 MB budget
+    monkeypatch.delenv("JX_TPU_LOWMEM_BYTES", raising=False)
+    monkeypatch.delenv("JX_TPU_MEM_BUDGET_BYTES", raising=False)
+    cli_common.apply_mem_budget(ns)
+    assert int(os.environ["JX_TPU_MEM_BUDGET_BYTES"]) == int(0.001 * (1 << 30))
+    raw = load_raw_packed(base + ".bed")
+    from janusx_tpu.io.packed import QcParams
+
+    pg = raw.prepare(QcParams(maf=0.0))
+    assert isinstance(pg, WindowedPacked)
+    # budget/4 / nb; nb = ceil(100/4) = 25 -> cap ~10485
+    assert 256 <= pg.max_resident_snps <= (int(0.001 * (1 << 30)) // 4) // 25
+    # scans still work end-to-end on the windowed view
+    import numpy as np
+
+    from janusx_tpu.models.lm import lm_scan
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=pg.n)
+    res = lm_scan(pg.take_snps(np.arange(min(pg.m, 2000))), y, block=128)
+    assert np.isfinite(res.pwald).all()
+    monkeypatch.delenv("JX_TPU_LOWMEM_BYTES", raising=False)
+    monkeypatch.delenv("JX_TPU_MEM_BUDGET_BYTES", raising=False)
