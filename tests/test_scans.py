@@ -169,3 +169,44 @@ def test_lmm_superblock_streaming_matches(scan_problem):
     np.testing.assert_allclose(res_stream.pwald, res_full.pwald, rtol=1e-6)
     ok = np.isfinite(res_full.beta)
     np.testing.assert_allclose(res_stream.beta[ok], res_full.beta[ok], rtol=1e-6)
+
+
+@pytest.mark.parametrize("n,p_cov,h2", [
+    (80, 0, 0.1), (80, 2, 0.9), (300, 0, 0.5), (300, 1, 0.9), (150, 3, 0.3),
+])
+def test_grid_vs_brent_parity_sweep(n, p_cov, h2):
+    """ROADMAP parity hardening: the TPU-fast grid path must match the
+    reference-faithful batched Brent across sample sizes, covariate
+    counts, and heritability regimes."""
+    rng = np.random.default_rng(n * 7 + p_cov * 13 + int(h2 * 10))
+    m = 120
+    p = rng.uniform(0.1, 0.5, size=m)
+    g = rng.binomial(2, p[:, None], size=(m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"rs{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    pg = pack_genotypes(gd, QcParams(maf=0.05, geno=0.05))
+    K = grm_from_packed(pg, method=1)
+    basis = eigh_grm(K, diag_ridge=1e-6)
+    cov = rng.normal(size=(n, p_cov)) if p_cov else None
+    # simulate at the requested heritability via a polygenic draw on K
+    L = np.linalg.cholesky(K + 1e-4 * np.eye(n))
+    u = L @ rng.normal(size=n)
+    u = u / u.std() * np.sqrt(h2)
+    e = rng.normal(size=n) * np.sqrt(1 - h2)
+    y = u + e + (cov.sum(axis=1) * 0.2 if p_cov else 0.0)
+    res_g, null = lmm_scan(pg, basis, y, cov, block=64, method="grid")
+    res_b, _ = lmm_scan(pg, basis, y, cov, block=64, method="brent", null=null)
+    ok = np.isfinite(res_g.pwald) & np.isfinite(res_b.pwald)
+    lg = -np.log10(np.clip(res_g.pwald[ok], 1e-300, 1))
+    lb = -np.log10(np.clip(res_b.pwald[ok], 1e-300, 1))
+    assert np.max(np.abs(lg - lb)) < 0.1
+    # at low n/h2 the REML is flat in λ, so λ* (and with it beta) can move
+    # between equally-likely optima; the Wald p (asserted above) is the
+    # scientific contract — betas only need to agree loosely
+    np.testing.assert_allclose(res_g.beta[ok], res_b.beta[ok], rtol=0.1, atol=1e-3)
