@@ -39,6 +39,7 @@ _MODULES: dict[str, tuple[str, str]] = {
     "view": ("janusx_tpu.cli.view", "Inspect genotype/matrix artifacts"),
     "refcheck": ("janusx_tpu.cli.refcheck", "Input consistency checks"),
     "ggval": ("janusx_tpu.cli.ggval", "End-to-end install validation (simulate + run + check)"),
+    "fvlmm2": ("janusx_tpu.cli.fvlmm2", "G-by-E joint interaction scan (= jx gwas -fvlmm2)"),
     "treeplot": ("janusx_tpu.cli.treeplot", "Render a Newick tree"),
     "gspredict": ("janusx_tpu.cli.gspredict", "Predict gebv from a saved model"),
     "benchmark": ("janusx_tpu.cli.benchmark", "Time core kernels on simulated data"),
