@@ -51,6 +51,8 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
         choices=("add", "dom", "rec", "het"),
         help="genetic model for -lowrank (reference fastlmm route)",
     )
+    o.add_argument("-global", "--global", dest="global_stats",
+                   action="store_true", help=argparse.SUPPRESS)
     common.add_mem_arg(p)
     common.add_out_args(p, default_prefix="jx")
     return p
@@ -112,6 +114,7 @@ def main(argv=None) -> int:
         ),
         lowrank_snps=(args.lowrank if args.lowrank is not None else 4096),
         genetic_model=args.genetic_model,
+        global_stats=args.global_stats,
     )
     runs = run_gwas(cfg)
     for r in runs:

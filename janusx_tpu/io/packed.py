@@ -151,6 +151,29 @@ def pack_genotypes(
     return pack_from_codes(packed, gdata.n, gdata.sites, gdata.samples, qc)
 
 
+def subset_samples_keep_stats(
+    pg: "PackedGenotypes", sample_idx: np.ndarray
+) -> "PackedGenotypes":
+    """Column-subset WITHOUT re-evaluating per-SNP stats: af/miss/mean
+    (and the flip already baked into the codes) stay those of the FULL
+    sample set — the reference's `-global` row-stat mode
+    (assoc/workflow.py:6895 "reuse a single full-sample row-stat pass
+    across traits/folds instead of recomputing on each training subset";
+    default remains strict-train re-preparation)."""
+    from janusx_tpu.io import bitcodec
+
+    sample_idx = np.asarray(sample_idx)
+    return PackedGenotypes(
+        packed=bitcodec.subset_columns(pg.packed, pg.n_samples, sample_idx),
+        n_samples=len(sample_idx),
+        sites=pg.sites,
+        samples=np.asarray(pg.samples)[sample_idx],
+        af=pg.af,
+        miss=pg.miss,
+        mean=pg.mean,
+    )
+
+
 def pack_from_codes(
     packed: np.ndarray,
     n_samples: int,

@@ -59,6 +59,9 @@ class GwasConfig:
     write_tsv: bool = True
     splmm_cutoff: float = config.knob("JX_TPU_SPARSE_CUTOFF")  # reference default 0.05 (workflow.py:6701)
     lowrank_snps: int = 4096  # kinship SNPs for the -lowrank FaST-LMM route
+    # -global: reuse the full-sample row-stat pass for trait subsets
+    # instead of strict-train re-preparation (reference workflow.py:6895)
+    global_stats: bool = False
     genetic_model: str = "add"  # add|dom|rec|het (fastlmm_lowrank.rs)
     scan_method: str = config.knob("JX_TPU_SCAN_METHOD")  # lmm lambda search: "grid" | "brent"
     use_cache: bool = True  # GRM npy+id cache with reference naming
@@ -198,6 +201,13 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
         if mask_key in prep_cache:
             entry = prep_cache[mask_key]
             pg_t = entry["pg"]
+        elif cfg.global_stats and len(keep) < raw.n_samples:
+            from janusx_tpu.io.packed import subset_samples_keep_stats
+
+            with stage(f"subset columns, global stats ({trait})", log):
+                pg_t = subset_samples_keep_stats(pg_full, keep)
+            entry = {"pg": pg_t, "basis": None}
+            prep_cache[mask_key] = entry
         else:
             with stage(f"prepare subset ({trait})", log):
                 pg_t = raw.prepare(qc, sample_idx=keep)

@@ -84,3 +84,39 @@ def test_run_gwas_multi_model(toy_dataset, tmp_path):
     assert [r.model for r in runs] == ["lm", "fvlmm", "lmm2"]
     lmm2 = runs[2].result
     assert lmm2.lbd is not None and lmm2.ml is not None and lmm2.plrt is not None
+
+
+def test_global_stats_mode(tmp_path):
+    """-global reuses full-sample row stats for trait subsets (reference
+    workflow.py:6895): stats match the full prepare, and the scan runs."""
+    import numpy as np
+    import pandas as pd
+
+    from janusx_tpu.cli.sim import main as sim_main
+    from janusx_tpu.workflows.gwas import GwasConfig, run_gwas
+
+    out = str(tmp_path / "d")
+    assert sim_main(["-nind", "150", "-nsnp", "250", "-nqtl", "3",
+                     "-h2", "0.6", "-o", out]) == 0
+    base = os.path.join(out, "sim")
+    # blank some phenotypes so the trait subset != full set
+    ph = pd.read_csv(base + ".pheno", sep="\t")
+    ph.iloc[-30:, 1] = np.nan
+    ph.to_csv(base + ".pheno", sep="\t", index=False)
+    common = dict(
+        genotype=base + ".bed", phenotype=base + ".pheno",
+        models=("lm",), traits=[0], force_model=True, use_cache=False,
+        n_devices=1, write_tsv=False,
+    )
+    runs_strict = run_gwas(GwasConfig(out_prefix=str(tmp_path / "a"), **common))
+    runs_glob = run_gwas(GwasConfig(out_prefix=str(tmp_path / "b"),
+                                    global_stats=True, **common))
+    rs, rg = runs_strict[0], runs_glob[0]
+    assert rg.n_samples == rs.n_samples == 120
+    # global mode keeps the FULL-set af (subset af differs in general)
+    assert rg.result.m >= rs.result.m  # no subset-level QC drop in global
+    ok = np.isfinite(rs.result.pwald) & np.isfinite(rg.result.pwald[:rs.result.m])
+    # p-values close but not necessarily identical (stats source differs)
+    lp_s = -np.log10(np.clip(rs.result.pwald[ok], 1e-300, 1))
+    lp_g = -np.log10(np.clip(rg.result.pwald[:rs.result.m][ok], 1e-300, 1))
+    assert np.median(np.abs(lp_s - lp_g)) < 0.5
