@@ -53,6 +53,8 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
     )
     o.add_argument("-global", "--global", dest="global_stats",
                    action="store_true", help=argparse.SUPPRESS)
+    o.add_argument("-lowrank-prune", "--lowrank-prune", action="store_true",
+                   help="LD-prune the -lowrank kinship SNPs before selection")
     common.add_mem_arg(p)
     common.add_out_args(p, default_prefix="jx")
     return p
@@ -115,6 +117,7 @@ def main(argv=None) -> int:
         lowrank_snps=(args.lowrank if args.lowrank is not None else 4096),
         genetic_model=args.genetic_model,
         global_stats=args.global_stats,
+        lowrank_ld_prune=args.lowrank_prune,
     )
     runs = run_gwas(cfg)
     for r in runs:

@@ -73,6 +73,21 @@ def select_kinship_snps(m: int, q: int) -> np.ndarray:
     return np.unique(np.round(np.linspace(0, m - 1, q)).astype(np.int64))
 
 
+def select_kinship_snps_ld(pg: PackedGenotypes, q: int,
+                           r2_threshold: float = 0.2) -> np.ndarray:
+    """LD-pruned kinship SNP subset: windowed greedy prune (the standard
+    FaST-LMM practice — kinship markers in approximate linkage
+    equilibrium give a better-conditioned low-rank K than evenly-spaced
+    picks in high-LD regions), then thin the survivors evenly to q."""
+    from janusx_tpu.models.ldprune import ld_prune
+
+    kept = ld_prune(pg, r2_threshold=r2_threshold)
+    if len(kept) <= q:
+        return kept
+    take = np.unique(np.round(np.linspace(0, len(kept) - 1, q)).astype(np.int64))
+    return kept[take]
+
+
 def lowrank_basis_from_snps(
     pg: PackedGenotypes,
     q: int | None = None,
@@ -80,6 +95,7 @@ def lowrank_basis_from_snps(
     method: int = 1,
     ridge: float = 1e-6,
     rel_tol: float = 1e-12,
+    ld_prune: bool = False,
 ) -> LowRankBasis:
     """Build the low-rank kinship basis from q SNP columns via economy SVD.
 
@@ -88,7 +104,9 @@ def lowrank_basis_from_snps(
     eigenvalue thresholding (math/FaST.rs rel_tol) on the squared
     singular values."""
     if snp_idx is None:
-        snp_idx = select_kinship_snps(pg.m, q or min(pg.m, 4096))
+        q = q or min(pg.m, 4096)
+        snp_idx = (select_kinship_snps_ld(pg, q) if ld_prune
+                   else select_kinship_snps(pg.m, q))
     sel = pg.take_snps(np.asarray(snp_idx, np.int64))
     Xc = sel.centered().astype(np.float64).T  # (n, q) centered columns
     if method == 2:

@@ -63,6 +63,7 @@ class GwasConfig:
     # instead of strict-train re-preparation (reference workflow.py:6895)
     global_stats: bool = False
     genetic_model: str = "add"  # add|dom|rec|het (fastlmm_lowrank.rs)
+    lowrank_ld_prune: bool = False  # LD-prune the kinship SNP picks
     scan_method: str = config.knob("JX_TPU_SCAN_METHOD")  # lmm lambda search: "grid" | "brent"
     use_cache: bool = True  # GRM npy+id cache with reference naming
     # devices over the 'snp' mesh axis: None = all local devices (mesh is
@@ -280,7 +281,8 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 if lrb is None:
                     with stage(f"low-rank kinship basis ({trait})", log):
                         lrb = fl.lowrank_basis_from_snps(
-                            pg_t, q=cfg.lowrank_snps, method=cfg.grm_method
+                            pg_t, q=cfg.lowrank_snps, method=cfg.grm_method,
+                            ld_prune=cfg.lowrank_ld_prune,
                         )
                     entry["lrb"] = lrb
                 rot_lr = fl.make_rotated_lr(lrb, y_t, cov_t)

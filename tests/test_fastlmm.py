@@ -176,3 +176,19 @@ def test_genetic_model_missing_handling():
     exp_rec = np.array([0, 0, 1, 0, 0, 1]) - 1.0 / 3.0
     np.testing.assert_allclose(out_rec[[0, 1, 2, 4, 5, 6]], exp_rec, atol=1e-6)
     np.testing.assert_allclose(out_rec[[3, 7]], 0.0, atol=1e-6)
+
+
+def test_lowrank_ld_pruned_selection(lr_problem):
+    from janusx_tpu.models.fastlmm import (
+        lowrank_basis_from_snps,
+        select_kinship_snps_ld,
+    )
+
+    pg, lrb, basis, cov, y = lr_problem
+    idx = select_kinship_snps_ld(pg, 48)
+    assert 0 < len(idx) <= 48
+    assert len(np.unique(idx)) == len(idx)
+    lrb2 = lowrank_basis_from_snps(pg, q=48, ld_prune=True)
+    assert lrb2.k <= 48
+    res, null = fastlmm_scan(pg, lrb2, y, cov, block=128)
+    assert np.isfinite(res.pwald[np.isfinite(res.beta)]).all()
