@@ -223,16 +223,29 @@ def ai_reml(
             delta = score * 1e-2
         new = sig + delta
         # EM fallback for out-of-bounds proposals
+        fell_back = []
         for r in range(k):
             if not np.isfinite(new[r]) or new[r] < min_var:
                 q_r = red.slices[r].stop - red.slices[r].start
                 em = sig[r] + (sig[r] ** 2) * (float(cs[r] @ cs[r]) - trPH[r]) / max(q_r, 1)
                 new[r] = max(em, min_var)
+                if em < sig[r]:
+                    fell_back.append(r)
         if not np.isfinite(new[k]) or new[k] < min_var:
             em = sig[k] + (sig[k] ** 2) * (float(st.Py @ st.Py) - trP) / N
             new[k] = max(em, min_var)
 
         st_new = _IterState(red, new)
+        if fell_back:
+            # a shrinking EM component crawls to the boundary geometrically;
+            # when pinning it at the floor is at least as likely, jump there
+            # (GCTA-style zero-component handling)
+            pin = new.copy()
+            for r in fell_back:
+                pin[r] = min_var
+            st_pin = _IterState(red, pin)
+            if st_pin.ok and (not st_new.ok or st_pin.ll >= st_new.ll):
+                new, st_new = pin, st_pin
         halvings = 0
         while (not st_new.ok or st_new.ll < st.ll - 1e-8) and halvings < 8:
             new = 0.5 * (new + sig)
@@ -240,7 +253,10 @@ def ai_reml(
             halvings += 1
         if not st_new.ok:
             break
-        rel = np.max(np.abs(new - sig) / np.maximum(np.abs(sig), 1e-30))
+        # near-zero components oscillate hugely in per-component relative
+        # terms while contributing nothing; judge step size against the
+        # total variance so boundary-pinned terms don't block convergence
+        rel = float(np.max(np.abs(new - sig))) / max(float(np.sum(sig)), 1e-30)
         dll = abs(st_new.ll - st.ll)
         sig, st = new, st_new
         if verbose:

@@ -54,6 +54,8 @@ def test_reml_cli_rice(tmp_path):
     src = "/root/reference/example/rice6048.reml.tsv"
     if not os.path.exists(src):
         pytest.skip("rice example unavailable")
+    import pandas as pd
+
     # subsample to ~200 lines to keep the test fast (full table: 3273 lines)
     lines = open(src).readlines()
     keep_ids = set()
@@ -67,16 +69,126 @@ def test_reml_cli_rice(tmp_path):
     open(sub, "wt").writelines(out_lines)
     rc = jx_main([
         "reml", "-p", sub, "-n", "Plant_height", "-c", "year,loc",
-        "-o", str(tmp_path), "-prefix", "rice",
+        "-gxe", "loc", "-o", str(tmp_path), "-prefix", "rice",
     ])
     assert rc == 0
-    vc = dict(
-        (l.split("\t")[0], float(l.split("\t")[1]))
-        for l in open(str(tmp_path / "rice.vc.tsv")).readlines()[1:]
-    )
-    assert "lines" in vc and "residual" in vc
-    assert vc["lines"] > 0
-    blue = open(str(tmp_path / "rice.blue.tsv")).readlines()
-    # intercept + year(1 level dropped) + loc(2 levels dropped-first)
-    assert len(blue) >= 4
-    assert os.path.exists(str(tmp_path / "rice.lines.blup.tsv"))
+    summ = pd.read_csv(tmp_path / "rice.reml.summary.tsv", sep="\t")
+    row = summ.iloc[0]
+    assert row["trait"] == "Plant_height"
+    assert row["used_lines"] == 200
+    assert 0.5 < row["hsqr"] <= 1.0
+    assert row["vg"] > 0 and row["ve"] > 0
+    vc = pd.read_csv(tmp_path / "rice.vc.tsv", sep="\t")
+    assert set(vc["term"]) >= {"lines", "residual", "linesxloc"}
+    blue = pd.read_csv(tmp_path / "rice.blue.txt", sep="\t")
+    blup = pd.read_csv(tmp_path / "rice.blup.txt", sep="\t")
+    assert len(blue) == 200 and len(blup) == 200
+    # line BLUEs sit on the phenotype scale (plant heights ~ 60-130)
+    assert 40 < blue["Plant_height"].mean() < 160
+    # BLUPs are centered line deviations, strongly rank-correlated with BLUEs
+    r = np.corrcoef(blue["Plant_height"], blup["Plant_height"])[0, 1]
+    assert r > 0.95
+
+
+def test_reml_gxe_recovery(tmp_path, rng):
+    """Known-variance GxE simulation: H2 formula and component recovery."""
+    import pandas as pd
+
+    L, locs = 200, ["HZ", "HF", "WH"]
+    vg, vgxe, ve = 2.0, 1.0, 1.0
+    u = rng.normal(size=L) * np.sqrt(vg)
+    ge = rng.normal(size=(L, 3)) * np.sqrt(vgxe)
+    rows = []
+    for l in range(L):
+        for yi, yr in enumerate(["2022", "2023"]):
+            for li, lc in enumerate(locs):
+                y = 10 + u[l] + ge[l, li] + 1.5 * yi + rng.normal()
+                rows.append((f"L{l:03d}", y, yr, lc))
+    df = pd.DataFrame(rows, columns=["lines", "tr", "year", "loc"])
+    pheno = str(tmp_path / "p.tsv")
+    df.to_csv(pheno, sep="\t", index=False)
+    rc = jx_main(["reml", "-p", pheno, "-n", "tr", "-c", "year,loc",
+                  "-gxe", "loc", "-o", str(tmp_path), "-prefix", "g"])
+    assert rc == 0
+    import pandas as pd
+
+    summ = pd.read_csv(tmp_path / "g.reml.summary.tsv", sep="\t").iloc[0]
+    assert summ["vg"] == pytest.approx(vg, rel=0.4)
+    assert summ["vge"] == pytest.approx(vgxe, rel=0.5)
+    assert summ["ve"] == pytest.approx(ve, rel=0.35)
+    # H2 = vg / (vg + vge/h_env + ve/h_plot) with h_env=3, h_plot=6
+    expect = vg / (vg + vgxe / 3 + ve / 6)
+    assert summ["hsqr"] == pytest.approx(expect, abs=0.08)
+    assert summ["h_env"] == pytest.approx(3.0, abs=0.5)
+
+
+def test_reml_narrow_sense_grm(tmp_path, rng):
+    """-k GRM attaches the joint additive+line narrow-sense stage + GBLUP."""
+    import pandas as pd
+
+    # family-structured genotypes: without real relatedness structure K≈I
+    # and va·K / vline·I are unidentifiable (any split fits equally well)
+    L, m, fam = 180, 600, 6
+    freqs = rng.uniform(0.1, 0.9, size=m)
+    G = np.empty((L, m))
+    for f0 in range(0, L, fam):
+        pa = (rng.random((2, m)) < freqs).astype(np.float64)
+        pb = (rng.random((2, m)) < freqs).astype(np.float64)
+        for l in range(f0, min(f0 + fam, L)):
+            G[l] = pa[rng.integers(0, 2, m), np.arange(m)] + pb[
+                rng.integers(0, 2, m), np.arange(m)]
+    p = G.mean(0) / 2
+    Z = (G - 2 * p) / np.sqrt(np.maximum(2 * p * (1 - p), 1e-6))
+    K = Z @ Z.T / m
+    ch = np.linalg.cholesky(K + 1e-6 * np.eye(L))
+    va, vline, ve = 1.5, 0.5, 1.0
+    u_add = ch @ rng.normal(size=L) * np.sqrt(va)
+    u_line = rng.normal(size=L) * np.sqrt(vline)
+    rows = []
+    for l in range(L):
+        for rep in range(4):
+            y = 5 + u_add[l] + u_line[l] + rng.normal() * np.sqrt(ve)
+            rows.append((f"L{l:03d}", y))
+    pheno = str(tmp_path / "p.tsv")
+    pd.DataFrame(rows, columns=["lines", "tr"]).to_csv(pheno, sep="\t", index=False)
+    np.save(tmp_path / "k.npy", K)
+    open(tmp_path / "k.id", "wt").write(
+        "\n".join(f"L{l:03d}" for l in range(L)))
+    rc = jx_main(["reml", "-p", pheno, "-n", "tr", "-k", str(tmp_path / "k.npy"),
+                  "-o", str(tmp_path), "-prefix", "n"])
+    assert rc == 0
+    summ = pd.read_csv(tmp_path / "n.reml.summary.tsv", sep="\t").iloc[0]
+    # narrow h2 on the BLUE scale: va / (va + vline + ve/4)
+    expect = va / (va + vline + ve / 4)
+    assert summ["h2_narrow"] == pytest.approx(expect, abs=0.15)
+    assert summ["narrow_method"] == "joint_dense"
+    g = pd.read_csv(tmp_path / "n.gblup.txt", sep="\t")
+    r = np.corrcoef(g["tr"], u_add)[0, 1]
+    assert r > 0.75
+
+
+def test_reml_gxc_slope_and_interaction(tmp_path, rng):
+    """-gxc random slopes + A:B fixed interaction parse and fit."""
+    import pandas as pd
+
+    L = 120
+    u = rng.normal(size=L)
+    slope = rng.normal(size=L) * 0.5
+    rows = []
+    for l in range(L):
+        for yr in ["2022", "2023"]:
+            for lc in ["HZ", "WH"]:
+                t = (20.0 if lc == "HZ" else 28.0) + rng.normal()
+                y = 3 + u[l] + slope[l] * (t - 24) / 4 + rng.normal() * 0.7
+                rows.append((f"L{l:03d}", y, yr, lc, round(t, 2)))
+    pheno = str(tmp_path / "p.tsv")
+    pd.DataFrame(rows, columns=["lines", "tr", "year", "loc", "temp"]).to_csv(
+        pheno, sep="\t", index=False)
+    rc = jx_main(["reml", "-p", pheno, "-n", "tr", "-c", "year:loc",
+                  "-gxc", "temp", "-o", str(tmp_path), "-prefix", "x"])
+    assert rc == 0
+    vc = pd.read_csv(tmp_path / "x.vc.tsv", sep="\t")
+    terms = set(vc["term"])
+    assert "linesxtemp:slope" in terms
+    slope_var = float(vc.loc[vc["term"] == "linesxtemp:slope", "sigma2"].iloc[0])
+    assert slope_var > 0.01  # real slope variance detected
