@@ -34,13 +34,24 @@ def ld_prune(
     step: int = 5,
     r2_threshold: float = 0.2,
     chunk: int = 4096,
+    window_bp: int | None = None,
 ) -> np.ndarray:
-    """Returns indices of SNPs kept."""
+    """Returns indices of SNPs kept.
+
+    `window` counts variants; `window_bp` (reference gformat kb/bp
+    suffixes, gformat.py:_parse_prune_window) switches to a physical
+    window — each anchor's window spans the SNPs within window_bp
+    downstream of its position.
+    """
     m = pg.m
     if m == 0:
         return np.empty(0, np.int64)
-    window = max(2, int(window))
     step = max(1, int(step))
+    pos = np.asarray(pg.sites.pos, np.int64)
+    if window_bp is not None:
+        window_bp = max(1, int(window_bp))
+    else:
+        window = max(2, int(window))
     removed = np.zeros(m, dtype=bool)
     packed = decode.pad_packed_cols(pg.packed)
     maf = pg.af
@@ -54,11 +65,18 @@ def ld_prune(
     boundaries.append(m)
 
     for c0, c1 in zip(boundaries[:-1], boundaries[1:]):
+        if window_bp is not None:
+            # widest physical window on this chromosome, in variants
+            ends = np.searchsorted(pos[c0:c1], pos[c0:c1] + window_bp, "right")
+            max_extent = int(np.max(ends - np.arange(c1 - c0))) if c1 > c0 else 1
+            ov = max(2, max_extent)
+        else:
+            ov = window
         s = c0
         while s < c1:
             e = min(s + chunk, c1)
             # include window overlap to the right
-            e_ov = min(e + window, c1)
+            e_ov = min(e + ov, c1)
             r = np.asarray(
                 _corr_chunk(
                     jnp.asarray(packed[s:e_ov]),
@@ -70,7 +88,12 @@ def ld_prune(
             w0 = 0
             limit = e_ov - s
             while w0 < (e - s):
-                w1 = min(w0 + window, limit)
+                if window_bp is not None:
+                    w1 = int(np.searchsorted(
+                        pos[s:e_ov], pos[s + w0] + window_bp, "right"))
+                    w1 = min(max(w1, w0 + 2), limit)
+                else:
+                    w1 = min(w0 + window, limit)
                 for i in range(w0, w1):
                     if local_removed[i]:
                         continue

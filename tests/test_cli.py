@@ -162,6 +162,87 @@ def test_cli_gformat_prune(sim_dataset, tmp_path):
     assert 0 < pruned.m <= 800
 
 
+def test_cli_gformat_filters(sim_dataset, tmp_path):
+    """-keep / -extract / -chr / -from-bp/-to-bp / -snp-name / -fmt npy."""
+    from janusx_tpu.io import plink
+
+    orig = plink.read_plink(sim_dataset)
+    keep = tmp_path / "keep.txt"
+    keep.write_text("\n".join(str(s) for s in orig.samples[:37]))
+    sites = tmp_path / "sites.txt"
+    sites.write_text("\n".join(
+        f"{orig.sites.chrom[i]}:{orig.sites.pos[i]}"
+        for i in range(0, orig.m, 3)))
+    rc = jx_main([
+        "gformat", "-bfile", sim_dataset, "-keep", str(keep),
+        "-extract", str(sites), "-snp-name", "chr_pos",
+        "-fmt", "npy", "-o", str(tmp_path), "-prefix", "filt",
+    ])
+    assert rc == 0
+    a = np.load(tmp_path / "filt.npy")
+    n_sites = len(range(0, orig.m, 3))
+    assert a.shape == (n_sites, 37)
+    ids = (tmp_path / "filt.id").read_text().split()
+    assert ids == [str(s) for s in orig.samples[:37]]
+    hdr = (tmp_path / "filt.sites.tsv").read_text().splitlines()
+    c0, p0 = hdr[1].split("\t")[0], hdr[1].split("\t")[1]
+    assert hdr[1].split("\t")[2] == f"{c0}_{p0}"  # chr_pos template
+
+    # chromosome + bp window
+    chrom0 = str(orig.sites.chrom[0])
+    on0 = np.asarray(orig.sites.chrom, dtype=object) == orig.sites.chrom[0]
+    pos0 = orig.sites.pos[on0]
+    lo, hi = int(pos0[2]), int(pos0[min(40, len(pos0) - 1)])
+    rc = jx_main([
+        "gformat", "-bfile", sim_dataset, "-chr", chrom0,
+        "-from-bp", str(lo), "-to-bp", str(hi),
+        "-fmt", "npy", "-o", str(tmp_path), "-prefix", "reg",
+    ])
+    assert rc == 0
+    b = np.load(tmp_path / "reg.npy")
+    expect_m = int(((pos0 >= lo) & (pos0 <= hi)).sum())
+    assert b.shape[0] == expect_m
+
+    # range-mode extract
+    rng_file = tmp_path / "ranges.txt"
+    rng_file.write_text(f"{chrom0} {lo} {hi}\n")
+    rc = jx_main([
+        "gformat", "-bfile", sim_dataset, "-extract", "range", str(rng_file),
+        "-fmt", "npy", "-o", str(tmp_path), "-prefix", "rng",
+    ])
+    assert rc == 0
+    assert np.load(tmp_path / "rng.npy").shape[0] == expect_m
+
+
+def test_cli_gformat_prune_bp_window(tmp_path):
+    """kb-suffixed prune windows drop duplicated (r2=1) nearby SNPs."""
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 3, size=(40, 120)).astype(np.int8)
+    # each SNP duplicated at +1000 bp -> r2 = 1 within any >=1 kb window
+    g = np.repeat(base, 2, axis=0)
+    pos = np.repeat(np.arange(40) * 50_000, 2) + np.tile([0, 1000], 40)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * 80, dtype=object),
+        pos=pos,
+        snp=np.array([f"s{i}" for i in range(80)], dtype=object),
+        allele0=np.array(["A"] * 80, dtype=object),
+        allele1=np.array(["G"] * 80, dtype=object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"I{i}" for i in range(120)], dtype=object))
+    plink.write_plink_genotypes(str(tmp_path / "dup"), gd)
+    rc = jx_main([
+        "gformat", "-bfile", str(tmp_path / "dup"), "-prune", "2kb", "1", "0.5",
+        "-o", str(tmp_path), "-prefix", "pr",
+    ])
+    assert rc == 0
+    pruned = plink.read_plink(str(tmp_path / "pr"))
+    # one of each duplicate pair must go; far-apart pairs (50 kb) stay
+    assert pruned.m == 40
+
+
 def test_cli_gstats(sim_dataset, tmp_path):
     rc = jx_main(["gstats", "-bfile", sim_dataset, "-site", "-ind",
                   "-o", str(tmp_path), "-prefix", "st"])
