@@ -124,6 +124,32 @@ def test_hybrid_view_refcheck_postgs(rng, tmp_path, capsys):
     assert rc == 0
     lines = open(str(tmp_path / "hy.hybrid.tsv")).readlines()
     assert len(lines) == 1 + 60 * 59 // 2
+    # hybrid genotype BUILDER (reference hybrid.py parity): p1 x p2 crosses
+    ids = [str(s) for s in gd.samples]
+    (tmp_path / "p1.txt").write_text("\n".join(ids[:4]))
+    (tmp_path / "p2.txt").write_text("\n".join(ids[4:7]))
+    rc = jx_main(["hybrid", "-bfile", prefix, "-p1", str(tmp_path / "p1.txt"),
+                  "-p2", str(tmp_path / "p2.txt"), "-fmt", "npy",
+                  "-o", str(tmp_path), "-prefix", "hb"])
+    assert rc == 0
+    hyb = np.load(str(tmp_path / "hb.npy"))
+    hyb_ids = open(str(tmp_path / "hb.id")).read().split()
+    assert hyb.shape == (300, 12) and len(hyb_ids) == 12
+    assert hyb_ids[0] == f"{ids[0]}@{ids[4]}"
+    # dosages are parent means on the flipped (minor-allele) scale:
+    # flip where the counted-allele frequency exceeds 0.5 (packed.py rule)
+    g = gd.genotypes.astype(np.float32)
+    flip = g.mean(axis=1) > 1.0
+    g[flip] = 2 - g[flip]
+    expect = 0.5 * (g[:, 0] + g[:, 4])
+    np.testing.assert_allclose(hyb[:, 0], expect)
+    # plink output rounds to 0/1/2
+    rc = jx_main(["hybrid", "-bfile", prefix, "-p1", str(tmp_path / "p1.txt"),
+                  "-p2", str(tmp_path / "p2.txt"), "-fmt", "plink",
+                  "-o", str(tmp_path), "-prefix", "hbp"])
+    assert rc == 0
+    hb = plink.read_plink(str(tmp_path / "hbp"))
+    assert set(np.unique(hb.genotypes)) <= {0, 1, 2}
     # view
     assert jx_main(["view", prefix]) == 0
     out = capsys.readouterr().out
