@@ -57,7 +57,9 @@ def eigh_grm(
     if backend == "device":
         S, U = jnp.linalg.eigh(jnp.asarray(K))
         return SpectralBasis(np.asarray(S, np.float64), np.asarray(U, np.float64))
-    S, U = scipy.linalg.eigh(K, driver="evd")
+    S, U = scipy.linalg.eigh(
+        K, driver="evd", check_finite=False, overwrite_a=bool(diag_ridge)
+    )
     return SpectralBasis(S, U)
 
 

@@ -242,6 +242,21 @@ def run_gs(cfg: GsConfig):
                         f"{trait_res[mm].test_pred[j]:.4f}" for mm in trait_res
                     )
                     fh.write(f"{pg.samples[sidx]}\t{row}\n")
+        if cfg.write_outputs and any(
+            r.oof_pred is not None for r in trait_res.values()
+        ):
+            # out-of-fold CV predictions on the train set: the artifact
+            # `jx postgs -oof` uses for pred-vs-obs plots
+            path = f"{cfg.out_prefix}.{trait}.oof.tsv"
+            with open(path, "wt") as fh:
+                fh.write("\tobserved\t" + "\t".join(trait_res.keys()) + "\n")
+                for j, sidx in enumerate(train):
+                    row = "\t".join(
+                        f"{trait_res[mm].oof_pred[j]:.4f}"
+                        if trait_res[mm].oof_pred is not None else ""
+                        for mm in trait_res
+                    )
+                    fh.write(f"{pg.samples[sidx]}\t{y[sidx]:.6g}\t{row}\n")
         # TOP-style method selection: best CV pearson (reference
         # _select_top_method_for_trait, gs/workflow.py:935)
         best_method = None

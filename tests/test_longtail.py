@@ -158,14 +158,29 @@ def test_hybrid_view_refcheck_postgs(rng, tmp_path, capsys):
     assert jx_main(["refcheck", "-bfile", prefix, "-p", prefix + ".pheno"]) == 0
     out = capsys.readouterr().out
     assert "matched=60" in out
-    # gs + postgs
+    # gs + postgs (with OOF pred-vs-obs, violin, runtime scatter, effects)
     rc = jx_main(["gs", "-bfile", prefix, "-p", prefix + ".pheno", "-BLUP",
-                  "-cv", "3", "-o", str(tmp_path), "-prefix", "g"])
+                  "-cv", "3", "-effect",
+                  "-o", str(tmp_path), "-prefix", "g"])
     assert rc == 0
-    rc = jx_main(["postgs", "-i", str(tmp_path / "g.gs.summary.json"),
-                  "-o", str(tmp_path), "-prefix", "pg"])
+    oof = tmp_path / "g.trait0.oof.tsv"
+    assert oof.exists()
+    hdr = oof.read_text().splitlines()
+    assert hdr[0].split("\t")[1] == "observed"
+    assert len(hdr) >= 50  # all phenotyped samples appear
+    effect_files = sorted(tmp_path.glob("g.trait0.*.effect.tsv"))
+    argv = ["postgs", "-i", str(tmp_path / "g.gs.summary.json"),
+            "-oof", str(oof), "-o", str(tmp_path), "-prefix", "pg"]
+    if effect_files:
+        argv += ["-effect", str(effect_files[0])]
+    rc = jx_main(argv)
     assert rc == 0
     assert (tmp_path / "pg.gs.metrics.tsv").exists()
+    assert (tmp_path / "pg.cv.violin.png").exists()
+    assert (tmp_path / "pg.cv.runtime.png").exists()
+    assert list(tmp_path.glob("pg.g.trait0.*.pred.png"))
+    if effect_files:
+        assert list(tmp_path.glob("pg.*.effects.png"))
 
 
 def test_gff_index(tmp_path):
