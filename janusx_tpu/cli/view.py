@@ -27,6 +27,20 @@ def main(argv=None) -> int:
         for k in z.files:
             print(f"{k}\t{z[k].shape}\t{z[k].dtype}")
         return 0
+    if path.endswith(".jxgrm") or path.endswith(".spgrm"):
+        from janusx_tpu.io.jxgrm import jxgrm_n_samples, read_jxgrm
+
+        n = jxgrm_n_samples(path)
+        K = read_jxgrm(path).tocsr()
+        nnz = K.nnz
+        print(f"jxgrm\tn={n}\tnnz={nnz}\tdensity={nnz / max(1, n * n):.4g}")
+        head = min(args.head, n)
+        for i in range(head):
+            row = K.getrow(i)
+            ent = "  ".join(
+                f"{j}:{v:.4g}" for j, v in zip(row.indices[:6], row.data[:6]))
+            print(f"{i}\t{ent}{' ...' if row.nnz > 6 else ''}")
+        return 0
     if path.endswith(".bin"):
         from janusx_tpu.io import bin01
 

@@ -87,13 +87,31 @@ def test_gmerge_cli(rng, tmp_path):
     plink.write_plink_genotypes(str(tmp_path / "a"), a)
     plink.write_plink_genotypes(str(tmp_path / "b"), b2)
     rc = jx_main([
-        "gmerge", "-i", str(tmp_path / "a"), str(tmp_path / "b"),
-        "-o", str(tmp_path), "-prefix", "m",
+        "gmerge", "-bfile", str(tmp_path / "a"), str(tmp_path / "b"),
+        "-fmt", "plink", "-o", str(tmp_path), "-prefix", "m",
     ])
     assert rc == 0
     merged = plink.read_plink(str(tmp_path / "m"))
     assert merged.n == 20 and merged.m == 100
     np.testing.assert_array_equal(merged.genotypes, gd.genotypes)
+    # default vcf output + D{i}_ sample prefixes + post-merge maf filter
+    rc = jx_main([
+        "gmerge", "-i", str(tmp_path / "a"), str(tmp_path / "b"),
+        "-sample-prefix", "-maf", "0.05",
+        "-o", str(tmp_path), "-prefix", "mv",
+    ])
+    assert rc == 0
+    from janusx_tpu.io.gfreader import load_genotype_file
+
+    mv = load_genotype_file(str(tmp_path / "mv.vcf.gz"))
+    assert mv.n == 20
+    assert str(mv.samples[0]).startswith("D1_")
+    assert str(mv.samples[12]).startswith("D2_")
+    # maf filter dropped the monomorphic/rare sites (if any) but kept most
+    g = gd.genotypes.astype(float)
+    af = np.where(g >= 0, g, 0).sum(1) / (2.0 * (g >= 0).sum(1))
+    expect_m = int((np.minimum(af, 1 - af) >= 0.05).sum())
+    assert mv.m == expect_m
 
 
 def test_tree_cli(rng, tmp_path):
