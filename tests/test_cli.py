@@ -43,6 +43,24 @@ def test_cli_grm_pca(sim_dataset, tmp_path):
     assert vecs.shape == (300, 6)
     vals = np.loadtxt(str(tmp_path / "g.eigenval"))
     assert len(vals) == 5 and np.all(np.diff(vals) <= 1e-12)
+    # -k: decompose the saved GRM directly; must match genotype-route PCs
+    rc = jx_main(["pca", "-k", str(tmp_path / "g.cGRM.npy"), "-dim", "5",
+                  "-o", str(tmp_path), "-prefix", "k"])
+    assert rc == 0
+    v_g = np.loadtxt(str(tmp_path / "g.eigenvec"), dtype=str)[:, 1:].astype(float)
+    v_k = np.loadtxt(str(tmp_path / "k.eigenvec"), dtype=str)[:, 1:].astype(float)
+    for c in range(3):
+        assert abs(np.corrcoef(v_g[:, c], v_k[:, c])[0, 1]) > 0.999
+    # -c: visualization-only from existing results, with -group coloring
+    grp = tmp_path / "groups.txt"
+    grp.write_text("\n".join(f"{s}\tG{i % 2}" for i, s in
+                             enumerate(np.loadtxt(str(tmp_path / "g.eigenvec"),
+                                                  dtype=str)[:, 0])))
+    rc = jx_main(["pca", "-c", str(tmp_path / "g"), "-group", str(grp),
+                  "-palette", "red,blue", "-o", str(tmp_path), "-prefix", "viz"])
+    assert rc == 0
+    assert (tmp_path / "viz.pca.png").exists()
+    assert (tmp_path / "viz.pca13.png").exists()
 
 
 def test_cli_pca_rsvd_close_to_exact(tmp_path):
