@@ -1,11 +1,17 @@
 """`jx grm` — GRM build (reference: python/janusx/script/grm.py).
 
 Outputs {out}/{prefix}.cGRM.npy (+ .cGRM.id) for method 1, sGRM for
-method 2 (reference cache naming contract, SURVEY §cache)."""
+method 2 (reference cache naming contract, SURVEY §cache). `-sparse
+[CUTOFF]` emits the CSC `.spgrm` (byte-compatible .jxgrm format,
+src/math/cholesky.rs:19-20) with off-diagonals |k| >= cutoff (negative
+cutoff keeps everything). `-k dense.npy -sparse` converts an existing
+dense GRM. `-txt` writes plain text instead of NPY.
+"""
 
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -14,16 +20,41 @@ from janusx_tpu.cli import common
 
 def build_parser(prog="jx grm") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog=prog, description="Genomic relationship matrix")
-    common.add_genotype_args(p)
+    common.add_genotype_args(p, required=False)
     common.add_qc_args(p)
     o = p.add_argument_group("Options")
-    o.add_argument("-gk", "--method", type=int, default=1, choices=(1, 2),
+    o.add_argument("-k", "--dense-grm", type=str, default=None, metavar="FILE",
+                   help="precomputed dense GRM .npy (+ .id); use with -sparse "
+                        "to convert to .spgrm")
+    o.add_argument("-m", "-gk", "--method", type=int, default=1, choices=(1, 2),
                    help="1 = centered (cGRM), 2 = standardized (sGRM)")
     o.add_argument("-sparse", "--sparse", nargs="?", const=0.05, type=float,
                    default=None, metavar="CUTOFF",
-                   help="also write a thresholded sparse GRM (.npz)")
+                   help="also write a thresholded sparse GRM (.spgrm CSC; "
+                        "negative cutoff keeps all entries)")
+    o.add_argument("-txt", "--txt", action="store_true",
+                   help="write the dense GRM as plain text instead of .npy")
     common.add_out_args(p, default_prefix="jx")
     return p
+
+
+def _write_spgrm(prefix: str, tag: str, K: np.ndarray, samples, cutoff: float):
+    import scipy.sparse
+
+    from janusx_tpu.io.jxgrm import write_jxgrm
+    from janusx_tpu.models.splmm import sparsify_grm
+
+    if cutoff is not None and cutoff < 0:
+        Ks = scipy.sparse.csc_matrix(K)
+    else:
+        Ks = sparsify_grm(K, cutoff).tocsc()
+    path = f"{prefix}.{tag}.spgrm"
+    write_jxgrm(path, Ks)
+    with open(f"{prefix}.{tag}.spgrm.id", "wt") as fh:
+        for s in samples:
+            fh.write(f"{s}\n")
+    n = K.shape[0]
+    print(f"{path}\tnnz={Ks.nnz}\tdensity={Ks.nnz / max(1, n * n):.4g}")
 
 
 def main(argv=None) -> int:
@@ -31,6 +62,20 @@ def main(argv=None) -> int:
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "grm")
 
+    if args.dense_grm:
+        if args.sparse is None:
+            raise SystemExit("-k requires -sparse (dense -> .spgrm conversion)")
+        K = np.load(args.dense_grm)
+        id_path = os.path.splitext(args.dense_grm)[0] + ".id"
+        if not os.path.exists(id_path):
+            raise SystemExit(f"missing GRM id sidecar: {id_path}")
+        samples = [l.split()[0] for l in open(id_path) if l.strip()]
+        tag = "cGRM" if args.method == 1 else "sGRM"
+        _write_spgrm(prefix, tag, K, samples, args.sparse)
+        return 0
+
+    if not any((args.bfile, args.vcf, args.hmp, args.file)):
+        raise SystemExit("a genotype input (or -k dense GRM) is required")
     from janusx_tpu.io.gfreader import prepare_packed
     from janusx_tpu.io.packed import QcParams
     from janusx_tpu.models.grm import grm_from_packed
@@ -41,16 +86,16 @@ def main(argv=None) -> int:
     )
     K = grm_from_packed(pg, method=args.method)
     tag = "cGRM" if args.method == 1 else "sGRM"
-    np.save(f"{prefix}.{tag}.npy", K)
+    if args.txt:
+        np.savetxt(f"{prefix}.{tag}.txt", K, fmt="%.6g", delimiter="\t")
+        out = f"{prefix}.{tag}.txt"
+    else:
+        np.save(f"{prefix}.{tag}.npy", K)
+        out = f"{prefix}.{tag}.npy"
     with open(f"{prefix}.{tag}.id", "wt") as fh:
         for s in pg.samples:
             fh.write(f"{s}\n")
-    print(f"{prefix}.{tag}.npy\t({K.shape[0]} x {K.shape[1]}, {pg.m} SNPs)")
+    print(f"{out}\t({K.shape[0]} x {K.shape[1]}, {pg.m} SNPs)")
     if args.sparse is not None:
-        from janusx_tpu.models.splmm import sparsify_grm
-        import scipy.sparse
-
-        Ks = sparsify_grm(K, args.sparse)
-        scipy.sparse.save_npz(f"{prefix}.{tag}.sparse.npz", Ks)
-        print(f"{prefix}.{tag}.sparse.npz\tnnz={Ks.nnz}")
+        _write_spgrm(prefix, tag, K, pg.samples, args.sparse)
     return 0
