@@ -227,12 +227,15 @@ def _load_kinship(dense_path, sparse_path):
         from janusx_tpu.io.jxgrm import read_jxgrm
 
         K = read_jxgrm(sparse_path).toarray()
-        id_path = os.path.splitext(sparse_path)[0] + ".id"
+        # `jx grm -sparse` writes {x}.spgrm.id; older callers may have {x}.id
+        candidates = [sparse_path + ".id",
+                      os.path.splitext(sparse_path)[0] + ".id"]
     else:
         K = np.load(dense_path)
-        id_path = os.path.splitext(dense_path)[0] + ".id"
-    if not os.path.exists(id_path):
-        raise SystemExit(f"missing GRM id sidecar: {id_path}")
+        candidates = [os.path.splitext(dense_path)[0] + ".id"]
+    id_path = next((c for c in candidates if os.path.exists(c)), None)
+    if id_path is None:
+        raise SystemExit(f"missing GRM id sidecar: {candidates[0]}")
     ids = [l.split()[0] for l in open(id_path) if l.strip()]
     if len(ids) != K.shape[0]:
         raise SystemExit(f"GRM ids ({len(ids)}) != GRM dim ({K.shape[0]})")
