@@ -24,8 +24,134 @@ def build_parser(prog="jx gstats") -> argparse.ArgumentParser:
                    "0.0884 = 2nd degree) + greedy unrelated set; tiled "
                    "sweep, scales to biobank n")
     o.add_argument("-king-tile", "--king-tile", type=int, default=8192)
+    r = p.add_argument_group("Reference stat tables (script/gstats.py parity)")
+    r.add_argument("-freq", "--freq", action="store_true",
+                   help="write site MAF table <prefix>.freq + histogram PDF")
+    r.add_argument("-miss", "--miss", action="store_true",
+                   help="write <prefix>.imiss / <prefix>.lmiss + distribution PDF")
+    r.add_argument("-het", "--het-tables", dest="het_tables", action="store_true",
+                   help="write <prefix>.ihet / <prefix>.lhet + distribution PDF")
+    r.add_argument("-ldsc", "--ldsc", nargs="?", const="100kb", default=None,
+                   metavar="WINDOW",
+                   help="site LD scores <prefix>.<window>.ldsc + Manhattan PDF; "
+                        "WINDOW = SNP count (100) or physical (100kb/0.1mb/"
+                        "100000b); default 100kb")
     common.add_out_args(p, default_prefix="jx")
     return p
+
+
+def _parse_ldsc_window(text: str):
+    """-> (kind 'variants'|'bp', value, label). Reference gstats.py:100-137."""
+    import re
+
+    raw = str(text).strip().lower().replace(" ", "")
+    m = re.fullmatch(r"([0-9]*\.?[0-9]+)([a-z]*)", raw)
+    if m is None:
+        raise SystemExit(f"invalid -ldsc window {text!r}: use 100, 100kb, "
+                         "0.1mb, or 100000b")
+    value, unit = float(m.group(1)), m.group(2)
+    if value <= 0:
+        raise SystemExit(f"-ldsc window must be > 0, got {text!r}")
+    if unit in ("", "snp", "snps"):
+        v = int(round(value))
+        return "variants", v, f"{v}snp"
+    if unit in ("b", "bp"):
+        return "bp", int(round(value)), f"{int(round(value))}b"
+    if unit == "kb":
+        return "bp", int(round(value * 1e3)), raw
+    if unit == "mb":
+        return "bp", int(round(value * 1e6)), raw
+    raise SystemExit(f"unsupported -ldsc unit in {text!r} (cm windows need a "
+                     "genetic map; use snp/bp/kb/mb)")
+
+
+def _hist_pdf(values, path: str, xlabel: str) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    v = np.asarray(values, float)
+    v = v[np.isfinite(v)]
+    fig, ax = plt.subplots(figsize=(4.4, 3.2))
+    ax.hist(v, bins=50, color="#4C72B0")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("count")
+    ax.spines[["top", "right"]].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def _ldsc_manhattan_pdf(chrom, pos, vals, path: str) -> None:
+    """Manhattan-style genome panel of raw LD scores (not p-values)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    colors = ("#4C72B0", "#DD8452")
+    fig, ax = plt.subplots(figsize=(8.5, 3))
+    offset = 0
+    ticks, labels = [], []
+    for ci, c in enumerate(dict.fromkeys(chrom.tolist())):
+        m = chrom == c
+        x = offset + (pos[m] - pos[m].min())
+        ax.scatter(x, vals[m], s=4, lw=0, c=colors[ci % 2])
+        ticks.append(offset + (pos[m].max() - pos[m].min()) / 2)
+        labels.append(str(c))
+        offset += pos[m].max() - pos[m].min() + 1
+    ax.set_xticks(ticks)
+    ax.set_xticklabels(labels, fontsize=8)
+    ax.set_xlabel("Chromosome")
+    ax.set_ylabel("LD score")
+    ax.spines[["top", "right"]].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def _site_ldscores(raw, kind: str, win) -> np.ndarray:
+    """Per-site sum of r² with in-window neighbors (window per chromosome)."""
+    import jax.numpy as jnp
+
+    from janusx_tpu.io.packed import QcParams, pack_from_codes
+    from janusx_tpu.models.ldprune import _corr_chunk
+    from janusx_tpu.ops import decode as _dec
+
+    pgq = pack_from_codes(raw.packed, raw.n_samples, raw.sites, raw.samples,
+                          QcParams(maf=0.0, geno=1.0))
+    m = pgq.m
+    ld = np.zeros(m)
+    packed_pad = _dec.pad_packed_cols(pgq.packed)
+    pos = np.asarray(pgq.sites.pos, np.int64)
+    chrom = pgq.sites.chrom
+    bounds = [0] + [i for i in range(1, m) if chrom[i] != chrom[i - 1]] + [m]
+    step = 2048
+    for c0, c1 in zip(bounds[:-1], bounds[1:]):
+        if kind == "bp":
+            ends = np.searchsorted(pos[c0:c1], pos[c0:c1] + win, "right")
+            ov = int(np.max(ends - np.arange(c1 - c0))) if c1 > c0 else 1
+        else:
+            ov = int(win)
+        for s0 in range(c0, c1, step):
+            e0 = min(s0 + step + ov, c1)
+            r = np.asarray(_corr_chunk(
+                jnp.asarray(packed_pad[s0:e0]),
+                jnp.asarray(pgq.mean[s0:e0].astype(np.float32)),
+            ))
+            r2 = r * r
+            hi = min(s0 + step, c1)
+            for li in range(hi - s0):
+                gi = s0 + li
+                if kind == "bp":
+                    lo = int(np.searchsorted(pos[s0:e0], pos[gi] - win, "left"))
+                    up = int(np.searchsorted(pos[s0:e0], pos[gi] + win, "right"))
+                else:
+                    lo = max(0, li - win)
+                    up = min(e0 - s0, li + win + 1)
+                ld[gi] = r2[li, lo:up].sum() - 1.0
+    return ld
 
 
 def main(argv=None) -> int:
@@ -38,8 +164,62 @@ def main(argv=None) -> int:
 
     raw = load_raw_packed(common.resolve_genotype(args))
     n = raw.n_samples
-    do_site = args.site or not args.ind
+    ref_modes = args.freq or args.miss or args.het_tables or args.ldsc is not None
+    do_site = args.site or not (args.ind or ref_modes or args.king is not None)
     outputs = []
+
+    if ref_modes:
+        nm_r, alt_r, het_r = bitcodec.row_stats(raw.packed, n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            af_r = np.where(nm_r > 0, alt_r / (2.0 * nm_r), np.nan)
+            maf_r = np.minimum(af_r, 1 - af_r)
+            lhet = np.where(nm_r > 0, het_r / nm_r, np.nan)
+        lmiss = 1.0 - nm_r / n
+        s = raw.sites
+
+        def _site_table(path, col, vals, fmt="%.6f"):
+            with open(path, "wt") as fh:
+                fh.write(f"chr\tpos\t{col}\n")
+                for i in range(raw.m):
+                    fh.write(f"{s.chrom[i]}\t{s.pos[i]}\t{fmt % vals[i]}\n")
+            outputs.append(path)
+
+        if args.freq:
+            _site_table(f"{prefix}.freq", "maf", maf_r)
+            _hist_pdf(maf_r, f"{prefix}.freq.pdf", "minor allele frequency")
+            outputs.append(f"{prefix}.freq.pdf")
+        if args.miss or args.het_tables:
+            codes = bitcodec.unpack_codes(raw.packed, n)
+            i_missing = (codes == 3).sum(axis=0)
+            i_het = (codes == 1).sum(axis=0)
+            i_nm = raw.m - i_missing
+        if args.miss:
+            _site_table(f"{prefix}.lmiss", "miss", lmiss)
+            with open(f"{prefix}.imiss", "wt") as fh:
+                fh.write("sample\tmiss\n")
+                for j, sid in enumerate(raw.samples):
+                    fh.write(f"{sid}\t{i_missing[j] / max(1, raw.m):.6f}\n")
+            outputs.append(f"{prefix}.imiss")
+            _hist_pdf(lmiss, f"{prefix}.miss.pdf", "site missing rate")
+            outputs.append(f"{prefix}.miss.pdf")
+        if args.het_tables:
+            _site_table(f"{prefix}.lhet", "het", lhet)
+            with open(f"{prefix}.ihet", "wt") as fh:
+                fh.write("sample\thet\n")
+                for j, sid in enumerate(raw.samples):
+                    fh.write(f"{sid}\t{i_het[j] / max(1, i_nm[j]):.6f}\n")
+            outputs.append(f"{prefix}.ihet")
+            _hist_pdf(lhet, f"{prefix}.het.pdf", "site heterozygosity")
+            outputs.append(f"{prefix}.het.pdf")
+        if args.ldsc is not None:
+            kind, win, label = _parse_ldsc_window(args.ldsc)
+            ld_sc = _site_ldscores(raw, kind, win)
+            path = f"{prefix}.{label}.ldsc"
+            _site_table(path, "ldsc", ld_sc)
+            _ldsc_manhattan_pdf(
+                np.asarray(s.chrom, dtype=object), np.asarray(s.pos, np.int64),
+                ld_sc, f"{prefix}.{label}.ldsc.pdf")
+            outputs.append(f"{prefix}.{label}.ldsc.pdf")
     if do_site:
         nm, alt, het = bitcodec.row_stats(raw.packed, n)
         with np.errstate(divide="ignore", invalid="ignore"):

@@ -295,6 +295,32 @@ def test_cli_gs(sim_dataset, tmp_path):
     assert os.path.exists(str(tmp_path / "gsout.gs.summary.json"))
 
 
+def test_cli_gstats_reference_tables(sim_dataset, tmp_path):
+    """-freq/-miss/-het/-ldsc reference table outputs (script/gstats.py)."""
+    rc = jx_main([
+        "gstats", "-bfile", sim_dataset, "-freq", "-miss", "-het",
+        "-ldsc", "30kb", "-o", str(tmp_path), "-prefix", "st",
+    ])
+    assert rc == 0
+    freq = [l.split("\t") for l in open(tmp_path / "st.freq")]
+    assert freq[0] == ["chr", "pos", "maf\n"]
+    vals = np.array([float(r[2]) for r in freq[1:]])
+    assert len(vals) == 800 and np.all((vals >= 0) & (vals <= 0.5))
+    assert (tmp_path / "st.freq.pdf").exists()
+    imiss = open(tmp_path / "st.imiss").readlines()
+    assert len(imiss) == 1 + 300
+    assert (tmp_path / "st.lmiss").exists() and (tmp_path / "st.lhet").exists()
+    assert (tmp_path / "st.ihet").exists()
+    ldsc = open(tmp_path / "st.30kb.ldsc").readlines()
+    assert len(ldsc) == 1 + 800
+    assert all(float(l.split("\t")[2]) >= -1e-6 for l in ldsc[1:])
+    # SNP-count window spelling
+    rc = jx_main(["gstats", "-bfile", sim_dataset, "-ldsc", "25",
+                  "-o", str(tmp_path), "-prefix", "sc"])
+    assert rc == 0
+    assert (tmp_path / "sc.25snp.ldsc").exists()
+
+
 def test_cli_gstats_ldscore(sim_dataset, tmp_path):
     rc = jx_main(["gstats", "-bfile", sim_dataset, "-site", "-ldscore", "20",
                   "-o", str(tmp_path), "-prefix", "ls"])
