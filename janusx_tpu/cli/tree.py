@@ -1,4 +1,11 @@
-"""`jx tree` — NJ phylogeny from genotypes (reference: script/tree.py)."""
+"""`jx tree` — NJ / approximate-ML phylogeny (reference: script/tree.py).
+
+Inputs: genotype files (-bfile/-vcf/-hmp/-file; IBS distances) or an
+aligned FASTA (-fa; Jukes-Cantor distances). `-b B` adds bootstrap
+support percentages on internal nodes (site resampling, NJ per
+replicate). `--write-phylip` emits the distance matrix in PHYLIP format;
+`-ml` refines by approximate maximum likelihood (CFN, NNI).
+"""
 
 from __future__ import annotations
 
@@ -9,11 +16,17 @@ from janusx_tpu.cli import common
 
 def build_parser(prog="jx tree") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog=prog, description="Neighbor-joining tree")
-    common.add_genotype_args(p)
+    common.add_genotype_args(p, required=False)
+    p.add_argument("-fa", "--fasta", type=str, default=None,
+                   help="aligned FASTA input (JC distances) instead of genotypes")
     common.add_qc_args(p)
     o = p.add_argument_group("Options")
     o.add_argument("-dist", "--write-dist", action="store_true",
-                   help="also write the IBS distance matrix")
+                   help="also write the distance matrix (TSV)")
+    o.add_argument("--write-phylip", action="store_true",
+                   help="also write the distance matrix in PHYLIP format")
+    o.add_argument("-b", "--bootstrap", type=int, default=None, metavar="B",
+                   help="bootstrap replicates for internal-node support")
     o.add_argument("-ml", "--ml", action="store_true",
                    help="refine the NJ tree by approximate maximum "
                    "likelihood (CFN model, NNI search — reference "
@@ -25,6 +38,14 @@ def build_parser(prog="jx tree") -> argparse.ArgumentParser:
     return p
 
 
+def _write_phylip(path: str, D, labels) -> None:
+    with open(path, "wt") as fh:
+        fh.write(f"{len(labels)}\n")
+        for i, lab in enumerate(labels):
+            name = str(lab)[:10].ljust(10)
+            fh.write(name + "  " + "  ".join(f"{v:.6f}" for v in D[i]) + "\n")
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     prefix = common.out_prefix(args)
@@ -32,16 +53,39 @@ def main(argv=None) -> int:
 
     import numpy as np
 
-    from janusx_tpu.io.gfreader import prepare_packed
-    from janusx_tpu.io.packed import QcParams
-    from janusx_tpu.models.tree import ibs_distance, neighbor_joining
-
-    pg = prepare_packed(
-        common.resolve_genotype(args),
-        QcParams(maf=args.maf, geno=args.geno, het=args.het),
+    from janusx_tpu.models.tree import (
+        bootstrap_support, ibs_distance, neighbor_joining,
+        read_fasta_alignment, weighted_jc_distance,
     )
-    D = ibs_distance(pg)
-    newick = neighbor_joining(D, pg.samples)
+
+    if args.fasta:
+        codes, labels = read_fasta_alignment(args.fasta)
+        D = weighted_jc_distance(codes, np.ones(codes.shape[0]))
+        distance = "jc"
+        m, n = codes.shape
+        samples = labels
+    else:
+        if not any((args.bfile, args.vcf, args.hmp, args.file)):
+            raise SystemExit("a genotype input or -fa FASTA is required")
+        from janusx_tpu.io.gfreader import prepare_packed
+        from janusx_tpu.io.packed import QcParams
+
+        pg = prepare_packed(
+            common.resolve_genotype(args),
+            QcParams(maf=args.maf, geno=args.geno, het=args.het),
+        )
+        D = ibs_distance(pg)
+        codes = pg.dosages()
+        distance = "ibs"
+        m, n = pg.m, pg.n
+        samples = [str(s) for s in pg.samples]
+
+    newick = neighbor_joining(D, samples)
+    if args.bootstrap:
+        newick = bootstrap_support(
+            newick, codes, samples, n_boot=args.bootstrap,
+            seed=args.seed, distance=distance,
+        )
     with open(prefix + ".nwk", "wt") as fh:
         fh.write(newick + "\n")
     if args.ml:
@@ -51,17 +95,39 @@ def main(argv=None) -> int:
             to_newick,
         )
 
-        parts = genotype_leaf_partials(
-            pg.dosages(), site_budget=args.ml_sites, seed=args.seed
-        )
-        t = ml_refine_tree(newick, parts, [str(s) for s in pg.samples], k=2)
+        if args.fasta:
+            # 4-state JC partials from the nucleotide alignment
+            sub = codes
+            if sub.shape[0] > args.ml_sites:
+                rng = np.random.default_rng(args.seed)
+                rows = np.sort(rng.choice(sub.shape[0], args.ml_sites,
+                                          replace=False))
+                sub = sub[rows]
+            parts = []
+            for i in range(sub.shape[1]):
+                P = np.ones((sub.shape[0], 4))
+                known = sub[:, i] >= 0
+                P[known] = 0.0
+                P[known, sub[known, i]] = 1.0
+                parts.append(P)
+            k_states = 4
+        else:
+            parts = genotype_leaf_partials(
+                codes, site_budget=args.ml_sites, seed=args.seed
+            )
+            k_states = 2
+        # support labels are not part of the ML tree: rebuild unannotated
+        base = neighbor_joining(D, samples)
+        t = ml_refine_tree(base, parts, samples, k=k_states)
         with open(prefix + ".ml.nwk", "wt") as fh:
             fh.write(to_newick(t) + "\n")
         print(f"{prefix}.ml.nwk\tlogL={t.loglik:.2f}")
     if args.write_dist:
-        np.savetxt(prefix + ".ibs.dist", D, fmt="%.6g", delimiter="\t")
-        with open(prefix + ".ibs.id", "wt") as fh:
-            for s in pg.samples:
+        np.savetxt(prefix + f".{distance}.dist", D, fmt="%.6g", delimiter="\t")
+        with open(prefix + f".{distance}.id", "wt") as fh:
+            for s in samples:
                 fh.write(f"{s}\n")
-    print(f"{prefix}.nwk\t({pg.n} samples, {pg.m} SNPs)")
+    if args.write_phylip:
+        _write_phylip(prefix + ".phylip.dist", D, samples)
+    print(f"{prefix}.nwk\t({n} samples, {m} sites)")
     return 0

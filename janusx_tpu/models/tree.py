@@ -109,3 +109,176 @@ def neighbor_joining(D: np.ndarray, labels) -> str:
 def nj_tree(pg: PackedGenotypes, block: int = config.DEFAULT_SNP_BLOCK) -> str:
     D = ibs_distance(pg, block)
     return neighbor_joining(D, pg.samples)
+
+
+# ---------------------------------------------------------------- bootstrap
+# reference: script/tree.py -b/--bootstrap with --support bootstrap — site
+# resampling, NJ per replicate, bipartition support on the main tree.
+
+
+def weighted_pair_counts(codes: np.ndarray, w: np.ndarray, n_states: int):
+    """Weighted (both-observed, mismatch, |0-2| cross) pair counts.
+
+    codes: (m, n) small ints with -1 missing; w: (m,) site weights.
+    All three are (n, n) matrices from indicator matmuls — the same
+    bit-plane algebra the IBS kernel uses, here in numpy f64 (bootstrap
+    panels are small-n).
+    """
+    codes = np.asarray(codes)
+    w = np.asarray(w, np.float64)
+    obs = (codes >= 0).astype(np.float64)
+    wobs = obs * w[:, None]
+    both = obs.T @ wobs
+    same = np.zeros_like(both)
+    planes = [(codes == k).astype(np.float64) for k in range(n_states)]
+    for I in planes:
+        same += I.T @ (I * w[:, None])
+    cross02 = np.zeros_like(both)
+    if n_states >= 3:
+        cross02 = planes[0].T @ (planes[2] * w[:, None])
+        cross02 = cross02 + cross02.T
+    return both, both - same, cross02
+
+
+def weighted_ibs_distance(codes: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Site-weighted genotype IBS distance: sum w|gi-gj| / (2 sum w)."""
+    both, mismatch, cross02 = weighted_pair_counts(codes, w, 3)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        D = np.where(both > 0, (mismatch + cross02) / (2.0 * both), 0.0)
+    np.fill_diagonal(D, 0.0)
+    return D
+
+
+def weighted_jc_distance(codes: np.ndarray, w: np.ndarray,
+                         n_states: int = 4) -> np.ndarray:
+    """Jukes-Cantor distance from a coded alignment (A/C/G/T -> 0..3)."""
+    both, mismatch, _ = weighted_pair_counts(codes, w, n_states)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(both > 0, mismatch / both, 0.0)
+    a = (n_states - 1.0) / n_states
+    D = -a * np.log(np.clip(1.0 - p / a, 1e-10, None))
+    np.fill_diagonal(D, 0.0)
+    return D
+
+
+def _tree_splits(newick: str) -> set:
+    """Canonical leaf bipartitions of a newick tree (internal edges only)."""
+    from janusx_tpu.models.mltree import parse_newick
+
+    t = parse_newick(newick)
+    all_leaves = frozenset(l for l in t.labels if l)
+    below = {}
+    order, stack = [], [t.root]
+    while stack:
+        v = stack.pop()
+        order.append(v)
+        stack.extend(t.children[v])
+    for v in reversed(order):
+        if not t.children[v]:
+            below[v] = frozenset([t.labels[v]])
+        else:
+            acc = frozenset()
+            for c in t.children[v]:
+                acc |= below[c]
+            below[v] = acc
+    splits = set()
+    for v in range(len(t.children)):
+        if v == t.root or not t.children[v]:
+            continue
+        s = below[v]
+        if len(s) < 2 or len(all_leaves - s) < 2:
+            continue  # trivial split
+        comp = all_leaves - s
+        splits.add(s if (len(s), sorted(s)) <= (len(comp), sorted(comp)) else comp)
+    return splits
+
+
+def bootstrap_support(
+    main_newick: str,
+    codes: np.ndarray,
+    labels,
+    n_boot: int = 100,
+    seed: int = 0,
+    distance: str = "ibs",
+) -> str:
+    """Annotate internal nodes of the main tree with bootstrap support %.
+
+    Sites are resampled with replacement (multinomial weights — identical
+    to index resampling but keeps the matmul shapes static), one NJ tree
+    per replicate, split frequencies mapped back onto the main topology.
+    """
+    from janusx_tpu.models.mltree import parse_newick
+
+    labels = [str(l) for l in labels]
+    rng = np.random.default_rng(seed)
+    m = codes.shape[0]
+    dist_fn = weighted_ibs_distance if distance == "ibs" else weighted_jc_distance
+    counts: dict = {}
+    for _ in range(int(n_boot)):
+        w = rng.multinomial(m, np.full(m, 1.0 / m)).astype(np.float64)
+        D = dist_fn(codes, w)
+        for s in _tree_splits(neighbor_joining(D, labels)):
+            counts[s] = counts.get(s, 0) + 1
+
+    t = parse_newick(main_newick)
+    all_leaves = frozenset(l for l in t.labels if l)
+    below = {}
+    order, stack = [], [t.root]
+    while stack:
+        v = stack.pop()
+        order.append(v)
+        stack.extend(t.children[v])
+    for v in reversed(order):
+        below[v] = (frozenset([t.labels[v]]) if not t.children[v]
+                    else frozenset().union(*(below[c] for c in t.children[v])))
+
+    def rec(v: int) -> str:
+        if not t.children[v]:
+            body = t.labels[v]
+        else:
+            body = "(" + ",".join(rec(c) for c in t.children[v]) + ")"
+            s = below[v]
+            comp = all_leaves - s
+            if len(s) >= 2 and len(comp) >= 2 and v != t.root:
+                canon = s if (len(s), sorted(s)) <= (len(comp), sorted(comp)) else comp
+                support = 100.0 * counts.get(canon, 0) / max(1, n_boot)
+                body += f"{support:.0f}"
+        if v == t.root:
+            return body
+        return f"{body}:{t.blen[v]:.6g}"
+
+    return rec(t.root) + ";"
+
+
+def read_fasta_alignment(path: str):
+    """Aligned FASTA -> (codes (m_sites, n) int8 A/C/G/T=0..3 else -1, names)."""
+    import gzip
+
+    names, seqs, cur = [], [], []
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if cur:
+                    seqs.append("".join(cur))
+                    cur = []
+                names.append(line[1:].split()[0])
+            else:
+                cur.append(line.upper())
+    if cur:
+        seqs.append("".join(cur))
+    if not names or len(names) != len(seqs):
+        raise ValueError(f"malformed FASTA: {path}")
+    L = len(seqs[0])
+    if any(len(s) != L for s in seqs):
+        raise ValueError("FASTA sequences are not aligned (unequal lengths)")
+    lut = np.full(256, -1, np.int8)
+    for i, b in enumerate(b"ACGT"):
+        lut[b] = i
+    codes = np.stack([
+        lut[np.frombuffer(s.encode(), np.uint8)] for s in seqs
+    ]).T  # (m_sites, n)
+    return codes, names

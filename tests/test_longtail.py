@@ -127,6 +127,31 @@ def test_tree_cli(rng, tmp_path):
     assert nwk.strip().endswith(";")
 
 
+def test_tree_bootstrap_fasta(rng, tmp_path):
+    """FASTA input, JC distances, bootstrap support: planted clades ~100%."""
+    base = rng.integers(0, 4, 400)
+    with open(tmp_path / "aln.fa", "wt") as fh:
+        for c in range(2):
+            anc = base.copy()
+            mut = rng.choice(400, 60, replace=False)
+            anc[mut] = (anc[mut] + 1 + c) % 4
+            for i in range(4):
+                s = anc.copy()
+                mm = rng.choice(400, 4, replace=False)
+                s[mm] = rng.integers(0, 4, 4)
+                fh.write(f">c{c}_{i}\n" + "".join("ACGT"[v] for v in s) + "\n")
+    rc = jx_main(["tree", "-fa", str(tmp_path / "aln.fa"), "-b", "40",
+                  "--write-phylip", "-o", str(tmp_path), "-prefix", "ft"])
+    assert rc == 0
+    import re
+
+    nwk = open(tmp_path / "ft.nwk").read()
+    supports = [int(x) for x in re.findall(r"\)(\d+):", nwk)]
+    assert supports and max(supports) >= 95  # the clade split is certain
+    ph = open(tmp_path / "ft.phylip.dist").readlines()
+    assert ph[0].strip() == "8" and len(ph) == 9
+
+
 def test_hybrid_view_refcheck_postgs(rng, tmp_path, capsys):
     from janusx_tpu.io import plink
     from janusx_tpu.models.sim import simulate_genotypes, simulate_phenotype, write_pheno
