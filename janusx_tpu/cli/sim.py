@@ -1,4 +1,9 @@
-"""`jx sim` — simulate genotypes + phenotypes (reference: script/sim.py)."""
+"""`jx sim` — simulate genotypes + phenotypes (reference: script/sim.py).
+
+With a genotype input (-bfile/-vcf/-hmp/-file) it switches to g2p mode
+(reference script/simulation.py): phenotypes simulated FROM the existing
+panel, with causal-site eligibility controls (-lmaf MAF bounds,
+-bimrange chr:start:end regions, -gff gene-restricted causals)."""
 
 from __future__ import annotations
 
@@ -9,6 +14,16 @@ from janusx_tpu.cli import common
 
 def build_parser(prog="jx sim") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog=prog, description="Simulate genotypes + phenotypes")
+    common.add_genotype_args(p, required=False)
+    g2p = p.add_argument_group("g2p mode (phenotype from existing genotypes)")
+    g2p.add_argument("-causal", "--causal", type=int, default=None,
+                     help="number of causal sites (g2p alias of -nqtl)")
+    g2p.add_argument("-lmaf", "--lmaf", nargs="+", type=float, default=None,
+                     metavar="MAF", help="causal-site MAF bounds: LO [HI]")
+    g2p.add_argument("-bimrange", "--bimrange", action="append", default=[],
+                     metavar="CHR:START:END", help="repeatable causal region")
+    g2p.add_argument("-gff", "--gff", type=str, default=None,
+                     help="restrict causal sites to gene features in this GFF3")
     g = p.add_argument_group("Simulation")
     g.add_argument("-nind", "--nind", type=int, default=1000, help="samples")
     g.add_argument("-nsnp", "--nsnp", type=int, default=10000, help="SNPs")
@@ -57,19 +72,60 @@ def main(argv=None) -> int:
         write_pheno,
     )
 
-    gd = simulate_genotypes(
-        args.nind, args.nsnp, maf_low=args.maf_low, missing_rate=args.miss,
-        n_chrom=args.nchr, seed=args.seed, structure=args.structure,
-        family_size=args.family_size, family_frac=args.family_frac,
-    )
+    import numpy as np
+
+    g2p_mode = any((args.bfile, args.vcf, args.hmp, args.file))
+    causal_pool = None
+    if g2p_mode:
+        from janusx_tpu.io.gfreader import load_genotype_file
+
+        gd = load_genotype_file(common.resolve_genotype(args))
+        elig = np.ones(gd.m, bool)
+        if args.lmaf:
+            lo = float(args.lmaf[0])
+            hi = float(args.lmaf[1]) if len(args.lmaf) > 1 else 0.5
+            g = gd.genotypes.astype(np.float64)
+            obs = g >= 0
+            af = np.where(obs, g, 0).sum(1) / np.maximum(2.0 * obs.sum(1), 1)
+            maf = np.minimum(af, 1 - af)
+            elig &= (maf >= lo) & (maf <= hi)
+        if args.bimrange:
+            rmask = np.zeros(gd.m, bool)
+            chrom = np.asarray(gd.sites.chrom, dtype=object).astype(str)
+            pos = np.asarray(gd.sites.pos, np.int64)
+            for tok in args.bimrange:
+                parts = tok.split(":")
+                if len(parts) != 3:
+                    raise SystemExit(f"-bimrange wants CHR:START:END, got {tok!r}")
+                c, a, b = parts[0], int(parts[1]), int(parts[2])
+                rmask |= (chrom == c) & (pos >= a) & (pos <= b)
+            elig &= rmask
+        if args.gff:
+            from janusx_tpu.utils.gff import GffIndex
+
+            gi = GffIndex.from_file(args.gff)
+            chrom = np.asarray(gd.sites.chrom, dtype=object).astype(str)
+            pos = np.asarray(gd.sites.pos, np.int64)
+            elig &= np.fromiter(
+                (bool(gi.query(c, int(p))) for c, p in zip(chrom, pos)),
+                bool, count=gd.m)
+        causal_pool = np.nonzero(elig)[0]
+    else:
+        gd = simulate_genotypes(
+            args.nind, args.nsnp, maf_low=args.maf_low, missing_rate=args.miss,
+            n_chrom=args.nchr, seed=args.seed, structure=args.structure,
+            family_size=args.family_size, family_frac=args.family_frac,
+        )
     sim = simulate_phenotype(
-        gd, n_qtl=args.nqtl, h2=args.h2, n_traits=args.ntrait, seed=args.seed,
+        gd, n_qtl=args.causal or args.nqtl, h2=args.h2, n_traits=args.ntrait,
+        seed=args.seed,
         effect_dist=args.effect_dist, effect_model=args.effect_model,
         dominance_pve=args.dom_pve, epistasis_pairs=args.epi_pairs,
         epistasis_pve=args.epi_pve, epistasis_gate=args.gate,
-        bg_pve=args.bg_pve,
+        bg_pve=args.bg_pve, causal_pool=causal_pool,
     )
-    plink.write_plink_genotypes(prefix, gd)
+    if not g2p_mode:
+        plink.write_plink_genotypes(prefix, gd)
     write_pheno(prefix + ".pheno", gd.samples, sim.phenotypes)
     with open(prefix + ".qtl.tsv", "wt") as fh:
         fh.write("snp\tchrom\tpos\teffect\tkind\n")
@@ -94,5 +150,9 @@ def main(argv=None) -> int:
         with open(prefix + ".sim.json", "wt") as fh:
             json.dump({"components": sim.components,
                        "structure": args.structure}, fh, indent=2)
-    print(f"{prefix}.bed/.bim/.fam\t{prefix}.pheno\t{prefix}.qtl.tsv")
+    if g2p_mode:
+        print(f"{prefix}.pheno\t{prefix}.qtl.tsv\t(g2p from existing genotypes,"
+              f" causal pool {len(causal_pool)}/{gd.m})")
+    else:
+        print(f"{prefix}.bed/.bim/.fam\t{prefix}.pheno\t{prefix}.qtl.tsv")
     return 0

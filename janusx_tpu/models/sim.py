@@ -148,6 +148,7 @@ def simulate_phenotype(
     epistasis_gate: str = "A",
     bg_pve: float = 0.0,
     seed: int = 0,
+    causal_pool: np.ndarray | None = None,
 ) -> SimResult:
     """Phenotype = additive QTL + dominance deviations + epistatic logic
     gates + polygenic background + noise; ``h2`` is the total genetic PVE
@@ -165,7 +166,13 @@ def simulate_phenotype(
     gc = np.nan_to_num(g - means[:, None])
     n = gdata.n
     phenos = np.empty((n, n_traits))
-    qtl_idx = np.sort(rng.choice(gdata.m, size=min(n_qtl, gdata.m), replace=False))
+    # causal_pool restricts QTL/epistasis site eligibility (reference
+    # `jx simulation` -lmaf/-bimrange/-gff causal-region controls)
+    pool = (np.arange(gdata.m) if causal_pool is None
+            else np.asarray(causal_pool, np.int64))
+    if pool.size == 0:
+        raise ValueError("empty causal pool after eligibility filters")
+    qtl_idx = np.sort(rng.choice(pool, size=min(n_qtl, pool.size), replace=False))
     q = len(qtl_idx)
     if effect_model == "equal":
         eff = rng.choice([-1.0, 1.0], q)
@@ -191,7 +198,7 @@ def simulate_phenotype(
     epi_pairs: list = []
     if epistasis_pairs > 0 and epistasis_pve > 0:
         hom = np.nan_to_num((g == 2).astype(np.int8))
-        cand = rng.choice(gdata.m, size=2 * epistasis_pairs, replace=False)
+        cand = rng.choice(pool, size=min(2 * epistasis_pairs, pool.size), replace=False)
         terms = []
         for k in range(epistasis_pairs):
             i, j = int(cand[2 * k]), int(cand[2 * k + 1])

@@ -114,3 +114,31 @@ def test_sim_cli_outputs(tmp_path):
     kinds = {ln.split("\t")[-1] for ln in lines[1:]}
     assert {"additive", "dominance"} <= kinds
     assert any(k.startswith("epistasis[X]") for k in kinds)
+
+
+def test_sim_g2p_from_existing_genotypes(tmp_path):
+    """g2p mode: phenotypes from an existing panel with causal controls
+    (reference script/simulation.py -causal/-lmaf/-bimrange/-gff)."""
+    import os
+
+    from janusx_tpu.cli.main import main as jx_main
+    from janusx_tpu.io import plink
+    from janusx_tpu.models.sim import simulate_genotypes
+
+    gd = simulate_genotypes(60, 400, n_chrom=2, seed=9)
+    prefix = str(tmp_path / "p")
+    plink.write_plink_genotypes(prefix, gd)
+    pos_on_1 = gd.sites.pos[np.asarray(gd.sites.chrom, dtype=object) == "1"]
+    lo, hi = int(pos_on_1.min()), int(np.median(pos_on_1))
+    rc = jx_main([
+        "sim", "-bfile", prefix, "-causal", "8", "-h2", "0.7",
+        "-lmaf", "0.05", "-bimrange", f"1:{lo}:{hi}",
+        "-o", str(tmp_path), "-prefix", "g2p", "-seed", "1",
+    ])
+    assert rc == 0
+    assert not os.path.exists(str(tmp_path / "g2p.bed"))  # no genotype rewrite
+    rows = [l.split("\t") for l in open(tmp_path / "g2p.qtl.tsv").readlines()[1:]]
+    assert 0 < len(rows) <= 8
+    assert all(r[1] == "1" and lo <= int(r[2]) <= hi for r in rows)
+    ph = open(tmp_path / "g2p.pheno").readlines()
+    assert len(ph) == 1 + 60
