@@ -380,7 +380,29 @@ def test_cli_postgarfield(tmp_path):
     )
     rc = jx_main(["postgarfield", "-i", str(tsv), "-o", str(tmp_path), "-prefix", "pgf"])
     assert rc == 0
-    assert (tmp_path / "pgf.rules.png").exists()
+    assert (tmp_path / "pgf.g.rules.png").exists()
+    # arcs + circular Manhattan + endpoint annotation against a GWAS bg
+    gwas = tmp_path / "bg.tsv"
+    gwas.write_text(
+        "chrom\tpos\tsnp\tpwald\n"
+        + "\n".join(f"{c}\t{p * 1000}\ts{i}\t{0.5 / (i + 1)}"
+                    for i, (c, p) in enumerate(
+                        (c, p) for c in (1, 2) for p in range(1, 51)))
+    )
+    gff = tmp_path / "a.gff3"
+    gff.write_text("##gff-version 3\n"
+                   "1\tsrc\tgene\t1\t60000\t.\t+\t.\tID=gx;Name=GeneX\n")
+    rc = jx_main(["postgarfield", "-i", str(tsv), "-gwasfile", str(gwas),
+                  "-thr", "1e-3", "-circle", "-gff", str(gff),
+                  "-o", str(tmp_path), "-prefix", "pga"])
+    assert rc == 0
+    assert (tmp_path / "pga.g.arcs.png").exists()
+    assert (tmp_path / "pga.g.circle.png").exists()
+    ep = (tmp_path / "pga.g.endpoints.tsv").read_text().splitlines()
+    assert ep[0].startswith("rule\tendpoint")
+    # endpoints s1/s2/s3 resolve to chrom/pos and a gene on chrom 1
+    body = "\n".join(ep[1:])
+    assert "s1" in body and "GeneX" in body
 
 
 def test_bench_module_clis(tmp_path):
