@@ -79,6 +79,27 @@ class JointKernelFit:
     nll: float
 
 
+def _nm_restarts(minimize, obj, theta0, maxiter: int, tol: float, rounds: int = 3):
+    """Nelder-Mead with restarts: re-initialize the simplex at the found
+    point until the objective stops improving. Cures the classic NM
+    degenerate-simplex stall, which otherwise leaves variance estimates a
+    few percent off in an environment-dependent way."""
+    best = None
+    x = np.asarray(theta0, np.float64)
+    for _ in range(rounds):
+        res = minimize(
+            obj, x, method="Nelder-Mead",
+            options={"maxiter": maxiter, "xatol": 1e-8, "fatol": tol},
+        )
+        if best is not None and res.fun >= best.fun - max(tol, 1e-10):
+            if res.fun < best.fun:
+                best = res
+            break
+        best = res
+        x = res.x
+    return best
+
+
 class _Blocks:
     """Padded per-line observation blocks shared across REML evaluations."""
 
@@ -173,12 +194,7 @@ def fit_line_nested(
         v = np.exp(np.clip(theta, lo, hi))
         return blocks.neg_reml(v[:k], v[k])
 
-    res = minimize(
-        obj,
-        theta0,
-        method="Nelder-Mead",
-        options={"maxiter": max_iter * (k + 1) * 20, "xatol": 1e-7, "fatol": tol},
-    )
+    res = _nm_restarts(minimize, obj, theta0, max_iter * (k + 1) * 20, tol)
     v = np.exp(np.clip(res.x, lo, hi))
     sig, ve = v[:k], float(v[k])
     # clamp boundary estimates (variances within ~1e-8 of floor) to 0 for reporting
@@ -320,12 +336,19 @@ def fit_joint_kernel(
         except np.linalg.LinAlgError:
             return np.inf
 
-    res = minimize(
-        obj,
-        np.log([vy / 2, vy / 2]),
-        method="Nelder-Mead",
-        options={"maxiter": max_iter * 10, "xatol": 1e-7, "fatol": 1e-9},
-    )
+    # The (va, vline) surface often has a flat ridge (va·K vs vline·I are
+    # weakly separated when K is close to I), where a single-start simplex
+    # lands wherever rounding pushes it. Seed from a coarse deterministic
+    # grid over (heritable share, total), then polish.
+    best = None
+    for share in np.linspace(0.05, 0.95, 10):
+        for tot in (0.5 * vy, vy, 2.0 * vy):
+            theta = np.log([max(share * tot, 1e-12),
+                            max((1 - share) * tot, 1e-12)])
+            f = obj(theta)
+            if best is None or f < best[0]:
+                best = (f, theta)
+    res = _nm_restarts(minimize, obj, best[1], max_iter * 10, 1e-9)
     nll, va, vline, beta, Vir = state(res.x)
     denom = va + vline + d_mean
     return JointKernelFit(

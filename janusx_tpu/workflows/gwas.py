@@ -236,6 +236,11 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                         trait, switch_p, model,
                     )
                     model = "lm"
+                else:
+                    log.info(
+                        "trait %s: null LRT p=%.3g < 0.05, keeping %s",
+                        trait, switch_p, model,
+                    )
             if model == "lm":
                 res = lm_mod.lm_scan(pg_t, y_t, cov_t, block=cfg.block, mesh=mesh)
                 lbd_null = None

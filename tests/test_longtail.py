@@ -127,8 +127,9 @@ def test_tree_cli(rng, tmp_path):
     assert nwk.strip().endswith(";")
 
 
-def test_tree_bootstrap_fasta(rng, tmp_path):
+def test_tree_bootstrap_fasta(tmp_path):
     """FASTA input, JC distances, bootstrap support: planted clades ~100%."""
+    rng = np.random.default_rng(104)  # local: session rng is order-dependent
     base = rng.integers(0, 4, 400)
     with open(tmp_path / "aln.fa", "wt") as fh:
         for c in range(2):

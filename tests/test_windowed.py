@@ -183,5 +183,7 @@ def test_mem_flag_selects_windowed_path(tmp_path, monkeypatch):
     y = rng.normal(size=pg.n)
     res = lm_scan(pg.take_snps(np.arange(min(pg.m, 2000))), y, block=128)
     assert np.isfinite(res.pwald).all()
-    monkeypatch.delenv("JX_TPU_LOWMEM_BYTES", raising=False)
-    monkeypatch.delenv("JX_TPU_MEM_BUDGET_BYTES", raising=False)
+    # plain pops — monkeypatch.delenv here would snapshot the leaked value
+    # and RESTORE it at teardown, poisoning later tests with a ~1 MB budget
+    os.environ.pop("JX_TPU_LOWMEM_BYTES", None)
+    os.environ.pop("JX_TPU_MEM_BUDGET_BYTES", None)
