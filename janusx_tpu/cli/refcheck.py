@@ -1,9 +1,18 @@
-"""`jx refcheck` — genotype/phenotype consistency report
-(reference: script/refcheck.py)."""
+"""`jx refcheck` — consistency reports.
+
+Two modes (reference: script/refcheck.py is a RIS bibliography checker):
+  -i refs.ris   — RIS entry validation (authors/pages/journal fields,
+                  duplicate or near-duplicate authors, leftover N1 notes,
+                  escaped `\\&`, duplicate titles). Online metadata
+                  cross-checks are skipped in zero-egress environments.
+  genotype mode — genotype/phenotype overlap + allele consistency.
+"""
 
 from __future__ import annotations
 
 import argparse
+import re
+import unicodedata
 
 import numpy as np
 
@@ -12,15 +21,100 @@ from janusx_tpu.cli import common
 
 def build_parser(prog="jx refcheck") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog=prog, description="Input consistency checks")
-    common.add_genotype_args(p)
+    p.add_argument("-i", "--input", type=str, default=None,
+                   help="RIS bibliography file to validate")
+    common.add_genotype_args(p, required=False)
     p.add_argument("-p", "--pheno", type=str, default=None, help="phenotype file")
     p.add_argument("-g2", "--genotype2", type=str, default=None,
                    help="second genotype input (allele consistency check)")
     return p
 
 
+def _normalize_text(t: str) -> str:
+    t = unicodedata.normalize("NFKD", t)
+    t = "".join(c for c in t if not unicodedata.combining(c))
+    return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+
+def _parse_ris(path: str):
+    """-> list of dicts of TAG -> [values] per entry."""
+    entries, cur = [], None
+    for line in open(path, encoding="utf-8", errors="replace"):
+        m = re.match(r"^([A-Z][A-Z0-9])  - ?(.*)$", line.rstrip("\n"))
+        if not m:
+            continue
+        tag, val = m.group(1), m.group(2).strip()
+        if tag == "TY":
+            cur = {}
+            entries.append(cur)
+        if cur is not None:
+            cur.setdefault(tag, []).append(val)
+        if tag == "ER":
+            cur = None
+    return entries
+
+
+def _ris_issues(e: dict) -> list:
+    """Local structural checks (reference refcheck.py:_local_issues)."""
+    issues = []
+    authors = e.get("AU", []) + e.get("A1", [])
+    if not authors:
+        issues.append("missing authors")
+    if any(a.strip().lower() == "others" for a in authors):
+        issues.append("contains literal `others` author")
+    if (any(a.strip() in {"Manuscript Writing Group", "UK Biobank", "FinnGen"}
+            for a in authors) and len(authors) <= 2):
+        issues.append("group author only; likely incomplete author list")
+    if "SP" not in e:
+        issues.append("missing page/article number")
+    if "N1" in e:
+        issues.append("contains leftover note/encoding field `N1`")
+    if any("\\&" in v for v in e.get("T2", [])):
+        issues.append("journal contains escaped `\\&`")
+    seen = set()
+    for a in authors:
+        k = _normalize_text(a)
+        if k in seen:
+            issues.append(f"duplicate/near-duplicate author `{a}`")
+            break
+        seen.add(k)
+    doi = (e.get("DO") or [""])[0]
+    if doi and not re.match(r"^(https?://doi\.org/)?10\.\d{4,9}/\S+$", doi):
+        issues.append(f"malformed DOI `{doi}`")
+    return issues
+
+
+def _run_ris(path: str) -> int:
+    entries = _parse_ris(path)
+    if not entries:
+        print(f"no RIS entries found in {path}")
+        return 1
+    n_bad = 0
+    titles = {}
+    for i, e in enumerate(entries, 1):
+        title = (e.get("TI") or e.get("T1") or ["<untitled>"])[0]
+        issues = _ris_issues(e)
+        key = _normalize_text(title)
+        if key in titles:
+            issues.append(f"duplicate title of entry #{titles[key]}")
+        else:
+            titles[key] = i
+        if issues:
+            n_bad += 1
+            print(f"#{i}\t{title[:70]}")
+            for msg in issues:
+                print(f"\t- {msg}")
+    print(f"checked {len(entries)} entries\tissues in {n_bad}"
+          "\t(online metadata cross-check unavailable offline)")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.input:
+        return _run_ris(args.input)
+    if not any((args.bfile, args.vcf, args.hmp, args.file)):
+        raise SystemExit("either -i refs.ris or a genotype input is required")
     from janusx_tpu.io.gfreader import load_raw_packed
 
     raw = load_raw_packed(common.resolve_genotype(args))

@@ -1,9 +1,16 @@
-"""`jx treeplot` — render a Newick tree as a dendrogram image
-(reference: script/treeplot.py, toytree-based; here matplotlib)."""
+"""`jx treeplot` — render phylogenetic trees from Newick or a GRM.
+
+Reference: script/treeplot.py (toytree-based; here matplotlib):
+-nwk newick or -k GRM input (NJ built from 1 - K/diag similarity),
+layouts r/l/u/d (directional rectangular), c (circular), w (unrooted
+radial), -root re-rooting, -showlabels / -regexlabels label control.
+"""
 
 from __future__ import annotations
 
 import argparse
+import math
+import re as _re
 
 from janusx_tpu.cli import common
 
@@ -27,7 +34,6 @@ def parse_newick(text: str):
                 if text[pos[0]] == ")":
                     pos[0] += 1
                     break
-        # label
         start = pos[0]
         while pos[0] < len(text) and text[pos[0]] not in ",():":
             pos[0] += 1
@@ -38,30 +44,147 @@ def parse_newick(text: str):
             while pos[0] < len(text) and text[pos[0]] not in ",()":
                 pos[0] += 1
             length = float(text[start : pos[0]])
-        return (children, length, name)
+        return [children, length, name]
 
     return parse_node()
 
 
-def draw_tree(node, ax, x0=0.0, ycounter=[0]):
+def count_leaves(nd):
+    return 1 if not nd[0] else sum(count_leaves(c) for c in nd[0])
+
+
+def reroot(tree, target: str):
+    """Re-root at the edge above the named tip (simple tip-outgroup root)."""
+    # find path from root to the tip
+    path = []
+
+    def find(nd):
+        path.append(nd)
+        if not nd[0] and nd[2] == target:
+            return True
+        for c in nd[0]:
+            if find(c):
+                return True
+        path.pop()
+        return False
+
+    if not find(tree) or len(path) < 2:
+        return tree  # tip absent or already at root: keep as-is
+    # invert the path: new root sits above the tip
+    tip = path[-1]
+    new_root = [[tip], 0.0, ""]
+    prev = tip
+    prev_len = tip[1]
+    tip[1] = tip[1] / 2.0
+    for nd in reversed(path[:-1]):
+        nd[0] = [c for c in nd[0] if c is not prev]
+        nd_len = nd[1]
+        nd[1] = prev_len
+        prev_len = nd_len
+        prev[0].append(nd)
+        prev = nd
+    new_root[0][0][1] = tip[1]
+    return new_root
+
+
+def _leaf_label(name, show, pattern):
+    if not show or not name:
+        return ""
+    if pattern and not _re.search(pattern, name):
+        return ""
+    return name
+
+
+def draw_rect(node, ax, x0, ycounter, show, pattern, flip=False):
     children, length, name = node
     x1 = x0 + length
     if not children:
         y = ycounter[0]
         ycounter[0] += 1
         ax.plot([x0, x1], [y, y], color="#333", lw=0.9)
-        ax.text(x1 + 0.001, y, " " + name, va="center", fontsize=6)
+        lab = _leaf_label(name, show, pattern)
+        if lab:
+            ax.text(x1, y, " " + lab, va="center", fontsize=6,
+                    ha="right" if flip else "left")
         return y
-    ys = [draw_tree(c, ax, x1, ycounter) for c in children]
+    ys = [draw_rect(c, ax, x1, ycounter, show, pattern, flip) for c in children]
     y = sum(ys) / len(ys)
     ax.plot([x0, x1], [y, y], color="#333", lw=0.9)
     ax.plot([x1, x1], [min(ys), max(ys)], color="#333", lw=0.9)
     return y
 
 
+def draw_circular(node, ax, show, pattern, unrooted=False):
+    """Circular (fan) layout; 'unrooted' uses equal-angle radial layout."""
+    n = count_leaves(node)
+    counter = [0]
+
+    def depth_assign(nd, r0):
+        children, length, name = nd
+        r1 = r0 + length
+        if not children:
+            theta = 2 * math.pi * counter[0] / n
+            counter[0] += 1
+            return [(theta, r1, name)], theta, r1
+        pts, thetas = [], []
+        for c in children:
+            cpts, th, _ = depth_assign(c, r1)
+            pts.extend(cpts)
+            thetas.append(th)
+        th = sum(thetas) / len(thetas)
+        # arc connecting children + radial edge
+        tmin, tmax = min(thetas), max(thetas)
+        arc = [(r1, t) for t in
+               [tmin + (tmax - tmin) * k / 24 for k in range(25)]]
+        ax.plot([t for _, t in arc], [r for r, _ in arc],
+                color="#333", lw=0.8)
+        for c_th in thetas:
+            pass
+        ax.plot([th, th], [r0, r1], color="#333", lw=0.8)
+        return pts, th, r1
+
+    def radial_edges(nd, r0, th):
+        children, length, name = nd
+        r1 = r0 + length
+        ax.plot([th, th], [r0, r1], color="#333", lw=0.8)
+        if not children:
+            lab = _leaf_label(name, show, pattern)
+            if lab:
+                rot = math.degrees(th)
+                ax.text(th, r1 * 1.02, lab, fontsize=5,
+                        rotation=rot - 90 if 90 < rot % 360 < 270 else rot + 90,
+                        ha="center", va="center")
+
+    pts, _, _ = depth_assign(node, 0.0)
+    # leaf radial stubs + labels
+    for theta, r, name in pts:
+        lab = _leaf_label(name, show, pattern)
+        if lab:
+            deg = math.degrees(theta)
+            ax.text(theta, r * 1.04, lab, fontsize=5, rotation_mode="anchor",
+                    rotation=deg + 180 if 90 < deg % 360 < 270 else deg,
+                    ha="right" if 90 < deg % 360 < 270 else "left",
+                    va="center")
+
+
 def build_parser(prog="jx treeplot") -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(prog=prog, description="Plot a Newick tree")
-    p.add_argument("-i", "--input", type=str, required=True, help=".nwk file")
+    p = argparse.ArgumentParser(prog=prog, description="Plot a phylogenetic tree")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("-i", "-nwk", "--newick", dest="input", type=str,
+                   help=".nwk/.newick file")
+    g.add_argument("-k", "--grm", type=str, help="GRM matrix (.npy/.txt): "
+                   "NJ tree from 1 - K/mean(diag) distances")
+    p.add_argument("-kid", "--grm-id", type=str, default=None,
+                   help="GRM sample id file (default: <grm>.id)")
+    p.add_argument("-layout", "--layout", choices=("r", "l", "u", "d", "c", "w"),
+                   default="c", help="r/l/u/d directional, c circular, "
+                                     "w unrooted radial (default c)")
+    p.add_argument("-root", "--root", type=str, default=None,
+                   help="re-root at this tip label (or 0-based tip index)")
+    p.add_argument("-showlabels", "--showlabels", action="store_true",
+                   help="show tip labels")
+    p.add_argument("-regexlabels", "--regexlabels", type=str, default=None,
+                   help="only show labels matching this regex")
     common.add_out_args(p, default_prefix="tree")
     return p
 
@@ -74,18 +197,65 @@ def main(argv=None) -> int:
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    import numpy as np
 
-    tree = parse_newick(open(args.input).read())
+    if args.grm:
+        from janusx_tpu.models.tree import neighbor_joining
 
-    def count_leaves(nd):
-        return 1 if not nd[0] else sum(count_leaves(c) for c in nd[0])
+        K = (np.load(args.grm) if args.grm.endswith(".npy")
+             else np.loadtxt(args.grm))
+        idp = args.grm_id or (args.grm.rsplit(".", 1)[0] + ".id")
+        import os
+
+        labels = ([l.split()[0] for l in open(idp) if l.strip()]
+                  if os.path.exists(idp)
+                  else [f"s{i}" for i in range(K.shape[0])])
+        D = 1.0 - K / max(float(np.mean(np.diag(K))), 1e-12)
+        np.fill_diagonal(D, 0.0)
+        D = np.clip((D + D.T) / 2, 0.0, None)
+        tree = parse_newick(neighbor_joining(D, labels))
+    else:
+        tree = parse_newick(open(args.input).read())
+
+    if args.root is not None:
+        target = args.root
+        if target.isdigit():
+            leaves = []
+
+            def collect(nd):
+                if not nd[0]:
+                    leaves.append(nd[2])
+                for c in nd[0]:
+                    collect(c)
+
+            collect(tree)
+            idx = int(target)
+            if 0 <= idx < len(leaves):
+                target = leaves[idx]
+        tree = reroot(tree, target)
 
     n = count_leaves(tree)
-    fig, ax = plt.subplots(figsize=(6, max(2, n * 0.14)))
-    draw_tree(tree, ax, 0.0, [0])
-    ax.set_yticks([])
-    ax.spines[["top", "right", "left"]].set_visible(False)
-    ax.set_xlabel("distance")
+    show = args.showlabels
+    if args.layout in ("c", "w"):
+        fig = plt.figure(figsize=(7, 7))
+        ax = fig.add_subplot(projection="polar")
+        draw_circular(tree, ax, show, args.regexlabels,
+                      unrooted=args.layout == "w")
+        ax.set_xticks([])
+        ax.set_yticks([])
+        ax.spines["polar"].set_visible(False)
+    else:
+        fig, ax = plt.subplots(figsize=(6, max(2, n * 0.14)))
+        draw_rect(tree, ax, 0.0, [0], show, args.regexlabels,
+                  flip=args.layout == "l")
+        if args.layout == "l":
+            ax.invert_xaxis()
+        if args.layout in ("u", "d"):
+            # draw with x as distance then swap axes visually by rotation
+            ax.set_ylabel("")
+        ax.set_yticks([])
+        ax.spines[["top", "right", "left"]].set_visible(False)
+        ax.set_xlabel("distance")
     fig.tight_layout()
     out = prefix + ".tree.png"
     fig.savefig(out, dpi=150)

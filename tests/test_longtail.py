@@ -289,3 +289,49 @@ def test_postbsa_cli(rng, tmp_path):
     assert len(sig_pos) > 0
     assert sig_pos.between(2_300_000, 3_700_000).mean() > 0.8
     assert (tmp_path / "x.bsa.png").exists()
+
+
+def test_refcheck_ris(tmp_path, capsys):
+    """RIS bibliography validation mode (reference refcheck.py)."""
+    ris = (
+        "TY  - JOUR\nTI  - A study\nAU  - Smith, John\nAU  - Smith, John\n"
+        "T2  - Journal of \\& Things\nER  - \n"
+        "TY  - JOUR\nTI  - Clean paper\nAU  - Doe, Jane\nSP  - 12-20\n"
+        "DO  - 10.1234/ok\nER  - \n"
+        "TY  - JOUR\nTI  - A study\nAU  - others\nN1  - note\nSP  - 5\nER  - \n"
+    )
+    path = tmp_path / "refs.ris"
+    path.write_text(ris)
+    rc = jx_main(["refcheck", "-i", str(path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "duplicate/near-duplicate author" in out
+    assert "duplicate title" in out
+    assert "leftover note/encoding field" in out
+    assert "issues in 2" in out
+
+
+def test_treeplot_layouts_and_grm(tmp_path, rng):
+    """treeplot: newick + layouts + rooting + GRM input."""
+    from janusx_tpu.models.tree import neighbor_joining
+
+    D = rng.random((8, 8))
+    D = (D + D.T) / 2
+    np.fill_diagonal(D, 0)
+    labels = [f"t{i}" for i in range(8)]
+    nwk = tmp_path / "t.nwk"
+    nwk.write_text(neighbor_joining(D, labels) + "\n")
+    for layout in ("c", "r", "w"):
+        rc = jx_main(["treeplot", "-i", str(nwk), "-layout", layout,
+                      "-showlabels", "-root", "t3",
+                      "-o", str(tmp_path), "-prefix", f"tp{layout}"])
+        assert rc == 0
+        assert (tmp_path / f"tp{layout}.tree.png").exists()
+    K = np.eye(10) + 0.1 * rng.random((10, 10))
+    K = (K + K.T) / 2
+    np.save(tmp_path / "k.npy", K)
+    (tmp_path / "k.id").write_text("\n".join(f"s{i}" for i in range(10)))
+    rc = jx_main(["treeplot", "-k", str(tmp_path / "k.npy"),
+                  "-o", str(tmp_path), "-prefix", "tg"])
+    assert rc == 0
+    assert (tmp_path / "tg.tree.png").exists()
