@@ -90,14 +90,80 @@ def kmerge_main(argv=None) -> int:
 
 def kstats_main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jx kstats", description="k-mer count statistics")
-    p.add_argument("-i", "--inputs", type=str, nargs="+", required=True)
+    p.add_argument("-i", "-db", "--inputs", dest="inputs", type=str, nargs="+",
+                   required=True, help="per-sample k-mer DBs (.npz from `jx kmer`)")
+    p.add_argument("-sid", "--sample-id", nargs="+", default=None,
+                   help="sample IDs in the same order as the inputs")
+    p.add_argument("-pair", "--pair", choices=("union", "intersection", "both"),
+                   default=None,
+                   help="write pairwise lower-triangle set-size matrices")
+    p.add_argument("-venn", "--venn", action="store_true",
+                   help="presence-pattern counts (classic 2-sample row; one "
+                        "row per observed pattern for >2 samples)")
+    common.add_out_args(p, default_prefix="kstats")
     args = p.parse_args(argv)
+    prefix = common.out_prefix(args)
+
+    dbs = [np.load(path) for path in args.inputs]
+    sids = (list(args.sample_id) if args.sample_id
+            else [_sample_id(p_) for p_ in args.inputs])
+    if len(sids) != len(dbs):
+        raise SystemExit("-sid count must match the number of inputs")
     print("sample\tn_kmers\ttotal_count\tmean_count\tmax_count")
-    for path in args.inputs:
-        z = np.load(path)
-        sid = os.path.basename(path).split(".")[0]
+    for sid, z in zip(sids, dbs):
         c = z["counts"]
         print(
             f"{sid}\t{len(c)}\t{int(c.sum())}\t{c.mean():.2f}\t{int(c.max()) if len(c) else 0}"
         )
+    outputs = []
+    if args.pair:
+        codes = [np.sort(z["codes"]) for z in dbs]
+        n = len(codes)
+        inter = np.zeros((n, n), np.int64)
+        union = np.zeros((n, n), np.int64)
+        for i in range(n):
+            inter[i, i] = union[i, i] = len(codes[i])
+            for j in range(i):
+                ni = len(np.intersect1d(codes[i], codes[j], assume_unique=True))
+                inter[i, j] = inter[j, i] = ni
+                union[i, j] = union[j, i] = len(codes[i]) + len(codes[j]) - ni
+
+        def _write(mat, tag):
+            path = f"{prefix}.pair.{tag}.tsv"
+            with open(path, "wt") as fh:
+                fh.write("\t" + "\t".join(sids) + "\n")
+                for i in range(n):
+                    # lower triangle (reference: lower-triangle matrices)
+                    row = "\t".join(str(mat[i, j]) if j <= i else ""
+                                    for j in range(n))
+                    fh.write(f"{sids[i]}\t{row}\n")
+            outputs.append(path)
+
+        if args.pair in ("union", "both"):
+            _write(union, "union")
+        if args.pair in ("intersection", "both"):
+            _write(inter, "intersection")
+    if args.venn:
+        all_codes = np.unique(np.concatenate([z["codes"] for z in dbs]))
+        pattern = np.zeros(len(all_codes), np.uint32)
+        for i, z in enumerate(dbs):
+            idx = np.searchsorted(all_codes, np.sort(z["codes"]))
+            pattern[idx] |= np.uint32(1 << i)
+        pats, counts = np.unique(pattern, return_counts=True)
+        path = f"{prefix}.venn.tsv"
+        with open(path, "wt") as fh:
+            fh.write("pattern\t" + "\t".join(sids) + "\tcount\n")
+            for pat, cnt in zip(pats, counts):
+                bits = [(int(pat) >> i) & 1 for i in range(len(dbs))]
+                fh.write("".join(map(str, bits)) + "\t"
+                         + "\t".join(map(str, bits)) + f"\t{cnt}\n")
+        if len(dbs) == 2:
+            only_a = int(counts[list(pats).index(1)]) if 1 in pats else 0
+            only_b = int(counts[list(pats).index(2)]) if 2 in pats else 0
+            shared = int(counts[list(pats).index(3)]) if 3 in pats else 0
+            print(f"venn\tonly_{sids[0]}={only_a}\tonly_{sids[1]}={only_b}"
+                  f"\tshared={shared}")
+        outputs.append(path)
+    if outputs:
+        print("\t".join(outputs))
     return 0

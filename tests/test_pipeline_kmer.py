@@ -208,3 +208,28 @@ def test_kmer_giant_fasta_record_streaming(tmp_path):
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_array_equal(n1, n2)
     assert int(n1.sum()) == len(seq) - k + 1
+
+
+def test_kstats_pair_venn(tmp_path):
+    """-pair lower-triangle set matrices and -venn presence patterns."""
+    import numpy as np
+
+    from janusx_tpu.cli.kmer import kstats_main
+
+    sets = {"A": [1, 2, 3, 4, 5, 10], "B": [3, 4, 5, 6, 7], "C": [5, 10, 20]}
+    paths = []
+    for sid, codes in sets.items():
+        p = tmp_path / f"x.{sid}.k21.npz"
+        np.savez_compressed(p, codes=np.array(codes, np.uint64),
+                            counts=np.ones(len(codes), np.int64), k=21)
+        paths.append(str(p))
+    rc = kstats_main(["-i", *paths, "-pair", "both", "-venn",
+                      "-o", str(tmp_path), "-prefix", "ks"])
+    assert rc == 0
+    inter = [l.split("\t") for l in
+             open(tmp_path / "ks.pair.intersection.tsv").read().splitlines()]
+    assert inter[2][0] == "B" and inter[2][1] == "3"   # |A ∩ B|
+    assert inter[3][1] == "2" and inter[3][2] == "1"   # |A ∩ C|, |B ∩ C|
+    venn = {l.split("\t")[0]: int(l.split("\t")[-1]) for l in
+            open(tmp_path / "ks.venn.tsv").read().splitlines()[1:]}
+    assert venn["110"] == 2 and venn["111"] == 1 and venn["001"] == 1
