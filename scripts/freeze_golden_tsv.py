@@ -32,10 +32,11 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 
 # (model, covariates needed). lm2/fvlmm2 need a covariate for the
 # interaction term; we use n_pcs=1 so the last PC is the interaction.
-MODELS = ["lm", "lmm", "lmm2", "fvlmm", "splmm", "splmm-exact"]
+MODELS = ["lm", "lmm", "lmm2", "fvlmm", "splmm", "splmm-exact", "lowrank"]
 TAGS = {
     "lm": "LM", "lmm": "LMM", "lmm2": "LMM2", "fvlmm": "FvLMM",
     "splmm": "SparseLMM", "splmm-exact": "SparseLMM2",
+    "lowrank": "LowRank",
 }
 
 

@@ -12,7 +12,7 @@ import os
 import pytest
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
-TAGS = ["LM", "LMM", "LMM2", "FvLMM", "SparseLMM", "SparseLMM2"]
+TAGS = ["LM", "LMM", "LMM2", "FvLMM", "SparseLMM", "SparseLMM2", "LowRank"]
 
 
 @pytest.fixture(scope="module")
