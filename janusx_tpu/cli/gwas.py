@@ -55,6 +55,25 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
                    action="store_true", help=argparse.SUPPRESS)
     o.add_argument("-lowrank-prune", "--lowrank-prune", action="store_true",
                    help="LD-prune the -lowrank kinship SNPs before selection")
+    o.add_argument("-spk", "--grm-sparse", dest="grm_sparse", type=str,
+                   default="1",
+                   help="sparse GRM for -splmm/-splmm-exact: 1 (centered), "
+                        "2 (standardized), or a precomputed .spgrm/.jxgrm path")
+    o.add_argument("-bimrange", "--bimrange", action="append", default=None,
+                   metavar="CHR:START-END",
+                   help="restrict only the final scan to region(s) "
+                        "(Mb by default, large integers are bp); "
+                        "GRM/PCA still use the full genotype")
+    o.add_argument("-trait-level", "--trait-level", action="store_true",
+                   help="also write one combined multi-trait TSV "
+                        "({prefix}.traitlevel.assoc.tsv)")
+    o.add_argument("--farmcpu-iter", type=int, default=10, help=argparse.SUPPRESS)
+    o.add_argument("--farmcpu-threshold", type=float, default=None,
+                   help=argparse.SUPPRESS)
+    o.add_argument("--farmcpu-qtn-bound", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    o.add_argument("--farmcpu-bin-size", type=str,
+                   default="500000,5000000,50000000", help=argparse.SUPPRESS)
     common.add_mem_arg(p)
     common.add_out_args(p, default_prefix="jx")
     return p
@@ -118,6 +137,15 @@ def main(argv=None) -> int:
         genetic_model=args.genetic_model,
         global_stats=args.global_stats,
         lowrank_ld_prune=args.lowrank_prune,
+        sparse_grm=args.grm_sparse,
+        scan_ranges=tuple(args.bimrange or ()),
+        trait_level=args.trait_level,
+        farmcpu_iter=args.farmcpu_iter,
+        farmcpu_threshold=args.farmcpu_threshold,
+        farmcpu_qtn_bound=args.farmcpu_qtn_bound,
+        farmcpu_bin_sizes=tuple(
+            int(float(x)) for x in args.farmcpu_bin_size.split(",") if x.strip()
+        ),
     )
     runs = run_gwas(cfg)
     for r in runs:

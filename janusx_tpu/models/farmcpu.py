@@ -111,6 +111,9 @@ def farmcpu_scan(
     qtn_threshold: float = 0.01,
     max_loops: int = MAX_LOOPS,
     block: int = config.DEFAULT_SNP_BLOCK,
+    window_sizes=WINDOW_SIZES,
+    lead_counts=LEAD_COUNTS,
+    qtn_bound: int | None = None,
 ) -> FarmcpuResult:
     y = np.asarray(y, np.float64).reshape(-1)
     n = pg.n
@@ -145,8 +148,8 @@ def farmcpu_scan(
         # REM bin-size/lead-count selection
         best_score = np.inf
         best_leads = np.array([], dtype=np.int64)
-        for win in WINDOW_SIZES:
-            for nb in LEAD_COUNTS:
+        for win in window_sizes:
+            for nb in lead_counts:
                 leads = _bin_leads(pos_key, pvals, win, nb)
                 leads = leads[pvals[leads] < qtn_threshold]
                 if len(leads) == 0:
@@ -159,6 +162,11 @@ def farmcpu_scan(
         cand = np.unique(np.concatenate([qtns, best_leads]))
         # redundancy removal: |r| > 0.7 keeps the more significant marker
         cand = _prune_correlated(pg, cand, pvals, LD_REDUNDANCY_R)
+        if qtn_bound is not None and len(cand) > qtn_bound:
+            # QTNbound override: keep the most significant (reference
+            # --farmcpu-qtn-bound)
+            cand = cand[np.argsort(pvals[cand])[:qtn_bound]]
+            cand = np.sort(cand)
         key = tuple(cand.tolist())
         if np.array_equal(cand, qtns) or key in history:
             qtns = cand  # fixed point or 2-cycle -> converged

@@ -65,6 +65,22 @@ class GwasConfig:
     genetic_model: str = "add"  # add|dom|rec|het (fastlmm_lowrank.rs)
     lowrank_ld_prune: bool = False  # LD-prune the kinship SNP picks
     scan_method: str = config.knob("JX_TPU_SCAN_METHOD")  # lmm lambda search: "grid" | "brent"
+    # -spk: sparse-GRM source for the splmm routes — "1" centered,
+    # "2" standardized, or a precomputed .jxgrm/.spgrm path
+    # (reference workflow.py -spk/--grm-sparse)
+    sparse_grm: str = "1"
+    # -bimrange chr:start-end (repeatable): restrict only the final scan;
+    # GRM/PCA/covariate prep still use the full genotype
+    scan_ranges: tuple = ()
+    # --farmcpu-* dev knobs (reference parse_args)
+    farmcpu_iter: int = 10
+    farmcpu_threshold: float | None = None
+    farmcpu_qtn_bound: int | None = None
+    farmcpu_bin_sizes: tuple = (500_000, 5_000_000, 50_000_000)
+    # -trait-level: single combined multi-trait TSV in addition to the
+    # per-trait files (reference trait-level fast path; our subset/basis
+    # sharing across identical masks is always on)
+    trait_level: bool = False
     use_cache: bool = True  # GRM npy+id cache with reference naming
     # devices over the 'snp' mesh axis: None = all local devices (mesh is
     # skipped when only 1 is available), 1 = force single-device
@@ -107,6 +123,28 @@ def lmm_to_lm_switch_p(basis, y, covariates) -> float:
     if not np.isfinite(p):
         p = 1.0
     return min(max(p, np.finfo(np.float64).tiny), 1.0)
+
+
+def _range_mask(sites, ranges) -> np.ndarray:
+    """Indices of SNPs inside any -bimrange spec (chr:start-end or
+    chr:start:end; values < 1e5 are Mb, larger are bp — reference
+    workflow.py -bimrange help)."""
+    chrom = np.asarray(sites.chrom, dtype=object).astype(str)
+    pos = np.asarray(sites.pos, np.int64)
+    mask = np.zeros(len(pos), bool)
+    for spec in ranges:
+        txt = str(spec).strip()
+        if ":" not in txt:
+            raise ValueError(f"-bimrange wants chr:start-end, got {spec!r}")
+        c, rest = txt.split(":", 1)
+        sep = ":" if ":" in rest else "-"
+        a_s, b_s = rest.split(sep, 1)
+        a, b = float(a_s), float(b_s)
+        # Mb by default; large values treated as bp
+        lo = int(a * 1e6) if a < 1e5 else int(a)
+        hi = int(b * 1e6) if b < 1e5 else int(b)
+        mask |= (chrom == c.strip()) & (pos >= lo) & (pos <= hi)
+    return np.nonzero(mask)[0]
 
 
 def resolve_mesh(n_devices: int | None):
@@ -167,11 +205,23 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             block=cfg.block, use_cache=cfg.use_cache, mesh=mesh,
         )
     if need_sparse:
-        with stage("sparse GRM (band-streamed)", log):
-            Ksp = load_or_build_sparse_grm(
-                cfg.genotype, pg_full, cfg.maf, cfg.geno, cfg.splmm_cutoff,
-                method=cfg.grm_method, block=cfg.block, use_cache=cfg.use_cache,
-            )
+        if cfg.sparse_grm not in ("1", "2"):
+            # precomputed sparse GRM path (reference -spk FILE)
+            from janusx_tpu.io.jxgrm import read_jxgrm
+
+            with stage("sparse GRM (precomputed)", log):
+                Ksp = read_jxgrm(cfg.sparse_grm).tocsr()
+            if Ksp.shape[0] != raw.n_samples:
+                raise ValueError(
+                    f"-spk GRM has {Ksp.shape[0]} samples, genotype has "
+                    f"{raw.n_samples}")
+        else:
+            sp_method = 2 if cfg.sparse_grm == "2" else cfg.grm_method
+            with stage("sparse GRM (band-streamed)", log):
+                Ksp = load_or_build_sparse_grm(
+                    cfg.genotype, pg_full, cfg.maf, cfg.geno, cfg.splmm_cutoff,
+                    method=sp_method, block=cfg.block, use_cache=cfg.use_cache,
+                )
 
     pcs_full = None
     if cfg.n_pcs > 0:
@@ -214,6 +264,17 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 pg_t = raw.prepare(qc, sample_idx=keep)
             entry = {"pg": pg_t, "basis": None}
             prep_cache[mask_key] = entry
+        if cfg.scan_ranges:
+            # -bimrange: restrict only the scan; GRM/PCA used the full set
+            if "ranges_idx" not in entry:
+                entry["ranges_idx"] = _range_mask(pg_t.sites, cfg.scan_ranges)
+            idx = entry["ranges_idx"]
+            if idx.size == 0:
+                log.warning("trait %s: no SNPs inside -bimrange, skipping", trait)
+                continue
+            if "pg_ranges" not in entry:
+                entry["pg_ranges"] = pg_t.take_snps(idx)
+            pg_t = entry["pg_ranges"]
         log.info(
             "trait %s: n=%d m=%d models=%s", trait, len(keep), pg_t.m, cfg.models
         )
@@ -285,8 +346,11 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 lrb = entry.get("lrb")
                 if lrb is None:
                     with stage(f"low-rank kinship basis ({trait})", log):
+                        # kinship picks come from the full SNP set even
+                        # under -bimrange (scan-only restriction)
                         lrb = fl.lowrank_basis_from_snps(
-                            pg_t, q=cfg.lowrank_snps, method=cfg.grm_method,
+                            entry["pg"], q=cfg.lowrank_snps,
+                            method=cfg.grm_method,
                             ld_prune=cfg.lowrank_ld_prune,
                         )
                     entry["lrb"] = lrb
@@ -313,13 +377,22 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             elif model == "farmcpu":
                 from janusx_tpu.models.farmcpu import farmcpu_scan
 
-                out_f = farmcpu_scan(pg_t, y_t, cov_t, block=cfg.block)
+                out_f = farmcpu_scan(
+                    pg_t, y_t, cov_t, block=cfg.block,
+                    p_threshold=cfg.farmcpu_threshold,
+                    max_loops=cfg.farmcpu_iter,
+                    window_sizes=tuple(cfg.farmcpu_bin_sizes),
+                    qtn_bound=cfg.farmcpu_qtn_bound,
+                )
                 res = out_f.result
                 lbd_null = None
             elif model == "frgwas":
                 from janusx_tpu.models.farmcpu import farmcpu_unified_scan
 
-                out_f = farmcpu_unified_scan(pg_t, y_t, cov_t, block=cfg.block)
+                out_f = farmcpu_unified_scan(
+                    pg_t, y_t, cov_t, block=cfg.block,
+                    max_loops=cfg.farmcpu_iter,
+                )
                 res = out_f.result
                 lbd_null = None
             elif model == "algwas":
@@ -371,6 +444,23 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                     "lambda_null": lbd_null, "tsv": tsv_path,
                 }
             )
+    if cfg.write_tsv and cfg.trait_level:
+        # -trait-level: one combined multi-trait TSV (reference trait-level
+        # fast path output shape: leading `trait` column)
+        path = f"{cfg.out_prefix}.traitlevel.assoc.tsv"
+        with open(path, "wt") as fh:
+            header_written = False
+            for r in out:
+                if not r.tsv_path or not os.path.exists(r.tsv_path):
+                    continue
+                with open(r.tsv_path) as src:
+                    hdr = src.readline()
+                    if not header_written:
+                        fh.write("trait\tmodel\t" + hdr)
+                        header_written = True
+                    for line in src:
+                        fh.write(f"{r.trait}\t{r.model}\t" + line)
+        log.info("trait-level combined TSV: %s", path)
     if cfg.write_tsv:
         with open(f"{cfg.out_prefix}.gwas.summary.json", "wt") as fh:
             json.dump(

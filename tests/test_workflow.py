@@ -120,3 +120,54 @@ def test_global_stats_mode(tmp_path):
     lp_s = -np.log10(np.clip(rs.result.pwald[ok], 1e-300, 1))
     lp_g = -np.log10(np.clip(rg.result.pwald[:rs.result.m][ok], 1e-300, 1))
     assert np.median(np.abs(lp_s - lp_g)) < 0.5
+
+
+def test_run_gwas_bimrange_and_trait_level(toy_dataset, tmp_path):
+    """-bimrange restricts only the scan; -trait-level adds a combined TSV."""
+    prefix, pheno = toy_dataset
+    out = str(tmp_path / "rng" / "run")
+    cfg = GwasConfig(
+        genotype=prefix, phenotype=pheno, out_prefix=out,
+        models=("lm",), force_model=True, block=128, use_cache=False,
+        scan_ranges=("1:0.001-0.01",), trait_level=True,
+    )
+    runs = run_gwas(cfg)
+    import pandas as pd
+
+    for r in runs:
+        t = pd.read_csv(r.tsv_path, sep="\t")
+        assert set(t["chrom"].astype(str)) == {"1"}
+        assert t["pos"].max() <= 10_000
+        # full-panel chrom 1 spans positions 100..15000: restriction is real
+        assert 0 < len(t) < 150
+    comb = open(out + ".traitlevel.assoc.tsv").readlines()
+    assert comb[0].startswith("trait\tmodel\tchrom")
+    assert len(comb) - 1 == sum(
+        len(pd.read_csv(r.tsv_path, sep="\t")) for r in runs)
+
+
+def test_run_gwas_spk_precomputed(toy_dataset, tmp_path):
+    """-spk path: the splmm route consumes a precomputed .spgrm."""
+    import scipy.sparse
+
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.jxgrm import write_jxgrm
+    from janusx_tpu.io.packed import QcParams, pack_genotypes
+    from janusx_tpu.models.grm import grm_from_packed
+    from janusx_tpu.models.splmm import sparsify_grm
+
+    prefix, pheno = toy_dataset
+    gd = plink.read_plink(prefix)
+    pg = pack_genotypes(gd, QcParams())
+    K = grm_from_packed(pg)
+    spgrm = str(tmp_path / "k.spgrm")
+    write_jxgrm(spgrm, sparsify_grm(K, 0.05).tocsc())
+    out = str(tmp_path / "spk" / "run")
+    cfg = GwasConfig(
+        genotype=prefix, phenotype=pheno, out_prefix=out,
+        models=("splmm",), traits=["poly"], force_model=True, block=128,
+        use_cache=False, sparse_grm=spgrm,
+    )
+    runs = run_gwas(cfg)
+    assert len(runs) == 1
+    assert np.isfinite(runs[0].result.pwald).all()
