@@ -35,7 +35,18 @@ def build_parser(prog="jx gs") -> argparse.ArgumentParser:
         )
     common.add_qc_args(p)
     o = p.add_argument_group("Options")
+    o.add_argument("-model", "--model", type=str, default=None,
+                   help="comma list of methods (alternative to the flags), "
+                        "e.g. -model BLUP,BayesA,RF")
     o.add_argument("-cv", "--cv", type=int, default=5, help="CV folds (0 disables)")
+    o.add_argument("--model-select-metric", type=str, default="pearson",
+                   choices=("pearson", "spearman", "r2"),
+                   help="metric for cross-method selection (default pearson)")
+    o.add_argument("-ldprune", "--ldprune", nargs=3, default=None,
+                   metavar=("WIN", "STEP", "R2"),
+                   help="LD-prune markers before GS")
+    o.add_argument("-debug", "--debug", action="store_true",
+                   help="print backend/device/thread diagnostics")
     o.add_argument("-seed", "--seed", type=int, default=42)
     o.add_argument("-effect", "--effect", action="store_true", help="export marker-effect TSVs")
     o.add_argument("-save-model", "--save-model", action="store_true",
@@ -87,8 +98,25 @@ def main(argv=None) -> int:
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "gs")
     methods = tuple(n for n, _ in _METHOD_FLAGS if getattr(args, f"m_{n}"))
+    if args.model:
+        known = {n for n, _ in _METHOD_FLAGS}
+        alias = {"adBLUP": "GBLUPad"}
+        listed = tuple(alias.get(t.strip(), t.strip())
+                       for t in args.model.split(",") if t.strip())
+        bad = [t for t in listed if t not in known]
+        if bad:
+            raise SystemExit(f"unknown -model methods: {bad} (known: {sorted(known)})")
+        methods = tuple(dict.fromkeys(methods + listed))
     if not methods:
         methods = ("BLUP",)
+    if args.debug:
+        import jax
+
+        print(f"backend={jax.default_backend()} devices={jax.devices()}")
+        import os as _os
+
+        print(f"x64={jax.config.read('jax_enable_x64')} "
+              f"OMP={_os.environ.get('OMP_NUM_THREADS', 'auto')}")
 
     from janusx_tpu import config as _cfg
     from janusx_tpu.gs.workflow import GsConfig, run_gs
@@ -114,6 +142,8 @@ def main(argv=None) -> int:
                   int(args.hash[0]) if args.hash else _cfg.knob("JX_TPU_HASH_DIM")),
         hash_seed=(int(args.hash[1]) if args.hash and len(args.hash) > 1
                    else _cfg.knob("JX_TPU_HASH_SEED")),
+        select_metric=args.model_select_metric,
+        ldprune=tuple(args.ldprune) if args.ldprune else None,
     )
     results, summary = run_gs(cfg)
     for trait, per_method in summary["traits"].items():

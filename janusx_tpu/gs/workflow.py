@@ -65,6 +65,10 @@ class GsConfig:
     # signed feature hashing before GS (reference -hash, dim=2048 seed=520)
     hash_dim: int | None = None
     hash_seed: int = 520
+    # cross-method selection metric (reference --model-select-metric)
+    select_metric: str = "pearson"
+    # LD-prune markers before GS (reference -ldprune WIN STEP R2)
+    ldprune: tuple | None = None
 
 
 @dataclass
@@ -134,6 +138,15 @@ def run_gs(cfg: GsConfig):
     qc = QcParams(maf=cfg.maf, geno=cfg.geno)
     raw = load_raw_packed(cfg.genotype)
     pg = raw.prepare(qc)
+    if cfg.ldprune:
+        from janusx_tpu.models.ldprune import ld_prune
+
+        win, step, r2 = cfg.ldprune
+        keep_snps = ld_prune(pg, window=int(win), step=int(step),
+                             r2_threshold=float(r2))
+        log.info("-ldprune %s %s %s: %d -> %d markers",
+                 win, step, r2, pg.m, len(keep_snps))
+        pg = pg.take_snps(keep_snps)
     m = pg.m
     ph = load_phenotype(cfg.phenotype).select(cfg.traits)
     y_all, matched = ph.align(pg.samples)
@@ -260,9 +273,10 @@ def run_gs(cfg: GsConfig):
         # TOP-style method selection: best CV pearson (reference
         # _select_top_method_for_trait, gs/workflow.py:935)
         best_method = None
+        metric = cfg.select_metric
         best_r = -np.inf
         for mm, r in trait_res.items():
-            rv = r.cv_mean.get("pearson", float("nan"))
+            rv = r.cv_mean.get(metric, float("nan"))
             if np.isfinite(rv) and rv > best_r:
                 best_r, best_method = rv, mm
         summary.setdefault("selected_method", {})[str(trait)] = best_method
