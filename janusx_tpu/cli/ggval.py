@@ -23,7 +23,7 @@ ASSOC_HEADER = (
     "chrom\tpos\tsnp\tallele0\tallele1\taf\tmiss\tbeta\tse\tchisq\tpwald"
 )
 
-SUITES = ("gwas", "gs", "grm-pca", "reml", "post")
+SUITES = ("gwas", "gs", "gs-vcf", "gs-hmp", "gs-ml", "grm-pca", "reml", "post")
 
 
 def build_parser(prog="jx ggval") -> argparse.ArgumentParser:
@@ -129,6 +129,38 @@ def run_suites(suites, work: str, nind: int, nsnp: int, chk: _Check) -> None:
         chk.ok("gs: exit 0", rc == 0)
         chk.file("gs: gebv.tsv", os.path.join(out, "jxgs.trait0.gebv.tsv"))
         chk.file("gs: summary.json", os.path.join(out, "jxgs.gs.summary.json"))
+
+    if any(sv in suites for sv in ("gs-vcf", "gs-hmp", "gs-ml")):
+        # reference ggval suites gs-vcf / gs-hmp / gs-ml (ggval.py:30-41):
+        # the same GS flow through converted inputs and the ML backends
+        from janusx_tpu.cli.gformat import main as gformat_main
+        from janusx_tpu.cli.gs import main as gs_main
+
+        for fmt, suite in (("vcf", "gs-vcf"), ("hmp", "gs-hmp")):
+            if suite not in suites:
+                continue
+            conv = os.path.join(work, f"conv_{fmt}")
+            rc = gformat_main(["-bfile", base, "-fmt", fmt, "-o", conv,
+                               "-prefix", "c"])
+            chk.ok(f"{suite}: convert exit 0", rc == 0)
+            src = os.path.join(conv, "c.vcf.gz" if fmt == "vcf" else "c.hmp.txt")
+            out = os.path.join(work, suite)
+            flag = "-vcf" if fmt == "vcf" else "-hmp"
+            rc = gs_main([flag, src, "-p", pheno, "-BLUP", "-cv", "3",
+                          "-o", out])
+            chk.ok(f"{suite}: exit 0", rc == 0)
+            chk.file(f"{suite}: summary.json",
+                     os.path.join(out, "jxgs.gs.summary.json"))
+        if "gs-ml" in suites:
+            out = os.path.join(work, "gs_ml")
+            rc = gs_main(["-bfile", base, "-p", pheno, "-RF", "-ENET",
+                          "-cv", "3", "-o", out])
+            chk.ok("gs-ml: exit 0", rc == 0)
+            import json as _json
+
+            summ = _json.load(open(os.path.join(out, "jxgs.gs.summary.json")))
+            chk.ok("gs-ml: RF+ENET ran",
+                   set(summ["methods"]) >= {"RF", "ENET"})
 
     if "grm-pca" in suites:
         from janusx_tpu.cli.grm import main as grm_main
