@@ -70,21 +70,23 @@ def reroot(tree, target: str):
 
     if not find(tree) or len(path) < 2:
         return tree  # tip absent or already at root: keep as-is
-    # invert the path: new root sits above the tip
+    # split the tip's edge: the tip stays a LEAF child of the new root,
+    # and the inverted ancestor chain becomes the sibling subtree
     tip = path[-1]
-    new_root = [[tip], 0.0, ""]
-    prev = tip
-    prev_len = tip[1]
-    tip[1] = tip[1] / 2.0
-    for nd in reversed(path[:-1]):
-        nd[0] = [c for c in nd[0] if c is not prev]
-        nd_len = nd[1]
+    half = tip[1] / 2.0
+    tip[1] = half
+    chain = list(reversed(path[:-1]))  # [parent_of_tip, ..., old root]
+    chain[0][0] = [c for c in chain[0][0] if c is not tip]
+    prev_len = half
+    for i, nd in enumerate(chain):
+        nd_old_len = nd[1]
         nd[1] = prev_len
-        prev_len = nd_len
-        prev[0].append(nd)
-        prev = nd
-    new_root[0][0][1] = tip[1]
-    return new_root
+        prev_len = nd_old_len
+        if i + 1 < len(chain):
+            parent = chain[i + 1]
+            parent[0] = [c for c in parent[0] if c is not nd]
+            nd[0].append(parent)
+    return [[tip, chain[0]], 0.0, ""]
 
 
 def _leaf_label(name, show, pattern):

@@ -335,3 +335,32 @@ def test_treeplot_layouts_and_grm(tmp_path, rng):
                   "-o", str(tmp_path), "-prefix", "tg"])
     assert rc == 0
     assert (tmp_path / "tg.tree.png").exists()
+
+
+def test_treeplot_reroot_invariants(rng):
+    """Re-rooting preserves the leaf set and total branch length."""
+    from janusx_tpu.cli.treeplot import parse_newick, reroot
+    from janusx_tpu.models.tree import neighbor_joining
+
+    def leaves(nd, acc=None):
+        acc = [] if acc is None else acc
+        if not nd[0]:
+            acc.append(nd[2])
+        for c in nd[0]:
+            leaves(c, acc)
+        return acc
+
+    def total_blen(nd):
+        return nd[1] + sum(total_blen(c) for c in nd[0])
+
+    n = 9
+    D = rng.random((n, n))
+    D = (D + D.T) / 2
+    np.fill_diagonal(D, 0)
+    labels = [f"t{i}" for i in range(n)]
+    base = parse_newick(neighbor_joining(D, labels))
+    want_leaves, want_len = sorted(leaves(base)), total_blen(base)
+    for target in labels:
+        t2 = reroot(parse_newick(neighbor_joining(D, labels)), target)
+        assert sorted(leaves(t2)) == want_leaves
+        assert total_blen(t2) == pytest.approx(want_len, abs=1e-9)
