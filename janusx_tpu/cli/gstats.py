@@ -131,25 +131,30 @@ def _site_ldscores(raw, kind: str, win) -> np.ndarray:
     for c0, c1 in zip(bounds[:-1], bounds[1:]):
         if kind == "bp":
             ends = np.searchsorted(pos[c0:c1], pos[c0:c1] + win, "right")
-            ov = int(np.max(ends - np.arange(c1 - c0))) if c1 > c0 else 1
+            starts = np.searchsorted(pos[c0:c1], pos[c0:c1] - win, "left")
+            ov = int(max(np.max(ends - np.arange(c1 - c0)),
+                         np.max(np.arange(c1 - c0) - starts))) if c1 > c0 else 1
         else:
             ov = int(win)
         for s0 in range(c0, c1, step):
+            # two-sided overlap: rows at the chunk edges still see their
+            # full left AND right windows
+            a0 = max(c0, s0 - ov)
             e0 = min(s0 + step + ov, c1)
             r = np.asarray(_corr_chunk(
-                jnp.asarray(packed_pad[s0:e0]),
-                jnp.asarray(pgq.mean[s0:e0].astype(np.float32)),
+                jnp.asarray(packed_pad[a0:e0]),
+                jnp.asarray(pgq.mean[a0:e0].astype(np.float32)),
             ))
             r2 = r * r
             hi = min(s0 + step, c1)
-            for li in range(hi - s0):
-                gi = s0 + li
+            for gi in range(s0, hi):
+                li = gi - a0
                 if kind == "bp":
-                    lo = int(np.searchsorted(pos[s0:e0], pos[gi] - win, "left"))
-                    up = int(np.searchsorted(pos[s0:e0], pos[gi] + win, "right"))
+                    lo = int(np.searchsorted(pos[a0:e0], pos[gi] - win, "left"))
+                    up = int(np.searchsorted(pos[a0:e0], pos[gi] + win, "right"))
                 else:
                     lo = max(0, li - win)
-                    up = min(e0 - s0, li + win + 1)
+                    up = min(e0 - a0, li + win + 1)
                 ld[gi] = r2[li, lo:up].sum() - 1.0
     return ld
 
@@ -229,32 +234,8 @@ def main(argv=None) -> int:
         miss = 1.0 - nm / n
         ld = None
         if args.ldscore:
-            from janusx_tpu.models.ldprune import _corr_chunk
-            from janusx_tpu.io.packed import QcParams
-            from janusx_tpu.ops import decode as _dec
-            import jax.numpy as jnp
-
-            # LD score: per-site sum of r^2 with neighbors in the window
-            from janusx_tpu.io.packed import pack_from_codes
-
-            pgq = pack_from_codes(raw.packed, n, raw.sites, raw.samples,
-                                  QcParams(maf=0.0, geno=1.0))
-            win = int(args.ldscore)
-            ld = np.zeros(raw.m)
-            packed_pad = _dec.pad_packed_cols(pgq.packed)
-            step = 2048
-            for s0 in range(0, pgq.m, step):
-                e0 = min(s0 + step + win, pgq.m)
-                r = np.asarray(_corr_chunk(
-                    jnp.asarray(packed_pad[s0:e0]),
-                    jnp.asarray(pgq.mean[s0:e0].astype(np.float32)),
-                ))
-                r2 = r * r
-                hi = min(s0 + step, pgq.m)
-                for li in range(hi - s0):
-                    lo = max(0, li - win)
-                    up = min(e0 - s0, li + win + 1)
-                    ld[s0 + li] = r2[li, lo:up].sum() - 1.0
+            # count-window LD scores via the shared chunked kernel
+            ld = _site_ldscores(raw, "variants", int(args.ldscore))
         path = f"{prefix}.site.stats.tsv"
         with open(path, "wt") as fh:
             hdr = "chrom\tpos\tsnp\tallele0\tallele1\taf\tmaf\tmiss\thet"

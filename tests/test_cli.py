@@ -440,3 +440,43 @@ def test_ggval_smoke(tmp_path):
     rc = ggval_main(["gwas", "-nind", "120", "-nsnp", "300",
                      "-o", str(tmp_path)])
     assert rc == 0
+
+
+def test_gstats_ldscore_chunk_boundaries(tmp_path):
+    """Two-sided chunk overlap: sites at chunk edges keep their full
+    left window (regression: left neighbors were dropped at s0)."""
+    from janusx_tpu.cli.gstats import _site_ldscores
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io.gfreader import load_raw_packed
+    from janusx_tpu.io.packed import QcParams, pack_from_codes
+
+    rng = np.random.default_rng(3)
+    m, n = 2400, 30  # spans the 2048-SNP chunk boundary
+    g = rng.integers(0, 3, (m, n)).astype(np.int8)
+    for i in range(1, m):  # plant LD with the previous site
+        mask = rng.random(n) < 0.7
+        g[i, mask] = g[i - 1, mask]
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(1, m + 1, dtype=np.int64) * 100,
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    prefix = str(tmp_path / "x")
+    plink.write_plink_genotypes(
+        prefix, GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object)))
+    raw = load_raw_packed(prefix)
+    win = 25
+    ld = _site_ldscores(raw, "variants", win)
+    pgq = pack_from_codes(raw.packed, raw.n_samples, raw.sites, raw.samples,
+                          QcParams(maf=0.0, geno=1.0))
+    d = pgq.dosages().astype(float)
+    d[d < 0] = np.nan
+    dc = np.nan_to_num(d - np.nanmean(d, axis=1, keepdims=True))
+    Z = dc / np.maximum(np.sqrt((dc ** 2).sum(1)), 1e-12)[:, None]
+    for gi in (0, 2047, 2048, 2049, 2399):
+        lo, up = max(0, gi - win), min(pgq.m, gi + win + 1)
+        want = float(((Z[lo:up] @ Z[gi]) ** 2).sum() - 1.0)
+        assert ld[gi] == pytest.approx(want, abs=1e-3)
