@@ -364,3 +364,23 @@ def test_treeplot_reroot_invariants(rng):
         t2 = reroot(parse_newick(neighbor_joining(D, labels)), target)
         assert sorted(leaves(t2)) == want_leaves
         assert total_blen(t2) == pytest.approx(want_len, abs=1e-9)
+
+
+def test_weighted_ibs_matches_device_kernel(rng):
+    """weighted_ibs_distance(w=1) == the device IBS kernel (missing-aware)."""
+    from janusx_tpu.models.tree import ibs_distance, weighted_ibs_distance
+
+    m, n = 150, 20
+    g = rng.integers(0, 3, (m, n)).astype(np.int8)
+    g[rng.random((m, n)) < 0.05] = -1
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object), pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object), allele1=np.array(["G"] * m, object),
+    )
+    pg = pack_genotypes(
+        GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object)),
+        QcParams(maf=0.0, geno=1.0))
+    np.testing.assert_allclose(
+        ibs_distance(pg), weighted_ibs_distance(pg.dosages(), np.ones(pg.m)),
+        atol=1e-6)

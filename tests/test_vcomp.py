@@ -201,3 +201,30 @@ def test_reml_gxc_slope_and_interaction(tmp_path):
     assert "linesxtemp:slope" in terms
     slope_var = float(vc.loc[vc["term"] == "linesxtemp:slope", "sigma2"].iloc[0])
     assert slope_var > 0.01  # real slope variance detected
+
+
+def test_blue_line_nested_matches_dense_gls(rng):
+    """Schur-complement BLUE == dense GLS with line-dummy fixed effects."""
+    from janusx_tpu.models.lme import NestedTerm, blue_line_nested
+
+    N, L, p = 90, 18, 3
+    line = rng.integers(0, L, N)
+    line[:L] = np.arange(L)
+    X_env = rng.normal(size=(N, p))
+    gxe = np.unique(line * 2 + rng.integers(0, 2, N), return_inverse=True)[1]
+    y = rng.normal(size=N)
+    sg, ve = 0.7, 1.3
+    terms = [NestedTerm("gxe", gxe, np.ones(N), gxe.max() + 1)]
+    blue, se, beta_env = blue_line_nested(y, X_env, line, terms, [sg], ve)
+    Zg = np.zeros((N, gxe.max() + 1))
+    Zg[np.arange(N), gxe] = 1
+    V = ve * np.eye(N) + sg * Zg @ Zg.T
+    Zl = np.zeros((N, L))
+    Zl[np.arange(N), line] = 1
+    Xf = np.concatenate([Zl, X_env], axis=1)
+    Vi = np.linalg.inv(V)
+    Ainv = np.linalg.inv(Xf.T @ Vi @ Xf)
+    bhat = Ainv @ (Xf.T @ Vi @ y)
+    np.testing.assert_allclose(blue, bhat[:L], rtol=1e-8)
+    np.testing.assert_allclose(beta_env, bhat[L:], rtol=1e-8)
+    np.testing.assert_allclose(se, np.sqrt(np.diag(Ainv)[:L]), rtol=1e-8)
