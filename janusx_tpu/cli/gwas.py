@@ -74,6 +74,13 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
                    help=argparse.SUPPRESS)
     o.add_argument("--farmcpu-bin-size", type=str,
                    default="500000,5000000,50000000", help=argparse.SUPPRESS)
+    q = p.add_argument_group("QTN-search panel (FarmCPU/ALGWAS stage 1)")
+    q.add_argument("-qvcf", "--qtn-vcf", type=str, default=None, help=argparse.SUPPRESS)
+    q.add_argument("-qhmp", "--qtn-hmp", type=str, default=None, help=argparse.SUPPRESS)
+    q.add_argument("-qbfile", "--qtn-bfile", type=str, default=None,
+                   help="alternate panel for the FarmCPU/ALGWAS stage-1 QTN "
+                        "search; other models ignore it")
+    q.add_argument("-qfile", "--qtn-file", type=str, default=None, help=argparse.SUPPRESS)
     common.add_mem_arg(p)
     common.add_out_args(p, default_prefix="jx")
     return p
@@ -146,6 +153,8 @@ def main(argv=None) -> int:
         farmcpu_bin_sizes=tuple(
             int(float(x)) for x in args.farmcpu_bin_size.split(",") if x.strip()
         ),
+        qtn_genotype=(args.qtn_vcf or args.qtn_hmp or args.qtn_bfile
+                      or args.qtn_file),
     )
     runs = run_gwas(cfg)
     for r in runs:

@@ -129,9 +129,16 @@ def algwas_scan(
     path_steps: int = PATH_STEPS,
     max_selected: int = 200,
     block: int = config.DEFAULT_SNP_BLOCK,
+    pg_qtn: PackedGenotypes | None = None,
 ) -> AlgwasResult:
+    """pg_qtn (reference -qbfile/-qvcf/...): an alternate panel for the
+    stage-1 lasso QTN search; the stage-2 conditional scan still runs on
+    the main panel. `selected` then indexes the QTN panel."""
     y = np.asarray(y, np.float64).reshape(-1)
-    n, m = pg.n, pg.m
+    pgq = pg if pg_qtn is None else pg_qtn
+    n, m = pg.n, pgq.m
+    if pgq.n != pg.n:
+        raise ValueError("QTN-search panel sample count differs from the main panel")
     # residualize y on [1, covariates] (stage 1 operates on the centered scale)
     X = np.ones((n, 1)) if covariates is None else np.concatenate(
         [np.ones((n, 1)), np.asarray(covariates, np.float64)], axis=1
@@ -139,9 +146,9 @@ def algwas_scan(
     b0, *_ = np.linalg.lstsq(X, y, rcond=None)
     r = y - X @ b0
 
-    var = 2.0 * pg.af * (1.0 - pg.af)
+    var = 2.0 * pgq.af * (1.0 - pgq.af)
     inv_sd = np.where(var > 0, 1.0 / np.sqrt(var), 0.0)
-    Zt = (pg.centered() * inv_sd[:, None]).astype(np.float32)  # (m, n)
+    Zt = (pgq.centered() * inv_sd[:, None]).astype(np.float32)  # (m, n)
     rj = jnp.asarray(r, jnp.float32)
     Ztj = jnp.asarray(Zt)
     lam_max = float(np.abs(Zt @ r).max())
@@ -185,10 +192,12 @@ def algwas_scan(
     # stage 2: conditional LM scan with selected markers as covariates
     cov2 = covariates
     if len(selected):
-        Zsel = _decode_rows(pg, selected).T
+        Zsel = _decode_rows(pgq, selected).T
         cov2 = Zsel if cov2 is None else np.concatenate([cov2, Zsel], axis=1)
     res = lm_scan(pg, y, cov2, block=block)
-    if len(selected):
+    if len(selected) and pg_qtn is None:
+        # QTN rows get conditional refit stats only when they live in the
+        # scanned panel (indices refer to the QTN panel otherwise)
         res.pwald[selected] = _qtn_pvalues(pg, y, covariates, selected)
     return AlgwasResult(
         result=res, selected=selected, ebic_path=ebic,

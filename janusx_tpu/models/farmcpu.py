@@ -114,17 +114,24 @@ def farmcpu_scan(
     window_sizes=WINDOW_SIZES,
     lead_counts=LEAD_COUNTS,
     qtn_bound: int | None = None,
+    pg_qtn: PackedGenotypes | None = None,
 ) -> FarmcpuResult:
+    """pg_qtn (reference -qbfile/-qvcf/...): an alternate panel for the
+    stage-1 QTN search loop; the final reported scan still runs on the
+    main panel. `qtns` then indexes the QTN panel."""
     y = np.asarray(y, np.float64).reshape(-1)
+    pgq = pg if pg_qtn is None else pg_qtn
+    if pgq.n != pg.n:
+        raise ValueError("QTN-search panel sample count differs from the main panel")
     n = pg.n
-    m = pg.m
+    m = pgq.m
     if p_threshold is None:
         p_threshold = 0.01 / m  # rMVP default when unset
 
     # composite position key: chromosome-major ordering
-    chrom_ids = {c: i for i, c in enumerate(dict.fromkeys(pg.sites.chrom))}
+    chrom_ids = {c: i for i, c in enumerate(dict.fromkeys(pgq.sites.chrom))}
     pos_key = np.array(
-        [chrom_ids[c] * 10_000_000_000 + p for c, p in zip(pg.sites.chrom, pg.sites.pos)],
+        [chrom_ids[c] * 10_000_000_000 + p for c, p in zip(pgq.sites.chrom, pgq.sites.pos)],
         dtype=np.int64,
     )
 
@@ -134,15 +141,17 @@ def farmcpu_scan(
     for loop in range(max_loops):
         cov = covariates
         if len(qtns):
-            Zq = pg.centered()[qtns] if m < 200_000 else _decode_rows(pg, qtns)
+            Zq = pgq.centered()[qtns] if m < 200_000 else _decode_rows(pgq, qtns)
             cov_q = Zq.T
             cov = cov_q if cov is None else np.concatenate([cov, cov_q], axis=1)
-        res = lm_scan(pg, y, cov, block=block)
+        res = lm_scan(pgq, y, cov, block=block)
         pvals = res.pwald.copy()
         if len(qtns):
-            pvals[qtns] = _qtn_pvalues(pg, y, covariates, qtns)
+            pvals[qtns] = _qtn_pvalues(pgq, y, covariates, qtns)
         if loop == 0 and np.nanmin(pvals) >= p_threshold:
             log.info("farmcpu: no marker passes threshold %.3g", p_threshold)
+            if pg_qtn is not None:
+                res = lm_scan(pg, y, covariates, block=block)
             return FarmcpuResult(result=res, qtns=qtns, loops=loop + 1)
 
         # REM bin-size/lead-count selection
@@ -154,14 +163,14 @@ def farmcpu_scan(
                 leads = leads[pvals[leads] < qtn_threshold]
                 if len(leads) == 0:
                     continue
-                Zq = _decode_rows(pg, leads)
+                Zq = _decode_rows(pgq, leads)
                 score = _rem_score(Zq, y)
                 if score < best_score:
                     best_score = score
                     best_leads = leads
         cand = np.unique(np.concatenate([qtns, best_leads]))
         # redundancy removal: |r| > 0.7 keeps the more significant marker
-        cand = _prune_correlated(pg, cand, pvals, LD_REDUNDANCY_R)
+        cand = _prune_correlated(pgq, cand, pvals, LD_REDUNDANCY_R)
         if qtn_bound is not None and len(cand) > qtn_bound:
             # QTNbound override: keep the most significant (reference
             # --farmcpu-qtn-bound)
@@ -175,13 +184,13 @@ def farmcpu_scan(
         qtns = cand
         log.info("farmcpu loop %d: %d pseudo-QTNs", loop + 1, len(qtns))
 
-    # final scan with converged QTN set
+    # final scan with converged QTN set (always on the MAIN panel)
     cov = covariates
     if len(qtns):
-        cov_q = _decode_rows(pg, qtns).T
+        cov_q = _decode_rows(pgq, qtns).T
         cov = cov_q if cov is None else np.concatenate([cov, cov_q], axis=1)
     final = lm_scan(pg, y, cov, block=block)
-    if len(qtns):
+    if len(qtns) and pg_qtn is None:
         qp = _qtn_pvalues(pg, y, covariates, qtns)
         final.pwald[qtns] = qp
     return FarmcpuResult(result=final, qtns=qtns, loops=loop + 1)

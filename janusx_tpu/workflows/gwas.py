@@ -81,6 +81,9 @@ class GwasConfig:
     # per-trait files (reference trait-level fast path; our subset/basis
     # sharing across identical masks is always on)
     trait_level: bool = False
+    # -qvcf/-qhmp/-qbfile/-qfile: alternate QTN-search panel for the
+    # FarmCPU/ALGWAS stage-1 selection (reference dev flags)
+    qtn_genotype: str | None = None
     use_cache: bool = True  # GRM npy+id cache with reference naming
     # devices over the 'snp' mesh axis: None = all local devices (mesh is
     # skipped when only 1 is available), 1 = force single-device
@@ -172,6 +175,10 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
         log.info("device mesh: %d devices on the 'snp' axis", mesh.devices.size)
     raw = load_raw_packed(cfg.genotype)
     log.info("genotype: %d SNPs x %d samples", raw.m, raw.n_samples)
+    qraw = None
+    if cfg.qtn_genotype:
+        qraw = load_raw_packed(cfg.qtn_genotype)
+        log.info("QTN-search panel: %d SNPs x %d samples", qraw.m, qraw.n_samples)
 
     ph = load_phenotype(cfg.phenotype).select(cfg.traits)
     y_all, matched = ph.align(raw.samples)
@@ -264,6 +271,17 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 pg_t = raw.prepare(qc, sample_idx=keep)
             entry = {"pg": pg_t, "basis": None}
             prep_cache[mask_key] = entry
+        if qraw is not None and "pg_qtn" not in entry:
+            qpos = {str(s_): i for i, s_ in enumerate(qraw.samples)}
+            want = [str(raw.samples[i]) for i in keep]
+            missing = [w for w in want if w not in qpos]
+            if missing:
+                raise ValueError(
+                    f"{len(missing)} analysis samples absent from the "
+                    f"QTN-search panel, e.g. {missing[:3]}")
+            entry["pg_qtn"] = qraw.prepare(
+                qc, sample_idx=np.array([qpos[w] for w in want]))
+        pg_qtn_t = entry.get("pg_qtn")
         if cfg.scan_ranges:
             # -bimrange: restrict only the scan; GRM/PCA used the full set
             if "ranges_idx" not in entry:
@@ -383,6 +401,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                     max_loops=cfg.farmcpu_iter,
                     window_sizes=tuple(cfg.farmcpu_bin_sizes),
                     qtn_bound=cfg.farmcpu_qtn_bound,
+                    pg_qtn=pg_qtn_t,
                 )
                 res = out_f.result
                 lbd_null = None
@@ -398,7 +417,8 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             elif model == "algwas":
                 from janusx_tpu.models.algwas import algwas_scan
 
-                out_a = algwas_scan(pg_t, y_t, cov_t, block=cfg.block)
+                out_a = algwas_scan(pg_t, y_t, cov_t, block=cfg.block,
+                                    pg_qtn=pg_qtn_t)
                 res = out_a.result
                 lbd_null = None
             elif model in ("lm2", "fvlmm2"):

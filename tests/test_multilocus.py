@@ -156,3 +156,32 @@ def test_decode_rows_batched(ml_problem):
     expect = pg.centered()[idx]
     np.testing.assert_allclose(Z, expect)
     assert _decode_rows(pg, np.array([], dtype=np.int64)).shape == (0, pg.n)
+
+
+def test_farmcpu_algwas_qtn_panel(tmp_path):
+    """-qbfile: stage-1 QTN search on an alternate panel, final scan on
+    the main panel (reference dev flags -qvcf/-qhmp/-qbfile/-qfile)."""
+    import pandas as pd
+
+    from janusx_tpu.cli.main import main as jx_main
+    from janusx_tpu.io import plink
+    from janusx_tpu.models.sim import simulate_genotypes, simulate_phenotype, write_pheno
+
+    gd = simulate_genotypes(150, 400, n_chrom=2, seed=21)
+    sim = simulate_phenotype(gd, n_qtl=8, h2=0.8, seed=21)
+    prefix = str(tmp_path / "m")
+    plink.write_plink_genotypes(prefix, gd)
+    write_pheno(prefix + ".pheno", gd.samples, sim.phenotypes)
+    # q-panel: every 2nd marker, shuffled sample order (alignment check)
+    order = np.random.default_rng(0).permutation(gd.n)
+    qsub = gd.take_snps(np.arange(0, gd.m, 2)).take_samples(order)
+    plink.write_plink_genotypes(str(tmp_path / "q"), qsub)
+    rc = jx_main(["gwas", "-bfile", prefix, "-p", prefix + ".pheno",
+                  "-farmcpu", "-algwas", "-qbfile", str(tmp_path / "q"),
+                  "-o", str(tmp_path), "-prefix", "qp"])
+    assert rc == 0
+    for tag in ("FarmCPU", "ALGWAS"):
+        t = pd.read_csv(tmp_path / f"qp.trait0.{tag}.assoc.tsv", sep="\t")
+        # the final scan covers the MAIN panel, not the half-size q-panel
+        assert len(t) > 300
+        assert np.isfinite(t["pwald"]).all()
