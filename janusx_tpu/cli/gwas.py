@@ -7,7 +7,11 @@ import argparse
 from janusx_tpu.cli import common
 
 
-def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
+def build_parser(prog="jx gwas", dev: bool = False) -> argparse.ArgumentParser:
+    def _dev(text):
+        # hidden flags surface with `-h -dev` (reference show_dev_help)
+        return text if dev else argparse.SUPPRESS
+
     p = argparse.ArgumentParser(prog=prog, description="GWAS scans (TPU-native)")
     common.add_genotype_args(p)
     common.add_pheno_args(p)
@@ -37,22 +41,23 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
         help="FaST-LMM low-rank exact scan: kinship from Q SNPs (default 4096)",
     )
     m.add_argument("-farmcpu", "--farmcpu", action="store_true", help="FarmCPU multi-locus scan")
-    m.add_argument("-frgwas", "--frgwas", action="store_true", help=argparse.SUPPRESS)
-    m.add_argument("-algwas", "--algwas", action="store_true", help=argparse.SUPPRESS)
+    m.add_argument("-frgwas", "--frgwas", action="store_true", help=_dev("unified FarmCPU route with r2 merging"))
+    m.add_argument("-algwas", "--algwas", action="store_true", help=_dev("adaptive-lasso GWAS (stage1 EBIC lasso + stage2 scan)"))
     common.add_qc_args(p)
     o = p.add_argument_group("Model options")
     o.add_argument("-q", "--qcov", type=int, default=0, help="number of GRM PCs as covariates")
     o.add_argument("-c", "--cov", type=str, default=None, help="covariate file")
     o.add_argument("-gk", "--grm-method", type=int, default=1, choices=(1, 2), help="GRM: 1=centered 2=standardized")
     o.add_argument("-force-model", "--force-model", action="store_true", help="disable the LMM->LM auto-switch")
-    o.add_argument("-scan-method", "--scan-method", type=str, default="grid", choices=("grid", "brent"), help=argparse.SUPPRESS)
+    o.add_argument("-scan-method", "--scan-method", type=str, default="grid", choices=("grid", "brent"), help=_dev("lmm lambda search kernel"))
     o.add_argument(
         "-gmodel", "--genetic-model", type=str, default="add",
         choices=("add", "dom", "rec", "het"),
         help="genetic model for -lowrank (reference fastlmm route)",
     )
     o.add_argument("-global", "--global", dest="global_stats",
-                   action="store_true", help=argparse.SUPPRESS)
+                   action="store_true",
+                   help=_dev("reuse full-sample row stats for trait subsets"))
     o.add_argument("-lowrank-prune", "--lowrank-prune", action="store_true",
                    help="LD-prune the -lowrank kinship SNPs before selection")
     o.add_argument("-spk", "--grm-sparse", dest="grm_sparse", type=str,
@@ -67,27 +72,33 @@ def build_parser(prog="jx gwas") -> argparse.ArgumentParser:
     o.add_argument("-trait-level", "--trait-level", action="store_true",
                    help="also write one combined multi-trait TSV "
                         "({prefix}.traitlevel.assoc.tsv)")
-    o.add_argument("--farmcpu-iter", type=int, default=10, help=argparse.SUPPRESS)
+    o.add_argument("--farmcpu-iter", type=int, default=10, help=_dev("FarmCPU max iterations"))
     o.add_argument("--farmcpu-threshold", type=float, default=None,
-                   help=argparse.SUPPRESS)
+                   help=_dev("FarmCPU stage1 threshold (default 1/m)"))
     o.add_argument("--farmcpu-qtn-bound", type=int, default=None,
-                   help=argparse.SUPPRESS)
+                   help=_dev("FarmCPU QTN count cap"))
     o.add_argument("--farmcpu-bin-size", type=str,
-                   default="500000,5000000,50000000", help=argparse.SUPPRESS)
+                   default="500000,5000000,50000000",
+                   help=_dev("FarmCPU bin-size CSV ladder"))
     q = p.add_argument_group("QTN-search panel (FarmCPU/ALGWAS stage 1)")
-    q.add_argument("-qvcf", "--qtn-vcf", type=str, default=None, help=argparse.SUPPRESS)
-    q.add_argument("-qhmp", "--qtn-hmp", type=str, default=None, help=argparse.SUPPRESS)
+    q.add_argument("-qvcf", "--qtn-vcf", type=str, default=None, help=_dev("QTN-search VCF panel"))
+    q.add_argument("-qhmp", "--qtn-hmp", type=str, default=None, help=_dev("QTN-search HapMap panel"))
     q.add_argument("-qbfile", "--qtn-bfile", type=str, default=None,
                    help="alternate panel for the FarmCPU/ALGWAS stage-1 QTN "
                         "search; other models ignore it")
-    q.add_argument("-qfile", "--qtn-file", type=str, default=None, help=argparse.SUPPRESS)
+    q.add_argument("-qfile", "--qtn-file", type=str, default=None, help=_dev("QTN-search matrix panel"))
     common.add_mem_arg(p)
     common.add_out_args(p, default_prefix="jx")
     return p
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    import sys
+
+    raw_argv = list(sys.argv[1:] if argv is None else argv)
+    dev = "-dev" in raw_argv or "--dev" in raw_argv
+    raw_argv = [a for a in raw_argv if a not in ("-dev", "--dev")]
+    args = build_parser(dev=dev).parse_args(raw_argv)
     common.apply_mem_budget(args)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "gwas")
