@@ -177,13 +177,18 @@ def run_gs(cfg: GsConfig):
             log.warning("-hash: marker effects are not back-projectable "
                         "from hashed features; effect export disabled")
             cfg.export_effects = cfg.save_models = False
+    from janusx_tpu.workflows.gwas import resolve_mesh
+
+    mesh = resolve_mesh(None)
+    if mesh is not None:
+        log.info("device mesh: %d devices on the 'snp' axis", mesh.devices.size)
     K = None
     if needs_kernel:
         K = (H @ H.T).astype(np.float64) if H is not None else grm_from_packed(
-            pg, method=1, block=cfg.block
+            pg, method=1, block=cfg.block, mesh=mesh
         )
     Kd = (
-        grm_from_packed(pg, method=3, block=cfg.block)
+        grm_from_packed(pg, method=3, block=cfg.block, mesh=mesh)
         if any(mm in ("GBLUPd", "GBLUPad") for mm in cfg.methods)
         else None
     )

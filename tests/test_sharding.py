@@ -197,3 +197,47 @@ def test_run_gwas_sharded_matches_single(tmp_path):
     np.testing.assert_allclose(b.beta, a.beta, rtol=2e-3, atol=1e-5, equal_nan=True)
     dlogp = np.abs(np.log10(b.pwald) - np.log10(a.pwald))
     assert np.nanmax(dlogp) < 5e-3
+
+
+def test_run_gs_sharded_matches_single(tmp_path, rng):
+    """run_gs on the 8-way mesh == single-device (GBLUP CV + gebv)."""
+    import json
+
+    from janusx_tpu.gs.workflow import GsConfig, run_gs
+    from janusx_tpu.io import plink
+    from janusx_tpu.models.sim import simulate_genotypes, simulate_phenotype, write_pheno
+
+    gd = simulate_genotypes(120, 500, seed=13)
+    sim = simulate_phenotype(gd, n_qtl=25, h2=0.6, seed=13)
+    prefix = str(tmp_path / "g")
+    plink.write_plink_genotypes(prefix, gd)
+    y = sim.phenotypes.copy()
+    y[-20:] = np.nan  # prediction set
+    write_pheno(prefix + ".pheno", gd.samples, y)
+
+    def run(nd, tag):
+        import janusx_tpu.workflows.gwas as W
+
+        old = W.resolve_mesh
+        if nd == 1:
+            W.resolve_mesh = lambda n: None
+        try:
+            return run_gs(GsConfig(
+                genotype=prefix, phenotype=prefix + ".pheno",
+                methods=("BLUP",), cv=3,
+                out_prefix=str(tmp_path / tag)))
+        finally:
+            W.resolve_mesh = old
+
+    _, s1 = run(1, "single")
+    _, s8 = run(8, "mesh")
+    cv1 = s1["traits"]["trait0"]["BLUP"]["cv"]
+    cv8 = s8["traits"]["trait0"]["BLUP"]["cv"]
+    assert cv8["pearson"] == pytest.approx(cv1["pearson"], abs=1e-4)
+    g1 = open(str(tmp_path / "single.trait0.gebv.tsv")).read().splitlines()
+    g8 = open(str(tmp_path / "mesh.trait0.gebv.tsv")).read().splitlines()
+    for a, b in zip(g1[1:], g8[1:]):
+        sa, va = a.split("\t")
+        sb, vb = b.split("\t")
+        assert sa == sb
+        assert float(va) == pytest.approx(float(vb), abs=2e-3)
