@@ -180,3 +180,112 @@ def lm_scan(
     return ScanResult(
         sites=pg.sites, af=pg.af, miss=pg.miss, beta=beta, se=se, pwald=pwald
     )
+
+
+def _lm_scan_core_multi(pk, mn, X, C, MY, n: int):
+    """Multi-trait LM core: MY is (n, T); decode + GX grams are shared
+    across traits, the numerators come from ONE (B, n) x (n, T) matmul
+    (the reference -trait-level additive fast path, workflow.py
+    trait-level docstring)."""
+    f32 = jnp.float32
+    X32 = X.astype(f32)
+    C32 = C.astype(f32)
+    MY32 = MY.astype(f32)
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(_, xs):
+        pkb, mnb = xs
+        G = decode.decode_centered(pkb, mnb, dtype=f32)[:, :n]
+        gMY = jnp.dot(G, MY32, precision=hp)  # (B, T)
+        GX = jnp.dot(G, X32, precision=hp)
+        gg = jnp.sum(G * G, axis=-1)
+        gMg = gg - jnp.einsum("bp,pq,bq->b", GX, C32, GX)
+        return None, (gMY.astype(jnp.float64), gMg.astype(jnp.float64))
+
+    _, (gMY, gMg) = jax.lax.scan(body, None, (pk, mn))
+    return gMY, gMg
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _lm_scan_resident_multi(pk, mn, X, C, MY, n: int):
+    return _lm_scan_core_multi(pk, mn, X, C, MY, n)
+
+
+@lru_cache(maxsize=8)
+def _lm_scan_sharded_multi(mesh, n: int):
+    from jax.sharding import PartitionSpec as P
+
+    fn = partial(_lm_scan_core_multi, n=n)
+    return jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(None, "snp", None), P(None, "snp"), P(), P(), P()),
+            out_specs=(P(None, "snp", None), P(None, "snp")),
+        )
+    )
+
+
+def lm_scan_multi(
+    pg: PackedGenotypes,
+    Y: np.ndarray,
+    covariates: np.ndarray | None = None,
+    block: int = config.DEFAULT_SNP_BLOCK,
+    mesh=None,
+) -> list[ScanResult]:
+    """Batched multi-trait LM scan: all columns of Y share the sample set
+    and covariates; one device dispatch covers every trait."""
+    Y = np.asarray(Y, np.float64)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    n, T = pg.n, Y.shape[1]
+    if Y.shape[0] != n:
+        raise ValueError(f"Y rows {Y.shape[0]} != samples {n}")
+    if not hasattr(pg, "packed"):
+        pg = pg.take_snps(np.arange(pg.m))
+    X = design_matrix(n, covariates)
+    p = X.shape[1]
+    df = n - p - 1
+    if df <= 0:
+        raise ValueError("not enough samples for LM scan (df <= 0)")
+    C = np.linalg.inv(X.T @ X)
+    MY = Y - X @ (C @ (X.T @ Y))  # (n, T)
+    yMy = np.einsum("nt,nt->t", Y, MY)
+
+    from janusx_tpu.utils import devcache
+
+    m = pg.m
+    block = min(block, m)
+    if mesh is not None:
+        block = -(-block // mesh.devices.size) * mesh.devices.size
+    m_pad = -(-m // block) * block
+    nblk = m_pad // block
+    pk = devcache.device_packed_blocks(pg, (nblk, block), mesh=mesh)
+    mn = devcache.to_device_blocks(
+        pg.mean, (nblk, block), 0.0, dtype=jnp.float32, mesh=mesh
+    )
+    args = (jnp.asarray(X), jnp.asarray(C), jnp.asarray(MY))
+    if mesh is not None:
+        args = devcache.replicate_tree(args, mesh)
+        gMY, gMg = _lm_scan_sharded_multi(mesh, n)(pk, mn, *args)
+    else:
+        gMY, gMg = _lm_scan_resident_multi(pk, mn, *args, n)
+    gMY = np.asarray(gMY).reshape(m_pad, T)[:m]
+    gMg = np.asarray(gMg).reshape(m_pad)[:m]
+    results = []
+    for t_idx in range(T):
+        gMy_all = gMY[:, t_idx]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            beta = gMy_all / gMg
+            rss = yMy[t_idx] - gMy_all * gMy_all / gMg
+            se = np.sqrt(rss / df / gMg)
+        ok = np.isfinite(beta) & np.isfinite(se) & (se > 0) & (gMg > 1e-12)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tt = np.where(ok, beta / se, 0.0)
+        pw = student_t_p_two_sided(tt, df)
+        results.append(ScanResult(
+            sites=pg.sites, af=pg.af, miss=pg.miss,
+            beta=np.where(ok, beta, np.nan),
+            se=np.where(ok, se, np.nan),
+            pwald=np.where(ok, pw, 1.0),
+        ))
+    return results

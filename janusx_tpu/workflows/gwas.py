@@ -241,6 +241,42 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
     # traits with identical analysis-sample masks share the prepared subset
     # and eigenbasis (common case: fully-observed multi-trait tables)
     prep_cache: dict = {}
+    # -trait-level fast path: batch all 'lm' traits with a shared sample
+    # mask into ONE device dispatch (decode + G-grams amortized across
+    # traits — reference trait-level additive fast path)
+    lm_batch: dict = {}
+    if cfg.trait_level and "lm" in cfg.models and len(ph.traits) > 1:
+        groups: dict = {}
+        for ti, trait in enumerate(ph.traits):
+            y = y_all[:, ti]
+            cov_parts = []
+            if pcs_full is not None:
+                cov_parts.append(pcs_full)
+            if cov_all is not None:
+                cov_parts.append(cov_all)
+            cov_full = np.concatenate(cov_parts, axis=1) if cov_parts else None
+            keep = analysis_sample_index(y, cov_full)
+            if len(keep) < 10:
+                continue
+            groups.setdefault(keep.tobytes(), []).append((ti, trait, keep, cov_full))
+        for members in groups.values():
+            if len(members) < 2:
+                continue
+            _, _, keep, cov_full = members[0]
+            pg_b = raw.prepare(qc, sample_idx=keep)
+            if cfg.scan_ranges:
+                idx = _range_mask(pg_b.sites, cfg.scan_ranges)
+                if idx.size == 0:
+                    continue
+                pg_b = pg_b.take_snps(idx)
+            Yb = np.stack([y_all[:, ti][keep] for ti, *_ in members], axis=1)
+            cov_b = None if cov_full is None else cov_full[keep]
+            log.info("trait-level lm batch: %d traits in one dispatch",
+                     len(members))
+            batch_res = lm_mod.lm_scan_multi(
+                pg_b, Yb, cov_b, block=cfg.block, mesh=mesh)
+            for (ti, trait, *_), r in zip(members, batch_res):
+                lm_batch[str(trait)] = r
     for ti, trait in enumerate(ph.traits):
         y = y_all[:, ti]
         cov_parts = []
@@ -321,7 +357,11 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                         trait, switch_p, model,
                     )
             if model == "lm":
-                res = lm_mod.lm_scan(pg_t, y_t, cov_t, block=cfg.block, mesh=mesh)
+                if requested == "lm" and str(trait) in lm_batch:
+                    res = lm_batch[str(trait)]
+                else:
+                    res = lm_mod.lm_scan(pg_t, y_t, cov_t, block=cfg.block,
+                                         mesh=mesh)
                 lbd_null = None
             elif model == "fvlmm":
                 res, null = fvlmm_mod.fvlmm_scan(

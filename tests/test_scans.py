@@ -210,3 +210,20 @@ def test_grid_vs_brent_parity_sweep(n, p_cov, h2):
     # between equally-likely optima; the Wald p (asserted above) is the
     # scientific contract — betas only need to agree loosely
     np.testing.assert_allclose(res_g.beta[ok], res_b.beta[ok], rtol=0.1, atol=1e-3)
+
+
+def test_lm_scan_multi_matches_single(scan_problem, rng):
+    """Batched multi-trait LM == per-trait scans (f32-gram noise only)."""
+    from janusx_tpu.models.lm import lm_scan, lm_scan_multi
+
+    pg = scan_problem[0]
+    Y = rng.normal(size=(pg.n, 3))
+    cov = rng.normal(size=(pg.n, 2))
+    multi = lm_scan_multi(pg, Y, cov)
+    for t in range(3):
+        single = lm_scan(pg, Y[:, t], cov)
+        np.testing.assert_allclose(multi[t].beta, single.beta,
+                                   rtol=2e-4, atol=1e-8, equal_nan=True)
+        lp_m = -np.log10(multi[t].pwald)
+        lp_s = -np.log10(single.pwald)
+        np.testing.assert_allclose(lp_m, lp_s, atol=5e-3)

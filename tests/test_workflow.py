@@ -171,3 +171,30 @@ def test_run_gwas_spk_precomputed(toy_dataset, tmp_path):
     runs = run_gwas(cfg)
     assert len(runs) == 1
     assert np.isfinite(runs[0].result.pwald).all()
+
+
+def test_run_gwas_trait_level_lm_batch(toy_dataset, tmp_path):
+    """-trait-level batches same-mask lm traits into one dispatch with
+    per-trait-identical numerics."""
+    import pandas as pd
+
+    prefix, pheno = toy_dataset
+    # extend the pheno table with two extra fully-observed traits
+    df = pd.read_csv(pheno, sep="\t", index_col=0)
+    rng = np.random.default_rng(99)
+    df["x1"] = rng.normal(size=len(df))
+    df["x2"] = rng.normal(size=len(df))
+    ph2 = str(tmp_path / "multi.pheno")
+    df.to_csv(ph2, sep="\t")
+    common = dict(genotype=prefix, phenotype=ph2, models=("lm",),
+                  traits=["poly", "x1", "x2"], force_model=True, block=128,
+                  use_cache=False)
+    r_batch = run_gwas(GwasConfig(out_prefix=str(tmp_path / "b"),
+                                  trait_level=True, **common))
+    r_single = run_gwas(GwasConfig(out_prefix=str(tmp_path / "s"), **common))
+    assert len(r_batch) == len(r_single) == 3
+    for a, b in zip(r_batch, r_single):
+        da = -np.log10(a.result.pwald)
+        db = -np.log10(b.result.pwald)
+        np.testing.assert_allclose(da, db, atol=5e-3)
+    assert (tmp_path / "b.traitlevel.assoc.tsv").exists()
