@@ -398,3 +398,137 @@ def lmm_scan(
             pwald=pwald, extras={"lambda_null": null.lbd},
         )
     return res, null
+
+
+# ------------------------------------------------------------ multi-trait
+
+
+def _lmm_scan_core_multi(pk, mn, U32, rots, shs, n: int, with_ml: bool):
+    """Multi-trait grid scan: decode + rotate once per SNP block, vmapped
+    per-trait λ-grid search + final stats (the trait-level LMM fast path —
+    decode+rotate is the scan's throughput floor and is amortized over T).
+    rots/shs carry a leading trait axis on every leaf."""
+
+    def body(_, xs):
+        pkb, mnb = xs
+        Graw = decode.decode_centered(pkb, mnb, dtype=jnp.float32)[:, :n]
+        Gr32 = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST)
+        ssq = jnp.sum(Gr32 * Gr32, axis=-1).astype(jnp.float64)
+
+        def per_trait(rot, sh):
+            lgs = lmm_grid_scan_with(sh, rot, Gr32)
+            beta, se, ml = final_stats_f32(rot, Gr32, lgs, with_ml)
+            return lgs, beta, se, ml
+
+        lgs, beta, se, ml = jax.vmap(per_trait)(rots, shs)  # (T, B) each
+        return None, (lgs, beta, se, ml, ssq)
+
+    _, (lgs, beta, se, ml, ssq) = jax.lax.scan(body, None, (pk, mn))
+    pwald = jstats.pwald_from_beta_se_device(beta, se)
+    ssq_t = jnp.broadcast_to(ssq[:, None, :], lgs.shape)
+    return jnp.stack([lgs, beta, se, ml, ssq_t, pwald])  # (6, nblk, T, B)
+
+
+@partial(jax.jit, static_argnames=("n", "with_ml"))
+def _lmm_scan_resident_multi(pk, mn, U32, rots, shs, n: int, with_ml: bool):
+    return _lmm_scan_core_multi(pk, mn, U32, rots, shs, n, with_ml)
+
+
+@lru_cache(maxsize=8)
+def _lmm_scan_sharded_multi(mesh, n: int, with_ml: bool):
+    from jax.sharding import PartitionSpec as P
+
+    fn = partial(_lmm_scan_core_multi, n=n, with_ml=with_ml)
+    rot_spec = RotatedData(*([P()] * len(RotatedData._fields)))
+    from janusx_tpu.core.reml import GridShared
+
+    sh_spec = GridShared(*([P()] * len(GridShared._fields)))
+    return jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(None, "snp", None), P(None, "snp"), P(),
+                      rot_spec, sh_spec),
+            out_specs=P(None, None, None, "snp"),
+        )
+    )
+
+
+def lmm_scan_multi(
+    pg: PackedGenotypes,
+    basis: SpectralBasis,
+    Y: np.ndarray,
+    covariates: np.ndarray | None = None,
+    block: int = config.DEFAULT_SNP_BLOCK,
+    lmm2: bool = False,
+    grid_points: int | None = None,
+    mesh=None,
+) -> tuple[list[ScanResult], list[NullFit]]:
+    """Batched exact-LMM scan for traits sharing one sample mask/basis.
+
+    One resident dispatch covers every trait; numerics match per-trait
+    `lmm_scan(method="grid", use_pallas=False)` exactly (same kernels,
+    vmapped)."""
+    Y = np.asarray(Y, np.float64)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    n, T = pg.n, Y.shape[1]
+    if Y.shape[0] != n:
+        raise ValueError(f"Y rows {Y.shape[0]} != samples {n}")
+    if grid_points is None:
+        grid_points = config.knob("JX_TPU_GRID_POINTS")
+    if not hasattr(pg, "packed"):
+        pg = pg.take_snps(np.arange(pg.m))
+
+    states = [_scan_state(basis, Y[:, t].copy(), covariates, grid_points)
+              for t in range(T)]
+    nulls = [fit_null_reml(rot) for rot, _, _ in states]
+    rots = jax.tree.map(lambda *xs: jnp.stack(xs), *[s[0] for s in states])
+    shs = jax.tree.map(lambda *xs: jnp.stack(xs), *[s[2] for s in states])
+
+    U32 = devcache.to_device(basis.U, jnp.float32)
+    m = pg.m
+    block = min(block, m) if m else block
+    if mesh is not None:
+        block = -(-block // mesh.devices.size) * mesh.devices.size
+    m_pad = -(-m // block) * block
+    nblk = m_pad // block
+    pk = devcache.device_packed_blocks(pg, (nblk, block), mesh=mesh)
+    mn = devcache.to_device_blocks(
+        pg.mean, (nblk, block), 0.0, dtype=jnp.float32, mesh=mesh
+    )
+    if mesh is not None:
+        U_d, rots_d, shs_d = devcache.replicate_tree((U32, rots, shs), mesh)
+        out = np.asarray(
+            _lmm_scan_sharded_multi(mesh, n, lmm2)(pk, mn, U_d, rots_d, shs_d)
+        )
+    else:
+        out = np.asarray(
+            _lmm_scan_resident_multi(pk, mn, U32, rots, shs, n, lmm2)
+        )
+    # (6, nblk, T, B) -> (6, T, m_pad)
+    out = out.transpose(0, 2, 1, 3).reshape(6, T, m_pad)
+    results = []
+    for t in range(T):
+        null = nulls[t]
+        lbd = 10.0 ** out[0, t, :m]
+        beta, se, ml, ssq = out[1, t, :m], out[2, t, :m], out[3, t, :m], out[4, t, :m]
+        pwald = out[5, t, :m]
+        tiny = pwald <= _PWALD_F32_FLOOR
+        if tiny.any():
+            pwald = pwald.copy()
+            pwald[tiny] = jstats.pwald_from_beta_se(beta[tiny], se[tiny])
+        if lmm2:
+            plrt = jstats.plrt_from_ml(ml, null.ml)
+            beta_f, se_f, pwald_f, plrt = finalize_invalid(beta, se, pwald, ssq, plrt)
+            results.append(ScanResult(
+                sites=pg.sites, af=pg.af, miss=pg.miss, beta=beta_f, se=se_f,
+                pwald=pwald_f, plrt=plrt, lbd=lbd, ml=ml,
+                extras={"lambda_null": null.lbd, "ml_null": null.ml},
+            ))
+        else:
+            beta_f, se_f, pwald_f, _ = finalize_invalid(beta, se, pwald, ssq)
+            results.append(ScanResult(
+                sites=pg.sites, af=pg.af, miss=pg.miss, beta=beta_f, se=se_f,
+                pwald=pwald_f, extras={"lambda_null": null.lbd},
+            ))
+    return results, nulls

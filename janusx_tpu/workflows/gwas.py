@@ -244,8 +244,9 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
     # -trait-level fast path: batch all 'lm' traits with a shared sample
     # mask into ONE device dispatch (decode + G-grams amortized across
     # traits — reference trait-level additive fast path)
-    lm_batch: dict = {}
-    if cfg.trait_level and "lm" in cfg.models and len(ph.traits) > 1:
+    lm_batch: dict = {}  # (trait, model) -> ScanResult (+ null for lmm)
+    batchable = {m for m in cfg.models if m in ("lm", "lmm", "lmm2")}
+    if cfg.trait_level and batchable and len(ph.traits) > 1:
         groups: dict = {}
         for ti, trait in enumerate(ph.traits):
             y = y_all[:, ti]
@@ -259,24 +260,49 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             if len(keep) < 10:
                 continue
             groups.setdefault(keep.tobytes(), []).append((ti, trait, keep, cov_full))
-        for members in groups.values():
+        for mask_key, members in groups.items():
             if len(members) < 2:
                 continue
             _, _, keep, cov_full = members[0]
             pg_b = raw.prepare(qc, sample_idx=keep)
+            entry_b = {"pg": pg_b, "basis": None}
+            prep_cache[mask_key] = entry_b  # the loop reuses subset + basis
             if cfg.scan_ranges:
                 idx = _range_mask(pg_b.sites, cfg.scan_ranges)
                 if idx.size == 0:
                     continue
-                pg_b = pg_b.take_snps(idx)
-            Yb = np.stack([y_all[:, ti][keep] for ti, *_ in members], axis=1)
+                entry_b["ranges_idx"] = idx
+                entry_b["pg_ranges"] = pg_b.take_snps(idx)
+                pg_b = entry_b["pg_ranges"]
             cov_b = None if cov_full is None else cov_full[keep]
-            log.info("trait-level lm batch: %d traits in one dispatch",
-                     len(members))
-            batch_res = lm_mod.lm_scan_multi(
-                pg_b, Yb, cov_b, block=cfg.block, mesh=mesh)
-            for (ti, trait, *_), r in zip(members, batch_res):
-                lm_batch[str(trait)] = r
+            if "lm" in batchable:
+                Yb = np.stack([y_all[:, ti][keep] for ti, *_ in members], axis=1)
+                log.info("trait-level lm batch: %d traits in one dispatch",
+                         len(members))
+                for (ti, trait, *_), r in zip(members, lm_mod.lm_scan_multi(
+                        pg_b, Yb, cov_b, block=cfg.block, mesh=mesh)):
+                    lm_batch[(str(trait), "lm")] = r
+            mixed = [m for m in ("lmm", "lmm2") if m in batchable]
+            if mixed:
+                Ksub = K[np.ix_(keep, keep)]
+                entry_b["basis"] = eigh_grm(Ksub, diag_ridge=1e-6)
+                mem = members
+                if not cfg.force_model:
+                    # the LMM->LM switch is per trait: batch only the
+                    # traits that keep the mixed model
+                    mem = [mm for mm in members if lmm_to_lm_switch_p(
+                        entry_b["basis"], y_all[:, mm[0]][keep], cov_b) < 0.05]
+                if len(mem) >= 2:
+                    Yb = np.stack([y_all[:, ti][keep] for ti, *_ in mem], axis=1)
+                    for model_b in mixed:
+                        log.info("trait-level %s batch: %d traits in one "
+                                 "dispatch", model_b, len(mem))
+                        res_b, nulls_b = lmm_mod.lmm_scan_multi(
+                            pg_b, entry_b["basis"], Yb, cov_b,
+                            block=cfg.block, lmm2=(model_b == "lmm2"),
+                            mesh=mesh)
+                        for (ti, trait, *_), r, nl in zip(mem, res_b, nulls_b):
+                            lm_batch[(str(trait), model_b)] = (r, nl)
     for ti, trait in enumerate(ph.traits):
         y = y_all[:, ti]
         cov_parts = []
@@ -357,12 +383,15 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                         trait, switch_p, model,
                     )
             if model == "lm":
-                if requested == "lm" and str(trait) in lm_batch:
-                    res = lm_batch[str(trait)]
+                if requested == "lm" and (str(trait), "lm") in lm_batch:
+                    res = lm_batch[(str(trait), "lm")]
                 else:
                     res = lm_mod.lm_scan(pg_t, y_t, cov_t, block=cfg.block,
                                          mesh=mesh)
                 lbd_null = None
+            elif model in ("lmm", "lmm2") and (str(trait), model) in lm_batch:
+                res, null = lm_batch[(str(trait), model)]
+                lbd_null = null.lbd
             elif model == "fvlmm":
                 res, null = fvlmm_mod.fvlmm_scan(
                     pg_t, get_basis(), y_t, cov_t, block=cfg.block, mesh=mesh

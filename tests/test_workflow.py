@@ -186,15 +186,28 @@ def test_run_gwas_trait_level_lm_batch(toy_dataset, tmp_path):
     df["x2"] = rng.normal(size=len(df))
     ph2 = str(tmp_path / "multi.pheno")
     df.to_csv(ph2, sep="\t")
-    common = dict(genotype=prefix, phenotype=ph2, models=("lm",),
+    common = dict(genotype=prefix, phenotype=ph2, models=("lm", "lmm"),
                   traits=["poly", "x1", "x2"], force_model=True, block=128,
                   use_cache=False)
     r_batch = run_gwas(GwasConfig(out_prefix=str(tmp_path / "b"),
                                   trait_level=True, **common))
     r_single = run_gwas(GwasConfig(out_prefix=str(tmp_path / "s"), **common))
-    assert len(r_batch) == len(r_single) == 3
+    assert len(r_batch) == len(r_single) == 6
     for a, b in zip(r_batch, r_single):
+        assert (a.trait, a.model) == (b.trait, b.model)
         da = -np.log10(a.result.pwald)
         db = -np.log10(b.result.pwald)
         np.testing.assert_allclose(da, db, atol=5e-3)
+        if a.lambda_null is not None:
+            assert a.lambda_null == pytest.approx(b.lambda_null, rel=1e-6)
     assert (tmp_path / "b.traitlevel.assoc.tsv").exists()
+    # switch-aware batching: without force_model the noise traits switch
+    # to lm and must match the unbatched run's routing
+    common2 = dict(common, force_model=False, models=("lmm",))
+    rb2 = run_gwas(GwasConfig(out_prefix=str(tmp_path / "b2"),
+                              trait_level=True, **common2))
+    rs2 = run_gwas(GwasConfig(out_prefix=str(tmp_path / "s2"), **common2))
+    for a, b in zip(rb2, rs2):
+        assert (a.trait, a.model) == (b.trait, b.model)
+        np.testing.assert_allclose(-np.log10(a.result.pwald),
+                                   -np.log10(b.result.pwald), atol=5e-3)
