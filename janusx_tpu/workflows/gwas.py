@@ -245,7 +245,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
     # mask into ONE device dispatch (decode + G-grams amortized across
     # traits — reference trait-level additive fast path)
     lm_batch: dict = {}  # (trait, model) -> ScanResult (+ null for lmm)
-    batchable = {m for m in cfg.models if m in ("lm", "lmm", "lmm2")}
+    batchable = {m for m in cfg.models if m in ("lm", "lmm", "lmm2", "fvlmm")}
     if cfg.trait_level and batchable and len(ph.traits) > 1:
         groups: dict = {}
         for ti, trait in enumerate(ph.traits):
@@ -282,7 +282,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 for (ti, trait, *_), r in zip(members, lm_mod.lm_scan_multi(
                         pg_b, Yb, cov_b, block=cfg.block, mesh=mesh)):
                     lm_batch[(str(trait), "lm")] = r
-            mixed = [m for m in ("lmm", "lmm2") if m in batchable]
+            mixed = [m for m in ("lmm", "lmm2", "fvlmm") if m in batchable]
             if mixed:
                 Ksub = K[np.ix_(keep, keep)]
                 entry_b["basis"] = eigh_grm(Ksub, diag_ridge=1e-6)
@@ -297,10 +297,15 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                     for model_b in mixed:
                         log.info("trait-level %s batch: %d traits in one "
                                  "dispatch", model_b, len(mem))
-                        res_b, nulls_b = lmm_mod.lmm_scan_multi(
-                            pg_b, entry_b["basis"], Yb, cov_b,
-                            block=cfg.block, lmm2=(model_b == "lmm2"),
-                            mesh=mesh)
+                        if model_b == "fvlmm":
+                            res_b, nulls_b = fvlmm_mod.fvlmm_scan_multi(
+                                pg_b, entry_b["basis"], Yb, cov_b,
+                                block=cfg.block, mesh=mesh)
+                        else:
+                            res_b, nulls_b = lmm_mod.lmm_scan_multi(
+                                pg_b, entry_b["basis"], Yb, cov_b,
+                                block=cfg.block, lmm2=(model_b == "lmm2"),
+                                mesh=mesh)
                         for (ti, trait, *_), r, nl in zip(mem, res_b, nulls_b):
                             lm_batch[(str(trait), model_b)] = (r, nl)
     for ti, trait in enumerate(ph.traits):
@@ -389,7 +394,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                     res = lm_mod.lm_scan(pg_t, y_t, cov_t, block=cfg.block,
                                          mesh=mesh)
                 lbd_null = None
-            elif model in ("lmm", "lmm2") and (str(trait), model) in lm_batch:
+            elif model in ("lmm", "lmm2", "fvlmm") and (str(trait), model) in lm_batch:
                 res, null = lm_batch[(str(trait), model)]
                 lbd_null = null.lbd
             elif model == "fvlmm":

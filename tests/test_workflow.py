@@ -186,13 +186,13 @@ def test_run_gwas_trait_level_lm_batch(toy_dataset, tmp_path):
     df["x2"] = rng.normal(size=len(df))
     ph2 = str(tmp_path / "multi.pheno")
     df.to_csv(ph2, sep="\t")
-    common = dict(genotype=prefix, phenotype=ph2, models=("lm", "lmm"),
+    common = dict(genotype=prefix, phenotype=ph2, models=("lm", "lmm", "fvlmm"),
                   traits=["poly", "x1", "x2"], force_model=True, block=128,
                   use_cache=False)
     r_batch = run_gwas(GwasConfig(out_prefix=str(tmp_path / "b"),
                                   trait_level=True, **common))
     r_single = run_gwas(GwasConfig(out_prefix=str(tmp_path / "s"), **common))
-    assert len(r_batch) == len(r_single) == 6
+    assert len(r_batch) == len(r_single) == 9
     for a, b in zip(r_batch, r_single):
         assert (a.trait, a.model) == (b.trait, b.model)
         da = -np.log10(a.result.pwald)
