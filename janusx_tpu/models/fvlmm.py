@@ -226,6 +226,7 @@ def fvlmm_scan_multi(
     covariates: np.ndarray | None = None,
     block: int = config.DEFAULT_SNP_BLOCK,
     mesh=None,
+    superblock: int = 1 << 20,
 ) -> tuple[list[ScanResult], list[NullFit]]:
     """Batched fixed-λ scan for traits sharing one sample mask/basis."""
     Y = np.asarray(Y, np.float64)
@@ -234,6 +235,18 @@ def fvlmm_scan_multi(
     n, T = pg.n, Y.shape[1]
     if Y.shape[0] != n:
         raise ValueError(f"Y rows {Y.shape[0]} != samples {n}")
+    superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
+    if pg.m > superblock:
+        sb = (superblock // block) * block
+        parts = []
+        nulls = None
+        for s0 in range(0, pg.m, sb):
+            sub = pg.take_snps(np.arange(s0, min(s0 + sb, pg.m)))
+            rs, nulls = fvlmm_scan_multi(sub, basis, Y, covariates,
+                                         block=block, mesh=mesh)
+            parts.append(rs)
+        return ([ScanResult.concat([p[t] for p in parts]) for t in range(T)],
+                nulls)
     if not hasattr(pg, "packed"):
         pg = pg.take_snps(np.arange(pg.m))
     s = basis.S

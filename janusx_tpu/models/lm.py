@@ -231,6 +231,7 @@ def lm_scan_multi(
     covariates: np.ndarray | None = None,
     block: int = config.DEFAULT_SNP_BLOCK,
     mesh=None,
+    superblock: int = 1 << 20,
 ) -> list[ScanResult]:
     """Batched multi-trait LM scan: all columns of Y share the sample set
     and covariates; one device dispatch covers every trait."""
@@ -240,6 +241,15 @@ def lm_scan_multi(
     n, T = pg.n, Y.shape[1]
     if Y.shape[0] != n:
         raise ValueError(f"Y rows {Y.shape[0]} != samples {n}")
+    superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
+    if pg.m > superblock:
+        sb = (superblock // block) * block
+        parts = [
+            lm_scan_multi(pg.take_snps(np.arange(s0, min(s0 + sb, pg.m))), Y,
+                          covariates, block=block, mesh=mesh)
+            for s0 in range(0, pg.m, sb)
+        ]
+        return [ScanResult.concat([p[t] for p in parts]) for t in range(T)]
     if not hasattr(pg, "packed"):
         pg = pg.take_snps(np.arange(pg.m))
     X = design_matrix(n, covariates)

@@ -462,6 +462,7 @@ def lmm_scan_multi(
     lmm2: bool = False,
     grid_points: int | None = None,
     mesh=None,
+    superblock: int = 1 << 20,
 ) -> tuple[list[ScanResult], list[NullFit]]:
     """Batched exact-LMM scan for traits sharing one sample mask/basis.
 
@@ -476,6 +477,19 @@ def lmm_scan_multi(
         raise ValueError(f"Y rows {Y.shape[0]} != samples {n}")
     if grid_points is None:
         grid_points = config.knob("JX_TPU_GRID_POINTS")
+    superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
+    if pg.m > superblock:
+        sb = (superblock // block) * block
+        parts = []
+        nulls = None
+        for s0 in range(0, pg.m, sb):
+            sub = pg.take_snps(np.arange(s0, min(s0 + sb, pg.m)))
+            rs, nulls = lmm_scan_multi(sub, basis, Y, covariates, block=block,
+                                       lmm2=lmm2, grid_points=grid_points,
+                                       mesh=mesh)
+            parts.append(rs)
+        return ([ScanResult.concat([p[t] for p in parts]) for t in range(T)],
+                nulls)
     if not hasattr(pg, "packed"):
         pg = pg.take_snps(np.arange(pg.m))
 
