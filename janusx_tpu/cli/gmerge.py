@@ -52,8 +52,7 @@ def main(argv=None) -> int:
     from janusx_tpu.io.gdata import GenotypeData
     from janusx_tpu.io.gfreader import load_genotype_file
 
-    paths = (list(args.vcf) + list(args.hmp)
-             + [pfx if pfx.endswith(".bed") else pfx for pfx in args.bfile]
+    paths = (list(args.vcf) + list(args.hmp) + list(args.bfile)
              + list(args.file) + list(args.inputs))
     if len(paths) < 2:
         raise SystemExit("need at least 2 inputs across -vcf/-hmp/-bfile/-file/-i")

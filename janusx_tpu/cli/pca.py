@@ -98,7 +98,12 @@ def main(argv=None) -> int:
         )
         samples = pg.samples
         if args.approx or args.rsvd is not None:
-            power = int(args.rsvd[0]) if args.rsvd else 3
+            if args.rsvd:  # -rsvd N [tol]
+                power = int(args.rsvd[0])
+            elif args.rsvd is not None:  # bare -rsvd: reference default
+                power = 3
+            else:  # -approx: keep the model default
+                power = 4
             vals, vecs = rsvd_pca(pg, n_pc=args.dim, method=args.method,
                                   power_iters=power)
         else:

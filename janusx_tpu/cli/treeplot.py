@@ -116,57 +116,102 @@ def draw_rect(node, ax, x0, ycounter, show, pattern, flip=False):
     return y
 
 
-def draw_circular(node, ax, show, pattern, unrooted=False):
-    """Circular (fan) layout; 'unrooted' uses equal-angle radial layout."""
+def draw_circular(node, ax, show, pattern):
+    """Circular (fan) layout: radial edges for every branch (leaves
+    included), arcs connecting children."""
     n = count_leaves(node)
     counter = [0]
 
-    def depth_assign(nd, r0):
+    def rec(nd, r0):
         children, length, name = nd
         r1 = r0 + length
         if not children:
             theta = 2 * math.pi * counter[0] / n
             counter[0] += 1
-            return [(theta, r1, name)], theta, r1
-        pts, thetas = [], []
-        for c in children:
-            cpts, th, _ = depth_assign(c, r1)
-            pts.extend(cpts)
-            thetas.append(th)
+            ax.plot([theta, theta], [r0, r1], color="#333", lw=0.8)
+            lab = _leaf_label(name, show, pattern)
+            if lab:
+                deg = math.degrees(theta)
+                flip = 90 < deg % 360 < 270
+                ax.text(theta, r1 * 1.03, lab, fontsize=5,
+                        rotation=deg + 180 if flip else deg,
+                        rotation_mode="anchor",
+                        ha="right" if flip else "left", va="center")
+            return theta
+        thetas = [rec(c, r1) for c in children]
         th = sum(thetas) / len(thetas)
-        # arc connecting children + radial edge
         tmin, tmax = min(thetas), max(thetas)
-        arc = [(r1, t) for t in
-               [tmin + (tmax - tmin) * k / 24 for k in range(25)]]
-        ax.plot([t for _, t in arc], [r for r, _ in arc],
-                color="#333", lw=0.8)
-        for c_th in thetas:
-            pass
+        arc_t = [tmin + (tmax - tmin) * k / 24 for k in range(25)]
+        ax.plot(arc_t, [r1] * len(arc_t), color="#333", lw=0.8)
         ax.plot([th, th], [r0, r1], color="#333", lw=0.8)
-        return pts, th, r1
+        return th
 
-    def radial_edges(nd, r0, th):
+    rec(node, 0.0)
+
+
+def draw_unrooted(node, ax, show, pattern):
+    """Equal-angle unrooted layout in cartesian coordinates: each subtree
+    gets an angular wedge proportional to its leaf count."""
+
+    def rec(nd, x0, y0, wedge_lo, wedge_hi):
         children, length, name = nd
-        r1 = r0 + length
-        ax.plot([th, th], [r0, r1], color="#333", lw=0.8)
+        ang = (wedge_lo + wedge_hi) / 2.0
+        x1 = x0 + length * math.cos(ang)
+        y1 = y0 + length * math.sin(ang)
+        ax.plot([x0, x1], [y0, y1], color="#333", lw=0.9)
         if not children:
             lab = _leaf_label(name, show, pattern)
             if lab:
-                rot = math.degrees(th)
-                ax.text(th, r1 * 1.02, lab, fontsize=5,
-                        rotation=rot - 90 if 90 < rot % 360 < 270 else rot + 90,
-                        ha="center", va="center")
+                deg = math.degrees(ang)
+                flip = 90 < deg % 360 < 270
+                ax.text(x1, y1, " " + lab if not flip else lab + " ",
+                        fontsize=5, rotation=deg + 180 if flip else deg,
+                        rotation_mode="anchor",
+                        ha="right" if flip else "left", va="center")
+            return
+        total = sum(count_leaves(c) for c in children)
+        lo = wedge_lo
+        for c in children:
+            frac = count_leaves(c) / total
+            hi = lo + (wedge_hi - wedge_lo) * frac
+            rec(c, x1, y1, lo, hi)
+            lo = hi
 
-    pts, _, _ = depth_assign(node, 0.0)
-    # leaf radial stubs + labels
-    for theta, r, name in pts:
-        lab = _leaf_label(name, show, pattern)
-        if lab:
-            deg = math.degrees(theta)
-            ax.text(theta, r * 1.04, lab, fontsize=5, rotation_mode="anchor",
-                    rotation=deg + 180 if 90 < deg % 360 < 270 else deg,
-                    ha="right" if 90 < deg % 360 < 270 else "left",
-                    va="center")
+    children = node[0] or [node]
+    total = sum(count_leaves(c) for c in children)
+    lo = 0.0
+    for c in children:
+        hi = lo + 2 * math.pi * count_leaves(c) / total
+        rec(c, 0.0, 0.0, lo, hi)
+        lo = hi
+    ax.set_aspect("equal")
+
+
+def draw_rect_vertical(node, ax, xcounter, show, pattern, down=False):
+    """Directional u/d layouts: distance on the y axis, tips along x."""
+    children, length, name = node
+
+    def rec(nd, y0):
+        ch, ln, nm = nd
+        y1 = y0 + ln
+        if not ch:
+            x = xcounter[0]
+            xcounter[0] += 1
+            ax.plot([x, x], [y0, y1], color="#333", lw=0.9)
+            lab = _leaf_label(nm, show, pattern)
+            if lab:
+                ax.text(x, y1, " " + lab, va="bottom", ha="center",
+                        fontsize=6, rotation=90)
+            return x
+        xs = [rec(c, y1) for c in ch]
+        x = sum(xs) / len(xs)
+        ax.plot([x, x], [y0, y1], color="#333", lw=0.9)
+        ax.plot([min(xs), max(xs)], [y1, y1], color="#333", lw=0.9)
+        return x
+
+    rec(node, 0.0)
+    if down:
+        ax.invert_yaxis()
 
 
 def build_parser(prog="jx treeplot") -> argparse.ArgumentParser:
@@ -238,23 +283,32 @@ def main(argv=None) -> int:
 
     n = count_leaves(tree)
     show = args.showlabels
-    if args.layout in ("c", "w"):
+    if args.layout == "c":
         fig = plt.figure(figsize=(7, 7))
         ax = fig.add_subplot(projection="polar")
-        draw_circular(tree, ax, show, args.regexlabels,
-                      unrooted=args.layout == "w")
+        draw_circular(tree, ax, show, args.regexlabels)
         ax.set_xticks([])
         ax.set_yticks([])
         ax.spines["polar"].set_visible(False)
+    elif args.layout == "w":
+        fig, ax = plt.subplots(figsize=(7, 7))
+        draw_unrooted(tree, ax, show, args.regexlabels)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        ax.axis("off")
+    elif args.layout in ("u", "d"):
+        fig, ax = plt.subplots(figsize=(max(2, n * 0.14), 6))
+        draw_rect_vertical(tree, ax, [0], show, args.regexlabels,
+                           down=args.layout == "d")
+        ax.set_xticks([])
+        ax.spines[["top", "right", "bottom"]].set_visible(False)
+        ax.set_ylabel("distance")
     else:
         fig, ax = plt.subplots(figsize=(6, max(2, n * 0.14)))
         draw_rect(tree, ax, 0.0, [0], show, args.regexlabels,
                   flip=args.layout == "l")
         if args.layout == "l":
             ax.invert_xaxis()
-        if args.layout in ("u", "d"):
-            # draw with x as distance then swap axes visually by rotation
-            ax.set_ylabel("")
         ax.set_yticks([])
         ax.spines[["top", "right", "left"]].set_visible(False)
         ax.set_xlabel("distance")

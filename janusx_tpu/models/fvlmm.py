@@ -235,20 +235,6 @@ def fvlmm_scan_multi(
     n, T = pg.n, Y.shape[1]
     if Y.shape[0] != n:
         raise ValueError(f"Y rows {Y.shape[0]} != samples {n}")
-    superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
-    if pg.m > superblock:
-        sb = (superblock // block) * block
-        parts = []
-        nulls = None
-        for s0 in range(0, pg.m, sb):
-            sub = pg.take_snps(np.arange(s0, min(s0 + sb, pg.m)))
-            rs, nulls = fvlmm_scan_multi(sub, basis, Y, covariates,
-                                         block=block, mesh=mesh)
-            parts.append(rs)
-        return ([ScanResult.concat([p[t] for p in parts]) for t in range(T)],
-                nulls)
-    if not hasattr(pg, "packed"):
-        pg = pg.take_snps(np.arange(pg.m))
     s = basis.S
     Xr = None
     Ws, CWs, PYs, yPys, nulls = [], [], [], [], []
@@ -269,6 +255,24 @@ def fvlmm_scan_multi(
         CWs.append(Cw)
         PYs.append(Py)
         yPys.append(float(yr @ Py))
+    superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
+    if pg.m > superblock:
+        # the per-trait weights above are SNP-independent; the chunked
+        # calls rebuild them from the same rotations (cheap O(n p) work —
+        # the O(n^2) rotation itself lives inside make_rotated, which the
+        # recursion repeats; acceptable for the rare windowed case) and
+        # every chunk returns identical nulls
+        sb = max((superblock // block) * block, block)
+        parts = []
+        for s0 in range(0, pg.m, sb):
+            sub = pg.take_snps(np.arange(s0, min(s0 + sb, pg.m)))
+            rs, _ = fvlmm_scan_multi(sub, basis, Y, covariates,
+                                     block=block, mesh=mesh)
+            parts.append(rs)
+        return ([ScanResult.concat([p_[t] for p_ in parts]) for t in range(T)],
+                nulls)
+    if not hasattr(pg, "packed"):
+        pg = pg.take_snps(np.arange(pg.m))
     df = n - p - 1
     if df <= 0:
         raise ValueError("df <= 0 in fvlmm scan")

@@ -477,25 +477,26 @@ def lmm_scan_multi(
         raise ValueError(f"Y rows {Y.shape[0]} != samples {n}")
     if grid_points is None:
         grid_points = config.knob("JX_TPU_GRID_POINTS")
+    # per-trait rotations/null fits are SNP-independent: computed once here
+    # and reused by every superblock chunk (the _scan_state cache makes the
+    # recursive calls below hit, not refit)
+    states = [_scan_state(basis, Y[:, t].copy(), covariates, grid_points)
+              for t in range(T)]
+    nulls = [fit_null_reml(rot) for rot, _, _ in states]
     superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
     if pg.m > superblock:
-        sb = (superblock // block) * block
+        sb = max((superblock // block) * block, block)
         parts = []
-        nulls = None
         for s0 in range(0, pg.m, sb):
             sub = pg.take_snps(np.arange(s0, min(s0 + sb, pg.m)))
-            rs, nulls = lmm_scan_multi(sub, basis, Y, covariates, block=block,
-                                       lmm2=lmm2, grid_points=grid_points,
-                                       mesh=mesh)
+            rs, _ = lmm_scan_multi(sub, basis, Y, covariates, block=block,
+                                   lmm2=lmm2, grid_points=grid_points,
+                                   mesh=mesh)
             parts.append(rs)
         return ([ScanResult.concat([p[t] for p in parts]) for t in range(T)],
                 nulls)
     if not hasattr(pg, "packed"):
         pg = pg.take_snps(np.arange(pg.m))
-
-    states = [_scan_state(basis, Y[:, t].copy(), covariates, grid_points)
-              for t in range(T)]
-    nulls = [fit_null_reml(rot) for rot, _, _ in states]
     rots = jax.tree.map(lambda *xs: jnp.stack(xs), *[s[0] for s in states])
     shs = jax.tree.map(lambda *xs: jnp.stack(xs), *[s[2] for s in states])
 

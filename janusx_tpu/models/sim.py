@@ -199,8 +199,9 @@ def simulate_phenotype(
     if epistasis_pairs > 0 and epistasis_pve > 0:
         hom = np.nan_to_num((g == 2).astype(np.int8))
         cand = rng.choice(pool, size=min(2 * epistasis_pairs, pool.size), replace=False)
+        n_pairs = len(cand) // 2  # small pools support fewer pairs
         terms = []
-        for k in range(epistasis_pairs):
+        for k in range(n_pairs):
             i, j = int(cand[2 * k]), int(cand[2 * k + 1])
             e = rng.normal()
             term = _gate_value(epistasis_gate, hom[i], hom[j]).astype(np.float64)

@@ -218,10 +218,32 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
 
             with stage("sparse GRM (precomputed)", log):
                 Ksp = read_jxgrm(cfg.sparse_grm).tocsr()
-            if Ksp.shape[0] != raw.n_samples:
+            id_candidates = [cfg.sparse_grm + ".id",
+                             os.path.splitext(cfg.sparse_grm)[0] + ".id"]
+            id_path = next((c for c in id_candidates if os.path.exists(c)), None)
+            if id_path is not None:
+                # align GRM rows to the genotype sample order by ID
+                grm_ids = [l.split()[0] for l in open(id_path) if l.strip()]
+                if len(grm_ids) != Ksp.shape[0]:
+                    raise ValueError(
+                        f"-spk id sidecar has {len(grm_ids)} ids, GRM dim "
+                        f"{Ksp.shape[0]}")
+                pos = {g: i for i, g in enumerate(grm_ids)}
+                missing = [str(s_) for s_ in raw.samples if str(s_) not in pos]
+                if missing:
+                    raise ValueError(
+                        f"{len(missing)} genotype samples absent from the "
+                        f"-spk GRM ids, e.g. {missing[:3]}")
+                perm = np.array([pos[str(s_)] for s_ in raw.samples])
+                if not np.array_equal(perm, np.arange(len(perm))):
+                    Ksp = Ksp[perm][:, perm].tocsr()
+            elif Ksp.shape[0] != raw.n_samples:
                 raise ValueError(
                     f"-spk GRM has {Ksp.shape[0]} samples, genotype has "
-                    f"{raw.n_samples}")
+                    f"{raw.n_samples} (and no .id sidecar to align by)")
+            else:
+                log.warning("-spk GRM has no .id sidecar: assuming its rows "
+                            "already match the genotype sample order")
         else:
             sp_method = 2 if cfg.sparse_grm == "2" else cfg.grm_method
             with stage("sparse GRM (band-streamed)", log):
@@ -264,7 +286,12 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             if len(members) < 2:
                 continue
             _, _, keep, cov_full = members[0]
-            pg_b = raw.prepare(qc, sample_idx=keep)
+            if cfg.global_stats and len(keep) < raw.n_samples:
+                from janusx_tpu.io.packed import subset_samples_keep_stats
+
+                pg_b = subset_samples_keep_stats(pg_full, keep)
+            else:
+                pg_b = raw.prepare(qc, sample_idx=keep)
             entry_b = {"pg": pg_b, "basis": None}
             prep_cache[mask_key] = entry_b  # the loop reuses subset + basis
             if cfg.scan_ranges:
@@ -283,6 +310,10 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                         pg_b, Yb, cov_b, block=cfg.block, mesh=mesh)):
                     lm_batch[(str(trait), "lm")] = r
             mixed = [m for m in ("lmm", "lmm2", "fvlmm") if m in batchable]
+            if cfg.scan_method != "grid":
+                # lmm_scan_multi is grid-only; honor -scan-method brent by
+                # falling back to the per-trait path for the mixed models
+                mixed = [m for m in mixed if m == "fvlmm"]
             if mixed:
                 Ksub = K[np.ix_(keep, keep)]
                 entry_b["basis"] = eigh_grm(Ksub, diag_ridge=1e-6)
@@ -539,22 +570,28 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 }
             )
     if cfg.write_tsv and cfg.trait_level:
-        # -trait-level: one combined multi-trait TSV (reference trait-level
-        # fast path output shape: leading `trait` column)
-        path = f"{cfg.out_prefix}.traitlevel.assoc.tsv"
-        with open(path, "wt") as fh:
-            header_written = False
-            for r in out:
-                if not r.tsv_path or not os.path.exists(r.tsv_path):
-                    continue
-                with open(r.tsv_path) as src:
-                    hdr = src.readline()
-                    if not header_written:
-                        fh.write("trait\tmodel\t" + hdr)
-                        header_written = True
-                    for line in src:
-                        fh.write(f"{r.trait}\t{r.model}\t" + line)
-        log.info("trait-level combined TSV: %s", path)
+        # -trait-level: combined multi-trait TSVs with a leading `trait`
+        # column. Runs are grouped by output schema (lmm2 carries extra
+        # plrt/lambda/ml columns) so every file is rectangular; the first
+        # schema keeps the plain name, extra schemas get a model suffix.
+        by_header: dict = {}
+        for r in out:
+            if not r.tsv_path or not os.path.exists(r.tsv_path):
+                continue
+            with open(r.tsv_path) as src:
+                hdr = src.readline()
+            by_header.setdefault(hdr, []).append(r)
+        for gi, (hdr, runs_h) in enumerate(by_header.items()):
+            tag = "" if gi == 0 else f".{runs_h[0].model}"
+            path = f"{cfg.out_prefix}.traitlevel{tag}.assoc.tsv"
+            with open(path, "wt") as fh:
+                fh.write("trait\tmodel\t" + hdr)
+                for r in runs_h:
+                    with open(r.tsv_path) as src:
+                        src.readline()
+                        for line in src:
+                            fh.write(f"{r.trait}\t{r.model}\t" + line)
+            log.info("trait-level combined TSV: %s", path)
     if cfg.write_tsv:
         with open(f"{cfg.out_prefix}.gwas.summary.json", "wt") as fh:
             json.dump(
