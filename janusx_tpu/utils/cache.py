@@ -173,3 +173,54 @@ def load_or_build_grm(
         except OSError as e:
             log.warning("GRM cache write failed: %s", e)
     return K
+
+
+def pc_cache_path(geno_prefix: str, maf: float, geno: float, n_pcs: int,
+                  method: int = 1) -> str:
+    """Reference PCA-Q cache naming: {...}.cGRM.pc{q}.txt
+    (workflow.py:243-316 load_or_build_q_with_cache)."""
+    npy_path, _ = grm_cache_paths(geno_prefix, maf, geno, method)
+    return npy_path[: -len(".npy")] + f".pc{int(n_pcs)}.txt"
+
+
+def load_or_build_pcs(
+    geno_prefix: str,
+    K: np.ndarray,
+    samples,
+    maf: float,
+    geno: float,
+    n_pcs: int,
+    method: int = 1,
+    use_cache: bool = True,
+) -> np.ndarray:
+    """Leading GRM eigenvector covariates with the reference text cache
+    (sample-ID column + q PC columns; cache keyed by the ID column)."""
+    path = pc_cache_path(geno_prefix, maf, geno, n_pcs, method)
+    ids = [str(s) for s in samples]
+    if use_cache and os.path.exists(path):
+        try:
+            rows = [l.rstrip("\n").split("\t") for l in open(path) if l.strip()]
+            if [r[0] for r in rows] == ids and all(
+                len(r) == n_pcs + 1 for r in rows
+            ):
+                log.info("PCA-Q cache hit: %s", path)
+                return np.array([[float(v) for v in r[1:]] for r in rows])
+        except Exception:
+            pass
+        log.info("PCA-Q cache stale: %s", path)
+    from janusx_tpu.core.spectral import eigh_grm
+
+    basis = eigh_grm(np.asarray(K), diag_ridge=0.0)
+    pcs = basis.U[:, -n_pcs:][:, ::-1].copy()  # leading PCs first
+    if use_cache:
+        try:
+            tmp = path + ".tmp"
+            with open(tmp, "wt") as fh:
+                for sid, row in zip(ids, pcs):
+                    fh.write(sid + "\t" + "\t".join(f"{v:.8g}" for v in row)
+                             + "\n")
+            os.replace(tmp, path)
+            log.info("PCA-Q cached: %s", path)
+        except OSError:
+            pass
+    return pcs

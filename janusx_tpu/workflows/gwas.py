@@ -254,8 +254,12 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
 
     pcs_full = None
     if cfg.n_pcs > 0:
-        basis_full = eigh_grm(K, diag_ridge=0.0)
-        pcs_full = basis_full.U[:, -cfg.n_pcs:]
+        from janusx_tpu.utils.cache import load_or_build_pcs
+
+        pcs_full = load_or_build_pcs(
+            cfg.genotype, K, raw.samples, cfg.maf, cfg.geno, cfg.n_pcs,
+            method=cfg.grm_method, use_cache=cfg.use_cache,
+        )
 
     os.makedirs(os.path.dirname(os.path.abspath(cfg.out_prefix)) or ".", exist_ok=True)
     out: list[TraitRunResult] = []

@@ -211,3 +211,22 @@ def test_run_gwas_trait_level_lm_batch(toy_dataset, tmp_path):
         assert (a.trait, a.model) == (b.trait, b.model)
         np.testing.assert_allclose(-np.log10(a.result.pwald),
                                    -np.log10(b.result.pwald), atol=5e-3)
+
+
+def test_pc_covariate_cache(toy_dataset, tmp_path):
+    """-q PCs cache to the reference-named {...}.cGRM.pc{q}.txt and reload."""
+    import glob
+    import shutil
+
+    prefix, pheno = toy_dataset
+    cfg = dict(genotype=prefix, phenotype=pheno, models=("lm",),
+               traits=["poly"], n_pcs=2, force_model=True, block=128)
+    r1 = run_gwas(GwasConfig(out_prefix=str(tmp_path / "c1"), **cfg))
+    pc_files = glob.glob(os.path.dirname(prefix) + "/*.cGRM.pc2.txt")
+    assert pc_files, "PCA-Q cache file missing"
+    rows = [l.split("\t") for l in open(pc_files[0])]
+    assert len(rows[0]) == 3  # id + 2 PCs
+    r2 = run_gwas(GwasConfig(out_prefix=str(tmp_path / "c2"), **cfg))
+    # second run reads the %.8g text cache: identical to rounding noise
+    np.testing.assert_allclose(r2[0].result.pwald, r1[0].result.pwald,
+                               rtol=1e-4, atol=1e-9)
