@@ -41,6 +41,10 @@ def build_parser(prog="jx gwas", dev: bool = False) -> argparse.ArgumentParser:
         help="FaST-LMM low-rank exact scan: kinship from Q SNPs (default 4096)",
     )
     m.add_argument("-farmcpu", "--farmcpu", action="store_true", help="FarmCPU multi-locus scan")
+    # reference parity: -fastlmm was removed upstream with a redirect
+    # (workflow.py:6930-6934); -lowrank is the replacement route
+    m.add_argument("-fastlmm", "--fastlmm", action="store_true",
+                   help=argparse.SUPPRESS)
     m.add_argument("-frgwas", "--frgwas", action="store_true", help=_dev("unified FarmCPU route with r2 merging"))
     m.add_argument("-algwas", "--algwas", action="store_true", help=_dev("adaptive-lasso GWAS (stage1 EBIC lasso + stage2 scan)"))
     common.add_qc_args(p)
@@ -99,6 +103,11 @@ def main(argv=None) -> int:
     dev = "-dev" in raw_argv or "--dev" in raw_argv
     raw_argv = [a for a in raw_argv if a not in ("-dev", "--dev")]
     args = build_parser(dev=dev).parse_args(raw_argv)
+    if args.fastlmm:
+        raise SystemExit(
+            "-fastlmm has been removed (reference workflow.py:6930): use "
+            "-lowrank [Q] for the FaST-LMM low-rank route, or -fvlmm for "
+            "the fixed-lambda scan")
     common.apply_mem_budget(args)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "gwas")
