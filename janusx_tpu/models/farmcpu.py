@@ -43,8 +43,13 @@ LD_REDUNDANCY_R = 0.7
 
 
 def _bin_leads(pos_key: np.ndarray, pvals: np.ndarray, window: int, n_lead: int):
-    """Best marker per genomic window, then the n_lead most significant."""
-    bins = pos_key // window
+    """Best marker per genomic window, then the n_lead most significant.
+
+    Windows never straddle chromosomes: the bin id is (chrom, pos//window)
+    rather than pos_key//window, which merges a chromosome tail with the
+    next head whenever window does not divide the 1e10 key stride."""
+    chrom_part = pos_key // 10_000_000_000
+    bins = chrom_part * (1 << 40) + (pos_key % 10_000_000_000) // window
     order = np.argsort(pvals, kind="stable")
     seen: set = set()
     leads = []
@@ -138,10 +143,11 @@ def farmcpu_scan(
     qtns = np.array([], dtype=np.int64)
     history = []
     pvals = None
+    loop = -1  # max_loops=0 -> final scan only
     for loop in range(max_loops):
         cov = covariates
         if len(qtns):
-            Zq = pgq.centered()[qtns] if m < 200_000 else _decode_rows(pgq, qtns)
+            Zq = _decode_rows(pgq, qtns)  # (q, n): never densify all m rows
             cov_q = Zq.T
             cov = cov_q if cov is None else np.concatenate([cov, cov_q], axis=1)
         res = lm_scan(pgq, y, cov, block=block)
@@ -228,14 +234,20 @@ def _qtn_pvalues(pg, y, covariates, qtns) -> np.ndarray:
     return pv[X.shape[1]:]
 
 
-def _prune_correlated(pg, cand, pvals, r_cut):
-    if len(cand) <= 1:
-        return cand
-    Z = _decode_rows(pg, cand)
+def _corr_matrix(pg, idx: np.ndarray) -> np.ndarray:
+    """Pearson correlation matrix of the decoded rows in ``idx``."""
+    Z = _decode_rows(pg, idx)
     Zs = Z - Z.mean(axis=1, keepdims=True)
     norms = np.sqrt((Zs * Zs).sum(axis=1))
     norms[norms == 0] = 1.0
-    R = (Zs / norms[:, None]) @ (Zs / norms[:, None]).T
+    Zn = Zs / norms[:, None]
+    return Zn @ Zn.T
+
+
+def _prune_correlated(pg, cand, pvals, r_cut):
+    if len(cand) <= 1:
+        return cand
+    R = _corr_matrix(pg, cand)
     order = np.argsort(pvals[cand], kind="stable")
     keep = []
     for i in order:
@@ -273,11 +285,7 @@ def _merged_groups(
     parent = list(range(k))
     chrom = pg.sites.chrom[qtn_idx]
     pos = pg.sites.pos[qtn_idx]
-    Z = _decode_rows(pg, qtn_idx)
-    Zs = Z - Z.mean(axis=1, keepdims=True)
-    norms = np.sqrt((Zs * Zs).sum(axis=1))
-    norms[norms == 0] = 1.0
-    R2 = ((Zs / norms[:, None]) @ (Zs / norms[:, None]).T) ** 2
+    R2 = _corr_matrix(pg, qtn_idx) ** 2
     for a in range(k):
         for b in range(a + 1, k):
             if chrom[a] != chrom[b]:
@@ -350,6 +358,7 @@ def farmcpu_unified_scan(
     seen: set = set()
     best_score: dict = {}
     history = []
+    loop = -1  # max_loops=0 -> final scan only
     for loop in range(max_loops):
         cov = covariates
         if len(qtns):
@@ -407,8 +416,9 @@ def farmcpu_unified_scan(
         cov = cov_q if cov is None else np.concatenate([cov, cov_q], axis=1)
     final = lm_scan(pg, y, cov, block=block)
     if len(qtns):
-        final.pwald[qtns] = _qtn_pvalues(pg, y, covariates, qtns)
-        # stage2 merged-window local re-scans
+        # stage2 merged-window local re-scans (these windows cover every
+        # pseudo-QTN, so a separate conditional refit of the QTN rows here
+        # would be overwritten immediately)
         groups = _merged_groups(
             pg, qtns, FINAL_WINDOW_BP, FINAL_MERGE_R2, merge_overlapping=True
         )

@@ -471,7 +471,7 @@ def _final_stats_lr(cs: _LrConsts, Gr, cgX, cgy, cgg, lg_star, n: int,
     return beta, se, ml
 
 
-def _lr_block(packed, mean, cs: _LrConsts, sh: GridShared, n: int,
+def _lr_block(packed, cs: _LrConsts, sh: GridShared, n: int,
               model: str, with_ml: bool):
     """One SNP block: decode → genetic-model transform → project to the
     k-space → grid λ* → per-lane beta/se. Returns (lg, beta, se, ml, ssq)."""
@@ -518,7 +518,7 @@ def _lr_block(packed, mean, cs: _LrConsts, sh: GridShared, n: int,
 
 
 @partial(jax.jit, static_argnames=("n", "model", "with_ml"))
-def _lr_scan_resident(pk, mn, cs: _LrConsts, sh: GridShared, n: int,
+def _lr_scan_resident(pk, cs: _LrConsts, sh: GridShared, n: int,
                       model: str, with_ml: bool):
     """Whole-scan resident form: lax.scan over pre-blocked (nblk, B, K)
     packed rows, one dispatch, one stacked (5, nblk, B) fetch — the
@@ -526,11 +526,10 @@ def _lr_scan_resident(pk, mn, cs: _LrConsts, sh: GridShared, n: int,
     dispatch costs ~ms of round-trips per block on remote-attached
     TPUs, which dominates at chromosome-scale m)."""
 
-    def body(_, xs):
-        pkb, mnb = xs
-        return None, _lr_block(pkb, mnb, cs, sh, n, model, with_ml)
+    def body(_, pkb):
+        return None, _lr_block(pkb, cs, sh, n, model, with_ml)
 
-    _, outs = jax.lax.scan(body, None, (pk, mn))
+    _, outs = jax.lax.scan(body, None, pk)
     return jnp.stack(outs)
 
 
@@ -558,6 +557,21 @@ def fastlmm_scan(
         rot = make_rotated_lr(lrb, y, covariates)
     if null is None:
         null, _, _ = fit_null_reml_lr(rot)
+    # lazy (windowed low-memory) or huge inputs: chunk through the
+    # resident scan like every other route (nulls/rotation reused)
+    superblock = min(1 << 20, getattr(pg, "max_resident_snps", 1 << 20))
+    if pg.m > superblock:
+        sb = max((superblock // block) * block, block)
+        parts = []
+        for s0 in range(0, pg.m, sb):
+            sub = pg.take_snps(np.arange(s0, min(s0 + sb, pg.m)))
+            r, null = fastlmm_scan(sub, lrb, y, covariates, block=block,
+                                   lmm2=lmm2, grid_points=grid_points,
+                                   model=model, rot=rot, null=null)
+            parts.append(r)
+        return ScanResult.concat(parts), null
+    if not hasattr(pg, "packed"):
+        pg = pg.take_snps(np.arange(pg.m))
     grid_lg = np.linspace(
         config.LOG10_LAMBDA_LOW, config.LOG10_LAMBDA_HIGH, grid_points
     )
@@ -570,11 +584,8 @@ def fastlmm_scan(
     m_pad = -(-m // block) * block
     nblk = m_pad // block
     pk = devcache.device_packed_blocks(pg, (nblk, block))
-    mn = devcache.to_device_blocks(
-        pg.mean, (nblk, block), 0.0, dtype=jnp.float32
-    )
     out = np.asarray(
-        _lr_scan_resident(pk, mn, cs, sh, n, model, lmm2)
+        _lr_scan_resident(pk, cs, sh, n, model, lmm2)
     ).reshape(5, m_pad)
     lbd = 10.0 ** out[0, :m]
     beta = out[1, :m]

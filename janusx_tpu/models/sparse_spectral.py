@@ -88,6 +88,19 @@ class BlockSpectralK:
                 U = np.ones((nc, 1, 1))
             else:
                 svals, U = np.linalg.eigh(blocks)
+            # thresholding a PSD GRM can leave indefinite components; a
+            # negative eigenvalue makes V = K + lbd I singular inside the
+            # lambda search range and silently corrupts logdet/solve
+            # (np.abs would hide the sign). Clamp to the PSD projection
+            # and say so — matches the dense path's eigenvalue clip.
+            neg = float(svals.min()) if svals.size else 0.0
+            if neg < -1e-8:
+                import logging
+
+                logging.getLogger("janusx_tpu.sparse").warning(
+                    "thresholded kinship component indefinite (min eig "
+                    "%.3g): clamping to its PSD projection", neg)
+            np.clip(svals, 0.0, None, out=svals)
             n_pad = int((idx == n).sum())
             out.buckets.append(_Bucket(idx=idx, U=U, svals=svals, n_pad=n_pad))
             out.n_pad += n_pad
@@ -113,8 +126,8 @@ class BlockSpectralK:
         """log det(K + lbd I), pad contribution removed analytically."""
         tot = 0.0
         for b in self.buckets:
-            tot += float(np.sum(np.log(np.abs(b.svals + lbd))))
-        return tot - self.n_pad * np.log(abs(1.0 + lbd))
+            tot += float(np.sum(np.log(b.svals + lbd)))
+        return tot - self.n_pad * np.log(1.0 + lbd)
 
     def solve(self, lbd: float, B: np.ndarray) -> np.ndarray:
         """(K + lbd I)^-1 B for (n,) or (n, k) B."""

@@ -105,15 +105,22 @@ def build_sparse_grm(
     Diagonal entries always kept; off-diagonals kept when |K_ij| >= cutoff
     (negative cutoff keeps everything — then prefer the dense builder).
     """
-    from janusx_tpu.models.grm import _snp_scales
-
+    if method == 3:
+        # _grm_rowband decodes standardized-additive only; the dominance
+        # het-indicator decode lives in the dense builder. Fail loudly
+        # instead of silently returning an additive matrix.
+        raise ValueError("build_sparse_grm supports methods 1/2 "
+                         "(dominance kinship: use the dense grm builder)")
     n = pg.n_samples
     m = pg.m
     lazy = not hasattr(pg, "packed")
-    denom = 0.0
-    for sub in ([pg] if not lazy else (s for _, _, s in pg.iter_materialized())):
-        _, _, var = _snp_scales(sub, method)
-        denom += float(var.sum()) if method in (1, 3) else float(sub.m)
+    # denominator from the handle's per-SNP stats: methods 1/2 need only
+    # af (held in RAM even for disk-backed inputs) — no materialize pass
+    if method == 1:
+        var = 2.0 * pg.af * (1.0 - pg.af)
+        denom = float(var.sum())
+    else:
+        denom = float(m)
     if denom <= 0:
         raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
     block = min(block, m)

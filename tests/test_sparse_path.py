@@ -270,3 +270,40 @@ def test_build_sparse_grm_windowed_input(tmp_path):
     K1 = build_sparse_grm(ram, cutoff=0.05, row_band=64)
     K2 = build_sparse_grm(wp, cutoff=0.05, row_band=64)
     np.testing.assert_allclose(K2.toarray(), K1.toarray(), rtol=2e-3, atol=1e-9)
+
+
+def test_block_spectral_indefinite_clamped():
+    """Thresholded-K components can go indefinite: eigenvalues clamp to
+    the PSD projection instead of silently corrupting logdet/solve."""
+    import scipy.sparse
+
+    from janusx_tpu.models.sparse_spectral import BlockSpectralK
+
+    K = np.array([[1.0, 0.9, 0.0], [0.9, 1.0, 0.9], [0.0, 0.9, 1.0]])
+    assert np.linalg.eigvalsh(K)[0] < 0  # genuinely indefinite
+    bs = BlockSpectralK.from_sparse(scipy.sparse.csc_matrix(K))
+    assert bs.svals_concat().min() >= 0
+    want = float(np.sum(np.log(np.clip(np.linalg.eigvalsh(K), 0, None) + 0.5)))
+    assert bs.logdet(0.5) == pytest.approx(want, abs=1e-8)
+
+
+def test_farmcpu_zero_loops():
+    """--farmcpu-iter 0 runs the final scan without a QTN loop."""
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io.packed import QcParams, pack_genotypes
+    from janusx_tpu.models.farmcpu import farmcpu_scan, farmcpu_unified_scan
+
+    rng = np.random.default_rng(0)
+    m, n = 100, 60
+    g = rng.integers(0, 3, (m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object), pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object), allele1=np.array(["G"] * m, object),
+    )
+    pg = pack_genotypes(
+        GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object)),
+        QcParams(maf=0.0, geno=1.0))
+    y = rng.normal(size=n)
+    assert farmcpu_scan(pg, y, max_loops=0).loops == 0
+    assert farmcpu_unified_scan(pg, y, max_loops=0).loops == 0
