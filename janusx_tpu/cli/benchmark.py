@@ -154,8 +154,8 @@ def gblupbench_main(argv=None) -> int:
                 pv = predict_gblup(mdl, K, train[va])
             else:
                 mdl0 = fit_gblup(K, y, train[tr])
-                alpha = fit_gblup_cg(K, y, train[tr], mdl0.lbd)
-                pv = K[np.ix_(train[va], train[tr])] @ alpha + mdl0.beta[0]
+                alpha, beta0 = fit_gblup_cg(K, y, train[tr], mdl0.lbd)
+                pv = K[np.ix_(train[va], train[tr])] @ alpha + beta0[0]
             rs.append(regression_metrics(y[train[va]], pv)["pearson"])
         cv_s = time.monotonic() - t0
         t0 = time.monotonic()
@@ -164,8 +164,8 @@ def gblupbench_main(argv=None) -> int:
             pv = predict_gblup(mdl, K, test)
         else:
             mdl0 = fit_gblup(K, y, train)
-            alpha = fit_gblup_cg(K, y, train, mdl0.lbd)
-            pv = K[np.ix_(test, train)] @ alpha + mdl0.beta[0]
+            alpha, beta0 = fit_gblup_cg(K, y, train, mdl0.lbd)
+            pv = K[np.ix_(test, train)] @ alpha + beta0[0]
         fit_s = time.monotonic() - t0
         test_r = regression_metrics(y[test], pv)["pearson"]
         rows.append({"route": route, "cv_seconds": round(cv_s, 3),

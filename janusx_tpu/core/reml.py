@@ -347,127 +347,12 @@ def lmm_grid_scan_with(sh: GridShared, rot: RotatedData, Gr: jax.Array):
 def lmm_grid_scan(rot: RotatedData, Gr: jax.Array, grid_lg: jax.Array):
     """Per-SNP REML λ optimization over a SHARED fine log10-λ grid.
 
-    The TPU-native replacement for sequential per-SNP Brent: because the
-    grid is shared by every SNP lane, all weighted sums become two MXU
-    matmuls — (G, n) grid weights against the shared X/y pair products,
-    and (B, n) per-SNP products against the (n, G) weight matrix — and
-    the per-(SNP, λ) profiled REML follows in closed form via a Schur
-    complement on the shared (ridged) covariate Gram (no per-cell
-    Cholesky). argmin over the grid plus a 3-point parabolic refinement
-    localizes λ* to ~spacing²·curvature, well inside the reference's
-    Brent tolerance of 1e-2 (src/stats/lmm.rs:334); final beta/se/ML are
-    then evaluated EXACTLY in f64 at λ* by the batched spectral path.
-
-    Grid gram matmuls run in f32 (HIGHEST); their ~1e-7 relative noise
-    can only perturb WHICH grid cell wins between near-ties, bounded by
-    one grid spacing — within scan tolerance.
-
-    Returns lg_star (B,) float64.
-    """
-    n, p = rot.n, rot.p
-    G = grid_lg.shape[0]
-    lbd = jnp.power(10.0, grid_lg)  # (G,)
-    v = rot.s[None, :] + lbd[:, None]  # (G, n) f64
-    w64 = 1.0 / v
-    logdetV = jnp.sum(jnp.log(v), axis=-1)  # (G,)
-    hp = jax.lax.Precision.HIGHEST
-
-    # shared X/y pieces, f64 (small: G x p^2)
-    Axx = jnp.dot(w64, rot.PXX, precision=hp).reshape(G, p, p)
-    axy = jnp.dot(w64, rot.PXy, precision=hp)  # (G, p)
-    ayy = jnp.dot(w64, rot.Pyy, precision=hp)  # (G,)
-    Ar = Axx + config.GRAM_RIDGE * jnp.eye(p, dtype=Axx.dtype)
-    # Cholesky-based inverse/logdet (TPU has no f64 LU expander)
-    L = jnp.linalg.cholesky(Ar)
-    logdetAr = 2.0 * jnp.sum(
-        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
-    )
-    eyeP = jnp.broadcast_to(jnp.eye(p, dtype=Ar.dtype), Ar.shape)
-    Zi = jax.lax.linalg.triangular_solve(
-        L, eyeP, left_side=True, lower=True, transpose_a=False
-    )
-    Ar_inv = jax.lax.linalg.triangular_solve(
-        L, Zi, left_side=True, lower=True, transpose_a=True
-    )
-    Ainv_axy = jnp.einsum("gpq,gq->gp", Ar_inv, axy)  # (G, p)
-
-    # per-SNP pieces: everything on the (B, G) lattice runs in f32 — only
-    # grid-cell RANKING happens here, and f64 is software-emulated on TPU.
-    f32 = jnp.float32
-    w32 = w64.astype(f32)  # (G, n)
-    Gr32 = Gr.astype(f32)
-    yr32 = rot.yr.astype(f32)
-    Xr32 = rot.Xr.astype(f32)
-    wT = w32.T  # (n, G)
-    agg = jnp.dot(Gr32 * Gr32, wT, precision=hp)  # (B, G)
-    agy = jnp.dot(Gr32 * yr32[None, :], wT, precision=hp)
-    # a_Xg: (B, G, p) — one matmul per covariate column
-    axg = jnp.stack(
-        [
-            jnp.dot(Gr32 * Xr32[None, :, k], wT, precision=hp)
-            for k in range(p)
-        ],
-        axis=-1,
-    )
-
-    Axx32 = Axx.astype(f32)
-    axy32 = axy.astype(f32)
-    ayy32 = ayy.astype(f32)
-    Ar_inv32 = Ar_inv.astype(f32)
-    Ainv_axy32 = Ainv_axy.astype(f32)
-    ridge32 = jnp.asarray(config.GRAM_RIDGE, f32)
-
-    # Schur-complement closed form for the ridged (p+1) system
-    u = jnp.einsum("gpq,bgq->bgp", Ar_inv32, axg)  # (B, G, p)
-    schur = (agg + ridge32) - jnp.einsum("bgp,bgp->bg", axg, u)
-    beta_g = (agy - jnp.einsum("bgp,gp->bg", axg, Ainv_axy32)) / schur
-    beta_X = Ainv_axy32[None] - beta_g[..., None] * u  # (B, G, p)
-
-    # r'Wr = ayy - 2 b'rhs + b'M0 b  (M0 = unridged Gram)
-    bX_axy = jnp.einsum("bgp,gp->bg", beta_X, axy32)
-    lin = bX_axy + beta_g * agy
-    quad = (
-        jnp.einsum("bgp,gpq,bgq->bg", beta_X, Axx32, beta_X)
-        + 2.0 * beta_g * jnp.einsum("bgp,bgp->bg", axg, beta_X)
-        + beta_g * beta_g * agg
-    )
-    rtwr = ayy32[None] - 2.0 * lin + quad  # (B, G)
-
-    p1 = p + 1
-    nf, pf = float(n), float(p1)
-    # The selection objective only RANKS grid cells, so its transcendentals
-    # run in f32 (f64 log/exp are software-emulated on TPU). The resulting
-    # ~1e-3 absolute objective noise wanders the argmin by
-    # sqrt(2*eps/curvature) ~ 1e-2 in log10(λ) — the reference's own Brent
-    # tolerance (src/stats/lmm.rs:334). beta/se/ML are re-evaluated in f64.
-    logdetMr32 = logdetAr.astype(f32)[None] + jnp.log(schur)
-    neg_reml = 0.5 * (
-        jnp.asarray(nf - pf, f32) * jnp.log(rtwr)
-        + logdetV.astype(f32)[None]
-        + logdetMr32
-    )
-    bad = ~jnp.isfinite(neg_reml) | (rtwr <= 0) | (schur <= 0)
-    neg_reml = jnp.where(bad, jnp.asarray(jnp.inf, f32), neg_reml)
-
-    idx = jnp.argmin(neg_reml, axis=-1)  # (B,)
-    # 3-point parabolic refinement around the winning cell
-    i0 = jnp.clip(idx, 1, G - 2)
-    fm = jnp.take_along_axis(neg_reml, (i0 - 1)[:, None], axis=1)[:, 0]
-    f0 = jnp.take_along_axis(neg_reml, i0[:, None], axis=1)[:, 0]
-    fp = jnp.take_along_axis(neg_reml, (i0 + 1)[:, None], axis=1)[:, 0]
-    h = grid_lg[1] - grid_lg[0]
-    denom = fm - 2.0 * f0 + fp
-    shift = jnp.where(
-        jnp.isfinite(denom) & (denom > 0),
-        0.5 * (fm - fp) / jnp.where(denom == 0, 1.0, denom),
-        0.0,
-    )
-    shift = jnp.clip(shift, -1.0, 1.0)
-    lg_star = grid_lg[i0] + shift * h
-    # fall back to the raw argmin cell at the grid edges
-    lg_star = jnp.where((idx == 0) | (idx == G - 1), grid_lg[idx], lg_star)
-    return lg_star
-
+    Thin composition of grid_shared + lmm_grid_scan_with (the fused
+    stacked-matmul form): earlier revisions carried a duplicated inline
+    copy of the same Schur algebra with per-covariate matmuls, which was
+    both slower (~20% whole-scan, BENCH_NOTES) and a second place to
+    maintain the closed form. Returns lg_star (B,) float64."""
+    return lmm_grid_scan_with(grid_shared(rot, grid_lg), rot, Gr)
 
 def final_stats_f32(
     sh_rot: RotatedData, Gr32: jax.Array, log10_lbd: jax.Array, with_ml: bool
@@ -696,7 +581,16 @@ def fit_null_reml_host(
         options={"xatol": tol, "maxiter": max_iter},
     )
     lg = float(res.x)
-    beta, rtwr, logdetV, _ = pieces(lg)
+    out = pieces(lg)
+    if out is None or not np.isfinite(out[1]) or out[1] <= 0.0:
+        # degenerate phenotype (e.g. all-zero/constant y) or a V that is
+        # never PD over the search range: degrade to NaN like the device
+        # twin instead of crashing (callers treat NaN ml/reml as "no
+        # mixed-model evidence" — the LMM->LM switch then picks LM)
+        fit = NullFit(lbd=10.0 ** lg, log10_lbd=lg, reml=float("nan"),
+                      ml=float("nan"))
+        return fit, np.zeros(p), float("nan")
+    beta, rtwr, logdetV, _ = out
     cm = n * (math.log(n) - 1.0 - math.log(2.0 * math.pi)) / 2.0
     ml = cm - 0.5 * (n * math.log(rtwr) + logdetV)
     fit = NullFit(

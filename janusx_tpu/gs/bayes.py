@@ -261,6 +261,10 @@ def bayes_fit(
 ):
     """Returns (marker_effects (m,), mu)."""
     tag = {"BayesA": "A", "BayesB": "B", "BayesCpi": "Cpi"}[method]
+    if burnin >= n_iter:
+        raise ValueError(
+            f"bayes burnin ({burnin}) must be smaller than n_iter "
+            f"({n_iter}): no posterior samples would be collected")
     Z = np.asarray(Z, np.float32)
     n, m = Z.shape
     C = min(block, max(8, m))
@@ -269,8 +273,10 @@ def bayes_fit(
     Zt = np.zeros((m_pad, n), np.float32)
     Zt[:m] = Z.T
     Zb = Zt.reshape(n_blocks, C, n)
-    Gb = np.einsum("bcn,bdn->bcd", Zb, Zb).astype(np.float32)
-    x2 = np.einsum("bcn,bcn->bc", Zb, Zb).astype(np.float32)
+    # batched BLAS sgemm — einsum(optimize=False) would run this O(m*C*n)
+    # contraction as a scalar loop
+    Gb = (Zb @ Zb.transpose(0, 2, 1)).astype(np.float32)
+    x2 = (Zb * Zb).sum(axis=2).astype(np.float32)
     if tag == "A":
         # joint block-MVN sampler (same posterior, ~C x fewer serial steps)
         beta, mu = _gibbs_blocked_a(

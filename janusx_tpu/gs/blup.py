@@ -190,6 +190,12 @@ def predict_gblup_kernels(
     return pred
 
 
+@partial(jax.jit, static_argnames=("max_iter",))
+def _gblup_cg_solve(Ktt, r, diag, lbd, tol, max_iter: int):
+    mv = lambda v: jnp.dot(Ktt, v, precision=jax.lax.Precision.HIGHEST) + lbd * v
+    return cg_solve(mv, r, diag_precond=diag, tol=tol, max_iter=max_iter)
+
+
 def fit_gblup_cg(
     K: np.ndarray,
     y: np.ndarray,
@@ -198,10 +204,15 @@ def fit_gblup_cg(
     covariates: np.ndarray | None = None,
     tol: float | None = None,
     max_iter: int | None = None,
-) -> np.ndarray:
+) -> tuple[np.ndarray, np.ndarray]:
     """α via Jacobi-PCG on (K_tt + λI) — the large-n route that avoids the
     O(n^3) eigendecomposition (reference rrblup_pcg/splmm PCG analog).
-    Returns alpha; fixed effects must be handled by the caller."""
+
+    Returns (alpha, beta): beta is the OLS fixed-effect fit used to
+    residualize y, so callers can form consistent predictions
+    X_new @ beta + K[new, train] @ alpha. The solver is a module-level
+    jit (lbd/tol traced) — one compile per (shape, max_iter), not per
+    call/fold."""
     tol = config.knob("JX_TPU_CG_TOL") if tol is None else tol
     max_iter = config.knob("JX_TPU_CG_MAX_ITER") if max_iter is None else max_iter
     train_idx = np.asarray(train_idx)
@@ -213,12 +224,7 @@ def fit_gblup_cg(
     )
     beta, *_ = np.linalg.lstsq(X, y_t, rcond=None)
     r = jnp.asarray(y_t - X @ beta, jnp.float32)
-    diag = jnp.diag(Ktt) + lbd
-
-    @jax.jit
-    def solve(Ktt, r, diag):
-        mv = lambda v: jnp.dot(Ktt, v, precision=jax.lax.Precision.HIGHEST) + lbd * v
-        return cg_solve(mv, r, diag_precond=diag, tol=tol, max_iter=max_iter)
-
-    res = solve(Ktt, r, diag)
-    return np.asarray(res.x, np.float64)
+    diag = jnp.diag(Ktt) + jnp.float32(lbd)
+    res = _gblup_cg_solve(Ktt, r, diag, jnp.float32(lbd), jnp.float32(tol),
+                          int(max_iter))
+    return np.asarray(res.x, np.float64), np.asarray(beta, np.float64)

@@ -48,12 +48,19 @@ def _resident_cap(nb_full: int) -> int:
     return max(min(cap, DEFAULT_MAX_RESIDENT), 256)
 
 
-def _read_rows(path: str, nb: int, start: int, stop: int) -> np.ndarray:
+def _read_rows(path: str, nb: int, start: int, stop: int,
+               fh=None) -> np.ndarray:
     """pread BED rows [start, stop) as raw bytes (m_w, nb)."""
     count = (stop - start) * nb
-    with open(path, "rb") as fh:
+    own = fh is None
+    if own:
+        fh = open(path, "rb")
+    try:
         fh.seek(3 + start * nb)
         buf = np.fromfile(fh, dtype=np.uint8, count=count)
+    finally:
+        if own:
+            fh.close()
     if buf.size != count:
         raise IOError(f"{path}: short read at rows [{start},{stop})")
     return buf.reshape(stop - start, nb)
@@ -189,9 +196,13 @@ class WindowedPacked:
             brk = np.nonzero(np.diff(rows) != 1)[0] + 1
             starts = np.concatenate([[0], brk])
             ends = np.concatenate([brk, [len(rows)]])
-            for a, b in zip(starts, ends):
-                raw = _read_rows(self.bed_path, self.nb_full, rows[a], rows[b - 1] + 1)
-                out[a:b] = raw
+            # one shared handle: scattered index sets (LD-pruned picks)
+            # have ~no consecutive runs, so per-run open() would cost one
+            # open/seek/read syscall triple per SNP
+            with open(self.bed_path, "rb") as fh:
+                for a, b in zip(starts, ends):
+                    out[a:b] = _read_rows(self.bed_path, self.nb_full,
+                                          rows[a], rows[b - 1] + 1, fh=fh)
         packed = bitcodec.translate(out, bitcodec.BED_TO_DOSAGE_LUT)
         packed = bitcodec.mask_tail(packed, self.n_full)
         if self.sample_idx is not None:

@@ -31,6 +31,40 @@ class HeFit:
     boundary: str = "interior"
 
 
+
+
+def _project_nnls_2x2(a11, a12, a22, b1, b2, vg, ve):
+    """NNLS projection of the 2x2 HE normal-equation solution onto
+    vg, ve >= 0 (reference he_project_nnls_2x2, he.rs:815-860): evaluate
+    the unconstrained point and both single-boundary least-squares refits
+    plus the origin, keep the feasible candidate with the smallest
+    residual. Returns (vg, ve, boundary_tag)."""
+
+    def resid(x0, x1):
+        r0 = a11 * x0 + a12 * x1 - b1
+        r1 = a12 * x0 + a22 * x1 - b2
+        return r0 * r0 + r1 * r1
+
+    best = (0.0, 0.0, resid(0.0, 0.0), "origin")
+
+    def consider(x0, x1, tag):
+        nonlocal best
+        if not (np.isfinite(x0) and np.isfinite(x1)) or x0 < 0 or x1 < 0:
+            return
+        obj = resid(x0, x1)
+        if np.isfinite(obj) and obj < best[2]:
+            best = (x0, x1, obj, tag)
+
+    consider(vg, ve, "interior")
+    col1 = a12 * a12 + a22 * a22
+    if np.isfinite(col1) and col1 > 0:
+        consider(0.0, max((a12 * b1 + a22 * b2) / col1, 0.0), "sigma_g_zero")
+    col0 = a11 * a11 + a12 * a12
+    if np.isfinite(col0) and col0 > 0:
+        consider(max((a11 * b1 + a12 * b2) / col0, 0.0), 0.0, "sigma_e_zero")
+    return best[0], best[1], best[3]
+
+
 def he_regression(
     K: np.ndarray, y: np.ndarray, covariates: np.ndarray | None = None
 ) -> HeFit:
@@ -54,11 +88,8 @@ def he_regression(
     A = np.array([[a11, a12], [a12, a22]])
     b = np.array([b1, b2])
     vg, ve = np.linalg.solve(A, b)
-    boundary = "interior"
-    if vg < 0:
-        vg, boundary = 0.0, "sigma_g_zero"
-    if ve < 1e-12:
-        ve, boundary = 1e-12, "sigma_e_zero"
+    vg, ve, boundary = _project_nnls_2x2(a11, a12, a22, b1, b2, vg, ve)
+    ve = max(ve, 1e-12)
     h2 = vg / (vg + ve) if vg + ve > 0 else 0.0
     return HeFit(vg=float(vg), ve=float(ve), h2=float(h2), boundary=boundary)
 
@@ -191,11 +222,8 @@ def he_streamed(
     b2 = float(r @ r)
     A = np.array([[tr_k2, tr_k], [tr_k, float(n)]])
     vg, ve = np.linalg.solve(A, np.array([b1, b2]))
-    boundary = "interior"
-    if vg < 0:
-        vg, boundary = 0.0, "sigma_g_zero"
-    if ve < 1e-12:
-        ve, boundary = 1e-12, "sigma_e_zero"
+    vg, ve, boundary = _project_nnls_2x2(tr_k2, tr_k, float(n), b1, b2, vg, ve)
+    ve = max(ve, 1e-12)
     h2 = vg / (vg + ve) if vg + ve > 0 else 0.0
     return HeFit(
         vg=float(vg), ve=float(ve), h2=float(h2),

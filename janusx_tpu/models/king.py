@@ -36,7 +36,7 @@ def _king_counts(packed, block: int):
     hp = jax.lax.Precision.HIGHEST
 
     def body(carry, pkb):
-        hh, opp, het_shared_i, obs2 = carry
+        hh, opp, het_shared_i = carry
         codes = decode.unpack_codes(pkb)
         obs = (codes != 3).astype(jnp.float32)
         h = (codes == 1).astype(jnp.float32)
@@ -47,13 +47,12 @@ def _king_counts(packed, block: int):
         opp = opp + o + o.T
         # het count of sample i over sites observed in j
         het_shared_i = het_shared_i + jnp.dot(h.T, obs, precision=hp)
-        obs2 = obs2 + jnp.dot(obs.T, obs, precision=hp)
-        return (hh, opp, het_shared_i, obs2), None
+        return (hh, opp, het_shared_i), None
 
     n_pad = packed.shape[1] * 4
     z = jnp.zeros((n_pad, n_pad), jnp.float32)
-    (hh, opp, hsi, obs2), _ = jax.lax.scan(body, (z, z, z, z), pk)
-    return hh, opp, hsi, obs2
+    (hh, opp, hsi), _ = jax.lax.scan(body, (z, z, z), pk)
+    return hh, opp, hsi
 
 
 def king_kinship(pg: PackedGenotypes, block: int = config.DEFAULT_SNP_BLOCK):
@@ -62,7 +61,7 @@ def king_kinship(pg: PackedGenotypes, block: int = config.DEFAULT_SNP_BLOCK):
     block = min(block, m)
     m_pad = -(-m // block) * block
     pk = devcache.device_packed(pg, m_pad)
-    hh, opp, hsi, obs2 = _king_counts(pk, block)
+    hh, opp, hsi = _king_counts(pk, block)
     n = pg.n
     hh = np.asarray(hh, np.float64)[:n, :n]
     opp = np.asarray(opp, np.float64)[:n, :n]
