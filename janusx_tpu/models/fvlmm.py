@@ -98,7 +98,7 @@ def fvlmm_scan(
     same sample subset as ``pg``."""
     superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
     if pg.m > superblock:
-        sb = (superblock // block) * block
+        sb = max((superblock // block) * block, block)
         parts = []
         for s in range(0, pg.m, sb):
             sub = pg.take_snps(np.arange(s, min(s + sb, pg.m)))

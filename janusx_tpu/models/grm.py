@@ -257,5 +257,13 @@ def grm_from_packed(
 
 
 def grm_denominator(pg: PackedGenotypes, method: int = 1) -> float:
-    var = 2.0 * pg.af * (1.0 - pg.af)
-    return float(var.sum()) if method == 1 else float(pg.m)
+    """Normalizer matching grm_from_packed's accumulation: method 1
+    sum 2p(1-p); method 2 m; method 3 (dominance het-indicator)
+    sum hf(1-hf)."""
+    if method == 3:
+        _, _, var = _snp_scales(pg, 3)
+        return float(var.sum())
+    if method == 1:
+        var = 2.0 * pg.af * (1.0 - pg.af)
+        return float(var.sum())
+    return float(pg.m)

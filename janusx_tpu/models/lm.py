@@ -122,7 +122,7 @@ def lm_scan(
     """Run the LM scan over all SNPs of an (already subset) PackedGenotypes."""
     superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
     if pg.m > superblock:
-        sb = (superblock // block) * block
+        sb = max((superblock // block) * block, block)
         parts = [
             lm_scan(pg.take_snps(np.arange(s, min(s + sb, pg.m))), y,
                     covariates, block=block, mesh=mesh)
@@ -243,7 +243,7 @@ def lm_scan_multi(
         raise ValueError(f"Y rows {Y.shape[0]} != samples {n}")
     superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
     if pg.m > superblock:
-        sb = (superblock // block) * block
+        sb = max((superblock // block) * block, block)
         parts = [
             lm_scan_multi(pg.take_snps(np.arange(s0, min(s0 + sb, pg.m))), Y,
                           covariates, block=block, mesh=mesh)

@@ -213,6 +213,9 @@ _state_cache: dict = {}
 _STATE_CACHE_MAX = 8
 
 
+_grid_shared_jit = jax.jit(grid_shared)
+
+
 def _scan_state(basis: SpectralBasis, y: np.ndarray, covariates, grid_points: int):
     key = (
         id(basis.U),
@@ -230,10 +233,20 @@ def _scan_state(basis: SpectralBasis, y: np.ndarray, covariates, grid_points: in
         ),
         jnp.float64,
     )
-    sh = jax.jit(grid_shared)(rot, grid_lg)
+    sh = _grid_shared_jit(rot, grid_lg)
     if len(_state_cache) >= _STATE_CACHE_MAX:
         _state_cache.pop(next(iter(_state_cache)))
     _state_cache[key] = (rot, grid_lg, sh)
+    # id(basis.U) is only unique while basis.U is alive: evict on GC so a
+    # recycled address can never serve another basis's rotations
+    # (devcache.py's finalizer discipline)
+    import weakref
+
+    try:
+        weakref.finalize(basis.U, _state_cache.pop, key, None)
+    except TypeError:
+        _state_cache.pop(key)  # not weakref-able: don't cache at all
+        return rot, grid_lg, sh
     return rot, grid_lg, sh
 
 
@@ -263,6 +276,11 @@ def lmm_scan(
             and jax.default_backend() not in ("cpu",)
             and os.environ.get("JX_TPU_PALLAS", "1") not in ("0", "false")
         )
+    # the fused Pallas kernel tiles 512-row SNP planes: a partial tile
+    # would be silently skipped (grid floor-division), so any block not
+    # aligned to 512 must take the XLA path (small m, tail chunks)
+    if use_pallas and min(block, pg.m if pg.m else block) % 512 != 0:
+        use_pallas = False
     lattice = os.environ.get("JX_TPU_PALLAS_GRID", "1") not in ("0", "false")
     grid_prec = str(config.knob("JX_TPU_GRID_MXU_PREC")).lower()
     if grid_points is None:
@@ -285,7 +303,7 @@ def lmm_scan(
         # ever holds more than `superblock` materialized SNPs
         # (reference analog: WindowedBedMatrix streaming, src/io/gload.rs)
         parts = []
-        sb = (superblock // block) * block
+        sb = max((superblock // block) * block, block)
         for s0 in range(0, m, sb):
             e0 = min(s0 + sb, m)
             sub = pg.take_snps(np.arange(s0, e0))
@@ -324,7 +342,13 @@ def lmm_scan(
                 U2 = np.zeros((K2, N2), np.float32)
                 U2[:n, :n] = basis.U.astype(np.float32)
                 U_op = jnp.asarray(U2[plane_permutation(K2, bk)])
-                devcache._cache[key] = U_op
+                import weakref
+
+                try:
+                    weakref.finalize(basis.U, devcache._cache.pop, key, None)
+                    devcache._cache[key] = U_op
+                except TypeError:
+                    pass  # not weakref-able: skip caching
         else:
             pk = devcache.device_packed_blocks(pg, (nblk, block), mesh=mesh)
             U_op = U32
@@ -463,6 +487,7 @@ def lmm_scan_multi(
     grid_points: int | None = None,
     mesh=None,
     superblock: int = 1 << 20,
+    _prepared=None,
 ) -> tuple[list[ScanResult], list[NullFit]]:
     """Batched exact-LMM scan for traits sharing one sample mask/basis.
 
@@ -477,12 +502,14 @@ def lmm_scan_multi(
         raise ValueError(f"Y rows {Y.shape[0]} != samples {n}")
     if grid_points is None:
         grid_points = config.knob("JX_TPU_GRID_POINTS")
-    # per-trait rotations/null fits are SNP-independent: computed once here
-    # and reused by every superblock chunk (the _scan_state cache makes the
-    # recursive calls below hit, not refit)
-    states = [_scan_state(basis, Y[:, t].copy(), covariates, grid_points)
-              for t in range(T)]
-    nulls = [fit_null_reml(rot) for rot, _, _ in states]
+    # per-trait rotations/null fits are SNP-independent: computed once and
+    # threaded through the superblock chunks via _prepared
+    if _prepared is None:
+        states = [_scan_state(basis, Y[:, t].copy(), covariates, grid_points)
+                  for t in range(T)]
+        nulls = [fit_null_reml(rot) for rot, _, _ in states]
+    else:
+        states, nulls = _prepared
     superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
     if pg.m > superblock:
         sb = max((superblock // block) * block, block)
@@ -491,7 +518,7 @@ def lmm_scan_multi(
             sub = pg.take_snps(np.arange(s0, min(s0 + sb, pg.m)))
             rs, _ = lmm_scan_multi(sub, basis, Y, covariates, block=block,
                                    lmm2=lmm2, grid_points=grid_points,
-                                   mesh=mesh)
+                                   mesh=mesh, _prepared=(states, nulls))
             parts.append(rs)
         return ([ScanResult.concat([p[t] for p in parts]) for t in range(T)],
                 nulls)
