@@ -131,6 +131,7 @@ class ASSOC:
             grid = jnp.asarray(
                 np.linspace(config.LOG10_LAMBDA_LOW, config.LOG10_LAMBDA_HIGH, 1024)
             )
+            beta_se_jit = jax.jit(beta_se_snp_batch)  # one wrapper, all chunks
             for s0 in range(0, m, chunk):
                 e0 = min(s0 + chunk, m)
                 Gr = jnp.asarray((basis.U.T @ Gk[:, s0:e0]).T)  # (B, n)
@@ -138,7 +139,7 @@ class ASSOC:
                     lgs = jnp.full((e0 - s0,), self._null.log10_lbd)
                 else:
                     lgs = lmm_grid_scan(rot, Gr, grid)
-                b, s = jax.jit(beta_se_snp_batch)(lgs, rot, Gr)
+                b, s = beta_se_jit(lgs, rot, Gr)
                 beta[s0:e0] = np.asarray(b)
                 se[s0:e0] = np.asarray(s)
             pwald = jstats.pwald_from_beta_se(beta, se)

@@ -302,13 +302,16 @@ def bayes_fit(
     return np.asarray(beta, np.float64).reshape(-1)[:m], float(mu)
 
 
-def bayes_fit_predict(cfg, method, Xml, y, train, test, kf):
-    """GS-workflow adapter: CV + final fit + test prediction."""
+def bayes_fit_predict(cfg, method, Xml, y, train, test, folds):
+    """GS-workflow adapter: CV + final fit + test prediction.
+
+    ``folds`` is a precomputed list of (train_loc, val_loc) index pairs
+    (empty = CV disabled)."""
     from janusx_tpu.gs.metrics import regression_metrics
 
     fold_metrics = []
     oof = np.full(len(train), np.nan)
-    for fold, (tr_loc, va_loc) in enumerate(kf.split(len(train))):
+    for fold, (tr_loc, va_loc) in enumerate(folds):
         t0 = time.monotonic()
         beta, mu = bayes_fit(
             Xml[train[tr_loc]], y[train[tr_loc]], method,

@@ -241,12 +241,15 @@ def run_gs(cfg: GsConfig):
                 "h2": round(he.h2, 4), "vg": he.vg, "ve": he.ve,
                 "boundary": he.boundary,
             }
+            he_lbd = he.ve / he.vg if he.vg > 1e-12 else None
         except Exception as e:  # pre-fit is advisory, never fatal
             log.warning("trait %s: HE pre-fit failed: %s", trait, e)
+            he_lbd = None
         trait_res: dict[str, MethodRunResult] = {}
         for method in cfg.methods:
             res = _run_single_method(
-                cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd=Kd
+                cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd=Kd,
+                he_lbd=he_lbd,
             )
             trait_res[method] = res
         all_results[str(trait)] = trait_res
@@ -279,9 +282,12 @@ def run_gs(cfg: GsConfig):
         # _select_top_method_for_trait, gs/workflow.py:935)
         best_method = None
         metric = cfg.select_metric
+        if metric not in ("pearson", "spearman", "r2", "mse", "mae"):
+            raise ValueError(f"unknown select_metric {metric!r}")
+        sign = -1.0 if metric in ("mse", "mae") else 1.0
         best_r = -np.inf
         for mm, r in trait_res.items():
-            rv = r.cv_mean.get(metric, float("nan"))
+            rv = sign * r.cv_mean.get(metric, float("nan"))
             if np.isfinite(rv) and rv > best_r:
                 best_r, best_method = rv, mm
         summary.setdefault("selected_method", {})[str(trait)] = best_method
@@ -327,20 +333,32 @@ def run_gs(cfg: GsConfig):
     return all_results, summary
 
 
-def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd=None):
+def _cv_mean(fold_metrics: list) -> dict:
+    out = {}
+    if fold_metrics:
+        for k in ("pearson", "spearman", "r2", "mse", "mae"):
+            vals = [fm[k] for fm in fold_metrics if np.isfinite(fm.get(k, np.nan))]
+            out[k] = float(np.mean(vals)) if vals else float("nan")
+    return out
+
+
+def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait,
+                       Kd=None, he_lbd=None):
     route = method
     info: dict = {}
     t0 = time.monotonic()
     fold_metrics = []
     oof = np.full(len(train), np.nan)
-    kf = KFold(cfg.cv, shuffle=True, random_state=cfg.seed)
+    # cv=0/1 disables cross-validation (the CLI documents 0 as "disables")
+    folds = (list(KFold(cfg.cv, shuffle=True, random_state=cfg.seed)
+                  .split(len(train))) if cfg.cv >= 2 else [])
 
     if method in ("GBLUPd", "GBLUPad"):
         from janusx_tpu.gs.blup import fit_gblup_kernels, predict_gblup_kernels
 
         Ks = {"dom": Kd} if method == "GBLUPd" else {"add": K, "dom": Kd}
         route = "GBLUP(d)" if method == "GBLUPd" else "GBLUP(ad)"
-        for fold, (tr_loc, va_loc) in enumerate(kf.split(len(train))):
+        for fold, (tr_loc, va_loc) in enumerate(folds):
             tf = time.monotonic()
             mdl = fit_gblup_kernels(Ks, y, train[tr_loc])
             pv = predict_gblup_kernels(mdl, Ks, train[va_loc])
@@ -360,7 +378,35 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
         route = (
             _dispatch_blup_route(len(train), pg.m) if method == "BLUP" else method
         )
-        for fold, (tr_loc, va_loc) in enumerate(kf.split(len(train))):
+        if route == "rrBLUP(PCG)" and he_lbd is not None:
+            # large-n route: Jacobi-PCG solves of (K_tt + λI) at the HE
+            # pre-fit λ — no per-fold O(n^3) eigendecomposition
+            # (reference rrblup_pcg_bed regime, gs/workflow.py:19506)
+            from janusx_tpu.gs.blup import fit_gblup_cg
+
+            info["lambda_he"] = float(he_lbd)
+            for fold, (tr_loc, va_loc) in enumerate(folds):
+                tf = time.monotonic()
+                alpha, beta0 = fit_gblup_cg(K, y, train[tr_loc], he_lbd)
+                pv = K[np.ix_(train[va_loc], train[tr_loc])] @ alpha + beta0[0]
+                oof[va_loc] = pv
+                mets = regression_metrics(y[train[va_loc]], pv)
+                mets.update(fold=fold,
+                            elapsed_sec=round(time.monotonic() - tf, 3))
+                fold_metrics.append(mets)
+            cv_secs = time.monotonic() - t0
+            t1 = time.monotonic()
+            alpha, beta0 = fit_gblup_cg(K, y, train, he_lbd)
+            test_pred = (K[np.ix_(test, train)] @ alpha + beta0[0]
+                         if len(test) else np.empty(0))
+            fit_secs = time.monotonic() - t1
+            return MethodRunResult(
+                method=method, route=route, fold_metrics=fold_metrics,
+                cv_mean=_cv_mean(fold_metrics), test_pred=test_pred,
+                fit_seconds=fit_secs, cv_seconds=cv_secs, model_info=info,
+                oof_pred=oof,
+            )
+        for fold, (tr_loc, va_loc) in enumerate(folds):
             tf = time.monotonic()
             model, (pv,) = _run_kernel_method(K, y, train[tr_loc], [train[va_loc]])
             oof[va_loc] = pv
@@ -375,7 +421,10 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
         )
         test_pred = preds[0] if preds else np.empty(0)
         info.update(lambda_=model.lbd, vg=model.vg, ve=model.ve, pve=model.pve)
-        if cfg.export_effects or cfg.save_models or method == "rrBLUP":
+        want_effects = cfg.export_effects or cfg.save_models or (
+            method == "rrBLUP" and cfg.hash_dim is None
+        )
+        if want_effects:
             eff = marker_effects(pg, _alpha_full(model, pg.n), denom)
             info["n_effects"] = len(eff)
             if cfg.write_outputs and cfg.export_effects:
@@ -396,7 +445,7 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
         from janusx_tpu.gs.bayes import bayes_fit_predict
 
         test_pred, fold_metrics, info = bayes_fit_predict(
-            cfg, method, Xml, y, train, test, kf
+            cfg, method, Xml, y, train, test, folds
         )
         oof = info.pop("oof_pred", oof)
         cv_secs = time.monotonic() - t0
@@ -415,7 +464,7 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
             info.pop("beta_std", None)
     elif method in ML_METHODS:
         X = Xml
-        for fold, (tr_loc, va_loc) in enumerate(kf.split(len(train))):
+        for fold, (tr_loc, va_loc) in enumerate(folds):
             tf = time.monotonic()
             mdl = _ml_model(method, cfg.seed)
             mdl.fit(X[train[tr_loc]], y[train[tr_loc]])
@@ -433,11 +482,7 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait, Kd
     else:
         raise ValueError(f"unknown GS method: {method}")
 
-    cv_mean = {}
-    if fold_metrics:
-        for k in ("pearson", "spearman", "r2", "mse", "mae"):
-            vals = [fm[k] for fm in fold_metrics if np.isfinite(fm.get(k, np.nan))]
-            cv_mean[k] = float(np.mean(vals)) if vals else float("nan")
+    cv_mean = _cv_mean(fold_metrics)
     return MethodRunResult(
         method=method, route=route, fold_metrics=fold_metrics, cv_mean=cv_mean,
         test_pred=np.asarray(test_pred), fit_seconds=fit_secs, cv_seconds=cv_secs,

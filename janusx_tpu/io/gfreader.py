@@ -291,9 +291,15 @@ def load_raw_packed(
         return RawPacked(packed, n, sites, samples)
     if use_cache:
         cprefix = _tilde_cache_prefix(p)
-        if (low_memory or os.environ.get("JX_TPU_LOWMEM") == "1") and \
-                os.path.exists(cprefix + ".bed"):
-            if os.path.getmtime(cprefix + ".bed") >= os.path.getmtime(p):
+        if os.path.exists(cprefix + ".bed") and \
+                os.path.getmtime(cprefix + ".bed") >= os.path.getmtime(p):
+            # same low-memory policy as a direct BED fileset: explicit
+            # flag wins, otherwise size threshold / env knob
+            cache_size = os.path.getsize(cprefix + ".bed")
+            if low_memory or (low_memory is None and (
+                cache_size > _lowmem_threshold()
+                or os.environ.get("JX_TPU_LOWMEM") == "1"
+            )):
                 from janusx_tpu.io.windowed import WindowedBed
 
                 return WindowedBed(cprefix)

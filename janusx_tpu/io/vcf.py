@@ -49,7 +49,7 @@ def read_vcf_samples(path: str) -> np.ndarray:
             if line.startswith("##"):
                 continue
             if line.startswith("#CHROM"):
-                cols = line.rstrip("\n").split("\t")
+                cols = line.rstrip("\r\n").split("\t")
                 return np.array(cols[9:], dtype=object)
             break
     raise ValueError(f"no #CHROM header line found in {path}")
@@ -79,11 +79,15 @@ def _parse_lines(lines: list[str], n_samples: int):
         row = geno[i]
         cells = fields[9:]
         for j, cell in enumerate(cells):
-            # GT is the first colon-separated field
-            g = cell[:3]
-            v = gt_map.get(g)
+            # GT is the first colon-separated field. The 3-char fast path
+            # must not fire when a longer token follows (e.g. '0/10' would
+            # misparse as '0/1'): require end-of-cell or ':' after it.
+            if len(cell) == 3 or (len(cell) > 3 and cell[3] == ":"):
+                v = gt_map.get(cell[:3])
+            else:
+                v = None
             if v is None:
-                g2 = cell.split(":", 1)[0]
+                g2 = cell.split(":", 1)[0].rstrip("\r")
                 v = gt_map.get(g2, -1)
             row[j] = v
     sites = SiteInfo(chrom=chrom, pos=pos, snp=snp, allele0=a0, allele1=a1)

@@ -118,7 +118,10 @@ def _residualize(y, covariates, K=None):
 
         mdl = fit_gblup(K, y, np.arange(n), None if covariates is None else covariates)
         u = K @ mdl.alpha
-        r = y - X @ np.linalg.lstsq(X, y, rcond=None)[0] - u
+        # subtract the REML (GLS) fixed-effect fit — the one alpha was
+        # computed against — not an OLS refit, which would leave
+        # covariate-direction signal in the residual under structure
+        r = y - X @ mdl.beta - u
     else:
         b, *_ = np.linalg.lstsq(X, y, rcond=None)
         r = y - X @ b
@@ -329,7 +332,10 @@ def garfield_scan_features(
     null_max = np.empty(n_perm)
     for p_i in range(n_perm):
         tp = rng.permutation(t)
-        null_rules = _beam_search(B, tp, depth, max(8, beam // 4), min_support, mode)
+        # the null search must use the SAME beam as the observed search:
+        # a weaker null search finds lower maxima and makes the maxT
+        # p-values anti-conservative
+        null_rules = _beam_search(B, tp, depth, beam, min_support, mode)
         null_max[p_i] = null_rules[0].score if null_rules else 0.0
     scores = np.array([ru.score for ru in rules])
     pvals = np.array(
