@@ -44,10 +44,13 @@ def _load():
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SRC):
-            return None
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
+        # rebuild when the source is present and newer; a packaged layout
+        # shipping only the .so is usable without the source tree
+        have_src = os.path.exists(_SRC)
+        if not os.path.exists(_SO) or (
+            have_src and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            if not have_src or not _build():
                 return None
         try:
             lib = ctypes.CDLL(_SO)

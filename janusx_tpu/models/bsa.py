@@ -86,7 +86,8 @@ def bsa_analysis(
     ok = (alt1 + ref1 >= min_depth) & (alt2 + ref2 >= min_depth)
     i1 = np.where(ok, snp_index(alt1, ref1), np.nan)
     i2 = np.where(ok, snp_index(alt2, ref2), np.nan)
-    delta = i1 - i2
+    # reference convention: Delta.SNPindex(bulk2-bulk1) (bsa.rs:226,282)
+    delta = i2 - i1
     g = np.where(ok, g_statistic(alt1, ref1, alt2, ref2), np.nan)
     gp = tricube_smooth(chrom, pos, g, window_bp)
     return BsaResult(

@@ -42,7 +42,7 @@ class AdmixtureFit:
     n_iter: int
 
 
-def _block_loglik(params, pk, mn, n: int):
+def _block_loglik(params, pk, n: int):
     """Negative loglik contribution of one packed SNP block."""
     qlogit, plogit = params
     Q = jax.nn.softmax(qlogit, axis=1)  # (n, K)
@@ -58,18 +58,17 @@ def _block_loglik(params, pk, mn, n: int):
 
 
 @partial(jax.jit, static_argnames=("n", "block", "n_iter", "lr"))
-def _train(qlogit0, plogit0, packed, mean, n: int, block: int, n_iter: int, lr: float):
+def _train(qlogit0, plogit0, packed, n: int, block: int, n_iter: int, lr: float):
     nblk = packed.shape[0] // block
     pk = packed.reshape(nblk, block, packed.shape[1])
-    mn = mean.reshape(nblk, block)
 
     def loss_fn(qlogit, plogit):
         def body(acc, xs):
-            pkb, mnb, plb = xs
-            return acc + _block_loglik((qlogit, plb), pkb, mnb, n), None
+            pkb, plb = xs
+            return acc + _block_loglik((qlogit, plb), pkb, n), None
 
         pl = plogit.reshape(nblk, block, -1)
-        total, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), (pk, mn, pl))
+        total, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), (pk, pl))
         return total
 
     # Adam state
@@ -118,7 +117,6 @@ def train_admixture(
     block = min(block, m)
     m_pad = -(-m // block) * block
     pk = devcache.device_packed(pg, m_pad)
-    mn = devcache.to_device_padded_rows(pg.mean, m_pad, 0.0, dtype=jnp.float32)
 
     # init: RSVD PCs -> kmeans-ish soft assignment, P from af
     qlogit0 = rng.normal(0, 0.1, size=(n, K)).astype(np.float32)
@@ -144,7 +142,7 @@ def train_admixture(
     )
 
     ql, pl, lls = _train(
-        jnp.asarray(qlogit0), jnp.asarray(plogit0), pk, mn, n, block, n_iter, lr
+        jnp.asarray(qlogit0), jnp.asarray(plogit0), pk, n, block, n_iter, lr
     )
     Q = np.asarray(jax.nn.softmax(ql, axis=1), np.float64)
     P = np.asarray(jax.nn.sigmoid(pl), np.float64)[:m].T
@@ -174,8 +172,14 @@ def cv_error(
 
     gd = GenotypeData(codes.astype(np.int8), pg.sites, pg.samples)
     pg_masked = pack_genotypes(gd, QcParams(maf=0.0, geno=1.0))
+    if pg_masked.m != pg.m:
+        raise RuntimeError("cv mask unexpectedly dropped SNP rows")
     fit = train_admixture(pg_masked, n_pops, seed=seed, **kwargs)
     F = np.clip(fit.P.T @ fit.Q.T, 1e-6, 1 - 1e-6)  # (m, n)
+    # masking can push alt_freq past 0.5, so the re-pack may flip rows:
+    # the fitted frequency then models 2-g; map back to pg's coding
+    flipped = pg_masked.sites.allele1 != pg.sites.allele1
+    F[flipped] = 1.0 - F[flipped]
     g = d[hold]
     f = F[hold]
     dev = -np.mean(g * np.log(f) + (2 - g) * np.log1p(-f))

@@ -60,14 +60,36 @@ def _gxe_block(packed, mean, X, Cinv, My, cvec, w, n: int):
     return a11, a12, a22, b1, b2
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _gxe_block_mixed(packed, mean, X, Cinv, My, cvec, WhT, n: int):
+    """fvlmm2 variant: G is pulled to the whitened scale via W^(1/2) = U w^(1/2) U'
+    (decode yields original-space genotypes; the interaction product must be
+    formed BEFORE whitening, so the weighted case cannot reuse _gxe_block)."""
+    hp = jax.lax.Precision.HIGHEST
+    G0 = decode.decode_centered(packed, mean, dtype=jnp.float32)[:, :n].astype(jnp.float64)
+    GC0 = G0 * cvec[None, :]
+    G = jnp.dot(G0, WhT, precision=hp)
+    GC = jnp.dot(GC0, WhT, precision=hp)
+
+    def proj(A, B):
+        AwB = jnp.sum(A * B, axis=-1)
+        AX = jnp.dot(A, X, precision=hp)
+        BX = jnp.dot(B, X, precision=hp)
+        return AwB - jnp.einsum("bp,pq,bq->b", AX, Cinv, BX)
+
+    return (proj(G, G), proj(G, GC), proj(GC, GC),
+            jnp.dot(G, My, precision=hp), jnp.dot(GC, My, precision=hp))
+
+
 def _finalize_gxe(a11, a12, a22, b1, b2, yMy, n, p):
     """Reference-exact lm2 statistics from per-SNP projected Gram pieces
     (src/stats/glm2.rs lm2_fit_single_snp :165-311).
 
     Design per SNP: Z = [g, g*c]; Schur = Z' M_X Z (a11..a22), rhs e =
     Z' M_X y (b1, b2); beta = Schur^-1 e; rss = rss0 - e.beta;
-    sigma2 = rss / df with df = n - p (BASE design rank — glm2.rs:161,
-    NOT n - p - 2). Per-coefficient: se_k = sqrt(sigma2 * SchurInv_kk),
+    sigma2 = rss / df with df = n - (q_base + 1 + n_interactions)
+    (glm2.rs:149-161: p = q_base + m, df = n - p — the FULL fitted
+    design rank). Per-coefficient: se_k = sqrt(sigma2 * SchurInv_kk),
     t-test with df. Joint tests: interaction chisq = beta_i^2 /
     (SchurInv_11 sigma2) ~ chi2(1) (:294-297); full chisq = e.beta /
     sigma2 ~ chi2(2) (:306-310)."""
@@ -81,7 +103,7 @@ def _finalize_gxe(a11, a12, a22, b1, b2, yMy, n, p):
     bi = (a11 * b2 - a12 * b1) / det_s
     explained = bg * b1 + bi * b2
     rss = np.maximum(yMy - explained, 0.0)
-    df = n - p
+    df = n - p - 2  # base rank + [g, g*c] (glm2.rs:150 p = q_base + m)
     sigma2 = rss / df
     with np.errstate(invalid="ignore", divide="ignore"):
         se_g = np.sqrt(np.maximum(sigma2 * a22 / det_s, 0))
@@ -125,10 +147,11 @@ def gxe_scan(
     """Interaction scan. Plain OLS (lm2) when basis is None; fixed-λ mixed
     (fvlmm2) when an eigenbasis of the GRM subset is supplied."""
     y = np.asarray(y, np.float64).reshape(-1)
+    # interaction covariate stays RAW: the reference builds z = g * cv from
+    # the covariate column as loaded (glm2.rs:216); centering it would shift
+    # the reported SNP main effect by beta_i * mean(c)
     cvec = np.asarray(inter_cov, np.float64).reshape(-1)
     n = pg.n
-    # center the interaction covariate (keeps main effects in X meaningful)
-    cvec = cvec - cvec.mean()
     Xcov = (
         cvec[:, None]
         if covariates is None
@@ -143,13 +166,9 @@ def gxe_scan(
         rot = make_rotated(basis, y, Xcov)
         null = fit_null_reml(rot)
         w = 1.0 / (basis.S + null.lbd)
-        y_use = basis.U.T @ y
-        X_use = np.asarray(rot.Xr)
-        c_use = cvec  # interaction product built pre-rotation is invalid;
-        # rotate G then multiply requires c in original space — instead we
-        # rotate (g*c) implicitly: decode gives g in original space only.
-        # For fvlmm2 we therefore weight in the ORIGINAL space using the
-        # inverse-variance transform W^(1/2) = U w^(1/2) U'.
+        c_use = cvec  # the interaction product must be built in the ORIGINAL
+        # space (decode gives g there), so the weighted case whitens with
+        # W^(1/2) = U w^(1/2) U' instead of rotating first.
         Wh = (basis.U * np.sqrt(w)[None, :]) @ basis.U.T
         y_use = Wh @ y
         X_use = Wh @ design_matrix(n, Xcov)
@@ -176,24 +195,6 @@ def gxe_scan(
     b1 = np.empty(m); b2 = np.empty(m)
     if basis is not None:
         WhT = jnp.asarray(Wh.T)
-
-    @partial(jax.jit, static_argnames=("n",))
-    def _gxe_block_mixed(packed, mean, X, Cinv, My, cvec, WhT, n: int):
-        hp = jax.lax.Precision.HIGHEST
-        G0 = decode.decode_centered(packed, mean, dtype=jnp.float32)[:, :n].astype(jnp.float64)
-        GC0 = G0 * cvec[None, :]
-        G = jnp.dot(G0, WhT, precision=hp)
-        GC = jnp.dot(GC0, WhT, precision=hp)
-        ones = jnp.ones((n,), jnp.float64)
-
-        def proj(A, B):
-            AwB = jnp.sum(A * B, axis=-1)
-            AX = jnp.dot(A, X, precision=hp)
-            BX = jnp.dot(B, X, precision=hp)
-            return AwB - jnp.einsum("bp,pq,bq->b", AX, Cinv, BX)
-
-        return (proj(G, G), proj(G, GC), proj(GC, GC),
-                jnp.dot(G, My, precision=hp), jnp.dot(GC, My, precision=hp))
 
     for s0, e0 in iter_blocks(m, block):
         pk = jnp.asarray(pad_rows(packed[s0:e0], block, 0xFF))

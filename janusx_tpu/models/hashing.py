@@ -130,6 +130,14 @@ def signed_hash_features(
     bk = devcache.to_device_blocks(bucket, shape, 0, dtype=jnp.int32)
     sg = devcache.to_device_blocks(sign, shape, 0.0, dtype=jnp.float32)
     H = np.asarray(_hash_accum(pk, mn, iv, bk, sg, n_buckets))[:, :n]
+    if not standardize:
+        # reference hashes RAW dosages (missing -> mean_g) when !standardize
+        # (packed.rs:1016-1022); the kernel accumulates centered values, and
+        # raw = centered + mean_g uniformly across samples, so the bucket
+        # sketch differs by the constant column sum(sign_j * mean_j)
+        offs = np.zeros(n_buckets, np.float64)
+        np.add.at(offs, bucket[keep], sign[keep].astype(np.float64) * pg.mean[keep])
+        H = H + offs[:, None].astype(np.float32)
     mean_diag = float(np.mean(np.sum(H.astype(np.float64) ** 2, axis=0)))
     scale = np.sqrt(mean_diag)
     if not np.isfinite(scale) or scale <= 0:

@@ -31,7 +31,16 @@ def _load():
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        # rebuild when the source is present and newer; a packaged layout
+        # shipping only the .so must not crash on the missing source tree
+        have_src = os.path.exists(_SRC)
+        stale = (
+            not os.path.exists(_SO)
+            or (have_src and os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        )
+        if stale:
+            if not have_src:
+                return None
             try:
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",

@@ -28,6 +28,31 @@ def _corr_chunk(packed, mean):
     return jnp.dot(zn, zn.T, precision=jax.lax.Precision.HIGHEST)
 
 
+@jax.jit
+def _r2_chunk_pairwise(packed):
+    """Pairwise-complete r² matrix for one packed chunk (the reference falls
+    back to r2_pairwise_complete_bitplanes whenever either SNP has missing
+    calls — ld.rs:211,357; zero-filled correlations deflate r² and let
+    high-LD pairs with missingness slip under the prune threshold).
+
+    All pair statistics restricted to jointly-observed samples come from
+    four (C, n) x (n, C) matmuls of dosage/indicator planes.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    codes = decode.unpack_codes(packed)
+    obs = (codes != 3).astype(jnp.float32)  # padding cols are code 3
+    x = codes.astype(jnp.float32) * obs  # missing -> 0
+    x2 = x * x
+    N = jnp.dot(obs, obs.T, precision=hp)  # pair counts
+    SX = jnp.dot(x, obs.T, precision=hp)  # sum x_i over joint obs
+    SXY = jnp.dot(x, x.T, precision=hp)
+    SXX = jnp.dot(x2, obs.T, precision=hp)  # sum x_i^2 over joint obs
+    cov = N * SXY - SX * SX.T
+    var_i = N * SXX - SX * SX
+    denom = var_i * var_i.T
+    return jnp.where(denom > 0, (cov * cov) / jnp.maximum(denom, 1e-30), 0.0)
+
+
 def ld_prune(
     pg: PackedGenotypes,
     window: int = 50,
@@ -77,23 +102,30 @@ def ld_prune(
             e = min(s + chunk, c1)
             # include window overlap to the right
             e_ov = min(e + ov, c1)
-            r = np.asarray(
-                _corr_chunk(
-                    jnp.asarray(packed[s:e_ov]),
-                    jnp.asarray(pg.mean[s:e_ov].astype(np.float32)),
+            if np.any(pg.miss[s:e_ov] > 0):
+                r2 = np.asarray(_r2_chunk_pairwise(jnp.asarray(packed[s:e_ov])))
+            else:
+                r = np.asarray(
+                    _corr_chunk(
+                        jnp.asarray(packed[s:e_ov]),
+                        jnp.asarray(pg.mean[s:e_ov].astype(np.float32)),
+                    )
                 )
-            )
-            r2 = r * r
+                r2 = r * r
             local_removed = removed[s:e_ov].copy()
             w0 = 0
             limit = e_ov - s
             while w0 < (e - s):
                 if window_bp is not None:
-                    w1 = int(np.searchsorted(
-                        pos[s:e_ov], pos[s + w0] + window_bp, "right"))
-                    w1 = min(max(w1, w0 + 2), limit)
+                    w1 = min(int(np.searchsorted(
+                        pos[s:e_ov], pos[s + w0] + window_bp, "right")), limit)
                 else:
                     w1 = min(w0 + window, limit)
+                if w1 <= w0 + 1:
+                    # no in-window neighbor: the reference keeps the anchor
+                    # untested (ld.rs `if end <= li + 1 { continue; }`)
+                    w0 += step
+                    continue
                 for i in range(w0, w1):
                     if local_removed[i]:
                         continue

@@ -57,12 +57,12 @@ def test_lm2_matches_numpy_ols(gxe_problem):
     res, _ = gxe_scan(pg, y, env, block=64)
     import scipy.stats
 
-    envc = env - env.mean()
+    # reference convention: the interaction covariate enters RAW (glm2.rs:216)
     Z = pg.centered()
     n = pg.n
     for i in (5, 30, 90, 200):
         g = Z[i]
-        X = np.column_stack([np.ones(n), envc, g, g * envc])
+        X = np.column_stack([np.ones(n), env, g, g * env])
         beta, *_ = np.linalg.lstsq(X, y, rcond=None)
         r = y - X @ beta
         df = n - X.shape[1]
@@ -78,6 +78,36 @@ def test_lm2_matches_numpy_ols(gxe_problem):
         assert lp_o == pytest.approx(lp_e, abs=0.3)
         # SNP main-effect column matches the OLS g coefficient
         assert res.beta[i] == pytest.approx(beta[2], rel=2e-2, abs=1e-4)
+
+
+def test_lm2_raw_covariate_convention(gxe_problem):
+    """A mean-shifted covariate must enter the interaction RAW (glm2.rs:216):
+    beta_g picks up the bi*mean(c) reparameterization a centered product
+    would hide."""
+    pg, y, env = gxe_problem
+    import scipy.stats
+
+    env2 = env + 3.0
+    res, _ = gxe_scan(pg, y, env2, block=64)
+    Z = pg.centered()
+    n = pg.n
+    for i in (30, 90):
+        g = Z[i]
+        X = np.column_stack([np.ones(n), env2, g, g * env2])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        r = y - X @ beta
+        df = n - X.shape[1]
+        s2 = r @ r / df
+        cov = s2 * np.linalg.inv(X.T @ X)
+        assert res.beta[i] == pytest.approx(beta[2], rel=2e-2, abs=1e-4)
+        assert res.extra_cols["beta_i1"][i] == pytest.approx(
+            beta[3], rel=2e-2, abs=1e-4
+        )
+        t = beta[3] / np.sqrt(cov[3, 3])
+        pexp = 2 * scipy.stats.t.sf(abs(t), df)
+        assert -np.log10(res.extra_cols["pwald_i1"][i]) == pytest.approx(
+            -np.log10(pexp), abs=0.3
+        )
 
 
 def test_fvlmm2_route(gxe_problem):

@@ -114,3 +114,20 @@ def test_hash_gs_workflow(tmp_path, hash_problem):
     r_plain = s_plain["traits"]["t1"]["BLUP"]["cv"]["pearson"]
     r_hash = s_hash["traits"]["t1"]["BLUP"]["cv"]["pearson"]
     assert r_hash > r_plain - 0.12, f"hash CV r {r_hash} vs plain {r_plain}"
+
+
+def test_unstandardized_hash_matches_raw_dosage_reference(hash_problem):
+    """standardize=False hashes RAW dosages with missing -> mean_g
+    (packed.rs:1016-1022), not centered values."""
+    from janusx_tpu.models.hashing import hash_bucket_sign, signed_hash_features
+
+    pg = hash_problem
+    H, scale, kept = signed_hash_features(pg, n_buckets=128, standardize=False)
+    assert kept == pg.m
+    bucket, sign = hash_bucket_sign(520, np.arange(pg.m), 128)
+    d = pg.dosages().astype(np.float64)
+    raw = np.where(d >= 0, d, pg.mean[:, None])  # missing -> mean_g
+    expect = np.zeros((128, pg.n))
+    np.add.at(expect, bucket, sign[:, None].astype(np.float64) * raw)
+    expect /= np.sqrt(np.mean(np.sum(expect**2, axis=0)))
+    np.testing.assert_allclose(H, expect.T, rtol=2e-4, atol=2e-4)

@@ -66,6 +66,9 @@ def test_bsa_analysis(rng):
     res = bsa_analysis(chrom, pos, alt1, depth - alt1, alt2, depth - alt2,
                        window_bp=500_000)
     assert np.nanmean(np.abs(res.delta[200:300])) > np.nanmean(np.abs(res.delta[:150]))
+    # sign convention: Delta.SNPindex = bulk2 - bulk1 (bsa.rs:226,282);
+    # bulk2 is ALT-enriched in the causal window -> positive delta
+    assert np.nanmean(res.delta[200:300]) > 0.2
     peak = np.nanargmax(res.g_prime)
     assert 150 <= peak <= 350
 

@@ -128,3 +128,63 @@ def test_king_tiled_matches_dense(rng):
     keep_sparse = unrelated_set_from_pairs(ii, jj, pg.n)
     keep_dense = unrelated_set(phi)
     np.testing.assert_array_equal(keep_sparse, keep_dense)
+
+
+def test_ld_prune_pairwise_complete_r2(rng):
+    """r² with missing calls must be pairwise-complete (ld.rs:211,357), not
+    zero-filled; and a bp-window anchor with no in-window neighbor stays
+    untested (ld.rs `if end <= li + 1 { continue; }`)."""
+    from janusx_tpu.models.ldprune import _r2_chunk_pairwise, ld_prune
+    from janusx_tpu.ops import decode
+
+    m, n = 40, 400
+    p = rng.uniform(0.2, 0.5, size=m)
+    g = rng.binomial(2, p[:, None], size=(m, n)).astype(np.int8)
+    g[1] = np.where(rng.random(n) < 0.1, 2 - g[0], g[0])  # high LD pair
+    g[rng.random((m, n)) < 0.15] = -1  # 15% missing
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object), pos=np.arange(1, m + 1, dtype=np.int64) * 100,
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object), allele1=np.array(["G"] * m, object),
+    )
+    pg = pack_genotypes(GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object)),
+                        QcParams(maf=0.0, geno=1.0))
+    import jax.numpy as jnp
+
+    r2 = np.asarray(_r2_chunk_pairwise(jnp.asarray(decode.pad_packed_cols(pg.packed))))
+    d = pg.dosages().astype(float)
+    d[d < 0] = np.nan
+    for i, j in [(0, 1), (3, 17), (5, 30)]:
+        ok = np.isfinite(d[i]) & np.isfinite(d[j])
+        expect = np.corrcoef(d[i][ok], d[j][ok])[0, 1] ** 2
+        assert r2[i, j] == pytest.approx(expect, abs=1e-5)
+    # the high-LD pair must be pruned despite missingness
+    keep = ld_prune(pg, window=10, step=1, r2_threshold=0.2)
+    assert (0 in keep) != (1 in keep)
+
+
+def test_ld_prune_sparse_bp_window_keeps_isolated_pairs(rng):
+    """Two correlated SNPs farther apart than window_bp are both kept."""
+    from janusx_tpu.models.ldprune import ld_prune
+
+    n = 300
+    g0 = rng.binomial(2, 0.4, size=n).astype(np.int8)
+    g = np.stack([g0, g0.copy()])  # perfectly correlated
+    sites = SiteInfo(
+        chrom=np.array(["1", "1"], object),
+        pos=np.array([1_000, 2_000_000], dtype=np.int64),  # 2 Mb apart
+        snp=np.array(["a", "b"], object),
+        allele0=np.array(["A", "A"], object), allele1=np.array(["G", "G"], object),
+    )
+    pg = pack_genotypes(GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object)),
+                        QcParams(maf=0.0, geno=1.0))
+    keep = ld_prune(pg, step=1, r2_threshold=0.2, window_bp=100_000)
+    assert keep.tolist() == [0, 1]
+    # same pair inside the window is pruned to one
+    sites2 = SiteInfo(
+        chrom=sites.chrom, pos=np.array([1_000, 2_000], dtype=np.int64),
+        snp=sites.snp, allele0=sites.allele0, allele1=sites.allele1,
+    )
+    pg2 = pack_genotypes(GenotypeData(g, sites2, pg.samples), QcParams(maf=0.0, geno=1.0))
+    keep2 = ld_prune(pg2, step=1, r2_threshold=0.2, window_bp=100_000)
+    assert len(keep2) == 1
