@@ -167,12 +167,14 @@ def cluster(
 
     if num_modules is not None:
         lo, hi = float(Z[:, 2].min()), float(Z[:, 2].max())
-        best = labels_at((lo + hi) / 2)
+        best, best_gap = None, None
         for _ in range(40):
             mid = (lo + hi) / 2
             lab = labels_at(mid)
             nmod = lab.max()
-            best = lab
+            gap = abs(int(nmod) - num_modules)
+            if best is None or gap < best_gap:
+                best, best_gap = lab, gap
             if nmod == num_modules:
                 break
             if nmod > num_modules:

@@ -110,6 +110,8 @@ def iter_hapmap_chunks(path: str, chunk_snps: int = 4096) -> Iterator[GenotypeDa
 
 def read_hapmap(path: str) -> GenotypeData:
     chunks = list(iter_hapmap_chunks(path))
+    if not chunks:
+        raise ValueError(f"no variant rows in HapMap file: {path}")
     return GenotypeData(
         np.concatenate([c.genotypes for c in chunks], axis=0),
         SiteInfo.concat([c.sites for c in chunks]),

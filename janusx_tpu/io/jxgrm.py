@@ -49,8 +49,9 @@ def write_jxgrm(path: str, K: scipy.sparse.spmatrix) -> None:
     pad = (-row_bytes) % VALUES_ALIGN
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
-        fh.write(np.uint64(n).tobytes())
-        fh.write(np.uint64(nnz).tobytes())
+        # explicit little-endian like the body arrays (np.uint64 is
+        # native-endian and would corrupt the header on BE hosts)
+        fh.write(np.array([n, nnz], "<u8").tobytes())
         fh.write(col_ptr.tobytes())
         fh.write(row_idx.tobytes())
         if pad:

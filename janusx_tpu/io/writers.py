@@ -8,6 +8,8 @@ janusx_tpu.io.plink (byte-LUT path).
 from __future__ import annotations
 
 import gzip
+import struct
+import zlib
 
 import numpy as np
 
@@ -15,8 +17,59 @@ from janusx_tpu.io.gdata import GenotypeData
 
 _GT = {0: "0/0", 1: "0/1", 2: "1/1", -1: "./."}
 
+_BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+
+class BgzfWriter:
+    """Minimal BGZF text writer: gzip members with the 'BC' extra field and
+    the 28-byte EOF marker, so tabix/bcftools/GATK accept the .vcf.gz
+    (plain gzip output is rejected with 'was not BGZF compressed')."""
+
+    _MAX_PAYLOAD = 65280  # conventional BGZF uncompressed block cap
+
+    def __init__(self, path: str):
+        self._fh = open(path, "wb")
+        self._buf = bytearray()
+
+    def write(self, text: str):
+        self._buf += text.encode()
+        while len(self._buf) >= self._MAX_PAYLOAD:
+            self._flush_block(bytes(self._buf[: self._MAX_PAYLOAD]))
+            del self._buf[: self._MAX_PAYLOAD]
+
+    def _flush_block(self, payload: bytes):
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = co.compress(payload) + co.flush()
+        # BSIZE = total block length - 1; block = header(12) + extra(6)
+        # + compressed payload + crc(4) + isize(4)
+        bsize = len(comp) + 26 - 1
+        self._fh.write(
+            b"\x1f\x8b\x08\x04" + b"\x00" * 5 + b"\xff"  # gzip hdr, FEXTRA
+            + struct.pack("<H", 6)  # XLEN
+            + b"BC" + struct.pack("<HH", 2, bsize)
+            + comp
+            + struct.pack("<II", zlib.crc32(payload), len(payload) & 0xFFFFFFFF)
+        )
+
+    def close(self):
+        if self._buf:
+            self._flush_block(bytes(self._buf))
+            self._buf.clear()
+        self._fh.write(_BGZF_EOF)
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
 
 def _open_out(path: str):
+    if str(path).endswith(".vcf.gz"):
+        return BgzfWriter(path)  # indexable by the standard toolchain
     if str(path).endswith(".gz"):
         return gzip.open(path, "wt")
     return open(path, "wt")

@@ -110,13 +110,20 @@ class Pipeline:
                     os.makedirs(opts.log_dir, exist_ok=True)
                     log_file = os.path.join(opts.log_dir, f"{step.name}.{key}.log")
                 if opts.scheduler == "nohup":
-                    cmd = f"nohup {cmd} > {shlex.quote(log_file or '/dev/null')} 2>&1"
+                    # sh -c so pipes/&& inside the step command stay one unit
+                    # under nohup and the whole pipeline logs to one file;
+                    # the wait below is deliberate — completion tracking
+                    # needs the exit code
+                    cmd = (
+                        f"nohup sh -c {shlex.quote(cmd)} "
+                        f"> {shlex.quote(log_file or '/dev/null')} 2>&1"
+                    )
                 log.info("%s/%s: %s", step.name, key, cmd)
                 from janusx_tpu.utils.interrupt import interrupted, register_child
 
                 if interrupted():
-                    report["failed"] += 1
-                    return report
+                    failed += 1
+                    break
                 try:
                     if log_file and opts.scheduler == "local":
                         with open(log_file, "wt") as lf:
@@ -142,12 +149,7 @@ class Pipeline:
                     failed += 1
                     log.error("%s/%s failed (rc=%s)", step.name, key, e.returncode)
                     if opts.stop_on_error:
-                        report["steps"].append(
-                            {"step": step.name, "ran": ran, "skipped": skipped,
-                             "failed": failed, "seconds": time.monotonic() - t0}
-                        )
-                        report["failed"] += failed
-                        return report
+                        break
                     continue
                 missing = [o for o in outs if not os.path.exists(o)]
                 if missing:

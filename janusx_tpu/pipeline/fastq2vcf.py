@@ -70,9 +70,14 @@ def build_pipeline(cfg: Fastq2VcfConfig) -> Pipeline:
             f"java -jar {jar} gt={od}/raw.vcf.gz out={od}/imputed nthreads={t}"
         )
 
+    # every artifact a later step consumes must be a declared output, or a
+    # kill between sub-commands lets output-skip mark the step complete
+    # with the tail artifact missing (e.g. .bam present, .bam.bai not)
     steps = [
-        Step("clean", clean, lambda i: [f"{od}/{i['id']}.R1.fq.gz"]),
-        Step("align", align, lambda i: [f"{od}/{i['id']}.bam"]),
+        Step("clean", clean,
+             lambda i: [f"{od}/{i['id']}.R1.fq.gz", f"{od}/{i['id']}.R2.fq.gz"]),
+        Step("align", align,
+             lambda i: [f"{od}/{i['id']}.bam", f"{od}/{i['id']}.bam.bai"]),
         Step("call", call, lambda i: [f"{od}/{i['id']}.g.vcf.gz"]),
         Step("genotype", combine, lambda i: [f"{od}/raw.vcf.gz"]),
         Step("impute", impute, lambda i: [f"{od}/imputed.vcf.gz"]),

@@ -55,6 +55,11 @@ def cache_dir_for(path_prefix: str) -> str:
     return fallback
 
 
+def _read_id_column(path: str) -> list:
+    with open(path) as fh:
+        return [l.split()[0] for l in fh if l.strip()]
+
+
 def grm_cache_paths(geno_prefix: str, maf: float, geno: float, method: int = 1):
     tag = "cGRM" if method != 2 else "sGRM"
     base = os.path.basename(geno_prefix)
@@ -106,16 +111,18 @@ def load_or_build_sparse_grm(
     )
     ids = [str(s) for s in pg.samples]
     if use_cache and os.path.exists(jxgrm_path) and os.path.exists(id_path):
-        cached_ids = [l.split()[0] for l in open(id_path) if l.strip()]
+        cached_ids = _read_id_column(id_path)
         if cached_ids == ids:
             try:
                 K = read_jxgrm(jxgrm_path)
                 if K.shape == (len(ids), len(ids)):
                     log.info("sparse GRM cache hit: %s", jxgrm_path)
                     return K
-            except Exception:
-                pass
-        log.info("sparse GRM cache stale (ids changed): %s", jxgrm_path)
+                log.info("sparse GRM cache stale (shape mismatch): %s", jxgrm_path)
+            except Exception as e:
+                log.warning("sparse GRM cache unreadable (%s): %s", e, jxgrm_path)
+        else:
+            log.info("sparse GRM cache stale (ids changed): %s", jxgrm_path)
     K = build_sparse_grm(
         pg, cutoff=cutoff, method=method, block=block or _cfg.DEFAULT_SNP_BLOCK
     )
@@ -149,16 +156,18 @@ def load_or_build_grm(
     npy_path, id_path = grm_cache_paths(geno_prefix, maf, geno, method)
     ids = [str(s) for s in pg.samples]
     if use_cache and os.path.exists(npy_path) and os.path.exists(id_path):
-        cached_ids = [l.split()[0] for l in open(id_path) if l.strip()]
+        cached_ids = _read_id_column(id_path)
         if cached_ids == ids:
             try:
                 K = np.load(npy_path)
                 if K.shape == (len(ids), len(ids)):
                     log.info("GRM cache hit: %s", npy_path)
                     return K
-            except Exception:
-                pass
-        log.info("GRM cache stale (ids changed): %s", npy_path)
+                log.info("GRM cache stale (shape mismatch): %s", npy_path)
+            except Exception as e:
+                log.warning("GRM cache unreadable (%s): %s", e, npy_path)
+        else:
+            log.info("GRM cache stale (ids changed): %s", npy_path)
     K = grm_from_packed(
         pg, method=method, block=block or _cfg.DEFAULT_SNP_BLOCK, mesh=mesh
     )
@@ -199,7 +208,8 @@ def load_or_build_pcs(
     ids = [str(s) for s in samples]
     if use_cache and os.path.exists(path):
         try:
-            rows = [l.rstrip("\n").split("\t") for l in open(path) if l.strip()]
+            with open(path) as fh:
+                rows = [l.rstrip("\n").split("\t") for l in fh if l.strip()]
             if [r[0] for r in rows] == ids and all(
                 len(r) == n_pcs + 1 for r in rows
             ):

@@ -27,9 +27,25 @@ class GffIndex:
         for g in genes:
             self.by_chrom.setdefault(g.chrom, []).append(g)
         self.starts: dict = {}
+        # running max of gene end (and which gene holds it) over the
+        # start-sorted list: lets overlap queries stop the back-scan exactly
+        # when no earlier gene can still reach the window, and gives O(log n)
+        # nearest-left lookups — no fixed-width scan windows that long or
+        # densely nested genes could overflow
+        self.cummax_end: dict = {}
+        self.cummax_idx: dict = {}
         for c, lst in self.by_chrom.items():
             lst.sort(key=lambda g: g.start)
             self.starts[c] = [g.start for g in lst]
+            ce, ci = [], []
+            best_e, best_i = -1, -1
+            for i, g in enumerate(lst):
+                if g.end > best_e:
+                    best_e, best_i = g.end, i
+                ce.append(best_e)
+                ci.append(best_i)
+            self.cummax_end[c] = ce
+            self.cummax_idx[c] = ci
 
     @classmethod
     def from_file(cls, path: str, feature_types=("gene",)) -> "GffIndex":
@@ -60,35 +76,45 @@ class GffIndex:
         return cls(genes)
 
     def query(self, chrom: str, pos: int, window: int = 0):
-        """Genes overlapping [pos-window, pos+window]."""
+        """Genes overlapping [pos-window, pos+window] (exact; start order)."""
         lst = self.by_chrom.get(str(chrom))
         if not lst:
             return []
-        starts = self.starts[str(chrom)]
+        c = str(chrom)
+        starts = self.starts[c]
+        cummax = self.cummax_end[c]
         lo = pos - window
         hi = pos + window
-        # candidates: genes starting before hi; filter by end >= lo
-        j = bisect_right(starts, hi)
+        j = bisect_right(starts, hi)  # genes starting at/before hi
         out = []
-        for g in lst[max(0, j - 200):j]:  # bounded back-scan over long genes
-            if g.end >= lo:
-                out.append(g)
+        for i in range(j - 1, -1, -1):
+            if cummax[i] < lo:
+                break  # nothing earlier can reach the window
+            if lst[i].end >= lo:
+                out.append(lst[i])
+        out.reverse()
         return out
 
     def nearest(self, chrom: str, pos: int, max_dist: int = 1_000_000):
         hits = self.query(chrom, pos, 0)
         if hits:
             return hits[0], 0
-        lst = self.by_chrom.get(str(chrom))
+        c = str(chrom)
+        lst = self.by_chrom.get(c)
         if not lst:
             return None, None
-        best, bd = None, max_dist + 1
-        starts = self.starts[str(chrom)]
+        starts = self.starts[c]
         j = bisect_left(starts, pos)
-        for g in lst[max(0, j - 5): j + 5]:
-            d = max(g.start - pos, pos - g.end, 0)
+        best, bd = None, max_dist + 1
+        if j < len(lst):  # closest gene starting at/after pos
+            d = lst[j].start - pos
             if d < bd:
-                best, bd = g, d
+                best, bd = lst[j], d
+        if j > 0:  # closest gene ending before pos = running-max end holder
+            i = self.cummax_idx[c][j - 1]
+            d = pos - self.cummax_end[c][j - 1]
+            if 0 < d < bd:
+                best, bd = lst[i], d
         if best is None or bd > max_dist:
             return None, None
         return best, bd

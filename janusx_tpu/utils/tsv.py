@@ -97,18 +97,44 @@ class AsyncTsvWriter:
                 if chunk is None:
                     break
                 self._fh.write(chunk)
-        except BaseException as e:  # surfaced on close()
+        except BaseException as e:  # surfaced on the next write()/close()
             self._exc = e
+            # keep draining so producers blocked on a full queue wake up
+            # instead of deadlocking against a dead consumer
+            while True:
+                chunk = self._q.get()
+                if chunk is None:
+                    break
+
+    def _put(self, item: str | None):
+        # poll so a consumer that died between the _exc check and the put
+        # still surfaces its error instead of blocking forever
+        while True:
+            if self._exc:
+                raise self._exc
+            try:
+                self._q.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
 
     def write(self, text: str):
-        if self._exc:
-            raise self._exc
-        self._q.put(text)
+        self._put(text)
 
     def close(self):
-        self._q.put(None)
-        self._t.join()
-        self._fh.close()
+        try:
+            self._put(None)
+        finally:
+            if self._exc:
+                try:  # unblock the consumer's drain loop
+                    self._q.put_nowait(None)
+                except queue.Full:
+                    pass
+            self._t.join(timeout=10.0)
+            try:
+                self._fh.close()
+            except Exception:
+                pass
         if self._exc:
             raise self._exc
 

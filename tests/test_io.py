@@ -207,3 +207,60 @@ def test_tilde_genotype_cache(tmp_path, monkeypatch, rng):
     assert not list(
         __import__("pathlib").Path("/root/reference/example").glob("~*")
     )
+
+
+def test_async_tsv_writer_error_does_not_deadlock(tmp_path):
+    """A writer thread that dies must surface its error to producers instead
+    of deadlocking them against the full queue (disk-full scenario)."""
+    import time
+
+    from janusx_tpu.utils.tsv import AsyncTsvWriter
+
+    w = AsyncTsvWriter(str(tmp_path / "x.tsv"), "h", queue_depth=2)
+    w._fh.close()  # simulate the file handle dying mid-run
+    t0 = time.monotonic()
+    with pytest.raises(ValueError):
+        for _ in range(100):
+            w.write("row\n")
+    assert time.monotonic() - t0 < 10  # must not hang
+    with pytest.raises(ValueError):
+        w.close()
+
+
+def test_vcf_gz_is_bgzf(tmp_path, rng):
+    """.vcf.gz output must be BGZF (tabix/bcftools reject plain gzip):
+    walk every block validating the BC extra field, BSIZE, CRC, and the
+    EOF marker."""
+    import struct
+    import zlib
+
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io.vcf import read_vcf
+    from janusx_tpu.io.writers import write_vcf
+
+    m, n = 2000, 60  # multiple 64K blocks
+    g = rng.binomial(2, 0.4, size=(m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object), pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object), allele1=np.array(["G"] * m, object),
+    )
+    path = str(tmp_path / "t.vcf.gz")
+    write_vcf(path, GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object)))
+    raw = open(path, "rb").read()
+    off, out = 0, b""
+    while off < len(raw):
+        assert raw[off:off + 4] == b"\x1f\x8b\x08\x04"
+        xlen = struct.unpack("<H", raw[off + 10:off + 12])[0]
+        ext = raw[off + 12:off + 12 + xlen]
+        assert ext[:4] == b"BC\x02\x00"
+        bsize = struct.unpack("<H", ext[4:6])[0] + 1
+        payload = zlib.decompress(raw[off + 12 + xlen:off + bsize - 8], -15)
+        crc, isize = struct.unpack("<II", raw[off + bsize - 8:off + bsize])
+        assert crc == zlib.crc32(payload) and isize == len(payload)
+        out += payload
+        off += bsize
+    assert off == len(raw)
+    assert raw.endswith(bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000"))
+    np.testing.assert_array_equal(read_vcf(path).genotypes, g)

@@ -387,3 +387,30 @@ def test_weighted_ibs_matches_device_kernel(rng):
     np.testing.assert_allclose(
         ibs_distance(pg), weighted_ibs_distance(pg.dosages(), np.ones(pg.m)),
         atol=1e-6)
+
+
+def test_gff_index_exact_vs_bruteforce(rng):
+    """Overlap + nearest queries must be exact under long genes nested among
+    many short ones (the old fixed-width back-scan windows missed them)."""
+    from janusx_tpu.utils.gff import Gene, GffIndex
+
+    genes = []
+    for k in range(400):
+        s = int(rng.integers(1, 1_000_000))
+        ln = int(rng.integers(50, 2_000))
+        genes.append(Gene("1", s, s + ln, f"g{k}", "+"))
+    # a few very long genes spanning hundreds of short ones
+    for k in range(3):
+        s = int(rng.integers(1, 300_000))
+        genes.append(Gene("1", s, s + 600_000, f"long{k}", "-"))
+    idx = GffIndex(genes)
+    for pos in rng.integers(1, 1_100_000, size=60):
+        pos = int(pos)
+        for w in (0, 5_000):
+            got = {g.name for g in idx.query("1", pos, w)}
+            want = {g.name for g in genes
+                    if g.start <= pos + w and g.end >= pos - w}
+            assert got == want, (pos, w)
+        g, d = idx.nearest("1", pos, max_dist=2_000_000)
+        want_d = min(max(x.start - pos, pos - x.end, 0) for x in genes)
+        assert d == want_d, (pos, d, want_d)
