@@ -24,6 +24,11 @@ def resolve_genotype(args) -> str:
     return chosen[0]
 
 
+def resolve_genotype_optional(args) -> str | None:
+    """First genotype input given, or None (optional-genotype CLIs)."""
+    return next((v for v in (args.bfile, args.vcf, args.hmp, args.file) if v), None)
+
+
 def add_pheno_args(p: argparse.ArgumentParser, required: bool = True):
     g = p.add_argument_group("Phenotype")
     g.add_argument("-p", "--pheno", type=str, required=required, help="phenotype file")

@@ -60,8 +60,33 @@ def _read_assoc(path: str, pcol: str):
     df = pd.read_csv(path, sep="\t")
     required = {"chrom", "pos", pcol}
     if not required.issubset(df.columns):
-        raise SystemExit(f"{path}: missing columns {required - set(df.columns)}")
+        # ValueError, not SystemExit: SystemExit escapes the mp.Pool worker
+        # loop (which catches only Exception) and hangs pool.map forever
+        raise ValueError(f"{path}: missing columns {required - set(df.columns)}")
     return df
+
+
+def _tags_for(paths: list) -> list:
+    """Per-input output tags; same-basename inputs from different dirs get
+    the parent directory folded in so outputs never silently collide."""
+    base = [
+        os.path.basename(p).replace(".assoc.tsv", "").replace(".tsv", "")
+        for p in paths
+    ]
+    seen: dict = {}
+    for t in base:
+        seen[t] = seen.get(t, 0) + 1
+    out = []
+    used: set = set()
+    for p, t in zip(paths, base):
+        if seen[t] > 1:
+            parent = os.path.basename(os.path.dirname(os.path.abspath(p)))
+            t = f"{parent}.{t}" if parent else t
+        while t in used:
+            t += "_dup"
+        used.add(t)
+        out.append(t)
+    return out
 
 
 def _render_one(task: tuple) -> tuple:
@@ -69,11 +94,10 @@ def _render_one(task: tuple) -> tuple:
 
     Top-level (picklable) so multiple files render in a process pool —
     reference postgwas parallel plotting (postgwas.py:581)."""
-    path, pcol, prefix, sig, top_n, gff_path = task
+    path, tag, pcol, prefix, sig, top_n, gff_path = task
     from janusx_tpu.plots.gwasplots import manhattan_plot, qq_plot
 
     df = _read_assoc(path, pcol)
-    tag = os.path.basename(path).replace(".assoc.tsv", "").replace(".tsv", "")
     man = f"{prefix}.{tag}.manhattan.png"
     qq = f"{prefix}.{tag}.qq.png"
     manhattan_plot(
@@ -107,9 +131,10 @@ def main(argv=None) -> int:
     for pat in args.input:
         hits = sorted(glob.glob(pat))
         paths.extend(hits if hits else [pat])
+    tags = _tags_for(paths)
     tasks = [
-        (path, args.pcol, prefix, args.sig, args.top, args.gff)
-        for path in paths
+        (path, tag, args.pcol, prefix, args.sig, args.top, args.gff)
+        for path, tag in zip(paths, tags)
     ]
     jobs = args.jobs
     if jobs is None:
@@ -128,19 +153,14 @@ def main(argv=None) -> int:
     if args.ldblock:
         import numpy as np
 
-        from janusx_tpu.cli import common as _c
         from janusx_tpu.io.gfreader import load_raw_packed
         from janusx_tpu.io.packed import QcParams
-        from janusx_tpu.models.ldprune import _corr_chunk
-        from janusx_tpu.ops import decode as _dec
+        from janusx_tpu.models.ldprune import r2_matrix
         from janusx_tpu.plots.structure import ld_heatmap
-        import jax.numpy as jnp
 
         chrom, span = args.ldblock.split(":")
         lo, hi = (int(x) for x in span.split("-"))
-        geno = next(
-            (v for v in (args.bfile, args.vcf, args.hmp, args.file) if v), None
-        )
+        geno = common.resolve_genotype_optional(args)
         if geno is None:
             raise SystemExit("-ldblock needs a genotype input (-bfile/-vcf/...)")
         raw = load_raw_packed(geno)
@@ -153,13 +173,9 @@ def main(argv=None) -> int:
             raise SystemExit(f"no markers in region {args.ldblock}")
         if len(sel) > 400:
             sel = sel[:: len(sel) // 400 + 1]
-        sub = pg.take_snps(sel)
-        r = np.asarray(_corr_chunk(
-            jnp.asarray(_dec.pad_packed_cols(sub.packed)),
-            jnp.asarray(sub.mean.astype(np.float32)),
-        ))
+        r2 = r2_matrix(pg.take_snps(sel))
         path = f"{prefix}.ldblock.{chrom}_{lo}_{hi}.png"
-        ld_heatmap(r * r, path, title=f"{chrom}:{lo}-{hi} ({len(sel)} SNPs)")
+        ld_heatmap(r2, path, title=f"{chrom}:{lo}-{hi} ({len(sel)} SNPs)")
         print(path)
     if args.region:
         if not args.gff:
@@ -179,9 +195,14 @@ def main(argv=None) -> int:
                 assoc = (sub["pos"].to_numpy(),
                          -np.log10(np.maximum(sub[args.pcol].to_numpy(), 1e-300)))
         path = f"{prefix}.region.{chrom}_{lo}_{hi}.png"
+        # -sig is a raw p-value everywhere; this panel's axis is -log10(p)
+        sig_nlp = (
+            None if args.sig is None
+            else float(-np.log10(max(args.sig, 1e-300)))
+        )
         ngenes = gene_model_plot(
             args.gff, chrom, lo, hi, path, assoc=assoc,
-            sig_line=args.sig, title=f"{chrom}:{lo}-{hi}",
+            sig_line=sig_nlp, title=f"{chrom}:{lo}-{hi}",
         )
         print(f"{path}\t{ngenes} gene models")
     locus_pages: dict = {}  # input path -> locus PNGs rendered THIS run
@@ -191,19 +212,19 @@ def main(argv=None) -> int:
         from janusx_tpu.plots.regionreport import pick_loci, region_report
 
         pg = None
-        geno = next(
-            (v for v in (args.bfile, args.vcf, args.hmp, args.file) if v), None
-        )
+        geno = common.resolve_genotype_optional(args)
         if geno is not None:
             from janusx_tpu.io.gfreader import load_raw_packed
             from janusx_tpu.io.packed import QcParams
 
             pg = load_raw_packed(geno).prepare(QcParams(maf=0.01, geno=0.2))
-        for path in paths:
+        for path, tag in zip(paths, tags):
             df = _read_assoc(path, args.pcol)
-            tag = os.path.basename(path).replace(".assoc.tsv", "").replace(".tsv", "")
             m = max(int(np.isfinite(df[args.pcol]).sum()), 1)
-            sig = args.sig if args.sig is not None else -np.log10(0.05 / m)
+            # region_report's sig_line sits on the -log10 axis; -sig is a
+            # raw p-value (same semantics as the Manhattan panel)
+            sig_p = args.sig if args.sig is not None else 0.05 / m
+            sig = -np.log10(max(sig_p, 1e-300))
             loci = pick_loci(
                 df["chrom"].to_numpy(), df["pos"].to_numpy(),
                 df[args.pcol].to_numpy(), n_loci=args.autoregion,
@@ -269,9 +290,7 @@ def main(argv=None) -> int:
         from janusx_tpu.io.pheno import load_phenotype
         from janusx_tpu.plots.haplotype import haplotype_groups, plot_haplotype
 
-        geno = next(
-            (v for v in (args.bfile, args.vcf, args.hmp, args.file) if v), None
-        )
+        geno = common.resolve_genotype_optional(args)
         if geno is None or not args.pheno:
             raise SystemExit("-hap needs a genotype input and -p phenotype")
         raw = load_raw_packed(geno)

@@ -53,6 +53,21 @@ def _r2_chunk_pairwise(packed):
     return jnp.where(denom > 0, (cov * cov) / jnp.maximum(denom, 1e-30), 0.0)
 
 
+def r2_matrix(pg: PackedGenotypes) -> np.ndarray:
+    """Full pairwise r² matrix of a (small) packed subset — the shared LD
+    kernel behind region plots and -ldblock heatmaps. Pairwise-complete
+    when any marker has missing calls (reference ld.rs semantics)."""
+    import jax.numpy as jnp
+
+    packed = decode.pad_packed_cols(pg.packed)
+    if np.any(pg.miss > 0):
+        return np.asarray(_r2_chunk_pairwise(jnp.asarray(packed)))
+    r = np.asarray(_corr_chunk(
+        jnp.asarray(packed), jnp.asarray(pg.mean.astype(np.float32))
+    ))
+    return r * r
+
+
 def ld_prune(
     pg: PackedGenotypes,
     window: int = 50,

@@ -99,7 +99,25 @@ def compact_letters(P: np.ndarray, alpha: float = 0.05) -> list:
                 s.add(i)
                 placed = True
         if not placed:
-            sets.append({i})
+            new = {i}
+            # ABSORB: earlier groups not significantly different from i
+            # must share the new letter too, else the display claims a
+            # significant difference the test never found
+            for j in range(i):
+                if P[i, j] >= alpha and all(P[j, k] >= alpha for k in new):
+                    new.add(j)
+            sets.append(new)
+    # repair: every NS pair must share a set (greedy absorb can miss one
+    # when an earlier absorbee blocks it); extend each missing pair into
+    # a maximal mutually-NS set
+    for i in range(g):
+        for j in range(i + 1, g):
+            if P[i, j] >= alpha and not any(i in s and j in s for s in sets):
+                new = {i, j}
+                for k in range(g):
+                    if k not in new and all(P[k, x] >= alpha for x in new):
+                        new.add(k)
+                sets.append(new)
     # drop subsets
     sets = [s for s in sets if not any(s < t for t in sets)]
     letters = ["" for _ in range(g)]

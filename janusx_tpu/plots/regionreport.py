@@ -47,18 +47,12 @@ def pick_loci(
     return loci
 
 
-def _ld_to_lead(sub_pg, lead_idx: int) -> np.ndarray:
-    """r^2 of every region marker to the lead marker (device corr)."""
-    import jax.numpy as jnp
+def _ld_to_lead(sub_pg, lead_idx: int):
+    """(r² to lead, full r² matrix) for the region markers (device corr)."""
+    from janusx_tpu.models.ldprune import r2_matrix
 
-    from janusx_tpu.models.ldprune import _corr_chunk
-    from janusx_tpu.ops import decode as _dec
-
-    r = np.asarray(_corr_chunk(
-        jnp.asarray(_dec.pad_packed_cols(sub_pg.packed)),
-        jnp.asarray(sub_pg.mean.astype(np.float32)),
-    ))
-    return (r[lead_idx] * r[lead_idx]).clip(0, 1), r * r
+    r2 = r2_matrix(sub_pg)
+    return r2[lead_idx].clip(0, 1), r2
 
 
 def region_report(
@@ -112,10 +106,11 @@ def region_report(
             sel_pos = sub_pg.sites.pos
             li = int(np.argmin(np.abs(sel_pos - lead_pos)))
             r2_lead_sel, r2_mat = _ld_to_lead(sub_pg, li)
-            # map assoc positions onto nearest genotype marker's r2
-            idx = np.clip(
-                np.searchsorted(sel_pos, pos), 0, len(sel_pos) - 1
-            )
+            # map assoc positions onto the NEAREST genotype marker (the raw
+            # insertion index always snapped to the right neighbor)
+            j = np.clip(np.searchsorted(sel_pos, pos), 1, len(sel_pos) - 1)
+            pick_left = np.abs(pos - sel_pos[j - 1]) <= np.abs(sel_pos[j] - pos)
+            idx = np.where(pick_left, j - 1, j)
             r2_lead = r2_lead_sel[idx]
 
     models, rows, n_rows = [], [], 1

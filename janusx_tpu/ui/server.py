@@ -121,6 +121,14 @@ class UiState:
         self.workdir = os.path.abspath(workdir)
         self.jobs: dict[int, Job] = {}
         self.roots = {self.workdir}
+        # per-server CSRF token: form POSTs from other origins (a hostile
+        # web page hitting 127.0.0.1) cannot read it, so they cannot
+        # launch jobs or cancel them
+        import secrets
+
+        self.csrf = secrets.token_hex(16)
+        self._roots_cache: tuple[float, set] | None = None
+        self._roots_lock = threading.Lock()
 
     def submit(self, module: str, argline: str) -> Job:
         if module not in ALLOWED_MODULES:
@@ -130,13 +138,23 @@ class UiState:
         self.jobs[job.id] = job
         return job
 
+    def _run_roots(self) -> set:
+        """Output roots of ALL recorded runs (cached briefly — a locus page
+        with a dozen images must not rescan the DB per request)."""
+        now = time.time()
+        with self._roots_lock:
+            if self._roots_cache and now - self._roots_cache[0] < 5.0:
+                return self._roots_cache[1]
+        roots = set(self.roots)
+        for prefix in history.list_run_prefixes():
+            roots.add(os.path.realpath(os.path.dirname(os.path.abspath(prefix))))
+        with self._roots_lock:
+            self._roots_cache = (now, roots)
+        return roots
+
     def allowed_file(self, path: str) -> bool:
         real = os.path.realpath(path)
-        roots = set(self.roots)
-        for row in history.list_runs_full(100):
-            if row[3]:
-                roots.add(os.path.realpath(os.path.dirname(
-                    os.path.abspath(row[3]))))
+        roots = self._run_roots()
         return any(real == r or real.startswith(r + os.sep) for r in roots)
 
 
@@ -211,9 +229,17 @@ class Handler(BaseHTTPRequestHandler):
                 for j in self.state.jobs.values()
             ])
         if route.startswith("/run/"):
-            return self._run_detail(int(route.split("/")[2]))
+            try:
+                run_id = int(route.split("/")[2])
+            except (ValueError, IndexError):
+                return self._send(_page("not found", ""), code=404)
+            return self._run_detail(run_id)
         if route.startswith("/job/"):
-            return self._job_detail(int(route.split("/")[2]))
+            try:
+                job_id = int(route.split("/")[2])
+            except (ValueError, IndexError):
+                return self._send(_page("not found", ""), code=404)
+            return self._job_detail(job_id)
         if route == "/file":
             return self._file(q.get("p", [""])[0])
         self._send(_page("not found", ""), code=404)
@@ -222,6 +248,10 @@ class Handler(BaseHTTPRequestHandler):
         url = urllib.parse.urlparse(self.path)
         length = int(self.headers.get("Content-Length", 0))
         form = urllib.parse.parse_qs(self.rfile.read(length).decode())
+        # all POSTs are state-changing: require the per-server CSRF token
+        # (cross-origin form POSTs to 127.0.0.1 cannot read it)
+        if form.get("csrf", [""])[0] != self.state.csrf:
+            return self._send(_page("forbidden", "bad csrf token"), code=403)
         if url.path == "/submit":
             module = form.get("module", [""])[0]
             argline = form.get("args", [""])[0]
@@ -235,7 +265,10 @@ class Handler(BaseHTTPRequestHandler):
             return
         m = url.path.split("/")
         if len(m) == 4 and m[1] == "job" and m[3] == "cancel":
-            job = self.state.jobs.get(int(m[2]))
+            try:
+                job = self.state.jobs.get(int(m[2]))
+            except ValueError:
+                job = None
             if job:
                 job.cancel()
             self.send_response(303)
@@ -265,6 +298,7 @@ class Handler(BaseHTTPRequestHandler):
         body = (
             "<div class='card'><h3>Submit a job</h3>"
             "<form method='post' action='/submit'>"
+            f"<input type='hidden' name='csrf' value='{self.state.csrf}'>"
             f"<select name='module'>{opts}</select> "
             "<input name='args' size='80' placeholder='-bfile data -p p.tsv "
             "-lmm -o out'> <input type='submit' value='run'></form>"
@@ -307,6 +341,7 @@ class Handler(BaseHTTPRequestHandler):
         dur = (job.finished or time.time()) - job.started
         cancel = (
             f"<form method='post' action='/job/{job.id}/cancel'>"
+            f"<input type='hidden' name='csrf' value='{self.state.csrf}'>"
             "<input type='submit' value='cancel'></form>"
             if job.status == "running" else ""
         )

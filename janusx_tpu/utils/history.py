@@ -71,48 +71,58 @@ def record_run(
         log.debug("history record failed: %s", e)
 
 
-def list_runs(limit: int = 100) -> list:
+def _query(sql: str, params: tuple, fetchone: bool = False):
+    """Read query with graceful degradation: a locked/corrupt history DB
+    must not 500 every web-UI request — readers return empty instead."""
     path = _db_path()
     if path is None or not os.path.exists(path):
-        return []
-    con = sqlite3.connect(path, timeout=5)
-    con.execute(_SCHEMA)
-    rows = con.execute(
+        return None if fetchone else []
+    try:
+        con = sqlite3.connect(path, timeout=5)
+        try:
+            con.execute(_SCHEMA)
+            cur = con.execute(sql, params)
+            return cur.fetchone() if fetchone else cur.fetchall()
+        finally:
+            con.close()
+    except sqlite3.Error as e:
+        log.warning("history read failed: %s", e)
+        return None if fetchone else []
+
+
+def list_runs(limit: int = 100) -> list:
+    return _query(
         "SELECT ts, module, out_prefix, seconds, status FROM runs"
         " ORDER BY ts DESC LIMIT ?",
         (limit,),
-    ).fetchall()
-    con.close()
-    return rows
+    )
 
 
 def list_runs_full(limit: int = 200) -> list:
     """Rows of (id, ts, module, out_prefix, params, outputs, seconds,
     status) for the web UI run registry."""
-    path = _db_path()
-    if path is None or not os.path.exists(path):
-        return []
-    con = sqlite3.connect(path, timeout=5)
-    con.execute(_SCHEMA)
-    rows = con.execute(
+    return _query(
         "SELECT id, ts, module, out_prefix, params, outputs, seconds, status"
         " FROM runs ORDER BY ts DESC LIMIT ?",
         (limit,),
-    ).fetchall()
-    con.close()
-    return rows
+    )
+
+
+def list_run_prefixes() -> list:
+    """All distinct out_prefix values ever recorded (web-UI artifact-root
+    whitelist — must not be truncated to recent runs, or older run pages
+    403 on their own artifacts)."""
+    rows = _query(
+        "SELECT DISTINCT out_prefix FROM runs WHERE out_prefix IS NOT NULL",
+        (),
+    )
+    return [r[0] for r in rows]
 
 
 def get_run(run_id: int):
-    path = _db_path()
-    if path is None or not os.path.exists(path):
-        return None
-    con = sqlite3.connect(path, timeout=5)
-    con.execute(_SCHEMA)
-    row = con.execute(
+    return _query(
         "SELECT id, ts, module, out_prefix, params, outputs, seconds, status"
         " FROM runs WHERE id = ?",
         (run_id,),
-    ).fetchone()
-    con.close()
-    return row
+        fetchone=True,
+    )

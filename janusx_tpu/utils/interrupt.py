@@ -64,8 +64,13 @@ def graceful_interrupts():
 
     try:
         signal.signal(signal.SIGINT, handler)
-    except ValueError:  # not main thread
-        yield
+    except ValueError:  # not main thread: no handler, but the scope must
+        # still clean up registered children and the cooperative flag
+        try:
+            yield
+        finally:
+            _kill_children()
+            _flag.clear()
         return
     try:
         yield

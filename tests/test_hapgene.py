@@ -226,3 +226,26 @@ def test_postgwas_report_pdf(tmp_path):
     pdfs = [f for f in os.listdir(str(tmp_path / "pg")) if f.endswith(".report.pdf")]
     assert len(pdfs) == 1
     assert os.path.getsize(str(tmp_path / "pg" / pdfs[0])) > 10_000
+
+
+def test_compact_letters_invariant():
+    """CLD contract: groups share a letter IFF the pair is not significant
+    (the greedy insert without absorb falsely separated NS pairs)."""
+    import numpy as np
+
+    from janusx_tpu.plots.haplotype import compact_letters
+
+    P = np.ones((3, 3))
+    P[1, 2] = P[2, 1] = 0.01
+    assert compact_letters(P) == ["ab", "a", "b"]
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        g = int(rng.integers(2, 7))
+        P = np.ones((g, g))
+        for i in range(g):
+            for j in range(i + 1, g):
+                P[i, j] = P[j, i] = rng.random()
+        L = compact_letters(P, alpha=0.3)
+        for i in range(g):
+            for j in range(i + 1, g):
+                assert bool(set(L[i]) & set(L[j])) == (P[i, j] >= 0.3)

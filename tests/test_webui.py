@@ -30,7 +30,9 @@ def _get(url: str):
         return r.status, r.read().decode()
 
 
-def _post(url: str, data: dict):
+def _post(url: str, data: dict, state=None):
+    if state is not None:
+        data = {**data, "csrf": state.csrf}
     body = urllib.parse.urlencode(data).encode()
     req = urllib.request.Request(url, data=body, method="POST")
     with urllib.request.urlopen(req, timeout=10) as r:
@@ -59,8 +61,13 @@ def test_dashboard_and_history(ui):
 
 def test_job_submit_and_cancel(ui):
     base, state, tmp = ui
+    # cross-origin-style POST without the token must be rejected
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/submit", {"module": "sim", "args": "-o x"})
+    assert e.value.code == 403
     code, body = _post(base + "/submit", {"module": "sim", "args":
-                                          "-nind 30 -nsnp 50 -o simout"})
+                                          "-nind 30 -nsnp 50 -o simout"},
+                       state=state)
     assert code == 200  # after 303 redirect
     for _ in range(120):
         jobs = json.loads(_get(base + "/api/jobs")[1])
@@ -76,7 +83,7 @@ def test_job_submit_and_cancel(ui):
 def test_submit_rejects_unknown_module(ui):
     base, state, tmp = ui
     with pytest.raises(urllib.error.HTTPError) as e:
-        _post(base + "/submit", {"module": "rm_rf", "args": "-x"})
+        _post(base + "/submit", {"module": "rm_rf", "args": "-x"}, state=state)
     assert e.value.code == 400
 
 
