@@ -59,12 +59,29 @@ def main(argv=None) -> int:
 
     panels = [load_genotype_file(p) for p in paths]
 
-    # site key: (chrom, pos); harmonize to the first panel's alleles
-    def keys(gd):
-        return {
-            (str(c), int(p)): i
-            for i, (c, p) in enumerate(zip(gd.sites.chrom, gd.sites.pos))
-        }
+    # site key: (chrom, pos, unordered allele pair) — split multi-allelics
+    # share a position, so a bare (chrom, pos) key would collapse them to
+    # one arbitrary row and null out consistent variants; alleles in the
+    # key keep each biallelic split matched to its own counterpart.
+    # Orientation is still harmonized to the first panel below.
+    import logging
+
+    def keys(gd, label=""):
+        out = {}
+        dups = 0
+        for i, (c, p, x, y) in enumerate(zip(
+            gd.sites.chrom, gd.sites.pos, gd.sites.allele0, gd.sites.allele1
+        )):
+            k = (str(c), int(p)) + tuple(sorted((str(x), str(y))))
+            if k in out:
+                dups += 1
+            out[k] = i
+        if dups:
+            logging.getLogger("janusx_tpu.gmerge").warning(
+                "%s: %d fully duplicated site rows (same chrom/pos/alleles);"
+                " keeping the last of each", label or "panel", dups,
+            )
+        return out
 
     base = panels[0]
     common_keys = set(keys(base))

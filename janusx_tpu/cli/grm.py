@@ -69,7 +69,14 @@ def main(argv=None) -> int:
         id_path = os.path.splitext(args.dense_grm)[0] + ".id"
         if not os.path.exists(id_path):
             raise SystemExit(f"missing GRM id sidecar: {id_path}")
-        samples = [l.split()[0] for l in open(id_path) if l.strip()]
+        with open(id_path) as fh:
+            samples = [l.split()[0] for l in fh if l.strip()]
+        if len(samples) != K.shape[0]:
+            raise SystemExit(
+                f"id sidecar {id_path} has {len(samples)} ids but the GRM "
+                f"is {K.shape[0]}x{K.shape[1]} — stale sidecar would "
+                f"misalign every downstream -spk analysis"
+            )
         tag = "cGRM" if args.method == 1 else "sGRM"
         _write_spgrm(prefix, tag, K, samples, args.sparse)
         return 0

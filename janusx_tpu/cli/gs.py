@@ -130,6 +130,7 @@ def main(argv=None) -> int:
         cv=args.cv,
         maf=args.maf,
         geno=args.geno,
+        het=args.het,
         seed=args.seed,
         export_effects=args.effect,
         save_models=args.save_model,

@@ -111,16 +111,34 @@ def _ldsc_manhattan_pdf(chrom, pos, vals, path: str) -> None:
     plt.close(fig)
 
 
+def _sample_counts(packed: np.ndarray, n: int, m: int):
+    """Per-sample (missing, het) counts, streamed over row chunks so the
+    full m x n int8 decode is never materialized."""
+    from janusx_tpu.io import bitcodec
+
+    missing = np.zeros(n, np.int64)
+    hets = np.zeros(n, np.int64)
+    for s0 in range(0, m, 4096):
+        codes = bitcodec.unpack_codes(packed[s0:s0 + 4096], n)
+        missing += (codes == 3).sum(axis=0)
+        hets += (codes == 1).sum(axis=0)
+    return missing, hets
+
+
 def _site_ldscores(raw, kind: str, win) -> np.ndarray:
-    """Per-site sum of r² with in-window neighbors (window per chromosome)."""
+    """Per-site sum of r² with in-window neighbors (window per chromosome).
+    Pairwise-complete r² when missing calls exist (ld.rs semantics); the
+    self term is subtracted explicitly so monomorphic sites score 0, not
+    -1."""
     import jax.numpy as jnp
 
     from janusx_tpu.io.packed import QcParams, pack_from_codes
-    from janusx_tpu.models.ldprune import _corr_chunk
+    from janusx_tpu.models.ldprune import _corr_chunk, _r2_chunk_pairwise
     from janusx_tpu.ops import decode as _dec
 
     pgq = pack_from_codes(raw.packed, raw.n_samples, raw.sites, raw.samples,
                           QcParams(maf=0.0, geno=1.0))
+    any_missing = bool(np.any(pgq.miss > 0))
     m = pgq.m
     ld = np.zeros(m)
     packed_pad = _dec.pad_packed_cols(pgq.packed)
@@ -141,11 +159,16 @@ def _site_ldscores(raw, kind: str, win) -> np.ndarray:
             # full left AND right windows
             a0 = max(c0, s0 - ov)
             e0 = min(s0 + step + ov, c1)
-            r = np.asarray(_corr_chunk(
-                jnp.asarray(packed_pad[a0:e0]),
-                jnp.asarray(pgq.mean[a0:e0].astype(np.float32)),
-            ))
-            r2 = r * r
+            if any_missing:
+                r2 = np.asarray(
+                    _r2_chunk_pairwise(jnp.asarray(packed_pad[a0:e0]))
+                )
+            else:
+                r = np.asarray(_corr_chunk(
+                    jnp.asarray(packed_pad[a0:e0]),
+                    jnp.asarray(pgq.mean[a0:e0].astype(np.float32)),
+                ))
+                r2 = r * r
             hi = min(s0 + step, c1)
             for gi in range(s0, hi):
                 li = gi - a0
@@ -155,7 +178,7 @@ def _site_ldscores(raw, kind: str, win) -> np.ndarray:
                 else:
                     lo = max(0, li - win)
                     up = min(e0 - a0, li + win + 1)
-                ld[gi] = r2[li, lo:up].sum() - 1.0
+                ld[gi] = r2[li, lo:up].sum() - r2[li, li]
     return ld
 
 
@@ -173,8 +196,16 @@ def main(argv=None) -> int:
     do_site = args.site or not (args.ind or ref_modes or args.king is not None)
     outputs = []
 
-    if ref_modes:
+    # shared full-matrix passes, computed once for every consumer below
+    nm_r = alt_r = het_r = None
+    if ref_modes or do_site:
         nm_r, alt_r, het_r = bitcodec.row_stats(raw.packed, n)
+    i_missing = i_het = i_nm = None
+    if args.miss or args.het_tables or args.ind:
+        i_missing, i_het = _sample_counts(raw.packed, n, raw.m)
+        i_nm = raw.m - i_missing
+
+    if ref_modes:
         with np.errstate(divide="ignore", invalid="ignore"):
             af_r = np.where(nm_r > 0, alt_r / (2.0 * nm_r), np.nan)
             maf_r = np.minimum(af_r, 1 - af_r)
@@ -193,11 +224,6 @@ def main(argv=None) -> int:
             _site_table(f"{prefix}.freq", "maf", maf_r)
             _hist_pdf(maf_r, f"{prefix}.freq.pdf", "minor allele frequency")
             outputs.append(f"{prefix}.freq.pdf")
-        if args.miss or args.het_tables:
-            codes = bitcodec.unpack_codes(raw.packed, n)
-            i_missing = (codes == 3).sum(axis=0)
-            i_het = (codes == 1).sum(axis=0)
-            i_nm = raw.m - i_missing
         if args.miss:
             _site_table(f"{prefix}.lmiss", "miss", lmiss)
             with open(f"{prefix}.imiss", "wt") as fh:
@@ -226,12 +252,11 @@ def main(argv=None) -> int:
                 ld_sc, f"{prefix}.{label}.ldsc.pdf")
             outputs.append(f"{prefix}.{label}.ldsc.pdf")
     if do_site:
-        nm, alt, het = bitcodec.row_stats(raw.packed, n)
         with np.errstate(divide="ignore", invalid="ignore"):
-            af = np.where(nm > 0, alt / (2.0 * nm), np.nan)
+            af = np.where(nm_r > 0, alt_r / (2.0 * nm_r), np.nan)
             maf = np.minimum(af, 1 - af)
-            het_rate = np.where(nm > 0, het / nm, np.nan)
-        miss = 1.0 - nm / n
+            het_rate = np.where(nm_r > 0, het_r / nm_r, np.nan)
+        miss = 1.0 - nm_r / n
         ld = None
         if args.ldscore:
             # count-window LD scores via the shared chunked kernel
@@ -253,16 +278,12 @@ def main(argv=None) -> int:
                 fh.write(row + "\n")
         outputs.append(path)
     if args.ind:
-        codes = bitcodec.unpack_codes(raw.packed, n)
-        missing = (codes == 3).sum(axis=0)
-        hets = (codes == 1).sum(axis=0)
-        nm = raw.m - missing
         path = f"{prefix}.ind.stats.tsv"
         with open(path, "wt") as fh:
             fh.write("sample\tn_snps\tmiss\thet\n")
             for j, sid in enumerate(raw.samples):
-                miss_rate = missing[j] / raw.m if raw.m else 0.0
-                het_rate = hets[j] / nm[j] if nm[j] else 0.0
+                miss_rate = i_missing[j] / raw.m if raw.m else 0.0
+                het_rate = i_het[j] / i_nm[j] if i_nm[j] else 0.0
                 fh.write(f"{sid}\t{raw.m}\t{miss_rate:.6g}\t{het_rate:.6g}\n")
         outputs.append(path)
     if args.king is not None:

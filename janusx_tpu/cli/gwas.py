@@ -160,6 +160,9 @@ def main(argv=None) -> int:
             else args.splmm_exact if args.splmm_exact is not None
             else 0.05
         ),
+        # -splmm 0.01 -splmm-exact 0.2 in one run: each route keeps its own
+        # cutoff (the reference carries one cutoff per splmm run config)
+        splmm_exact_cutoff=args.splmm_exact,
         lowrank_snps=(args.lowrank if args.lowrank is not None else 4096),
         genetic_model=args.genetic_model,
         global_stats=args.global_stats,

@@ -127,6 +127,15 @@ def _parse_trait_cols(ncol, df, id_col: str, used: set) -> list:
     for tok in _split_tokens(ncol):
         if "-" in tok and all(x.isdigit() for x in tok.split("-", 1)):
             a, b = (int(x) for x in tok.split("-", 1))
+            if a > b:
+                raise SystemExit(
+                    f"-n range {tok!r} is inverted (use {b}-{a})"
+                )
+            if b >= len(cols):
+                raise SystemExit(
+                    f"-n range {tok!r} exceeds the {len(cols)} phenotype "
+                    f"columns (0-based, excluding the ID column)"
+                )
             for i in range(a, b + 1):
                 out.append(cols[i])
         else:

@@ -48,6 +48,7 @@ class GsConfig:
     cv: int = 5
     maf: float = config.DEFAULT_MAF
     geno: float = config.DEFAULT_GENO
+    het: float = config.DEFAULT_HET
     seed: int = 42
     block: int = config.DEFAULT_SNP_BLOCK
     write_outputs: bool = True
@@ -135,7 +136,7 @@ def _run_kernel_method(
 
 def run_gs(cfg: GsConfig):
     t_start = time.monotonic()
-    qc = QcParams(maf=cfg.maf, geno=cfg.geno)
+    qc = QcParams(maf=cfg.maf, geno=cfg.geno, het=cfg.het)
     raw = load_raw_packed(cfg.genotype)
     pg = raw.prepare(qc)
     if cfg.ldprune:

@@ -98,7 +98,13 @@ def parse_vcf_block(data: bytes, n_samples: int, n_lines_hint: int):
         length.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
     )
     if m < 0:
-        return None
+        bad = -int(m) - 1
+        lines = data.split(b"\n")
+        snippet = lines[bad][:120].decode(errors="replace") if bad < len(lines) else ""
+        raise ValueError(
+            f"malformed VCF data line {bad} (truncated or non-VCF content): "
+            f"{snippet!r}"
+        )
     meta = []
     for i in range(m):
         meta.append(

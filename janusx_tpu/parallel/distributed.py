@@ -9,11 +9,14 @@ and XLA collectives over ICI for the GRM partial-product merge.
 Typical multi-host driver:
 
     from janusx_tpu.parallel import distributed as dist
-    dist.initialize()                       # env-driven (TPU pods auto-detect)
+    dist.initialize()                     # MUST run before any jax call
     mesh = dist.global_snp_mesh()
-    lo, hi = dist.host_snp_range(m_total)   # this host's SNP slice
-    raw = load_raw_packed(path)             # or a range-limited reader
-    ... build global arrays with jax.make_array_from_process_local_data
+    m_pad = dist.padded_snp_total(m_total)
+    lo, hi = dist.host_snp_range(m_total) # this host's PADDED slice
+    block = reader.rows(lo, min(hi, m_total))  # range-limited host read
+    block = pad_rows(block, hi - lo)      # rows >= m_total are padding
+    g = dist.make_global_snp_array(mesh, block, m_total)
+    # g.shape[0] == m_pad; mask or trim rows >= m_total after compute
 """
 
 from __future__ import annotations
@@ -32,8 +35,13 @@ SNP_AXIS = "snp"
 def initialize(coordinator: str | None = None, num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """jax.distributed.initialize — env-driven on TPU pods (no args needed);
-    explicit args for CPU/GPU multi-process testing."""
-    if jax.process_count() > 1 or jax.distributed.is_initialized():  # pragma: no cover
+    explicit args for CPU/GPU multi-process testing.
+
+    Must run before ANY jax call that initializes the XLA backend — even
+    jax.process_count() counts, so the only safe pre-check is
+    jax.distributed.is_initialized() (pure Python state).
+    """
+    if jax.distributed.is_initialized():  # pragma: no cover
         return
     try:
         if coordinator is None:
@@ -50,29 +58,58 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
             jax.local_device_count(), jax.device_count(),
         )
     except (ValueError, RuntimeError) as e:
+        # no coordinator env (single-host dev runs): proceed single-process
         log.info("single-process mode (%s)", e)
+
+
+def _mesh_devices() -> list:
+    """Global device order: process-major, so each host's shard rows are
+    one contiguous block of the sharded axis (required for
+    make_array_from_process_local_data with contiguous host reads)."""
+    return sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
 
 
 def global_snp_mesh() -> Mesh:
     """1-D mesh over ALL devices (all hosts); SNP-axis data parallelism."""
-    return Mesh(np.array(jax.devices()), (SNP_AXIS,))
+    return Mesh(np.array(_mesh_devices()), (SNP_AXIS,))
+
+
+def padded_snp_total(m_total: int) -> int:
+    """SNP-axis length padded up to a device-count multiple (SPMD shards
+    must be equal-sized; rows >= m_total are padding)."""
+    d = jax.device_count()
+    return -(-m_total // d) * d
 
 
 def host_snp_range(m_total: int) -> tuple[int, int]:
-    """This host's contiguous SNP slice (device-count weighted)."""
-    pc = jax.process_count()
+    """This host's contiguous slice [lo, hi) of the PADDED SNP axis,
+    weighted by its device count. Rows at index >= m_total (only possible
+    on the last hosts) are padding the caller fills with code-3 bytes."""
+    m_pad = padded_snp_total(m_total)
+    devs = _mesh_devices()
+    per_dev = m_pad // len(devs)
     pi = jax.process_index()
-    per = -(-m_total // pc)
-    return pi * per, min((pi + 1) * per, m_total)
+    before = sum(1 for d in devs if d.process_index < pi)
+    mine = sum(1 for d in devs if d.process_index == pi)
+    lo = before * per_dev
+    return lo, lo + mine * per_dev
 
 
 def make_global_snp_array(mesh: Mesh, local_block: np.ndarray, m_total: int):
     """Assemble a globally SNP-sharded array from per-host local blocks.
 
-    local_block holds this host's rows (host_snp_range slice, padded so the
-    global leading dim is divisible by the device count)."""
+    local_block holds this host's host_snp_range(m_total) rows (padded —
+    its leading dim must be exactly hi - lo). The returned global array
+    has leading dim padded_snp_total(m_total); callers mask or trim the
+    tail rows after compute."""
+    lo, hi = host_snp_range(m_total)
+    if local_block.shape[0] != hi - lo:
+        raise ValueError(
+            f"local block rows {local_block.shape[0]} != host slice {hi - lo}"
+            f" (host_snp_range({m_total}) = [{lo}, {hi}))"
+        )
     sharding = NamedSharding(mesh, P(SNP_AXIS))
-    global_shape = (m_total,) + local_block.shape[1:]
+    global_shape = (padded_snp_total(m_total),) + local_block.shape[1:]
     return jax.make_array_from_process_local_data(
         sharding, local_block, global_shape
     )

@@ -58,6 +58,9 @@ class GwasConfig:
     block: int = config.DEFAULT_SNP_BLOCK
     write_tsv: bool = True
     splmm_cutoff: float = config.knob("JX_TPU_SPARSE_CUTOFF")  # reference default 0.05 (workflow.py:6701)
+    # -splmm-exact's own cutoff (None = splmm_cutoff); the reference keeps
+    # one cutoff per run config, so the two routes may differ in one run
+    splmm_exact_cutoff: float | None = None
     lowrank_snps: int = 4096  # kinship SNPs for the -lowrank FaST-LMM route
     # -global: reuse the full-sample row-stat pass for trait subsets
     # instead of strict-train re-preparation (reference workflow.py:6895)
@@ -206,6 +209,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
     )
     K = None
     Ksp = None
+    Ksp_exact = None  # -splmm-exact with its own cutoff; else aliases Ksp
     if need_dense:
         K = load_or_build_grm(
             cfg.genotype, pg_full, cfg.maf, cfg.geno, method=cfg.grm_method,
@@ -251,6 +255,17 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                     cfg.genotype, pg_full, cfg.maf, cfg.geno, cfg.splmm_cutoff,
                     method=sp_method, block=cfg.block, use_cache=cfg.use_cache,
                 )
+            exact_cut = (
+                cfg.splmm_exact_cutoff
+                if cfg.splmm_exact_cutoff is not None else cfg.splmm_cutoff
+            )
+            if "splmm-exact" in cfg.models and exact_cut != cfg.splmm_cutoff:
+                with stage("sparse GRM (exact-route cutoff)", log):
+                    Ksp_exact = load_or_build_sparse_grm(
+                        cfg.genotype, pg_full, cfg.maf, cfg.geno, exact_cut,
+                        method=sp_method, block=cfg.block,
+                        use_cache=cfg.use_cache,
+                    )
 
     pcs_full = None
     if cfg.n_pcs > 0:
@@ -458,9 +473,14 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 # reference splmm.rs per-SNP sparse-Cholesky solves)
                 from janusx_tpu.models.splmm import splmm_exact_scan
 
-                Ksub = Ksp[keep][:, keep].tocsc()
+                Ksp_e = Ksp_exact if Ksp_exact is not None else Ksp
+                exact_cut = (
+                    cfg.splmm_exact_cutoff
+                    if cfg.splmm_exact_cutoff is not None else cfg.splmm_cutoff
+                )
+                Ksub = Ksp_e[keep][:, keep].tocsc()
                 res, info = splmm_exact_scan(
-                    pg_t, Ksub, y_t, cov_t, cutoff=cfg.splmm_cutoff,
+                    pg_t, Ksub, y_t, cov_t, cutoff=exact_cut,
                     block=cfg.block,
                 )
                 lbd_null = info["lambda_null"]

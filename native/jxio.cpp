@@ -16,8 +16,10 @@
 
 extern "C" {
 
-// Returns the number of lines parsed (<= max_lines), or -1 on malformed
-// input. `buf` holds newline-separated VCF data lines (no header lines).
+// Returns the number of lines parsed (<= max_lines), or -(k+1) when line k
+// is malformed (ends before the 9 fixed VCF columns — truncated or
+// non-VCF content). `buf` holds newline-separated VCF data lines (no
+// header lines).
 // packed: (max_lines, nb) row-major with nb = (n_samples + 3) / 4, caller
 // pre-sized; tail lanes of each row are set to code 3.
 // field_off/field_len: (max_lines, 5) spans of CHROM POS ID REF ALT in buf.
@@ -33,18 +35,22 @@ long jx_vcf_parse_block(const char* buf, long len, long n_samples,
       continue;
     }
     long line_start = i;
-    // first 5 fields: record spans
+    // first 5 fields: record spans; a line ending inside the fixed
+    // columns is malformed (truncated download, non-VCF junk) — flag it
+    // instead of emitting a phantom all-missing variant
     for (int f = 0; f < 5; ++f) {
       long start = i;
       while (i < len && buf[i] != '\t' && buf[i] != '\n') ++i;
       field_off[line * 5 + f] = start;
       field_len[line * 5 + f] = i - start;
-      if (i < len && buf[i] == '\t') ++i;
+      if (i >= len || buf[i] != '\t') return -(line + 1);
+      ++i;
     }
     // skip QUAL FILTER INFO FORMAT
     for (int f = 0; f < 4; ++f) {
       while (i < len && buf[i] != '\t' && buf[i] != '\n') ++i;
-      if (i < len && buf[i] == '\t') ++i;
+      if (i >= len || buf[i] != '\t') return -(line + 1);
+      ++i;
     }
     unsigned char* row = packed + line * nb;
     std::memset(row, 0xFF, (size_t)nb);  // all-missing default (code 3)

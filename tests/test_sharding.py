@@ -241,3 +241,29 @@ def test_run_gs_sharded_matches_single(tmp_path, rng):
         sb, vb = b.split("\t")
         assert sa == sb
         assert float(va) == pytest.approx(float(vb), abs=2e-3)
+
+
+def test_distributed_recipe_single_process():
+    """The documented multi-host recipe must execute end-to-end (here with
+    process_count=1 over the 8 virtual devices): padded totals, host slice,
+    and global array assembly agree for non-divisible m_total."""
+    import jax
+    import numpy as np
+
+    from janusx_tpu.parallel import distributed as dist
+
+    for m_total in (10, 16, 17, 129):
+        m_pad = dist.padded_snp_total(m_total)
+        assert m_pad % jax.device_count() == 0 and m_pad >= m_total
+        lo, hi = dist.host_snp_range(m_total)
+        assert (lo, hi) == (0, m_pad)  # single process owns everything
+        mesh = dist.global_snp_mesh()
+        block = np.arange(hi - lo, dtype=np.float32)[:, None] * np.ones((1, 3), np.float32)
+        g = dist.make_global_snp_array(mesh, block, m_total)
+        assert g.shape == (m_pad, 3)
+        np.testing.assert_array_equal(np.asarray(g), block)
+        # wrong local shape is a loud error, not silent misalignment
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            dist.make_global_snp_array(mesh, block[:-1], m_total)
