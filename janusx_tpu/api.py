@@ -94,10 +94,20 @@ class ASSOC:
         if G.ndim == 1:
             G = G[:, None]
         Gk = G[self._keep]  # (n_keep, m)
+        if not np.isfinite(Gk).all():
+            # missing dosages impute to the marker mean (standard GWAS
+            # treatment; NaNs would silently poison every statistic)
+            mu = np.nanmean(Gk, axis=0, keepdims=True)
+            Gk = np.where(np.isfinite(Gk), Gk, np.where(np.isfinite(mu), mu, 0.0))
         n, m = Gk.shape
 
         if self.model in ("lmm", "fvlmm", "splmm") and self._basis is None:
-            K = Gk @ Gk.T / max(Gk.shape[1], 1)
+            # kinship fallback from G itself: CENTER first — the raw
+            # cross-product carries a rank-one allele-frequency component
+            # that distorts the eigenbasis and lambda
+            Gc = Gk - np.nanmean(Gk, axis=0, keepdims=True)
+            Gc = np.where(np.isfinite(Gc), Gc, 0.0)  # missing -> mean
+            K = Gc @ Gc.T / max(Gk.shape[1], 1)
             self._prepare_mixed(K)
 
         beta = np.empty(m)
@@ -162,6 +172,9 @@ class GenomicSelection:
         G = np.asarray(G, np.float64)
         y = np.asarray(y, np.float64).reshape(-1)
         self._G = G - np.nanmean(G, axis=0, keepdims=True)
+        # NaN genotypes impute to the marker mean (0 after centering);
+        # without this a single missing call NaN-poisons K and every gebv
+        self._G = np.where(np.isfinite(self._G), self._G, 0.0)
         self._K = self._G @ self._G.T / max(G.shape[1], 1)
         self._train = np.nonzero(np.isfinite(y))[0]
         self._y = y

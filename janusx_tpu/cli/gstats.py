@@ -111,18 +111,36 @@ def _ldsc_manhattan_pdf(chrom, pos, vals, path: str) -> None:
     plt.close(fig)
 
 
-def _sample_counts(packed: np.ndarray, n: int, m: int):
-    """Per-sample (missing, het) counts, streamed over row chunks so the
-    full m x n int8 decode is never materialized."""
+def _sample_counts(raw, n: int, m: int):
+    """Per-sample (missing, het) counts, streamed over row windows so
+    neither the int8 decode nor (for WindowedBed inputs) the packed
+    matrix is ever fully materialized."""
     from janusx_tpu.io import bitcodec
 
     missing = np.zeros(n, np.int64)
     hets = np.zeros(n, np.int64)
     for s0 in range(0, m, 4096):
-        codes = bitcodec.unpack_codes(packed[s0:s0 + 4096], n)
+        codes = bitcodec.unpack_codes(
+            raw.read_window_codes(s0, min(s0 + 4096, m)), n
+        )
         missing += (codes == 3).sum(axis=0)
         hets += (codes == 1).sum(axis=0)
     return missing, hets
+
+
+def _row_stats_streamed(raw, n: int):
+    """bitcodec.row_stats over row windows (WindowedBed-safe)."""
+    from janusx_tpu.io import bitcodec
+
+    parts = []
+    for s0 in range(0, raw.m, 65536):
+        parts.append(bitcodec.row_stats(
+            raw.read_window_codes(s0, min(s0 + 65536, raw.m)), n
+        ))
+    if not parts:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    return tuple(np.concatenate([p[k] for p in parts]) for k in range(3))
 
 
 def _site_ldscores(raw, kind: str, win) -> np.ndarray:
@@ -191,18 +209,23 @@ def main(argv=None) -> int:
     from janusx_tpu.io.gfreader import load_raw_packed
 
     raw = load_raw_packed(common.resolve_genotype(args))
+    if args.ldsc is not None or args.ldscore or args.king is not None:
+        # these modes need whole-matrix random access; a low-memory
+        # WindowedBed handle is materialized (RAM = .bed size)
+        raw = raw.to_raw_packed()
     n = raw.n_samples
     ref_modes = args.freq or args.miss or args.het_tables or args.ldsc is not None
     do_site = args.site or not (args.ind or ref_modes or args.king is not None)
     outputs = []
 
     # shared full-matrix passes, computed once for every consumer below
+    # (streamed over row windows — WindowedBed inputs never materialize)
     nm_r = alt_r = het_r = None
     if ref_modes or do_site:
-        nm_r, alt_r, het_r = bitcodec.row_stats(raw.packed, n)
+        nm_r, alt_r, het_r = _row_stats_streamed(raw, n)
     i_missing = i_het = i_nm = None
     if args.miss or args.het_tables or args.ind:
-        i_missing, i_het = _sample_counts(raw.packed, n, raw.m)
+        i_missing, i_het = _sample_counts(raw, n, raw.m)
         i_nm = raw.m - i_missing
 
     if ref_modes:

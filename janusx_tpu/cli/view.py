@@ -66,7 +66,8 @@ def main(argv=None) -> int:
     from janusx_tpu.io import bitcodec
 
     head = min(args.head, raw.m)
-    codes = bitcodec.unpack_codes(raw.packed[:head], raw.n_samples)
+    # read_window_codes works for RawPacked and low-memory WindowedBed alike
+    codes = bitcodec.unpack_codes(raw.read_window_codes(0, head), raw.n_samples)
     geno = codes.astype(np.int8)
     geno[codes == 3] = -1
     for i in range(head):

@@ -17,7 +17,8 @@ class KFold:
         self.shuffle = shuffle
         self.random_state = random_state
 
-    def split(self, X):
+    def split(self, X, y=None, groups=None):
+        """sklearn-compatible signature (y/groups accepted, unused)."""
         n = int(X) if isinstance(X, (int, np.integer)) else len(X)
         if self.n_splits > n:
             raise ValueError(f"n_splits={self.n_splits} > n_samples={n}")

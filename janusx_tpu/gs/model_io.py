@@ -50,13 +50,16 @@ def load_marker_model(path: str) -> dict:
 def predict_new_panel(model: dict, gdata) -> tuple[np.ndarray, dict]:
     """gebv for a new GenotypeData panel.
 
-    Sites matched by (chrom, pos); swapped-allele sites flip dosage;
-    mismatched or absent sites contribute their training-mean term
-    (equivalent to mean imputation). Returns (pred (n,), report)."""
-    key_to_idx = {
-        (c, int(p)): i
-        for i, (c, p) in enumerate(zip(model["chrom"], model["pos"]))
-    }
+    Sites matched by (chrom, pos, unordered allele pair) — split
+    multi-allelics share a position, so a bare positional key would shadow
+    all but one of them; swapped-allele sites flip dosage; mismatched or
+    absent sites contribute their training-mean term (equivalent to mean
+    imputation). Returns (pred (n,), report)."""
+    key_to_idx = {}
+    for i, (c, p, x, y_) in enumerate(zip(
+        model["chrom"], model["pos"], model["allele0"], model["allele1"]
+    )):
+        key_to_idx[(str(c), int(p)) + tuple(sorted((str(x), str(y_))))] = i
     eff = model["effect"]
     means = model["train_mean"]
     mu = float(model["mu"])
@@ -66,11 +69,13 @@ def predict_new_panel(model: dict, gdata) -> tuple[np.ndarray, dict]:
     used = np.zeros(len(eff), bool)
     g = gdata.genotypes
     for j in range(gdata.m):
-        key = (str(gdata.sites.chrom[j]), int(gdata.sites.pos[j]))
+        a0, a1 = str(gdata.sites.allele0[j]), str(gdata.sites.allele1[j])
+        key = (str(gdata.sites.chrom[j]), int(gdata.sites.pos[j])) + tuple(
+            sorted((a0, a1))
+        )
         i = key_to_idx.get(key)
         if i is None or used[i]:
             continue
-        a0, a1 = str(gdata.sites.allele0[j]), str(gdata.sites.allele1[j])
         m0, m1 = str(model["allele0"][i]), str(model["allele1"][i])
         row = g[j].astype(np.float64)
         miss = row < 0

@@ -42,16 +42,24 @@ def standardize_columns(A: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarr
     return np.where(np.isfinite(Z), Z, 0.0), mu, sd
 
 
-@partial(jax.jit, static_argnames=())
-def _loss_grad_hess(w, P, T, l2):
-    def loss_fn(w):
-        D = jnp.abs(P[:, None, :] - T[None, :, :])  # (n, n, k)
-        S = -jnp.einsum("ijk,k->ij", D, w)
-        row = jax.scipy.special.logsumexp(S, axis=1)
-        return jnp.sum(row - jnp.diag(S)) + 0.5 * l2 * jnp.dot(w, w)
+def _top_loss_fn(w, P, T, l2):
+    D = jnp.abs(P[:, None, :] - T[None, :, :])  # (n, n, k)
+    S = -jnp.einsum("ijk,k->ij", D, w)
+    row = jax.scipy.special.logsumexp(S, axis=1)
+    return jnp.sum(row - jnp.diag(S)) + 0.5 * l2 * jnp.dot(w, w)
 
-    loss, grad = jax.value_and_grad(loss_fn)(w)
-    hess = jax.hessian(loss_fn)(w)
+
+@jax.jit
+def _loss_only(w, P, T, l2):
+    """Backtracking evaluations need only the scalar loss — the jitted
+    hessian costs k extra gradient passes over the (n, n, k) tensor."""
+    return _top_loss_fn(w, P, T, l2)
+
+
+@jax.jit
+def _loss_grad_hess(w, P, T, l2):
+    loss, grad = jax.value_and_grad(_top_loss_fn)(w, P, T, l2)
+    hess = jax.hessian(_top_loss_fn)(w, P, T, l2)
     return loss, grad, hess
 
 
@@ -104,7 +112,7 @@ def top_fit(
         t = 1.0
         for _ in range(30):
             w_new = np.maximum(w - t * step, WEIGHT_FLOOR)
-            l_new = float(_loss_grad_hess(jnp.asarray(w_new), Pd, Td, l2)[0])
+            l_new = float(_loss_only(jnp.asarray(w_new), Pd, Td, l2))
             if l_new <= loss - 1e-4 * t * float(g @ step):
                 break
             t *= 0.5

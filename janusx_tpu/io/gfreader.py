@@ -69,7 +69,9 @@ def inspect_genotype_file(path: str, count_snps: bool = True) -> GenotypeFileInf
         m = vcf.count_vcf_sites(p) if count_snps else None
         return GenotypeFileInfo(p, fmt, len(samples), m)
     if fmt == "hmp":
-        first = next(iter(hapmap.iter_hapmap_chunks(p, chunk_snps=1)))
+        first = next(iter(hapmap.iter_hapmap_chunks(p, chunk_snps=1)), None)
+        if first is None:
+            raise ValueError(f"no variant rows in HapMap file: {p}")
         # cheap: count lines if requested
         m = None
         if count_snps:
@@ -148,6 +150,13 @@ class RawPacked:
         return pack_from_codes(
             self.packed, self.n_samples, self.sites, self.samples, qc, sample_idx
         )
+
+    def read_window_codes(self, start: int, stop: int) -> np.ndarray:
+        """Packed dosage-code rows [start, stop) — WindowedBed duck-type."""
+        return self.packed[start:stop]
+
+    def to_raw_packed(self) -> "RawPacked":
+        return self
 
 
 def _load_raw_vcf_native(path: str, chunk_snps: int) -> RawPacked | None:
@@ -291,8 +300,8 @@ def load_raw_packed(
         return RawPacked(packed, n, sites, samples)
     if use_cache:
         cprefix = _tilde_cache_prefix(p)
-        if os.path.exists(cprefix + ".bed") and \
-                os.path.getmtime(cprefix + ".bed") >= os.path.getmtime(p):
+        if all(os.path.exists(cprefix + ext) for ext in (".bed", ".bim", ".fam")) \
+                and os.path.getmtime(cprefix + ".bed") >= os.path.getmtime(p):
             # same low-memory policy as a direct BED fileset: explicit
             # flag wins, otherwise size threshold / env knob
             cache_size = os.path.getsize(cprefix + ".bed")

@@ -98,10 +98,11 @@ class PackedGenotypes:
 
 
 def _is_snp_allele(a: np.ndarray) -> np.ndarray:
-    ok = np.zeros(len(a), dtype=bool)
-    for i, s in enumerate(a):
-        ok[i] = isinstance(s, str) and len(s) == 1 and s.upper() in "ACGT"
-    return ok
+    # vectorized: a per-element Python loop costs tens of seconds at
+    # biobank m when snps_only QC is on (exact match against the 1-char
+    # bases, so indels/multi-char alleles fail naturally)
+    s = np.asarray(a).astype("U8")
+    return np.isin(s, ("A", "C", "G", "T", "a", "c", "g", "t"))
 
 
 def qc_evaluate(

@@ -97,6 +97,22 @@ class WindowedBed:
         packed = bitcodec.translate(raw, bitcodec.BED_TO_DOSAGE_LUT)
         return bitcodec.mask_tail(packed, self.n_samples)
 
+    def to_raw_packed(self):
+        """Materialize the full packed matrix in RAM (= .bed size) for
+        consumers that need random whole-matrix access (gstats -ldsc/-king,
+        view). Streaming consumers should iterate read_window_codes."""
+        from janusx_tpu.io.gfreader import RawPacked
+
+        blocks = [
+            self.read_window_codes(s, min(s + self.window, self._m))
+            for s in range(0, self._m, self.window)
+        ]
+        packed = (
+            np.concatenate(blocks, axis=0) if blocks
+            else np.empty((0, self._nb), np.uint8)
+        )
+        return RawPacked(packed, self.n_samples, self.sites, self.samples)
+
     def prepare(
         self, qc: QcParams | None = None, sample_idx: np.ndarray | None = None
     ) -> "WindowedPacked":

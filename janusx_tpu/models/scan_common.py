@@ -48,15 +48,20 @@ class ScanResult:
         return np.where(ok, z2, np.nan)
 
     def schema(self) -> str:
-        if self.extra_cols:
-            return tsv.HEADER_BASIC + "\t" + "\t".join(self.extra_cols)
+        base = tsv.HEADER_BASIC
         if self.lbd is not None:
-            return tsv.HEADER_LMM2
-        if self.plrt is not None:
-            return tsv.HEADER_PLRT
-        return tsv.HEADER_BASIC
+            base = tsv.HEADER_LMM2
+        elif self.plrt is not None:
+            base = tsv.HEADER_PLRT
+        if self.extra_cols:
+            base += "\t" + "\t".join(self.extra_cols)
+        return base
 
     def write_tsv(self, path: str) -> None:
+        # header and row layout both come from (lbd, plrt, extra_cols), so
+        # any field combination stays column-aligned
+        if self.lbd is not None and self.plrt is None:
+            raise ValueError("lmm2 columns need plrt alongside lbd/ml")
         with tsv.AsyncTsvWriter(path, self.schema()) as w:
             block = 100_000
             for s in range(0, self.m, block):

@@ -187,3 +187,36 @@ def test_mem_flag_selects_windowed_path(tmp_path, monkeypatch):
     # and RESTORE it at teardown, poisoning later tests with a ~1 MB budget
     os.environ.pop("JX_TPU_LOWMEM_BYTES", None)
     os.environ.pop("JX_TPU_MEM_BUDGET_BYTES", None)
+
+
+def test_gstats_and_view_on_windowed_input(tmp_path, rng, monkeypatch, capsys):
+    """gstats/view must work when load_raw_packed returns the low-memory
+    WindowedBed handle (they previously crashed on the missing .packed)."""
+    import numpy as np
+
+    from janusx_tpu.cli.main import main as jx_main
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+
+    m, n = 300, 40
+    g = rng.binomial(2, 0.3, size=(m, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object), pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object), allele1=np.array(["G"] * m, object),
+    )
+    prefix = str(tmp_path / "w")
+    plink.write_plink_genotypes(
+        prefix, GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    )
+    monkeypatch.setenv("JX_TPU_LOWMEM", "1")
+    rc = jx_main(["gstats", "-bfile", prefix, "-freq", "-miss", "-ind",
+                  "-ldsc", "50", "-o", str(tmp_path), "-prefix", "gs"])
+    assert rc == 0
+    freq = open(tmp_path / "gs.freq").read().splitlines()
+    assert len(freq) == m + 1
+    assert (tmp_path / "gs.50snp.ldsc").exists()
+    rc = jx_main(["view", str(prefix), "-head", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "s0" in out and "format=bed" in out
