@@ -31,8 +31,11 @@ def _discover_samples(fq_dir: str):
     samples = []
     for fq1 in sorted(glob.glob(os.path.join(fq_dir, "*_1.*"))):
         base = os.path.basename(fq1)
-        sid = base.split("_1.")[0]
-        fq2 = fq1.replace("_1.", "_2.")
+        # pair on the LAST '_1.' of the BASENAME only: a full-path replace
+        # also rewrites '_1.' in directory names or earlier in the file
+        # name, mispairing or dropping valid samples
+        sid, _, tail = base.rpartition("_1.")
+        fq2 = os.path.join(os.path.dirname(fq1), f"{sid}_2.{tail}")
         if os.path.exists(fq2):
             samples.append({"id": sid, "fq1": fq1, "fq2": fq2})
     return samples

@@ -35,12 +35,15 @@ def build_parser(prog="jx hybrid") -> argparse.ArgumentParser:
     b.add_argument("-fmt", "--fmt", dest="format",
                    choices=("plink", "vcf", "txt", "npy"), default="npy",
                    help="build-mode output format (default: npy)")
-    d = p.add_argument_group("Predict mode (GBLUP F1 prediction)")
-    common.add_pheno_args(d, required=False)
+    # pheno args attach to the parser itself: nesting argument groups is
+    # deprecated (3.11+) and an error on 3.14
+    common.add_pheno_args(p, required=False)
     common.add_qc_args(p)
+    d = p.add_argument_group("Predict mode (GBLUP F1 prediction)")
     d.add_argument("-crosses", "--crosses", type=str, default=None,
                    help="TSV of p1<TAB>p2 crosses (default: all pairs)")
-    d.add_argument("-top", "--top", type=int, default=50, help="report top N crosses")
+    d.add_argument("-top", "--top", type=int, default=50,
+                   help="write only the top N crosses (0 = all)")
     common.add_out_args(p, default_prefix="hybrid")
     return p
 
@@ -92,11 +95,22 @@ def _run_build(args, prefix: str) -> int:
     raw = load_raw_packed(common.resolve_genotype(args))
     p1_ids, p2_ids = _read_ids(args.p1), _read_ids(args.p2)
     pos = {str(s): i for i, s in enumerate(raw.samples)}
+    # reference behavior: absent parent IDs are skipped with a warning,
+    # erroring only when a list empties (hybrid.py _validate_parent_ids)
+    import logging
+
+    log = logging.getLogger("janusx_tpu.hybrid")
+    kept = []
     for tag, ids in (("P1", p1_ids), ("P2", p2_ids)):
         missing = [s for s in ids if s not in pos]
         if missing:
-            raise SystemExit(f"{len(missing)} {tag} IDs absent from genotypes, "
-                             f"e.g. {missing[:3]}")
+            log.warning("%d %s IDs absent from genotypes, skipped (e.g. %s)",
+                        len(missing), tag, missing[:3])
+        found = [s for s in ids if s in pos]
+        if not found:
+            raise SystemExit(f"no {tag} IDs present in the genotype panel")
+        kept.append(found)
+    p1_ids, p2_ids = kept
     hyb_ids = _hybrid_ids(p1_ids, p2_ids)
 
     from janusx_tpu.io.packed import QcParams
@@ -176,11 +190,27 @@ def _run_predict(args, prefix: str) -> int:
 
     ids = {str(s): i for i, s in enumerate(pg.samples)}
     if args.crosses:
-        crosses = []
+        crosses, skipped = [], 0
         for ln in open(args.crosses):
             f = ln.split()
-            if len(f) >= 2 and f[0] in ids and f[1] in ids:
+            if len(f) < 2:
+                continue
+            if f[0] in ids and f[1] in ids:
                 crosses.append((f[0], f[1]))
+            else:
+                skipped += 1
+        if skipped:
+            import logging
+
+            logging.getLogger("janusx_tpu.hybrid").warning(
+                "%d cross lines skipped (parent IDs absent from the panel)",
+                skipped,
+            )
+        if not crosses:
+            raise SystemExit(
+                f"no valid crosses in {args.crosses}: no line's parent IDs "
+                f"both match the genotype panel samples"
+            )
     else:
         names = [str(s) for s in pg.samples]
         crosses = list(itertools.combinations(names, 2))
@@ -191,12 +221,16 @@ def _run_predict(args, prefix: str) -> int:
         pred = mu + 0.5 * (gv_parent[i] + gv_parent[j])
         rows.append((p1, p2, pred))
     rows.sort(key=lambda r: -r[2])
+    n_total = len(rows)
+    if args.top and args.top > 0:
+        rows = rows[: args.top]
     path = f"{prefix}.hybrid.tsv"
     with open(path, "wt") as fh:
         fh.write("parent1\tparent2\tpredicted\n")
         for p1, p2, v in rows:
             fh.write(f"{p1}\t{p2}\t{v:.4f}\n")
-    print(f"{path}\t{len(rows)} crosses\tbest: {rows[0][0]} x {rows[0][1]} = {rows[0][2]:.3f}")
+    print(f"{path}\t{len(rows)}/{n_total} crosses\t"
+          f"best: {rows[0][0]} x {rows[0][1]} = {rows[0][2]:.3f}")
     return 0
 
 

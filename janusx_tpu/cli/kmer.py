@@ -69,7 +69,15 @@ def kmerge_main(argv=None) -> int:
     for path in args.inputs:
         z = np.load(path)
         per_sample[_sample_id(path)] = (z["codes"], z["counts"])
-        k = int(z["k"])
+        kf = int(z["k"])
+        if k is not None and kf != k:
+            # codes from different k live in different integer spaces;
+            # merging them would be silent data corruption
+            raise SystemExit(
+                f"{path} was counted with k={kf} but earlier inputs use "
+                f"k={k}; re-run jx kmer with one k for all samples"
+            )
+        k = kf
     codes, mat, samples = kmer.merge_to_matrix(
         per_sample, min_samples=args.min_samples
     )
@@ -144,11 +152,16 @@ def kstats_main(argv=None) -> int:
         if args.pair in ("intersection", "both"):
             _write(inter, "intersection")
     if args.venn:
+        if len(dbs) > 64:
+            raise SystemExit(
+                f"-venn supports at most 64 inputs (got {len(dbs)}): the "
+                f"presence pattern is a 64-bit mask"
+            )
         all_codes = np.unique(np.concatenate([z["codes"] for z in dbs]))
-        pattern = np.zeros(len(all_codes), np.uint32)
+        pattern = np.zeros(len(all_codes), np.uint64)
         for i, z in enumerate(dbs):
             idx = np.searchsorted(all_codes, np.sort(z["codes"]))
-            pattern[idx] |= np.uint32(1 << i)
+            pattern[idx] |= np.uint64(1 << i)
         pats, counts = np.unique(pattern, return_counts=True)
         path = f"{prefix}.venn.tsv"
         with open(path, "wt") as fh:

@@ -116,8 +116,11 @@ def main(argv=None) -> int:
             n_chrom=args.nchr, seed=args.seed, structure=args.structure,
             family_size=args.family_size, family_frac=args.family_frac,
         )
+    # `or` would turn an explicit -causal 0 (pure-epistasis designs) into
+    # the nqtl default
+    n_qtl = args.causal if args.causal is not None else args.nqtl
     sim = simulate_phenotype(
-        gd, n_qtl=args.causal or args.nqtl, h2=args.h2, n_traits=args.ntrait,
+        gd, n_qtl=n_qtl, h2=args.h2, n_traits=args.ntrait,
         seed=args.seed,
         effect_dist=args.effect_dist, effect_model=args.effect_model,
         dominance_pve=args.dom_pve, epistasis_pairs=args.epi_pairs,

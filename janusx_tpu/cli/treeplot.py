@@ -16,7 +16,16 @@ from janusx_tpu.cli import common
 
 
 def parse_newick(text: str):
-    """Minimal Newick parser -> nested (children, length, name) tuples."""
+    """Minimal Newick parser -> nested (children, length, name) tuples.
+
+    NJ trees nest one paren level per join (depth O(n)), so the default
+    1000-frame recursion limit dies around ~1k tips — raise it to cover
+    this tree before the recursive walk."""
+    import sys
+
+    need = text.count("(") * 4 + 10_000
+    if sys.getrecursionlimit() < need:
+        sys.setrecursionlimit(need)
     text = text.strip().rstrip(";")
     pos = [0]
 
@@ -254,9 +263,17 @@ def main(argv=None) -> int:
         idp = args.grm_id or (args.grm.rsplit(".", 1)[0] + ".id")
         import os
 
-        labels = ([l.split()[0] for l in open(idp) if l.strip()]
-                  if os.path.exists(idp)
-                  else [f"s{i}" for i in range(K.shape[0])])
+        if os.path.exists(idp):
+            with open(idp) as fh:
+                labels = [l.split()[0] for l in fh if l.strip()]
+            if len(labels) != K.shape[0]:
+                raise SystemExit(
+                    f"id sidecar {idp} has {len(labels)} ids but the GRM is "
+                    f"{K.shape[0]}x{K.shape[1]} — stale sidecar would "
+                    f"mislabel every tip"
+                )
+        else:
+            labels = [f"s{i}" for i in range(K.shape[0])]
         D = 1.0 - K / max(float(np.mean(np.diag(K))), 1e-12)
         np.fill_diagonal(D, 0.0)
         D = np.clip((D + D.T) / 2, 0.0, None)

@@ -167,10 +167,20 @@ def test_hybrid_view_refcheck_postgs(rng, tmp_path, capsys):
     write_pheno(prefix + ".pheno", gd.samples, sim.phenotypes)
     # hybrid
     rc = jx_main(["hybrid", "-bfile", prefix, "-p", prefix + ".pheno",
-                  "-o", str(tmp_path), "-prefix", "hy"])
+                  "-top", "0", "-o", str(tmp_path), "-prefix", "hy"])
     assert rc == 0
     lines = open(str(tmp_path / "hy.hybrid.tsv")).readlines()
     assert len(lines) == 1 + 60 * 59 // 2
+    # -top limits the written crosses (default 50)
+    rc = jx_main(["hybrid", "-bfile", prefix, "-p", prefix + ".pheno",
+                  "-top", "5", "-o", str(tmp_path), "-prefix", "hy5"])
+    assert rc == 0
+    top5 = open(str(tmp_path / "hy5.hybrid.tsv")).readlines()
+    assert len(top5) == 6
+    # top-5 rows are the 5 best of the full table
+    full = sorted((float(l.split()[2]) for l in lines[1:]), reverse=True)
+    got = [float(l.split()[2]) for l in top5[1:]]
+    assert got == sorted(got, reverse=True) and got[0] == full[0]
     # hybrid genotype BUILDER (reference hybrid.py parity): p1 x p2 crosses
     ids = [str(s) for s in gd.samples]
     (tmp_path / "p1.txt").write_text("\n".join(ids[:4]))
