@@ -235,7 +235,10 @@ def _load_kinship(dense_path, sparse_path):
     if sparse_path is not None:
         from janusx_tpu.io.jxgrm import read_jxgrm
 
-        K = read_jxgrm(sparse_path).toarray()
+        # keep the thresholded kinship SPARSE end-to-end: the narrow-sense
+        # joint fit factors V by sparse LU (models/lme.fit_joint_kernel),
+        # so biobank-scale line counts never materialize the n² matrix
+        K = read_jxgrm(sparse_path).tocsr()
         # `jx grm -sparse` writes {x}.spgrm.id; older callers may have {x}.id
         candidates = [sparse_path + ".id",
                       os.path.splitext(sparse_path)[0] + ".id"]
@@ -245,10 +248,13 @@ def _load_kinship(dense_path, sparse_path):
     id_path = next((c for c in candidates if os.path.exists(c)), None)
     if id_path is None:
         raise SystemExit(f"missing GRM id sidecar: {candidates[0]}")
-    ids = [l.split()[0] for l in open(id_path) if l.strip()]
+    with open(id_path) as fh:
+        ids = [l.split()[0] for l in fh if l.strip()]
     if len(ids) != K.shape[0]:
         raise SystemExit(f"GRM ids ({len(ids)}) != GRM dim ({K.shape[0]})")
-    return np.asarray(K, np.float64), ids
+    import scipy.sparse as _sp
+
+    return (K if _sp.issparse(K) else np.asarray(K, np.float64)), ids
 
 
 # ---------------------------------------------------------------- main
@@ -537,7 +543,10 @@ def _run_trait(df_all, id_col, trait, fixed_specs, random_specs, gxe_specs,
         kept = [i for i, l in enumerate(line_levels) if str(l) in kin_pos]
         if len(kept) >= 2:
             sel = np.array([kin_pos[str(line_levels[i])] for i in kept])
-            Ksub = K_full[np.ix_(sel, sel)]
+            import scipy.sparse as _sp
+
+            Ksub = (K_full[sel][:, sel] if _sp.issparse(K_full)
+                    else K_full[np.ix_(sel, sel)])
             noise = se_by_line[kept] ** 2
             jf = fit_joint_kernel(blue_by_line[kept], Ksub, noise,
                                   max_iter=args.maxiter)

@@ -287,16 +287,27 @@ def fit_joint_kernel(
     K is symmetrized and normalized by its mean diagonal; per-line noise
     (stage-1 BLUE squared SEs) enters as a fixed diagonal — the
     reference's `_joint_kernel_state` objective (reml.py:2141-2185).
+
+    A scipy.sparse K (thresholded `-spk` kinship) keeps the objective
+    fully sparse: V = va·K + diag(d + vline) factors by sparse LU per
+    eval, so biobank-scale line counts never densify the n² matrix.
     """
 
+    import scipy.sparse as sp
     from scipy.linalg import cho_factor, cho_solve
     from scipy.optimize import minimize
 
     y = np.asarray(y_line, np.float64).reshape(-1)
     n = y.shape[0]
-    K = np.asarray(K, np.float64)
-    K = (K + K.T) / 2.0
-    kmean = float(np.mean(np.diag(K)))
+    sparse_k = sp.issparse(K)
+    if sparse_k:
+        K = K.tocsc().astype(np.float64)
+        K = (K + K.T) * 0.5
+        kmean = float(np.mean(K.diagonal()))
+    else:
+        K = np.asarray(K, np.float64)
+        K = (K + K.T) / 2.0
+        kmean = float(np.mean(np.diag(K)))
     if not np.isfinite(kmean) or kmean <= 0:
         raise ValueError(f"invalid kinship mean diagonal: {kmean}")
     K = K / kmean
@@ -310,25 +321,42 @@ def fit_joint_kernel(
     vy = max(float(np.var(y)), 1e-12)
     lo, hi = np.log(vy * 1e-8), np.log(vy * 1e4)
 
-    def state(theta):
-        va, vline = np.exp(np.clip(theta, lo, hi))
-        V = va * K
-        V.flat[:: n + 1] += d + vline
-        c = cho_factor((V + V.T) / 2.0, lower=True)
-        ViX = cho_solve(c, X)
-        Viy = cho_solve(c, y)
+    def _beta_nll(logdet_v, solve, _va, _vline):
+        ViX = solve(X)
+        Viy = solve(y)
         G = X.T @ ViX
         cg = cho_factor((G + G.T) / 2.0, lower=True)
         beta = cho_solve(cg, X.T @ Viy)
         r = y - X @ beta
-        Vir = cho_solve(c, r)
+        Vir = solve(r)
         quad = float(r @ Vir)
         nll = 0.5 * (
-            2.0 * np.log(np.diag(c[0])).sum()
-            + 2.0 * np.log(np.diag(cg[0])).sum()
-            + quad
+            logdet_v + 2.0 * np.log(np.diag(cg[0])).sum() + quad
         )
-        return nll, va, vline, beta, Vir
+        return nll, beta, Vir
+
+    if sparse_k:
+        from scipy.sparse.linalg import splu
+
+        def state(theta):
+            va, vline = np.exp(np.clip(theta, lo, hi))
+            V = (va * K + sp.diags(d + vline)).tocsc()
+            lu = splu(V)
+            # V is SPD: det > 0, L unit-diagonal, so logdet = sum log|U_ii|
+            logdet_v = float(np.sum(np.log(np.abs(lu.U.diagonal()))))
+            nll, beta, Vir = _beta_nll(logdet_v, lu.solve, va, vline)
+            return nll, va, vline, beta, Vir
+    else:
+
+        def state(theta):
+            va, vline = np.exp(np.clip(theta, lo, hi))
+            V = va * K
+            V.flat[:: n + 1] += d + vline
+            c = cho_factor((V + V.T) / 2.0, lower=True)
+            logdet_v = 2.0 * np.log(np.diag(c[0])).sum()
+            nll, beta, Vir = _beta_nll(logdet_v, lambda b: cho_solve(c, b),
+                                       va, vline)
+            return nll, va, vline, beta, Vir
 
     def obj(theta):
         try:

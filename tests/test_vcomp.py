@@ -228,3 +228,61 @@ def test_blue_line_nested_matches_dense_gls(rng):
     np.testing.assert_allclose(blue, bhat[:L], rtol=1e-8)
     np.testing.assert_allclose(beta_env, bhat[L:], rtol=1e-8)
     np.testing.assert_allclose(se, np.sqrt(np.diag(Ainv)[:L]), rtol=1e-8)
+
+
+def test_reml_narrow_sense_sparse_spk(tmp_path):
+    """-spk keeps the kinship sparse end-to-end: the sparse-LU joint fit
+    matches the dense objective on the same thresholded K."""
+    import pandas as pd
+    import scipy.sparse as sp
+
+    from janusx_tpu.io.jxgrm import write_jxgrm
+    from janusx_tpu.models.lme import fit_joint_kernel
+
+    rng = np.random.default_rng(107)
+    L, m, fam = 150, 500, 6
+    freqs = rng.uniform(0.1, 0.9, size=m)
+    G = np.empty((L, m))
+    for f0 in range(0, L, fam):
+        pa = (rng.random((2, m)) < freqs).astype(np.float64)
+        pb = (rng.random((2, m)) < freqs).astype(np.float64)
+        for l in range(f0, min(f0 + fam, L)):
+            G[l] = pa[rng.integers(0, 2, m), np.arange(m)] + pb[
+                rng.integers(0, 2, m), np.arange(m)]
+    p = G.mean(0) / 2
+    Z = (G - 2 * p) / np.sqrt(np.maximum(2 * p * (1 - p), 1e-6))
+    K = Z @ Z.T / m
+    Kt = np.where(np.abs(K) >= 0.05, K, 0.0)  # thresholded kinship
+    np.fill_diagonal(Kt, np.diag(K))
+    ch = np.linalg.cholesky(K + 1e-6 * np.eye(L))
+    va, vline, ve = 1.5, 0.5, 1.0
+    u_add = ch @ rng.normal(size=L) * np.sqrt(va)
+    u_line = rng.normal(size=L) * np.sqrt(vline)
+    y_line = 5 + u_add + u_line + rng.normal(size=L) * 0.2
+    noise = np.full(L, 0.04)
+
+    jd = fit_joint_kernel(y_line, Kt, noise)
+    js = fit_joint_kernel(y_line, sp.csr_matrix(Kt), noise)
+    assert js.va == pytest.approx(jd.va, rel=1e-4)
+    assert js.vline == pytest.approx(jd.vline, rel=1e-4, abs=1e-8)
+    assert js.h2 == pytest.approx(jd.h2, abs=1e-5)
+    np.testing.assert_allclose(js.add_blup, jd.add_blup, rtol=1e-5, atol=1e-8)
+
+    # CLI: -spk runs the sparse route
+    rows = []
+    for l in range(L):
+        for rep in range(4):
+            yy = 5 + u_add[l] + u_line[l] + rng.normal() * np.sqrt(ve)
+            rows.append((f"L{l:03d}", yy))
+    pheno = str(tmp_path / "p.tsv")
+    pd.DataFrame(rows, columns=["lines", "tr"]).to_csv(pheno, sep="\t", index=False)
+    spk = str(tmp_path / "k.spgrm")
+    write_jxgrm(spk, sp.csc_matrix(Kt))
+    open(spk + ".id", "wt").write("\n".join(f"L{l:03d}" for l in range(L)))
+    rc = jx_main(["reml", "-p", pheno, "-n", "tr", "-spk", spk,
+                  "-o", str(tmp_path), "-prefix", "sp"])
+    assert rc == 0
+    summ = pd.read_csv(tmp_path / "sp.reml.summary.tsv", sep="\t").iloc[0]
+    assert summ["narrow_method"] == "joint_sparse"
+    expect = va / (va + vline + ve / 4)
+    assert summ["h2_narrow"] == pytest.approx(expect, abs=0.25)
