@@ -62,6 +62,22 @@ def build_parser(prog="jx gs") -> argparse.ArgumentParser:
     )
     o.add_argument("--top-l2", type=float, default=1e-3)
     o.add_argument("--top-max-iter", type=int, default=50)
+    r = p.add_argument_group(
+        "rrBLUP solver (the applicable subset of the reference --rrblup-* "
+        "ladder; Adam hyperparameters have no analog in the exact/PCG "
+        "solvers)"
+    )
+    r.add_argument("--rrblup-solver", choices=("auto", "exact", "pcg"),
+                   default="auto", help="BLUP auto-dispatch override")
+    r.add_argument("--rrblup-lambda", type=float, default=None,
+                   help="fixed ridge λ for the PCG route (skips the HE "
+                   "pre-fit value)")
+    r.add_argument("--rrblup-lambda-scale", type=float, default=1.0,
+                   help="scale the HE pre-fit λ")
+    r.add_argument("--rrblup-exact-max-markers", type=int, default=None,
+                   help="marker cutoff for the exact route in auto dispatch")
+    r.add_argument("--rrblup-pcg-tol", type=float, default=None)
+    r.add_argument("--rrblup-pcg-maxiter", type=int, default=None)
     o.add_argument(
         "-hash", "--hash", nargs="*", default=None, metavar=("DIM", "SEED"),
         help="signed feature hashing before GS (count-sketch of the marker "
@@ -144,6 +160,12 @@ def main(argv=None) -> int:
         hash_seed=(int(args.hash[1]) if args.hash and len(args.hash) > 1
                    else _cfg.knob("JX_TPU_HASH_SEED")),
         select_metric=args.model_select_metric,
+        rrblup_solver=args.rrblup_solver,
+        rrblup_lambda=args.rrblup_lambda,
+        rrblup_lambda_scale=args.rrblup_lambda_scale,
+        rrblup_exact_max_markers=args.rrblup_exact_max_markers,
+        rrblup_pcg_tol=args.rrblup_pcg_tol,
+        rrblup_pcg_maxiter=args.rrblup_pcg_maxiter,
         ldprune=tuple(args.ldprune) if args.ldprune else None,
     )
     results, summary = run_gs(cfg)

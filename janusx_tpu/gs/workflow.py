@@ -70,6 +70,15 @@ class GsConfig:
     select_metric: str = "pearson"
     # LD-prune markers before GS (reference -ldprune WIN STEP R2)
     ldprune: tuple | None = None
+    # rrBLUP solver knobs (the applicable subset of the reference's
+    # --rrblup-* ladder; its Adam hyperparameters have no analog here —
+    # the exact/PCG solvers have no learning rate or epochs)
+    rrblup_solver: str = "auto"  # auto | exact | pcg (BLUP auto-dispatch)
+    rrblup_lambda: float | None = None  # fixed λ for the PCG route
+    rrblup_lambda_scale: float = 1.0  # scales the HE pre-fit λ
+    rrblup_exact_max_markers: int | None = None  # exact-route m cutoff
+    rrblup_pcg_tol: float | None = None
+    rrblup_pcg_maxiter: int | None = None
 
 
 @dataclass
@@ -85,10 +94,20 @@ class MethodRunResult:
     oof_pred: np.ndarray | None = None  # out-of-fold CV predictions on train
 
 
-def _dispatch_blup_route(n_train: int, m: int) -> str:
+def _dispatch_blup_route(n_train: int, m: int, cfg=None) -> str:
+    solver = getattr(cfg, "rrblup_solver", "auto") if cfg is not None else "auto"
+    if solver == "exact":
+        return "rrBLUP(exact)"
+    if solver == "pcg":
+        return "rrBLUP(PCG)"
     if n_train <= config.knob("JX_TPU_GBLUP_MAX_N"):
         return "GBLUP(add)"
-    if m <= config.knob("JX_TPU_RRBLUP_EXACT_MAX_M"):
+    exact_max = (
+        getattr(cfg, "rrblup_exact_max_markers", None) if cfg is not None else None
+    )
+    if exact_max is None:
+        exact_max = config.knob("JX_TPU_RRBLUP_EXACT_MAX_M")
+    if m <= exact_max:
         return "rrBLUP(exact)"
     return "rrBLUP(PCG)"
 
@@ -377,18 +396,32 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait,
         fit_secs = time.monotonic() - t1
     elif method in ("BLUP", "GBLUP", "rrBLUP"):
         route = (
-            _dispatch_blup_route(len(train), pg.m) if method == "BLUP" else method
+            _dispatch_blup_route(len(train), pg.m, cfg)
+            if method == "BLUP" else method
         )
-        if route == "rrBLUP(PCG)" and he_lbd is not None:
+        # λ for the PCG route: explicit --rrblup-lambda wins, else the HE
+        # pre-fit scaled by --rrblup-lambda-scale (reference knob ladder)
+        lbd_fixed = getattr(cfg, "rrblup_lambda", None)
+        pcg_lbd = (
+            lbd_fixed if lbd_fixed is not None
+            else None if he_lbd is None
+            else he_lbd * getattr(cfg, "rrblup_lambda_scale", 1.0)
+        )
+        pcg_kw = {
+            "tol": getattr(cfg, "rrblup_pcg_tol", None),
+            "max_iter": getattr(cfg, "rrblup_pcg_maxiter", None),
+        }
+        if route == "rrBLUP(PCG)" and pcg_lbd is not None:
             # large-n route: Jacobi-PCG solves of (K_tt + λI) at the HE
             # pre-fit λ — no per-fold O(n^3) eigendecomposition
             # (reference rrblup_pcg_bed regime, gs/workflow.py:19506)
             from janusx_tpu.gs.blup import fit_gblup_cg
 
-            info["lambda_he"] = float(he_lbd)
+            info["lambda_pcg"] = float(pcg_lbd)
             for fold, (tr_loc, va_loc) in enumerate(folds):
                 tf = time.monotonic()
-                alpha, beta0 = fit_gblup_cg(K, y, train[tr_loc], he_lbd)
+                alpha, beta0 = fit_gblup_cg(K, y, train[tr_loc], pcg_lbd,
+                                            **pcg_kw)
                 pv = K[np.ix_(train[va_loc], train[tr_loc])] @ alpha + beta0[0]
                 oof[va_loc] = pv
                 mets = regression_metrics(y[train[va_loc]], pv)
@@ -397,7 +430,7 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait,
                 fold_metrics.append(mets)
             cv_secs = time.monotonic() - t0
             t1 = time.monotonic()
-            alpha, beta0 = fit_gblup_cg(K, y, train, he_lbd)
+            alpha, beta0 = fit_gblup_cg(K, y, train, pcg_lbd, **pcg_kw)
             test_pred = (K[np.ix_(test, train)] @ alpha + beta0[0]
                          if len(test) else np.empty(0))
             fit_secs = time.monotonic() - t1

@@ -173,3 +173,38 @@ def test_model_save_and_predict(gs_problem, tmp_path):
     pred = np.array([float(r[1]) for r in rows])
     r = regression_metrics(y, pred)["pearson"]
     assert r > 0.8  # in-sample fitted values
+
+
+def test_rrblup_solver_knobs(tmp_path, gs_problem):
+    """--rrblup-solver pcg + --rrblup-lambda force the PCG route at a fixed
+    ridge; predictions stay close to the default GBLUP dispatch."""
+    import json
+
+    import pandas as pd
+
+    from janusx_tpu.cli.main import main as jx_main
+
+    pg, K, y = gs_problem
+    prefix = str(tmp_path / "rk")
+    gd = GenotypeData(pg.dosages(), pg.sites, pg.samples)
+    plink.write_plink_genotypes(prefix, gd)
+    ymask = y.copy()
+    ymask[-30:] = np.nan
+    with open(prefix + ".pheno", "wt") as fh:
+        fh.write("\ttrait1\n")
+        for s_, v in zip(pg.samples, ymask):
+            fh.write(f"{s_}\t{'NA' if np.isnan(v) else f'{v:.6f}'}\n")
+    common = ["-bfile", prefix, "-p", prefix + ".pheno", "-BLUP",
+              "-cv", "0", "-n", "0", "-maf", "0.0", "-geno", "1.0"]
+    assert jx_main(["gs", *common, "-o", str(tmp_path), "-prefix", "d"]) == 0
+    assert jx_main(["gs", *common, "--rrblup-solver", "pcg",
+                    "--rrblup-lambda", "1.0", "--rrblup-pcg-tol", "1e-8",
+                    "-o", str(tmp_path), "-prefix", "p"]) == 0
+    s2 = json.load(open(tmp_path / "p.gs.summary.json"))
+    blup = s2["traits"]["trait1"]["BLUP"]
+    assert blup["route"] == "rrBLUP(PCG)"
+    assert blup["lambda_pcg"] == 1.0
+    g1 = pd.read_csv(tmp_path / "d.trait1.gebv.tsv", sep="\t")
+    g2 = pd.read_csv(tmp_path / "p.trait1.gebv.tsv", sep="\t")
+    r = np.corrcoef(g1.iloc[:, 1], g2.iloc[:, 1])[0, 1]
+    assert r > 0.97  # same model family, different solver/lambda source
