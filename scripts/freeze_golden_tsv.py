@@ -33,10 +33,13 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 # (model, covariates needed). lm2/fvlmm2 need a covariate for the
 # interaction term; we use n_pcs=1 so the last PC is the interaction.
 MODELS = ["lm", "lmm", "lmm2", "fvlmm", "splmm", "splmm-exact", "lowrank"]
+# interaction routes run as a second pass with n_pcs=1 (the PC covariate
+# doubles as the G-by-C interaction term)
+INTER_MODELS = ["lm2", "fvlmm2"]
 TAGS = {
     "lm": "LM", "lmm": "LMM", "lmm2": "LMM2", "fvlmm": "FvLMM",
     "splmm": "SparseLMM", "splmm-exact": "SparseLMM2",
-    "lowrank": "LowRank",
+    "lowrank": "LowRank", "lm2": "LM2", "fvlmm2": "FvLMM2",
 }
 
 
@@ -54,7 +57,21 @@ def generate(out_dir: str) -> dict:
         n_devices=1,
     )
     runs = run_gwas(cfg)
-    return {TAGS[r.requested_model]: r.tsv_path for r in runs}
+    out = {TAGS[r.requested_model]: r.tsv_path for r in runs}
+    cfg2 = GwasConfig(
+        genotype=cfg.genotype,
+        phenotype=cfg.phenotype,
+        out_prefix=os.path.join(out_dir, "jx2"),
+        models=tuple(INTER_MODELS),
+        traits=[0],
+        n_pcs=1,
+        force_model=True,
+        use_cache=False,
+        n_devices=1,
+    )
+    for r in run_gwas(cfg2):
+        out[TAGS[r.requested_model]] = r.tsv_path
+    return out
 
 
 def main():

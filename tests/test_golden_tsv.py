@@ -12,7 +12,8 @@ import os
 import pytest
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
-TAGS = ["LM", "LMM", "LMM2", "FvLMM", "SparseLMM", "SparseLMM2", "LowRank"]
+TAGS = ["LM", "LMM", "LMM2", "FvLMM", "SparseLMM", "SparseLMM2", "LowRank",
+        "LM2", "FvLMM2"]
 
 
 @pytest.fixture(scope="module")
