@@ -33,7 +33,7 @@ import scipy.sparse.linalg
 from janusx_tpu import config
 from janusx_tpu.core import stats as jstats
 from janusx_tpu.io.packed import PackedGenotypes
-from janusx_tpu.models.lm import design_matrix, _lm_step
+from janusx_tpu.models.lm import design_matrix
 from janusx_tpu.models.scan_common import ScanResult, finalize_invalid, iter_blocks
 from janusx_tpu.ops import decode
 
@@ -241,6 +241,34 @@ def _calibrate_gamma(pg, proj, null: SparseNullFit, a, seed: int):
     return float(np.mean(gammas)), int(mask.sum())
 
 
+def _scan_ga_gmg(sub, X, C, Ma, n: int, block: int, mesh):
+    """(g~'a, g~'g~) for every SNP of one resident superblock — the same
+    projected grams as the LM scan with Ma in place of My, so the resident
+    single-dispatch kernel and its SNP-sharded shard_map twin are reused
+    verbatim (models.lm)."""
+    from janusx_tpu.models.lm import _lm_scan_resident, _lm_scan_sharded
+    from janusx_tpu.utils import devcache
+
+    m = sub.m
+    blk = min(block, m)
+    if mesh is not None:
+        blk = -(-blk // mesh.devices.size) * mesh.devices.size
+    m_pad = -(-m // blk) * blk
+    nblk = m_pad // blk
+    pk = devcache.device_packed_blocks(sub, (nblk, blk), mesh=mesh)
+    mn = devcache.to_device_blocks(
+        sub.mean, (nblk, blk), 0.0, dtype=jnp.float32, mesh=mesh
+    )
+    args = (jnp.asarray(X), jnp.asarray(C), jnp.asarray(Ma))
+    if mesh is not None:
+        args = devcache.replicate_tree(args, mesh)
+        out = np.asarray(_lm_scan_sharded(mesh, n)(pk, mn, *args))
+    else:
+        out = np.asarray(_lm_scan_resident(pk, mn, *args, n))
+    out = out.reshape(2, m_pad)
+    return out[0, :m], out[1, :m]
+
+
 def splmm_grammar_scan(
     pg: PackedGenotypes,
     K,
@@ -250,13 +278,15 @@ def splmm_grammar_scan(
     block: int = config.DEFAULT_SNP_BLOCK,
     seed: int = 0,
     superblock: int = 1 << 20,
+    mesh=None,
 ) -> tuple[ScanResult, dict]:
     """GRAMMAR-gamma approximate scan (the ``-splmm`` route).
 
     ``K`` may be a dense kinship (thresholded at ``cutoff`` here) or an
     already-thresholded scipy sparse matrix (the biobank path — the dense
     n² matrix is then never formed). ``pg`` may be in-RAM or the
-    disk-backed WindowedPacked (chunk-streamed through the scan)."""
+    disk-backed WindowedPacked (chunk-streamed through the scan); with a
+    ``mesh`` the per-SNP grams run SNP-sharded over the device mesh."""
     y = np.asarray(y, np.float64).reshape(-1)
     n = pg.n
     X = design_matrix(n, covariates)
@@ -274,9 +304,6 @@ def splmm_grammar_scan(
 
     # device scan: g~'a and g~'g~ via the residualized LM machinery
     Ma = proj(a)  # so that G @ Ma = g~' a
-    Xd = jnp.asarray(X)
-    Cd = jnp.asarray(C)
-    Mad = jnp.asarray(Ma)
     m = pg.m
     block = min(block, m)
     beta = np.empty(m)
@@ -284,23 +311,15 @@ def splmm_grammar_scan(
     gMg_all = np.empty(m)
     superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
     sb = max((superblock // block) * block, block)
-    from janusx_tpu.models.scan_common import pad_rows
-
     for c0 in range(0, m, sb):
         c1 = min(c0 + sb, m)
         sub = pg if (c0 == 0 and c1 == m and hasattr(pg, "packed")) else \
             pg.take_snps(np.arange(c0, c1))
-        packed = decode.pad_packed_cols(sub.packed)
-        for s0, e0 in iter_blocks(c1 - c0, block):
-            pk = pad_rows(packed[s0:e0], block, 0xFF)
-            mn = pad_rows(sub.mean[s0:e0].astype(np.float32), block)
-            gA, gMg = _lm_step(jnp.asarray(pk), jnp.asarray(mn), Xd, Cd, Mad, n)
-            gA = np.asarray(gA)[: e0 - s0]
-            gMgb = np.asarray(gMg)[: e0 - s0]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                beta[c0 + s0:c0 + e0] = gA / (gamma_eff * gMgb)
-                se[c0 + s0:c0 + e0] = 1.0 / np.sqrt(gamma_eff * gMgb)
-            gMg_all[c0 + s0:c0 + e0] = gMgb
+        gA, gMgb = _scan_ga_gmg(sub, X, C, Ma, n, block, mesh)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            beta[c0:c1] = gA / (gamma_eff * gMgb)
+            se[c0:c1] = 1.0 / np.sqrt(gamma_eff * gMgb)
+        gMg_all[c0:c1] = gMgb
 
     pwald = jstats.pwald_from_beta_se(beta, se)
     beta, se, pwald, _ = finalize_invalid(beta, se, pwald, gMg_all)

@@ -464,7 +464,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 Ksub = Ksp[keep][:, keep].tocsc()
                 res, info = splmm_grammar_scan(
                     pg_t, Ksub, y_t, cov_t, cutoff=cfg.splmm_cutoff,
-                    block=cfg.block,
+                    block=cfg.block, mesh=mesh,
                 )
                 lbd_null = info["lambda_null"]
             elif model == "splmm-exact":

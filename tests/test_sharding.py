@@ -198,6 +198,15 @@ def test_run_gwas_sharded_matches_single(tmp_path):
     dlogp = np.abs(np.log10(b.pwald) - np.log10(a.pwald))
     assert np.nanmax(dlogp) < 5e-3
 
+    # biobank route: the GRAMMAR-gamma scan's per-SNP grams are SNP-sharded
+    common["models"] = ("splmm",)
+    sp1 = run_gwas(GwasConfig(out_prefix=str(tmp_path / "s1"), n_devices=1, **common))
+    sp8 = run_gwas(GwasConfig(out_prefix=str(tmp_path / "s8"), n_devices=8, **common))
+    a, b = sp1[0].result, sp8[0].result
+    np.testing.assert_allclose(b.beta, a.beta, rtol=2e-3, atol=1e-5, equal_nan=True)
+    dlogp = np.abs(np.log10(b.pwald) - np.log10(a.pwald))
+    assert np.nanmax(dlogp) < 5e-3
+
 
 def test_run_gs_sharded_matches_single(tmp_path, rng):
     """run_gs on the 8-way mesh == single-device (GBLUP CV + gebv)."""
