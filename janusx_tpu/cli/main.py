@@ -34,6 +34,7 @@ _MODULES: dict[str, tuple[str, str]] = {
     "garfield": ("janusx_tpu.cli.garfield", "Logic-rule (epistasis) association search"),
     "kmer": ("janusx_tpu.cli.kmer", "Count k-mers per sample (native C++)"),
     "fastq2vcf": ("janusx_tpu.cli.fastq2vcf", "Reads-to-variants pipeline (external tools)"),
+    "fastq2count": ("janusx_tpu.cli.fastq2count", "RNA-seq reads-to-counts pipeline (external tools)"),
     "postgs": ("janusx_tpu.cli.postgs", "GS CV plots + metric tables"),
     "hybrid": ("janusx_tpu.cli.hybrid", "F1 hybrid performance prediction"),
     "view": ("janusx_tpu.cli.view", "Inspect genotype/matrix artifacts"),
