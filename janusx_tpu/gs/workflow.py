@@ -440,14 +440,28 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait,
                 fit_seconds=fit_secs, cv_seconds=cv_secs, model_info=info,
                 oof_pred=oof,
             )
-        for fold, (tr_loc, va_loc) in enumerate(folds):
+        # folds are independent host-only work (LAPACK eigh + Brent REML,
+        # both GIL-releasing) — run them concurrently; numerics identical
+        # to the sequential loop (reference CV is 0.8 s at mouse size;
+        # the sequential per-fold eigh chain was the remaining 2x gap)
+        def _one_fold(args):
+            fold, (tr_loc, va_loc) = args
             tf = time.monotonic()
             model, (pv,) = _run_kernel_method(K, y, train[tr_loc], [train[va_loc]])
-            oof[va_loc] = pv
             mets = regression_metrics(y[train[va_loc]], pv)
             mets.update(fold=fold, elapsed_sec=round(time.monotonic() - tf, 3),
                         pve=model.pve)
-            fold_metrics.append(mets)
+            return fold, va_loc, pv, mets
+
+        if folds:
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(len(folds), os.cpu_count() or 4)
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                # ex.map preserves input order -> fold_metrics stay ordered
+                for _fold, va_loc, pv, mets in ex.map(_one_fold, enumerate(folds)):
+                    oof[va_loc] = pv
+                    fold_metrics.append(mets)
         cv_secs = time.monotonic() - t0
         t1 = time.monotonic()
         model, preds = _run_kernel_method(
