@@ -130,10 +130,16 @@ def algwas_scan(
     max_selected: int = 200,
     block: int = config.DEFAULT_SNP_BLOCK,
     pg_qtn: PackedGenotypes | None = None,
+    mesh=None,
 ) -> AlgwasResult:
     """pg_qtn (reference -qbfile/-qvcf/...): an alternate panel for the
     stage-1 lasso QTN search; the stage-2 conditional scan still runs on
-    the main panel. `selected` then indexes the QTN panel."""
+    the main panel. `selected` then indexes the QTN panel.
+
+    ``mesh``: jax.sharding.Mesh with a 'snp' axis — the stage-2
+    conditional scan (the O(m) hot pass) SNP-shards across the mesh;
+    the reference runs both stages under its full thread plan
+    (src/stats/algwas.rs)."""
     y = np.asarray(y, np.float64).reshape(-1)
     pgq = pg if pg_qtn is None else pg_qtn
     n, m = pg.n, pgq.m
@@ -194,7 +200,7 @@ def algwas_scan(
     if len(selected):
         Zsel = _decode_rows(pgq, selected).T
         cov2 = Zsel if cov2 is None else np.concatenate([cov2, Zsel], axis=1)
-    res = lm_scan(pg, y, cov2, block=block)
+    res = lm_scan(pg, y, cov2, block=block, mesh=mesh)
     if len(selected) and pg_qtn is None:
         # QTN rows get conditional refit stats only when they live in the
         # scanned panel (indices refer to the QTN panel otherwise)

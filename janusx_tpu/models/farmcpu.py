@@ -120,10 +120,16 @@ def farmcpu_scan(
     lead_counts=LEAD_COUNTS,
     qtn_bound: int | None = None,
     pg_qtn: PackedGenotypes | None = None,
+    mesh=None,
 ) -> FarmcpuResult:
     """pg_qtn (reference -qbfile/-qvcf/...): an alternate panel for the
     stage-1 QTN search loop; the final reported scan still runs on the
-    main panel. `qtns` then indexes the QTN panel."""
+    main panel. `qtns` then indexes the QTN panel.
+
+    ``mesh``: jax.sharding.Mesh with a 'snp' axis — every inner FEM scan
+    (the O(m) work of each iteration) SNP-shards across the mesh exactly
+    like the flagship `-lmm` route; the reference runs these under its
+    full rayon/BLAS thread plan (src/stats/farmcpu.rs:1-68)."""
     y = np.asarray(y, np.float64).reshape(-1)
     pgq = pg if pg_qtn is None else pg_qtn
     if pgq.n != pg.n:
@@ -150,14 +156,14 @@ def farmcpu_scan(
             Zq = _decode_rows(pgq, qtns)  # (q, n): never densify all m rows
             cov_q = Zq.T
             cov = cov_q if cov is None else np.concatenate([cov, cov_q], axis=1)
-        res = lm_scan(pgq, y, cov, block=block)
+        res = lm_scan(pgq, y, cov, block=block, mesh=mesh)
         pvals = res.pwald.copy()
         if len(qtns):
             pvals[qtns] = _qtn_pvalues(pgq, y, covariates, qtns)
         if loop == 0 and np.nanmin(pvals) >= p_threshold:
             log.info("farmcpu: no marker passes threshold %.3g", p_threshold)
             if pg_qtn is not None:
-                res = lm_scan(pg, y, covariates, block=block)
+                res = lm_scan(pg, y, covariates, block=block, mesh=mesh)
             return FarmcpuResult(result=res, qtns=qtns, loops=loop + 1)
 
         # REM bin-size/lead-count selection
@@ -195,7 +201,7 @@ def farmcpu_scan(
     if len(qtns):
         cov_q = _decode_rows(pgq, qtns).T
         cov = cov_q if cov is None else np.concatenate([cov, cov_q], axis=1)
-    final = lm_scan(pg, y, cov, block=block)
+    final = lm_scan(pg, y, cov, block=block, mesh=mesh)
     if len(qtns) and pg_qtn is None:
         qp = _qtn_pvalues(pg, y, covariates, qtns)
         final.pwald[qtns] = qp
@@ -331,6 +337,7 @@ def farmcpu_unified_scan(
     max_loops: int = MAX_LOOPS,
     qtn_cap: int = 150,
     block: int = config.DEFAULT_SNP_BLOCK,
+    mesh=None,
 ) -> FarmcpuResult:
     """The `-frgwas` unified FarmCPU route (farmcpu.rs:44-68):
 
@@ -364,7 +371,7 @@ def farmcpu_unified_scan(
         if len(qtns):
             cov_q = _decode_rows(pg, qtns).T
             cov = cov_q if cov is None else np.concatenate([cov, cov_q], axis=1)
-        res = lm_scan(pg, y, cov, block=block)
+        res = lm_scan(pg, y, cov, block=block, mesh=mesh)
         femp = res.pwald.copy()
         if len(qtns):
             femp[qtns] = _qtn_pvalues(pg, y, covariates, qtns)
@@ -414,7 +421,7 @@ def farmcpu_unified_scan(
     if len(qtns):
         cov_q = _decode_rows(pg, qtns).T
         cov = cov_q if cov is None else np.concatenate([cov, cov_q], axis=1)
-    final = lm_scan(pg, y, cov, block=block)
+    final = lm_scan(pg, y, cov, block=block, mesh=mesh)
     if len(qtns):
         # stage2 merged-window local re-scans (these windows cover every
         # pseudo-QTN, so a separate conditional refit of the QTN rows here
@@ -441,7 +448,8 @@ def farmcpu_unified_scan(
                 cov_l = cov_b if cov_l is None else np.concatenate(
                     [cov_l, cov_b], axis=1
                 )
-            res_l = lm_scan(pg.take_snps(rows), y, cov_l, block=block)
+            res_l = lm_scan(pg.take_snps(rows), y, cov_l, block=block,
+                            mesh=mesh)
             final.beta[rows] = res_l.beta
             final.se[rows] = res_l.se
             final.pwald[rows] = res_l.pwald

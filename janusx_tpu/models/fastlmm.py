@@ -30,7 +30,7 @@ dosage on device before projection (fastlmm_lowrank.rs GeneticModel).
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -533,6 +533,30 @@ def _lr_scan_resident(pk, cs: _LrConsts, sh: GridShared, n: int,
     return jnp.stack(outs)
 
 
+@lru_cache(maxsize=8)
+def _lr_scan_sharded(mesh, n: int, model: str, with_ml: bool):
+    """SNP-sharded low-rank scan: shard_map over the mesh 'snp' axis —
+    pk arrives with its per-block SNP axis sharded; the per-trait
+    constants and grid pieces are replicated (the twin of
+    models.lmm._lmm_scan_sharded for the `-lowrank` route)."""
+    from jax.sharding import PartitionSpec as P
+
+    def core(pk, cs, sh):
+        def body(_, pkb):
+            return None, _lr_block(pkb, cs, sh, n, model, with_ml)
+
+        _, outs = jax.lax.scan(body, None, pk)
+        return jnp.stack(outs)
+
+    mapped = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(P(None, "snp", None), P(), P()),
+        out_specs=P(None, None, "snp"),
+    )
+    return jax.jit(mapped)
+
+
 def fastlmm_scan(
     pg: PackedGenotypes,
     lrb: LowRankBasis,
@@ -544,6 +568,7 @@ def fastlmm_scan(
     model: str = "add",
     rot: RotatedLR | None = None,
     null: NullFit | None = None,
+    mesh=None,
 ) -> tuple[ScanResult, NullFit]:
     """Low-rank exact LMM scan over all SNPs (FaST-LMM semantics).
 
@@ -567,7 +592,7 @@ def fastlmm_scan(
             sub = pg.take_snps(np.arange(s0, min(s0 + sb, pg.m)))
             r, null = fastlmm_scan(sub, lrb, y, covariates, block=block,
                                    lmm2=lmm2, grid_points=grid_points,
-                                   model=model, rot=rot, null=null)
+                                   model=model, rot=rot, null=null, mesh=mesh)
             parts.append(r)
         return ScanResult.concat(parts), null
     if not hasattr(pg, "packed"):
@@ -581,12 +606,22 @@ def fastlmm_scan(
     block = min(block, m) if m else block
     from janusx_tpu.utils import devcache
 
+    if mesh is not None:
+        # every device needs the same whole blocks: pad block to a
+        # multiple of the mesh size
+        block = -(-block // mesh.devices.size) * mesh.devices.size
     m_pad = -(-m // block) * block
     nblk = m_pad // block
-    pk = devcache.device_packed_blocks(pg, (nblk, block))
-    out = np.asarray(
-        _lr_scan_resident(pk, cs, sh, n, model, lmm2)
-    ).reshape(5, m_pad)
+    pk = devcache.device_packed_blocks(pg, (nblk, block), mesh=mesh)
+    if mesh is not None:
+        cs_d, sh_d = devcache.replicate_tree((cs, sh), mesh)
+        out = np.asarray(
+            _lr_scan_sharded(mesh, n, model, lmm2)(pk, cs_d, sh_d)
+        ).reshape(5, m_pad)
+    else:
+        out = np.asarray(
+            _lr_scan_resident(pk, cs, sh, n, model, lmm2)
+        ).reshape(5, m_pad)
     lbd = 10.0 ** out[0, :m]
     beta = out[1, :m]
     se = out[2, :m]

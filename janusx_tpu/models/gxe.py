@@ -143,9 +143,12 @@ def gxe_scan(
     covariates: np.ndarray | None = None,
     basis: SpectralBasis | None = None,
     block: int = config.DEFAULT_SNP_BLOCK,
+    mesh=None,
 ) -> tuple[ScanResult, NullFit | None]:
     """Interaction scan. Plain OLS (lm2) when basis is None; fixed-λ mixed
-    (fvlmm2) when an eigenbasis of the GRM subset is supplied."""
+    (fvlmm2) when an eigenbasis of the GRM subset is supplied. With a
+    ``mesh`` the per-SNP block stats run SNP-sharded over its 'snp' axis
+    (per-SNP work only — the shared design constants replicate)."""
     y = np.asarray(y, np.float64).reshape(-1)
     # interaction covariate stays RAW: the reference builds z = g * cv from
     # the covariate column as loaded (glm2.rs:216); centering it would shift
@@ -182,6 +185,8 @@ def gxe_scan(
 
     m = pg.m
     block = min(block, m)
+    if mesh is not None:
+        block = -(-block // mesh.devices.size) * mesh.devices.size
     packed = decode.pad_packed_cols(pg.packed)
     Xd = jnp.asarray(X_use)
     Cd = jnp.asarray(Cinv)
@@ -196,10 +201,30 @@ def gxe_scan(
     if basis is not None:
         WhT = jnp.asarray(Wh.T)
 
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        specs = dict(
+            mesh=mesh, in_specs=(P("snp", None), P("snp")),
+            out_specs=(P("snp"),) * 5,
+        )
+        if basis is None:
+            blockfn = jax.jit(jax.shard_map(
+                lambda pk, mn: _gxe_block.__wrapped__(
+                    pk, mn, Xd, Cd, Myd, cd, wd, n), **specs))
+        else:
+            blockfn = jax.jit(jax.shard_map(
+                lambda pk, mn: _gxe_block_mixed.__wrapped__(
+                    pk, mn, Xd, Cd, Myd, cd, WhT, n), **specs))
+    else:
+        blockfn = None
+
     for s0, e0 in iter_blocks(m, block):
         pk = jnp.asarray(pad_rows(packed[s0:e0], block, 0xFF))
         mn = jnp.asarray(pad_rows(pg.mean[s0:e0].astype(np.float32), block))
-        if basis is None:
+        if blockfn is not None:
+            r = blockfn(pk, mn)
+        elif basis is None:
             r = _gxe_block(pk, mn, Xd, Cd, Myd, cd, wd, n)
         else:
             r = _gxe_block_mixed(pk, mn, Xd, Cd, Myd, cd, WhT, n)

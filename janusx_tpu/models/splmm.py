@@ -346,6 +346,7 @@ def splmm_exact_scan(
     cutoff: float = DEFAULT_SPARSE_CUTOFF,
     block: int = config.DEFAULT_SNP_BLOCK,
     superblock: int = 1 << 20,
+    mesh=None,
 ) -> tuple[ScanResult, dict]:
     """Exact SparseLMM scan (the ``-splmm-exact`` route).
 
@@ -382,25 +383,47 @@ def splmm_exact_scan(
     df = n - p - 1
     sigma2 = yPy / max(df, 1)
 
-    quad_fn = bs.device_quad_fn(lbd)
-    Ayd = jnp.asarray(a_y, jnp.float32)
-    AXd = jnp.asarray(A_X, jnp.float32)
-    CvXa = jnp.asarray(Cv @ Xa, jnp.float32)
-    Cvd = jnp.asarray(Cv, jnp.float32)
+    if bs.sparse_comps:
+        # percolation fallback: g'V^-1 g rides the per-lambda sparse-LU
+        # factor on host (the spectral device einsum needs the dense
+        # eigenbasis a giant component can't afford); the factor at the
+        # converged lambda is already cached from the null fit
+        _block = None
+    else:
+        quad_fn = bs.device_quad_fn(lbd)
+        Ayd = jnp.asarray(a_y, jnp.float32)
+        AXd = jnp.asarray(A_X, jnp.float32)
+        CvXa_d = jnp.asarray(Cv @ Xa, jnp.float32)
+        Cvd = jnp.asarray(Cv, jnp.float32)
 
-    @jax.jit
-    def _block(pk, mn):
-        G = decode.decode_centered(pk, mn, dtype=jnp.float32)[:, :n]
-        hp = jax.lax.Precision.HIGHEST
-        t1 = jnp.dot(G, Ayd, precision=hp)  # g'V^-1 y
-        T2 = jnp.dot(G, AXd, precision=hp)  # g'V^-1 X  (B, p)
-        gVg = quad_fn(G)
-        gPg = gVg - jnp.einsum("bp,pq,bq->b", T2, Cvd, T2, precision=hp)
-        gPy = t1 - jnp.dot(T2, CvXa, precision=hp)
-        return gPy.astype(jnp.float64), gPg.astype(jnp.float64)
+        def _block_core(pk, mn):
+            G = decode.decode_centered(pk, mn, dtype=jnp.float32)[:, :n]
+            hp = jax.lax.Precision.HIGHEST
+            t1 = jnp.dot(G, Ayd, precision=hp)  # g'V^-1 y
+            T2 = jnp.dot(G, AXd, precision=hp)  # g'V^-1 X  (B, p)
+            gVg = quad_fn(G)
+            gPg = gVg - jnp.einsum("bp,pq,bq->b", T2, Cvd, T2, precision=hp)
+            gPy = t1 - jnp.dot(T2, CvXa_d, precision=hp)
+            return gPy.astype(jnp.float64), gPg.astype(jnp.float64)
 
+        if mesh is not None:
+            # per-SNP work only: shard the block's SNP axis over the mesh
+            # (closed-over solve constants replicate)
+            from jax.sharding import PartitionSpec as P
+
+            _block = jax.jit(jax.shard_map(
+                _block_core, mesh=mesh,
+                in_specs=(P("snp", None), P("snp")),
+                out_specs=(P("snp"), P("snp")),
+            ))
+        else:
+            _block = jax.jit(_block_core)
+
+    CvXa = Cv @ Xa
     m = pg.m
     block = min(block, m)
+    if mesh is not None and _block is not None:
+        block = -(-block // mesh.devices.size) * mesh.devices.size
     beta = np.empty(m)
     se = np.empty(m)
     gPg_all = np.empty(m)
@@ -412,6 +435,19 @@ def splmm_exact_scan(
         c1 = min(c0 + sb, m)
         sub = pg if (c0 == 0 and c1 == m and hasattr(pg, "packed")) else \
             pg.take_snps(np.arange(c0, c1))
+        if _block is None:
+            for s0, e0 in iter_blocks(c1 - c0, block):
+                G = sub.take_snps(np.arange(s0, e0)).centered()  # (b, n)
+                t1 = G @ a_y
+                T2 = G @ A_X  # (b, p)
+                gVg = bs.quad(lbd, G.T)
+                gPgb = gVg - np.einsum("bp,pq,bq->b", T2, Cv, T2)
+                gPy = t1 - T2 @ CvXa
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    beta[c0 + s0:c0 + e0] = gPy / gPgb
+                    se[c0 + s0:c0 + e0] = np.sqrt(sigma2 / gPgb)
+                gPg_all[c0 + s0:c0 + e0] = gPgb
+            continue
         packed = decode.pad_packed_cols(sub.packed)
         for s0, e0 in iter_blocks(c1 - c0, block):
             pk = pad_rows(packed[s0:e0], block, 0xFF)

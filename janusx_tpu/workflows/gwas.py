@@ -481,7 +481,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 Ksub = Ksp_e[keep][:, keep].tocsc()
                 res, info = splmm_exact_scan(
                     pg_t, Ksub, y_t, cov_t, cutoff=exact_cut,
-                    block=cfg.block,
+                    block=cfg.block, mesh=mesh,
                 )
                 lbd_null = info["lambda_null"]
             elif model == "lowrank":
@@ -519,6 +519,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                     res, null = fl.fastlmm_scan(
                         pg_t, lrb, y_t, cov_t, block=cfg.block,
                         model=cfg.genetic_model, rot=rot_lr, null=null_lr,
+                        mesh=mesh,
                     )
                     lbd_null = null.lbd
             elif model == "farmcpu":
@@ -531,6 +532,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                     window_sizes=tuple(cfg.farmcpu_bin_sizes),
                     qtn_bound=cfg.farmcpu_qtn_bound,
                     pg_qtn=pg_qtn_t,
+                    mesh=mesh,
                 )
                 res = out_f.result
                 lbd_null = None
@@ -540,6 +542,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 out_f = farmcpu_unified_scan(
                     pg_t, y_t, cov_t, block=cfg.block,
                     max_loops=cfg.farmcpu_iter,
+                    mesh=mesh,
                 )
                 res = out_f.result
                 lbd_null = None
@@ -547,7 +550,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 from janusx_tpu.models.algwas import algwas_scan
 
                 out_a = algwas_scan(pg_t, y_t, cov_t, block=cfg.block,
-                                    pg_qtn=pg_qtn_t)
+                                    pg_qtn=pg_qtn_t, mesh=mesh)
                 res = out_a.result
                 lbd_null = None
             elif model in ("lm2", "fvlmm2"):
@@ -562,7 +565,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 res, null2 = gxe_scan(
                     pg_t, y_t, inter, main,
                     basis=get_basis() if model == "fvlmm2" else None,
-                    block=cfg.block,
+                    block=cfg.block, mesh=mesh,
                 )
                 lbd_null = None if null2 is None else null2.lbd
             else:

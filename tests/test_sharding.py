@@ -208,6 +208,59 @@ def test_run_gwas_sharded_matches_single(tmp_path):
     assert np.nanmax(dlogp) < 5e-3
 
 
+def test_run_gwas_sharded_multilocus_routes(tmp_path):
+    """8-way-vs-single run_gwas numerics for the remaining scan routes:
+    -farmcpu, -frgwas, -algwas, -lowrank (their inner scans now take the
+    mesh — reference analog: these kernels run under the same full
+    rayon/BLAS thread plan as the flagship scan, src/stats/farmcpu.rs)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from janusx_tpu.io.plink import write_plink
+    from janusx_tpu.workflows.gwas import GwasConfig, run_gwas
+
+    rng = np.random.default_rng(11)
+    pg = _toy_pg(rng, m=400, n=100)
+    geno = str(tmp_path / "toy")
+    write_plink(geno, pg.packed, pg.n_samples, pg.sites, pg.samples)
+    # two strong planted QTNs so the multi-locus selection is stable
+    # under f32-gram noise between the sharded and single runs
+    Z = pg.centered()
+    y = 1.2 * Z[60] + 1.0 * Z[250] + rng.normal(size=pg.n) * 0.6
+    with open(tmp_path / "toy.pheno", "wt") as fh:
+        fh.write("id\tt1\n")
+        for s, v in zip(pg.samples, y):
+            fh.write(f"{s}\t{v:.6f}\n")
+
+    cov = rng.normal(size=(pg.n, 1))
+    covf = str(tmp_path / "toy.cov")
+    with open(covf, "wt") as fh:
+        fh.write("id\tc1\n")
+        for s, v in zip(pg.samples, cov[:, 0]):
+            fh.write(f"{s}\t{v:.6f}\n")
+
+    for model in ("farmcpu", "frgwas", "algwas", "lowrank", "splmm-exact",
+                  "lm2", "fvlmm2"):
+        common = dict(
+            genotype=geno + ".bed", phenotype=str(tmp_path / "toy.pheno"),
+            models=(model,), force_model=True, block=64, use_cache=False,
+            lowrank_snps=128,
+        )
+        if model in ("lm2", "fvlmm2"):
+            common["covariates"] = covf
+        r1 = run_gwas(GwasConfig(
+            out_prefix=str(tmp_path / f"{model}1"), n_devices=1, **common))
+        r8 = run_gwas(GwasConfig(
+            out_prefix=str(tmp_path / f"{model}8"), n_devices=8, **common))
+        a, b = r1[0].result, r8[0].result
+        np.testing.assert_allclose(
+            b.beta, a.beta, rtol=2e-3, atol=1e-5, equal_nan=True,
+            err_msg=model,
+        )
+        ok = np.isfinite(a.pwald) & np.isfinite(b.pwald) & (a.pwald > 0)
+        dlogp = np.abs(np.log10(b.pwald[ok]) - np.log10(a.pwald[ok]))
+        assert np.nanmax(dlogp) < 5e-3, model
+
+
 def test_run_gs_sharded_matches_single(tmp_path, rng):
     """run_gs on the 8-way mesh == single-device (GBLUP CV + gebv)."""
     import json

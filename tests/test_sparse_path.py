@@ -307,3 +307,124 @@ def test_farmcpu_zero_loops():
     y = rng.normal(size=n)
     assert farmcpu_scan(pg, y, max_loops=0).loops == 0
     assert farmcpu_unified_scan(pg, y, max_loops=0).loops == 0
+
+
+class TestPercolationGuard:
+    """A loose cutoff can percolate the relatedness graph into one giant
+    component; the dense-eigh budget (JX_TPU_SPARSE_MAX_DENSE_COMP) must
+    reroute it through per-lambda sparse-LU factors in bounded memory
+    (reference robustness analog: AMD-ordered sparse LLT handles any
+    pattern, src/math/cholesky.rs:31-45)."""
+
+    @staticmethod
+    def _chain_k(n, rng, lo=0):
+        """One giant tridiagonal component spanning samples [lo, lo+n)."""
+        off = 0.2 + 0.1 * rng.random(n - 1)
+        return scipy.sparse.diags(
+            [off, 1.0 + 0.05 * rng.random(n), off], offsets=(-1, 0, 1),
+            format="csc",
+        )
+
+    def test_lu_route_matches_dense_spectral(self):
+        rng = np.random.default_rng(3)
+        n = 257
+        K = self._chain_k(n, rng)
+        bs_lu = BlockSpectralK.from_sparse(K, max_dense_comp=64)
+        assert bs_lu.sparse_comps and not bs_lu.buckets
+        assert bs_lu.max_comp == n
+        bs_dn = BlockSpectralK.from_sparse(K, max_dense_comp=n)
+        assert not bs_dn.sparse_comps
+        B = rng.normal(size=(n, 3))
+        for lbd in (0.05, 1.0, 20.0):
+            assert bs_lu.logdet(lbd) == pytest.approx(
+                bs_dn.logdet(lbd), rel=1e-10)
+            np.testing.assert_allclose(
+                bs_lu.solve(lbd, B), bs_dn.solve(lbd, B), rtol=1e-7,
+                atol=1e-10)
+            np.testing.assert_allclose(
+                bs_lu.quad(lbd, B), bs_dn.quad(lbd, B), rtol=1e-8)
+        y = rng.normal(size=n)
+        fit_lu = profiled_null_fit(bs_lu, y, n - 1, -5.0, 5.0)
+        fit_dn = profiled_null_fit(bs_dn, y, n - 1, -5.0, 5.0)
+        assert np.log10(fit_lu[0]) == pytest.approx(
+            np.log10(fit_dn[0]), abs=1e-5)
+        assert fit_lu[1] == pytest.approx(fit_dn[1], rel=1e-6)
+        with pytest.raises(ValueError, match="sparse-LU"):
+            bs_lu.device_quad_fn(0.5)
+
+    def test_mixed_giant_plus_families(self):
+        """Giant chain + small family blocks + singletons coexist: the
+        guard must split representations without double counting."""
+        rng = np.random.default_rng(5)
+        giant = self._chain_k(120, rng)
+        fams = _family_sparse_k(77, rng)
+        K = scipy.sparse.block_diag([giant, fams], format="csc")
+        n = K.shape[0]
+        bs = BlockSpectralK.from_sparse(K, max_dense_comp=64)
+        assert len(bs.sparse_comps) == 1 and bs.buckets
+        Kd = K.toarray()
+        for lbd in (0.3, 4.0):
+            want = np.linalg.slogdet(Kd + lbd * np.eye(n))[1]
+            assert bs.logdet(lbd) == pytest.approx(want, rel=1e-10)
+            B = rng.normal(size=(n, 2))
+            np.testing.assert_allclose(
+                bs.solve(lbd, B), np.linalg.solve(Kd + lbd * np.eye(n), B),
+                rtol=1e-7, atol=1e-10)
+
+    def test_percolated_scans_end_to_end(self, geno_problem, monkeypatch):
+        """-splmm / -splmm-exact under a percolated kinship: the guarded
+        run must match the dense-spectral run's numbers."""
+        from janusx_tpu.models.splmm import (
+            splmm_exact_scan, splmm_grammar_scan,
+        )
+
+        pg, _, y = geno_problem
+        rng = np.random.default_rng(8)
+        K = self._chain_k(pg.n, rng)
+        r_dn, i_dn = splmm_exact_scan(pg, K, y)
+        g_dn, gi_dn = splmm_grammar_scan(pg, K, y)
+        monkeypatch.setenv("JX_TPU_SPARSE_MAX_DENSE_COMP", "32")
+        r_lu, i_lu = splmm_exact_scan(pg, K, y)
+        g_lu, gi_lu = splmm_grammar_scan(pg, K, y)
+        assert i_lu["lambda_null"] == pytest.approx(
+            i_dn["lambda_null"], rel=1e-5)
+        np.testing.assert_allclose(r_lu.beta, r_dn.beta, rtol=2e-4)
+        np.testing.assert_allclose(r_lu.se, r_dn.se, rtol=2e-4)
+        assert gi_lu["lambda_null"] == pytest.approx(
+            gi_dn["lambda_null"], rel=1e-5)
+        np.testing.assert_allclose(g_lu.beta, g_dn.beta, rtol=1e-6)
+
+    def test_giant_component_20k_bounded(self):
+        """n=20,000 one-component kinship: the null fit + exact scan
+        complete through the LU route (a dense eigh here would be
+        O(n^3) minutes and a 3.2 GB basis — the pre-guard failure mode)."""
+        from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+        from janusx_tpu.io.packed import QcParams, pack_genotypes
+        from janusx_tpu.models.splmm import (
+            fit_sparse_null, splmm_exact_scan, splmm_grammar_scan,
+        )
+
+        rng = np.random.default_rng(21)
+        n, m = 20_000, 64
+        K = self._chain_k(n, rng)
+        null = fit_sparse_null(K, rng.normal(size=n), n - 1)
+        assert null.factor.bs.sparse_comps
+        assert np.isfinite(null.loglik)
+
+        g = rng.binomial(2, 0.3, size=(m, n)).astype(np.int8)
+        sites = SiteInfo(
+            chrom=np.array(["1"] * m, object),
+            pos=np.arange(1, m + 1, dtype=np.int64),
+            snp=np.array([f"s{i}" for i in range(m)], object),
+            allele0=np.array(["A"] * m, object),
+            allele1=np.array(["G"] * m, object),
+        )
+        pg = pack_genotypes(
+            GenotypeData(g, sites,
+                         np.array([f"i{j}" for j in range(n)], object)),
+            QcParams(maf=0.0, geno=1.0))
+        y = rng.normal(size=n) + pg.centered()[5] * 0.5
+        res, info = splmm_exact_scan(pg, K, y)
+        assert np.isfinite(res.pwald).all()
+        gres, _ = splmm_grammar_scan(pg, K, y)
+        assert np.isfinite(gres.pwald).all()
