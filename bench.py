@@ -1,8 +1,8 @@
 """Flagship benchmark: exact-LMM GWAS scan throughput (steady state).
 
-Measures the hot path of `jx gwas -lmm` (per-SNP REML Brent scan: packed
-2-bit decode + eigenbasis rotate + batched lockstep Brent + beta/se/Wald)
-end to end on the available accelerator, excluding one-time compile.
+Measures the hot path of `jx gwas -lmm` (per-SNP REML scan: packed 2-bit
+decode + eigenbasis rotate + shared λ-grid search + beta/se/Wald) end to
+end on the available accelerator, excluding one-time compile.
 
 Workload: mouse_hs1940 trait test0 (n=1410 analysis samples, m~=8.9k QC'd
 SNPs), with the QC'd SNP set tiled 8x to m~=72k so the measurement is
@@ -11,16 +11,17 @@ the ~20 ms fixed per-call cost (host sync + final-stats fetch through the
 device relay; at m=8.9k that fixed cost is ~50% of wall time). Every SNP
 column scanned is real genotype data and runs the identical production
 code path (`janusx_tpu.models.lmm.lmm_scan`); only the scan length is
-extended. Round-1 verdict directed the bench to capture steady-state
-throughput honestly — this is that measurement, stated as such.
+extended.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-vs_baseline: ratio against 20,000 SNPs/s — an analytic steady-state
-estimate of the reference's Rust CPU path for this problem size (per-SNP
-warm-started Brent, ~15 REML evals x O(n p^2) flops each, 8 threads; the
-reference repo publishes no absolute LMM throughput — BASELINE.md). The
-driver target is >=10x this value per chip.
+vs_baseline divides by a MEASUREMENT: the reference's scan loop
+re-implemented faithfully on this machine's CPU (native/jxbaseline.cpp —
+per-SNP warm-started Brent, tol 1e-2 / max 50 iterations per
+/root/reference/src/stats/lmm.rs:334,1480; REML objective reml.rs:255;
+f32 BLAS rotation; one thread per core), timed on the SAME workload.
+The round-1/2 analytic 20k SNPs/s estimate is kept in the JSON as a
+cross-check. The driver target is >=10x per chip.
 """
 
 from __future__ import annotations
@@ -30,8 +31,28 @@ import time
 
 import numpy as np
 
-RUST_CPU_BASELINE_SNPS_PER_SEC = 20_000.0
+ANALYTIC_BASELINE_SNPS_PER_SEC = 20_000.0  # retained cross-check only
 TILE = 8  # extend the scan to chromosome-scale m (~72k SNPs)
+
+
+def measure_baseline(basis, y, Gc: np.ndarray, lg_init: float):
+    """Reference-loop CPU throughput (SNPs/s) on this machine, timed on
+    the same (rotated-scan) workload: f32 BLAS rotate + threaded per-SNP
+    warm Brent. Returns None when the native toolchain is unavailable."""
+    from janusx_tpu.utils import baseline_cpu
+
+    if not baseline_cpu.available():
+        return None
+    Gc32 = np.ascontiguousarray(Gc, np.float32)
+    big = np.concatenate([Gc32] * TILE, axis=0)
+    # warm-up on a slice (thread spawn, page-in, BLAS init)
+    baseline_cpu.baseline_scan(basis, y, Gc32[:2048], lg_init=lg_init)
+    times = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        baseline_cpu.baseline_scan(basis, y, big, lg_init=lg_init)
+        times.append(time.monotonic() - t0)
+    return big.shape[0] / min(times)
 
 
 def main() -> None:
@@ -69,15 +90,19 @@ def main() -> None:
         times.append(time.monotonic() - t0)
     best = min(times)
     snps_per_sec = big.m / best
+
+    base = measure_baseline(basis, y[keep], pg.centered(), null.log10_lbd)
+    denom = base if base else ANALYTIC_BASELINE_SNPS_PER_SEC
     print(
         json.dumps(
             {
                 "metric": "lmm_scan_snps_per_sec_steady_state",
                 "value": round(snps_per_sec, 1),
                 "unit": "SNPs/s",
-                "vs_baseline": round(
-                    snps_per_sec / RUST_CPU_BASELINE_SNPS_PER_SEC, 3
-                ),
+                "vs_baseline": round(snps_per_sec / denom, 3),
+                "baseline_snps_per_sec": None if base is None else round(base, 1),
+                "baseline_kind": "measured_cpu_reference_loop" if base else "analytic_fallback",
+                "baseline_analytic_snps_per_sec": ANALYTIC_BASELINE_SNPS_PER_SEC,
             }
         )
     )

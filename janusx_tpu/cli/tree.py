@@ -91,6 +91,7 @@ def main(argv=None) -> int:
     if args.ml:
         from janusx_tpu.models.mltree import (
             genotype_leaf_partials,
+            ml_bootstrap_support,
             ml_refine_tree,
             to_newick,
         )
@@ -119,8 +120,16 @@ def main(argv=None) -> int:
         # support labels are not part of the ML tree: rebuild unannotated
         base = neighbor_joining(D, samples)
         t = ml_refine_tree(base, parts, samples, k=k_states)
+        ml_nwk = to_newick(t)
+        if args.bootstrap:
+            # -b composes with -ml: replicates refine under weighted site
+            # likelihoods and support maps onto the ML topology
+            ml_nwk = ml_bootstrap_support(
+                ml_nwk, parts, samples, k=k_states,
+                n_boot=args.bootstrap, seed=args.seed,
+            )
         with open(prefix + ".ml.nwk", "wt") as fh:
-            fh.write(to_newick(t) + "\n")
+            fh.write(ml_nwk + "\n")
         print(f"{prefix}.ml.nwk\tlogL={t.loglik:.2f}")
     if args.write_dist:
         np.savetxt(prefix + f".{distance}.dist", D, fmt="%.6g", delimiter="\t")

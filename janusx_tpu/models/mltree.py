@@ -134,7 +134,9 @@ def _blen_of_x(x, k):
 
 
 def _down_pass(t: MlTree, leaf_part: dict, k: int):
-    """Felsenstein pruning: down[v] (n_sites, k) + per-node log-scalers."""
+    """Felsenstein pruning: down[v] (n_sites, k) + PER-SITE log-scalers
+    (vectors, so site weights can reweight them — bootstrap-by-weights
+    composes with -ml)."""
     down, scal = {}, {}
     for v in _postorder(t):
         if not t.children[v]:
@@ -146,19 +148,22 @@ def _down_pass(t: MlTree, leaf_part: dict, k: int):
         for c in t.children[v]:
             m = _pmul(down[c], _x_of(t.blen[c], k), k)
             acc = m if acc is None else acc * m
-            sc += scal[c]
+            sc = sc + scal[c]
         mx = np.maximum(acc.max(axis=1), 1e-300)
         down[v] = acc / mx[:, None]
-        scal[v] = sc + np.log(mx).sum()
+        scal[v] = sc + np.log(mx)
     return down, scal
 
 
 def _loglik_from_down(t: MlTree, down, scal, k: int, weights) -> float:
+    """Weighted site log-likelihood: sum_s w_s * log L_s. Site weights are
+    the multiplicities of a bootstrap resample (reference tree.rs weighted
+    `scal` accumulation); None = all-ones."""
     site = (down[t.root] / k).sum(axis=1)
+    site_log = np.log(np.maximum(site, 1e-300)) + scal[t.root]
     if weights is None:
-        return float(np.log(np.maximum(site, 1e-300)).sum() + scal[t.root])
-    # scal accumulated unweighted; recompute weighted requires weights=None
-    raise NotImplementedError
+        return float(site_log.sum())
+    return float(site_log @ weights)
 
 
 def _up_pass(t: MlTree, down, k: int):
@@ -198,18 +203,20 @@ def _edge_ab(up_v: np.ndarray, down_v: np.ndarray, k: int):
     return a, b
 
 
-def _optimize_x(a: np.ndarray, b: np.ndarray, k: int, x0: float) -> float:
-    """Newton on f(x) = sum log(x*a + (1-x)*b/k), concave in x in (0,1)."""
+def _optimize_x(a: np.ndarray, b: np.ndarray, k: int, x0: float,
+                weights=None) -> float:
+    """Newton on f(x) = sum w*log(x*a + (1-x)*b/k), concave in x in (0,1)."""
     c = b / k
-    d = a - c  # f = sum log(c + x*d)
+    d = a - c  # f = sum w*log(c + x*d)
+    w = 1.0 if weights is None else weights
     x = min(max(x0, 1e-6), 1.0 - 1e-9)
     for _ in range(30):
         denom = c + x * d
         if np.any(denom <= 0):
             x = max(x * 0.5, 1e-9)
             continue
-        g = (d / denom).sum()
-        h = -((d / denom) ** 2).sum()
+        g = (w * d / denom).sum()
+        h = -(w * (d / denom) ** 2).sum()
         if h >= 0:
             break
         step = g / h
@@ -221,13 +228,14 @@ def _optimize_x(a: np.ndarray, b: np.ndarray, k: int, x0: float) -> float:
     return x
 
 
-def optimize_branch_lengths(t: MlTree, leaf_part, k: int, rounds: int = 2):
+def optimize_branch_lengths(t: MlTree, leaf_part, k: int, rounds: int = 2,
+                            weights=None):
     """Per-edge closed-form updates from shared (stale) messages are a
     Jacobi-style simultaneous step, which can overshoot — each round
     backtracks the full update vector until the global likelihood is
     non-decreasing (guaranteed monotone)."""
     down, scal = _down_pass(t, leaf_part, k)
-    ll0 = _loglik_from_down(t, down, scal, k, None)
+    ll0 = _loglik_from_down(t, down, scal, k, weights)
     for _ in range(rounds):
         A, _ = _up_pass(t, down, k)
         old = t.blen.copy()
@@ -236,14 +244,14 @@ def optimize_branch_lengths(t: MlTree, leaf_part, k: int, rounds: int = 2):
             if v == t.root:
                 continue
             a, b = _edge_ab(A[v], down[v], k)
-            x = _optimize_x(a, b, k, _x_of(t.blen[v], k))
+            x = _optimize_x(a, b, k, _x_of(t.blen[v], k), weights)
             cand[v] = _blen_of_x(x, k)
         step = 1.0
         ll_new = None
         for _bt in range(8):
             t.blen = old + step * (cand - old)
             down, scal = _down_pass(t, leaf_part, k)
-            ll = _loglik_from_down(t, down, scal, k, None)
+            ll = _loglik_from_down(t, down, scal, k, weights)
             if ll >= ll0 - 1e-9:
                 ll_new = ll
                 break
@@ -260,7 +268,7 @@ def optimize_branch_lengths(t: MlTree, leaf_part, k: int, rounds: int = 2):
     return t
 
 
-def _score_config(G, eD, eA, eB, xc, k):
+def _score_config(G, eD, eA, eB, xc, k, weights=None):
     """Log-score of topology ((A,B)c, D)p with rest-of-tree context G:
     combine A,B at c, pass through edge c (xc), join D and G at p."""
     mc = eA * eB
@@ -268,10 +276,13 @@ def _score_config(G, eD, eA, eB, xc, k):
     mc = mc / mx[:, None]
     mp = _pmul(mc, xc, k) * eD * G
     site = np.maximum(mp.sum(axis=1), 1e-300)
-    return float(np.log(site).sum() + np.log(mx).sum())
+    site_log = np.log(site) + np.log(mx)
+    if weights is None:
+        return float(site_log.sum())
+    return float(site_log @ weights)
 
 
-def nni_round(t: MlTree, leaf_part, k: int) -> int:
+def nni_round(t: MlTree, leaf_part, k: int, weights=None) -> int:
     """One NNI step: for each internal edge (p, c) with c internal,
     children(c) = {A, B} and sibling D at p, score the three topologies
     with fixed local messages (reference collect_nni_edges/apply_nni_swap,
@@ -279,7 +290,7 @@ def nni_round(t: MlTree, leaf_part, k: int) -> int:
     single best-scoring swap is applied per step and then verified with a
     full recompute (reverted if the global likelihood drops)."""
     down, scal = _down_pass(t, leaf_part, k)
-    ll_before = _loglik_from_down(t, down, scal, k, None)
+    ll_before = _loglik_from_down(t, down, scal, k, weights)
     _, atnode = _up_pass(t, down, k)
     best_gain, best_move = 0.0, None
     for c in range(len(t.children)):
@@ -298,9 +309,9 @@ def nni_round(t: MlTree, leaf_part, k: int) -> int:
         eD = _pmul(down[D], _x_of(t.blen[D], k), k)
         G = atnode[p]
         xc = _x_of(t.blen[c], k)
-        s0 = _score_config(G, eD, eA, eB, xc, k)  # current: (A,B) vs D
-        s1 = _score_config(G, eB, eA, eD, xc, k)  # swap B <-> D
-        s2 = _score_config(G, eA, eB, eD, xc, k)  # swap A <-> D
+        s0 = _score_config(G, eD, eA, eB, xc, k, weights)  # current
+        s1 = _score_config(G, eB, eA, eD, xc, k, weights)  # swap B <-> D
+        s2 = _score_config(G, eA, eB, eD, xc, k, weights)  # swap A <-> D
         if s1 - s0 > best_gain:
             best_gain, best_move = s1 - s0, (p, c, A, D, B, "B")
         if s2 - s0 > best_gain:
@@ -313,7 +324,7 @@ def nni_round(t: MlTree, leaf_part, k: int) -> int:
     t.children[p] = [c, out]
     t.parent[D], t.parent[out] = c, p
     down, scal = _down_pass(t, leaf_part, k)
-    if _loglik_from_down(t, down, scal, k, None) <= ll_before:
+    if _loglik_from_down(t, down, scal, k, weights) <= ll_before:
         t.children[c], t.children[p] = old_cc, old_pc
         t.parent[D], t.parent[out] = p, c
         return 0
@@ -349,10 +360,13 @@ def ml_refine_tree(
     k: int = 2,
     nni_rounds: int | None = None,
     bl_rounds: int = 2,
+    weights=None,
 ) -> MlTree:
     """NJ topology -> approximate-ML tree: alternate verified single-swap
     NNI steps and monotone branch-length rounds until no swap improves.
-    Default budget 4*n_leaves steps (one swap applied per step)."""
+    Default budget 4*n_leaves steps (one swap applied per step).
+    ``weights``: per-site multiplicities (bootstrap resamples compose with
+    -ml by reweighting instead of materializing resampled alignments)."""
     t = parse_newick(newick)
     if nni_rounds is None:
         nni_rounds = 4 * t.n_leaves
@@ -363,14 +377,48 @@ def ml_refine_tree(
             if t.labels[v] not in name_to_part:
                 raise ValueError(f"leaf {t.labels[v]!r} missing from alignment")
             leaf_part[v] = name_to_part[t.labels[v]]
+    if weights is not None:
+        weights = np.asarray(weights, np.float64).reshape(-1)
+        n_sites = next(iter(leaf_part.values())).shape[0]
+        if len(weights) != n_sites:
+            raise ValueError(
+                f"site weights length {len(weights)} != {n_sites} sites")
     t.blen = np.clip(t.blen, MIN_BLEN, MAX_BLEN)
-    optimize_branch_lengths(t, leaf_part, k, rounds=bl_rounds)
+    optimize_branch_lengths(t, leaf_part, k, rounds=bl_rounds,
+                            weights=weights)
     for _ in range(nni_rounds):
-        swaps = nni_round(t, leaf_part, k)
-        optimize_branch_lengths(t, leaf_part, k, rounds=1)
+        swaps = nni_round(t, leaf_part, k, weights=weights)
+        optimize_branch_lengths(t, leaf_part, k, rounds=1, weights=weights)
         if swaps == 0:
             break
     return t
+
+
+def ml_bootstrap_support(
+    main_newick: str,
+    leaf_partials: list,
+    leaf_names: list,
+    k: int = 2,
+    n_boot: int = 100,
+    seed: int = 0,
+    nni_rounds: int | None = None,
+) -> str:
+    """Bootstrap support for an ML tree: each replicate draws multinomial
+    SITE WEIGHTS and refines under the weighted likelihood (no resampled
+    alignments materialized — the weighted `scal` accumulation makes -b
+    compose with -ml, reference tree.rs bootstrap-with-ml)."""
+    from janusx_tpu.models.tree import _tree_splits, annotate_split_support
+
+    rng = np.random.default_rng(seed)
+    m = leaf_partials[0].shape[0]
+    counts: dict = {}
+    for _ in range(int(n_boot)):
+        w = rng.multinomial(m, np.full(m, 1.0 / m)).astype(np.float64)
+        t = ml_refine_tree(main_newick, leaf_partials, leaf_names, k=k,
+                           nni_rounds=nni_rounds, weights=w)
+        for s in _tree_splits(to_newick(t)):
+            counts[s] = counts.get(s, 0) + 1
+    return annotate_split_support(main_newick, counts, n_boot)
 
 
 def ml_tree(pg, site_budget: int | None = None, seed: int = 0,

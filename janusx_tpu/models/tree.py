@@ -219,6 +219,13 @@ def bootstrap_support(
         D = dist_fn(codes, w)
         for s in _tree_splits(neighbor_joining(D, labels)):
             counts[s] = counts.get(s, 0) + 1
+    return annotate_split_support(main_newick, counts, n_boot)
+
+
+def annotate_split_support(main_newick: str, counts: dict, n_boot: int) -> str:
+    """Write bipartition support percentages onto the main tree's internal
+    nodes (shared by the NJ and ML bootstrap routes)."""
+    from janusx_tpu.models.mltree import parse_newick
 
     t = parse_newick(main_newick)
     all_leaves = frozenset(l for l in t.labels if l)
