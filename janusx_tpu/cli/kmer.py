@@ -17,6 +17,15 @@ def build_parser(prog="jx kmer") -> argparse.ArgumentParser:
                    help="FASTA/FASTQ(.gz) files, one per sample")
     p.add_argument("-k", "--k", type=int, default=21)
     p.add_argument("-min-count", "--min-count", type=int, default=2)
+    p.add_argument("-mem", "--mem", type=float, default=None, metavar="GB",
+                   help="in-RAM k-mer table budget in GB; tables that "
+                   "would cross it spill to on-disk partition buckets "
+                   "(KMC-class external-memory counting) and finalize "
+                   "one bucket at a time")
+    p.add_argument("-spill-dir", "--spill-dir", type=str, default=None,
+                   help="directory for spill buckets (default: temp dir); "
+                   "'' disables spilling — the counter then fails fast "
+                   "at 2x the -mem budget instead of swapping")
     common.add_out_args(p, default_prefix="kmer")
     return p
 
@@ -33,7 +42,12 @@ def main(argv=None) -> int:
     outputs = []
     for path in args.inputs:
         sid = os.path.basename(path).split(".")[0]
-        codes, counts = kmer.count_kmers(path, k=args.k, min_count=args.min_count)
+        codes, counts = kmer.count_kmers(
+            path, k=args.k, min_count=args.min_count,
+            mem_budget_bytes=(None if args.mem is None
+                              else int(args.mem * (1 << 30))),
+            spill_dir=args.spill_dir,
+        )
         out = f"{prefix}.{sid}.k{args.k}.npz"
         np.savez_compressed(out, codes=codes, counts=counts, k=args.k)
         outputs.append(out)

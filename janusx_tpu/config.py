@@ -90,6 +90,7 @@ KNOBS: dict = {
     "JX_TPU_GRM_RESIDENT_MB": (int, 2048, "packed-buffer size below which the GRM builds in one resident dispatch"),
     "JX_TPU_GRM_FLUSH": (int, 16, "SNP blocks accumulated in f32 before each f64 flush in the GRM build"),
     "JX_TPU_GBLUP_MAX_N": (int, 15_000, "BLUP auto-dispatch: max train n for the GBLUP kernel route"),
+    "JX_TPU_GS_EIGH32": (bool, False, "GS fold eighs in f32 (ssyevd, ~2x faster CV; lambda precision ~1e-5 in log10)"),
     "JX_TPU_RRBLUP_EXACT_MAX_M": (int, 15_000, "BLUP auto-dispatch: max markers for exact rrBLUP (else PCG)"),
     "JX_TPU_HE_PROBES": (int, 16, "Hutchinson probes in the streamed HE variance-component pre-fit"),
     "JX_TPU_HASH_DIM": (int, 2048, "signed-hash sketch buckets (-hash default dim)"),

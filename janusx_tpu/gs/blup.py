@@ -51,18 +51,38 @@ def fit_gblup(
     y: np.ndarray,
     train_idx: np.ndarray,
     covariates: np.ndarray | None = None,
+    basis=None,
 ) -> GblupModel:
     """Fit additive GBLUP on the training subset of a dense GRM.
 
     Runs entirely on host (LAPACK eigh + scipy-Brent REML): at GS fold
     sizes (n <= GBLUP_MAX_N) the device path pays one XLA compile per
     distinct fold shape plus relay round-trips, dwarfing the O(n^2)
-    algebra — see core.reml.fit_null_reml_host."""
+    algebra — see core.reml.fit_null_reml_host. ``basis`` accepts a
+    precomputed spectral basis of K[train, train] + 1e-6 I. The knob
+    JX_TPU_GS_EIGH32 runs the eigh in f32 (ssyevd, ~2x faster — the fold
+    eighs ARE the measured CV wall clock) with the REML itself still in
+    f64 on the cast-back spectrum; lambda shifts by ~1e-5 in log10."""
     train_idx = np.asarray(train_idx)
     y_t = np.asarray(y, np.float64).reshape(-1)[train_idx]
     cov_t = None if covariates is None else np.asarray(covariates)[train_idx]
-    Ktt = K[np.ix_(train_idx, train_idx)]
-    basis = eigh_grm(Ktt, diag_ridge=1e-6)
+    if basis is None:
+        Ktt = K[np.ix_(train_idx, train_idx)]
+        if config.knob("JX_TPU_GS_EIGH32"):
+            import scipy.linalg
+
+            from janusx_tpu.core.spectral import SpectralBasis
+
+            Kr = (Ktt + 1e-6 * np.eye(len(train_idx))).astype(np.float32)
+            S32, U32 = scipy.linalg.eigh(
+                Kr, driver="evd", check_finite=False, overwrite_a=True
+            )
+            basis = SpectralBasis(
+                np.maximum(S32.astype(np.float64), 0.0),
+                U32.astype(np.float64),
+            )
+        else:
+            basis = eigh_grm(Ktt, diag_ridge=1e-6)
     n_t = len(train_idx)
     X = np.ones((n_t, 1)) if cov_t is None else np.concatenate(
         [np.ones((n_t, 1)), cov_t], axis=1

@@ -145,10 +145,10 @@ def _ml_model(method: str, seed: int):
 
 
 def _run_kernel_method(
-    K, y, train, predict_sets, covariates=None
+    K, y, train, predict_sets, covariates=None, basis=None
 ):
     """Fit GBLUP on `train`, predict each index set in predict_sets."""
-    model = fit_gblup(K, y, train, covariates)
+    model = fit_gblup(K, y, train, covariates, basis=basis)
     preds = [predict_gblup(model, K, idx, covariates) for idx in predict_sets]
     return model, preds
 
@@ -441,9 +441,14 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait,
                 oof_pred=oof,
             )
         # folds are independent host-only work (LAPACK eigh + Brent REML,
-        # both GIL-releasing) — run them concurrently; numerics identical
-        # to the sequential loop (reference CV is 0.8 s at mouse size;
-        # the sequential per-fold eigh chain was the remaining 2x gap)
+        # both GIL-releasing) — run them concurrently. The per-fold eigh
+        # chain IS the CV wall clock: 5x dsyevd(1128) measures 1.38 s
+        # (0.71 s in f32) on this 4-vCPU box, so the knob JX_TPU_GS_EIGH32
+        # trades the f64 spectrum for ssyevd when CV speed matters more
+        # than the last ~1e-5 of lambda precision. A partitioned-inverse
+        # one-eigh variant was measured 4x SLOWER (Brent needs ~30
+        # O(n_v^2 n) evaluations per fold vs one ~3n_t^3 eigh — break-even
+        # is ~9 evaluations), so per-fold eigh it stays.
         def _one_fold(args):
             fold, (tr_loc, va_loc) = args
             tf = time.monotonic()

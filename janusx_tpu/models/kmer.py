@@ -53,6 +53,21 @@ def _load():
             lib = ctypes.CDLL(_SO)
             lib.jx_kmt_new.restype = ctypes.c_void_p
             lib.jx_kmt_new.argtypes = [ctypes.c_int, ctypes.c_int]
+            lib.jx_kmt_new2.restype = ctypes.c_void_p
+            lib.jx_kmt_new2.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_char_p,
+            ]
+            lib.jx_kmt_spilling.restype = ctypes.c_int
+            lib.jx_kmt_spilling.argtypes = [ctypes.c_void_p]
+            lib.jx_kmt_part_load.restype = ctypes.c_long
+            lib.jx_kmt_part_load.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.jx_kmt_part_export.restype = ctypes.c_long
+            lib.jx_kmt_part_export.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_long, ctypes.c_uint32,
+            ]
             lib.jx_kmt_add.restype = ctypes.c_int
             lib.jx_kmt_add.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
             lib.jx_kmt_size.restype = ctypes.c_long
@@ -121,17 +136,45 @@ def _tail_base_cut(buf: bytes, nbases: int) -> int:
 def count_kmers(
     path: str, k: int = 21, min_count: int = 1, threads: int | None = None,
     chunk_bytes: int = 256 << 20,
+    mem_budget_bytes: int | None = None,
+    spill_dir: str | None = None,
 ):
     """Count canonical k-mers of one FASTA/FASTQ(.gz) file.
 
     Streams the file in record-aligned chunks through the multithreaded
     native counter — host memory is bounded by the k-mer table plus one
-    chunk, not the (decompressed) file. Returns (codes uint64 sorted,
-    counts uint32)."""
+    chunk, not the (decompressed) file.
+
+    ``mem_budget_bytes`` bounds the in-RAM tables (KMC-lite capability,
+    reference vendored KMC3): when the next chunk could cross the budget
+    the counter converts to on-disk partition buckets under ``spill_dir``
+    (a temp dir by default) and finalizes one bucket (~1/64 of the
+    distinct set) at a time — all-distinct inputs larger than RAM
+    complete instead of swapping. With ``spill_dir=""`` the counter
+    instead FAILS FAST with a clear error at 2x the budget.
+
+    Returns (codes uint64 sorted, counts uint32)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native k-mer counter unavailable (no g++?)")
-    h = lib.jx_kmt_new(k, 0 if threads is None else threads)
+    tmp_ctx = None
+    if mem_budget_bytes:
+        if spill_dir is None:
+            import tempfile
+
+            tmp_ctx = tempfile.TemporaryDirectory(prefix="jxkmer_spill_")
+            spill_dir = tmp_ctx.name
+        elif spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
+        # bound the per-chunk worst-case distinct load (18 B/code) to
+        # half the budget so the native pre-check has room to convert
+        chunk_bytes = max(1 << 20, min(chunk_bytes, mem_budget_bytes // 36))
+        h = lib.jx_kmt_new2(
+            k, 0 if threads is None else threads, int(mem_budget_bytes),
+            spill_dir.encode(),
+        )
+    else:
+        h = lib.jx_kmt_new(k, 0 if threads is None else threads)
     if not h:
         raise RuntimeError(f"bad k for k-mer counting: {k}")
     try:
@@ -161,10 +204,34 @@ def count_kmers(
                         feed, carry = buf[:cut], buf[cut:]
                 else:
                     feed, carry = buf, b""
-                if feed and lib.jx_kmt_add(h, feed, len(feed)) != 0:
-                    raise RuntimeError("k-mer counting failed")
-        if carry and lib.jx_kmt_add(h, carry, len(carry)) != 0:
-            raise RuntimeError("k-mer counting failed")
+                if feed:
+                    _check_add(lib, h, feed, mem_budget_bytes)
+        if carry:
+            _check_add(lib, h, carry, mem_budget_bytes)
+        if mem_budget_bytes and lib.jx_kmt_spilling(h):
+            # spilled finalize: count + export ONE partition at a time
+            # (each ~1/64 of the distinct set — bounded memory)
+            parts_k, parts_c = [], []
+            for p in range(64):
+                n = lib.jx_kmt_part_load(h, p)
+                if n < 0:
+                    raise RuntimeError(f"k-mer spill bucket {p} unreadable")
+                if n == 0:
+                    continue
+                keys = np.empty(n, np.uint64)
+                cnts = np.empty(n, np.uint32)
+                w = lib.jx_kmt_part_export(
+                    h, p,
+                    keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                    cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                    n, min_count,
+                )
+                parts_k.append(keys[:w])
+                parts_c.append(cnts[:w])
+            keys = np.concatenate(parts_k) if parts_k else np.empty(0, np.uint64)
+            cnts = np.concatenate(parts_c) if parts_c else np.empty(0, np.uint32)
+            order = np.argsort(keys)
+            return keys[order], cnts[order]
         n = lib.jx_kmt_size(h)
         keys = np.empty(n, np.uint64)
         cnts = np.empty(n, np.uint32)
@@ -177,9 +244,24 @@ def count_kmers(
         )
     finally:
         lib.jx_kmt_free(h)
+        if tmp_ctx is not None:
+            tmp_ctx.cleanup()
     keys, cnts = keys[:w], cnts[:w]
     order = np.argsort(keys)
     return keys[order], cnts[order]
+
+
+def _check_add(lib, h, feed: bytes, mem_budget_bytes) -> None:
+    rc = lib.jx_kmt_add(h, feed, len(feed))
+    if rc == 2:
+        raise MemoryError(
+            f"k-mer table crossed 2x the memory budget "
+            f"({mem_budget_bytes} bytes) and no spill directory is "
+            f"configured — rerun with a larger budget, or allow spilling "
+            f"(spill_dir=None uses a temp dir)"
+        )
+    if rc != 0:
+        raise RuntimeError("k-mer counting failed")
 
 
 def decode_kmer(code: int, k: int) -> str:

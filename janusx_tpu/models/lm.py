@@ -144,11 +144,24 @@ def lm_scan(
     C = np.linalg.inv(XtX)
     My = y - X @ (C @ (X.T @ y))
     yMy = float(y @ My)
+    # shape bucketing: multi-locus routes (FarmCPU/frgwas/ALGWAS) issue
+    # MANY small conditional scans with varying (m, cov-width) — each
+    # distinct shape would cost a fresh XLA compile (seconds), which is
+    # the dominant wall-clock of the whole route. Pad the design with
+    # exact-zero columns to a width bucket (zero columns add +0.0 to every
+    # f32 gram term — bitwise-identical stats; C uses pinv, which on the
+    # block-diagonal [[XtX, 0], [0, 0]] Gram is exactly [[XtX^-1, 0],
+    # [0, 0]]) and keep `block` fixed so small m pads up to one block.
+    _PBUCKET = 8
+    if p % _PBUCKET:
+        pad = _PBUCKET - p % _PBUCKET
+        X = np.concatenate([X, np.zeros((n, pad))], axis=1)
+        C = np.zeros((p + pad, p + pad))
+        C[:p, :p] = np.linalg.inv(XtX)
 
     from janusx_tpu.utils import devcache
 
     m = pg.m
-    block = min(block, m)
     if mesh is not None:
         block = -(-block // mesh.devices.size) * mesh.devices.size
     m_pad = -(-m // block) * block

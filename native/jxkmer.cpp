@@ -24,13 +24,27 @@
 //     newlines inside a record (KMC semantics; the old single-line
 //     reset dropped k-mers spanning wraps).
 //
+//   - KMC-lite spill (memory budget): jx_kmt_new2 takes a byte budget
+//     and a spill directory. When the in-RAM tables cross the budget,
+//     the handle converts to spill mode: tables are dumped to
+//     per-partition bucket files as (key, count) records and later
+//     chunks append their phase-1 codes directly to the buckets.
+//     Finalization then counts ONE partition at a time (each ~1/64 of
+//     the distinct set), so inputs whose k-mer table exceeds RAM still
+//     complete in bounded memory — the capability class of KMC's
+//     external-memory partitioning without its internals. A hard cap at
+//     2x budget inside grow() fails FAST with a clean error instead of
+//     swapping to DRAM death when no spill dir was given.
+//
 // Plain C ABI for ctypes.
 
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -68,8 +82,16 @@ inline uint64_t hash64(uint64_t x) {
   return x;
 }
 
-bool grow(Table* t) {
+bool grow(Table* t, std::atomic<long>* bytes = nullptr, long hard_cap = 0) {
   uint64_t ncap = t->cap << 1;
+  if (bytes) {
+    long delta = (long)(ncap - t->cap) * 12;
+    long now = bytes->fetch_add(delta) + delta;
+    if (hard_cap > 0 && now > hard_cap) {
+      bytes->fetch_add(-delta);
+      return false;  // budget breach: caller converts to spill or errors
+    }
+  }
   uint64_t* nk = (uint64_t*)calloc(ncap, sizeof(uint64_t));
   uint32_t* nc = (uint32_t*)calloc(ncap, sizeof(uint32_t));
   if (!nk || !nc) return false;
@@ -88,9 +110,10 @@ bool grow(Table* t) {
   return true;
 }
 
-inline bool add_count(Table* t, uint64_t key, uint32_t add) {
+inline bool add_count(Table* t, uint64_t key, uint32_t add,
+                      std::atomic<long>* bytes = nullptr, long cap = 0) {
   if ((t->size + 1) * 10 > t->cap * 7) {
-    if (!grow(t)) return false;
+    if (!grow(t, bytes, cap)) return false;
   }
   uint64_t h = hash64(key) & (t->cap - 1);
   while (t->keys[h]) {
@@ -123,7 +146,55 @@ struct Handle {
   int threads;
   Table parts[kPartitions];
   std::atomic<bool> failed{false};
+  // spill state (jx_kmt_new2)
+  long budget = 0;              // soft budget in bytes (0 = unlimited)
+  std::string spill_dir;        // empty = fail fast instead of spilling
+  bool spilling = false;
+  FILE* spill_files[kPartitions] = {nullptr};
+  std::atomic<long> table_bytes{0};
+
+  long hard_cap() const { return budget > 0 ? budget * 2 : 0; }
+  std::string spill_path(int p) const {
+    return spill_dir + "/jxkmer_part" + std::to_string(p) + ".bin";
+  }
 };
+
+// (key, count) spill record — 12 bytes packed
+#pragma pack(push, 1)
+struct SpillRec {
+  uint64_t key;
+  uint32_t count;
+};
+#pragma pack(pop)
+
+bool spill_append(FILE* f, const uint64_t* keys, const uint32_t* counts,
+                  size_t n) {
+  std::vector<SpillRec> recs(n);
+  for (size_t i = 0; i < n; ++i) recs[i] = {keys[i], counts ? counts[i] : 1u};
+  return fwrite(recs.data(), sizeof(SpillRec), n, f) == n;
+}
+
+// Convert the handle to spill mode: dump every partition table to its
+// bucket file and free the RAM.
+bool enter_spill(Handle* h) {
+  for (int p = 0; p < kPartitions; ++p) {
+    FILE* f = fopen(h->spill_path(p).c_str(), "wb+");
+    if (!f) return false;
+    h->spill_files[p] = f;
+    Table& t = h->parts[p];
+    std::vector<SpillRec> recs;
+    recs.reserve(t.size);
+    for (uint64_t i = 0; i < t.cap; ++i)
+      if (t.keys[i]) recs.push_back({t.keys[i], t.counts[i]});
+    if (!recs.empty() &&
+        fwrite(recs.data(), sizeof(SpillRec), recs.size(), f) != recs.size())
+      return false;
+    t.destroy();
+  }
+  h->table_bytes.store(0);
+  h->spilling = true;
+  return true;
+}
 
 inline int partition_of(uint64_t key) {
   return (int)(hash64(key) >> 58) & (kPartitions - 1);
@@ -223,7 +294,26 @@ void* jx_kmt_new(int k, int threads) {
   if (threads > 32) threads = 32;
   h->threads = threads;
   for (int p = 0; p < kPartitions; ++p) h->parts[p].init(1 << 10);
+  h->table_bytes.store((long)kPartitions * (1 << 10) * 12);
   return h;
+}
+
+// Budgeted constructor: mem_budget_bytes bounds the in-RAM tables; when
+// the next chunk could cross it the handle converts to on-disk partition
+// buckets under spill_dir (KMC-lite). spill_dir == NULL/"" -> no spill:
+// the counter fails fast (jx_kmt_add returns 2) at 2x budget instead of
+// swapping.
+void* jx_kmt_new2(int k, int threads, long mem_budget_bytes,
+                  const char* spill_dir) {
+  Handle* h = (Handle*)jx_kmt_new(k, threads);
+  if (!h) return nullptr;
+  h->budget = mem_budget_bytes > 0 ? mem_budget_bytes : 0;
+  if (spill_dir && spill_dir[0]) h->spill_dir = spill_dir;
+  return h;
+}
+
+int jx_kmt_spilling(void* handle) {
+  return ((Handle*)handle)->spilling ? 1 : 0;
 }
 
 // Feed one buffer of whole records. Thread-splits at record boundaries,
@@ -267,6 +357,53 @@ int jx_kmt_add(void* handle, const char* buf, long len) {
     return 1;
   }
 
+  // budget pre-check: worst case this round adds one distinct key per
+  // incoming code at ~1.43x slot overhead. If that could cross the soft
+  // budget, convert to spill mode now (when a spill dir exists) so the
+  // in-RAM tables never exceed the budget; callers bound the per-chunk
+  // incoming load by shrinking the feed size.
+  if (!h->spilling && h->budget > 0) {
+    long incoming = 0;
+    for (int t = 0; t < T; ++t)
+      for (int p = 0; p < kPartitions; ++p)
+        incoming += (long)local[t][p].size();
+    if (h->table_bytes.load() + incoming * 18 > h->budget &&
+        !h->spill_dir.empty()) {
+      if (!enter_spill(h)) {
+        h->failed.store(true);
+        return 1;
+      }
+    }
+  }
+
+  if (h->spilling) {
+    // spill path: append this round's codes to the per-partition bucket
+    // files as (key, 1) records — counting is deferred to finalization,
+    // one partition at a time
+    std::atomic<int> nextp{0};
+    workers.clear();
+    for (int t = 0; t < T; ++t) {
+      workers.emplace_back([&]() {
+        for (;;) {
+          int p = nextp.fetch_add(1);
+          if (p >= kPartitions) return;
+          for (int s = 0; s < T; ++s) {
+            auto& v = local[s][p];
+            if (!v.empty() &&
+                !spill_append(h->spill_files[p], v.data(), nullptr, v.size()))
+              ok.store(false);
+          }
+        }
+      });
+    }
+    for (auto& w : workers) w.join();
+    if (!ok.load()) {
+      h->failed.store(true);
+      return 1;
+    }
+    return 0;
+  }
+
   // phase 2: T workers hash-count whole partitions (disjoint -> lock-
   // free). One hash insert per occurrence; total hash work equals the
   // k-mer count once — a naive per-thread-table merge would re-count the
@@ -275,7 +412,10 @@ int jx_kmt_add(void* handle, const char* buf, long len) {
   // duplication inputs: the sort's sequential bandwidth costs more than
   // the duplicate inserts it saves.)
   std::atomic<int> next{0};
+  std::atomic<bool> oom{false};
   workers.clear();
+  std::atomic<long>* bytes = h->budget > 0 ? &h->table_bytes : nullptr;
+  long cap = h->hard_cap();
   for (int t = 0; t < T; ++t) {
     workers.emplace_back([&]() {
       for (;;) {
@@ -284,19 +424,72 @@ int jx_kmt_add(void* handle, const char* buf, long len) {
         Table* dst = &h->parts[p];
         for (int s = 0; s < T; ++s)
           for (uint64_t key : local[s][p])
-            if (!add_count(dst, key, 1)) {
-              ok.store(false);
+            if (!add_count(dst, key, 1, bytes, cap)) {
+              oom.store(true);
               return;
             }
       }
     });
   }
   for (auto& w : workers) w.join();
+  if (oom.load()) {
+    // fail FAST with a clean error: the table crossed 2x the budget and
+    // no spill directory was configured (or allocation failed)
+    h->failed.store(true);
+    return 2;
+  }
   if (!ok.load()) {
     h->failed.store(true);
     return 1;
   }
   return 0;
+}
+
+// ---- spilled-mode finalization: count one partition at a time ----
+
+// Load bucket p: stream its (key, count) records through a fresh hash
+// table (bounded by that partition's DISTINCT set, ~1/64 of the total).
+// Returns the distinct count, or -1 on error.
+long jx_kmt_part_load(void* handle, int p) {
+  Handle* h = (Handle*)handle;
+  if (!h || !h->spilling || p < 0 || p >= kPartitions) return -1;
+  FILE* f = h->spill_files[p];
+  if (!f) return -1;
+  fflush(f);
+  rewind(f);
+  Table& t = h->parts[p];
+  t.destroy();
+  t.init(1 << 12);
+  std::vector<SpillRec> buf(1 << 20);  // 12 MB streaming window
+  for (;;) {
+    size_t got = fread(buf.data(), sizeof(SpillRec), buf.size(), f);
+    if (got == 0) break;
+    for (size_t i = 0; i < got; ++i)
+      if (!add_count(&t, buf[i].key, buf[i].count)) return -1;
+  }
+  fclose(f);
+  remove(h->spill_path(p).c_str());
+  h->spill_files[p] = nullptr;
+  return (long)t.size;
+}
+
+// Export + free one loaded partition (spilled-mode finalization).
+long jx_kmt_part_export(void* handle, int p, uint64_t* out_keys,
+                        uint32_t* out_counts, long max_out,
+                        uint32_t min_count) {
+  Handle* h = (Handle*)handle;
+  Table& t = h->parts[p];
+  long w = 0;
+  for (uint64_t i = 0; i < t.cap && w < max_out; ++i) {
+    if (t.keys[i] && t.counts[i] >= min_count) {
+      out_keys[w] = t.keys[i] - 1;
+      out_counts[w] = t.counts[i];
+      ++w;
+    }
+  }
+  t.destroy();
+  t.init(1);
+  return w;
 }
 
 long jx_kmt_size(void* handle) {
@@ -325,7 +518,13 @@ long jx_kmt_export(void* handle, uint64_t* out_keys, uint32_t* out_counts,
 
 void jx_kmt_free(void* handle) {
   Handle* h = (Handle*)handle;
-  for (int p = 0; p < kPartitions; ++p) h->parts[p].destroy();
+  for (int p = 0; p < kPartitions; ++p) {
+    h->parts[p].destroy();
+    if (h->spill_files[p]) {
+      fclose(h->spill_files[p]);
+      remove(h->spill_path(p).c_str());
+    }
+  }
   delete h;
 }
 

@@ -208,3 +208,26 @@ def test_rrblup_solver_knobs(tmp_path, gs_problem):
     g2 = pd.read_csv(tmp_path / "p.trait1.gebv.tsv", sep="\t")
     r = np.corrcoef(g1.iloc[:, 1], g2.iloc[:, 1])[0, 1]
     assert r > 0.97  # same model family, different solver/lambda source
+
+def test_gs_eigh32_knob_matches_f64(monkeypatch):
+    """JX_TPU_GS_EIGH32 (f32 fold eighs) must reproduce the f64 CV fit to
+    the documented envelope (~1e-5 lambda in log10, ~1e-4 predictions)."""
+    import numpy as np
+
+    from janusx_tpu.gs.blup import fit_gblup, predict_gblup
+
+    rng = np.random.default_rng(6)
+    m, n = 500, 200
+    G = rng.binomial(2, 0.3, size=(m, n)).astype(np.float64)
+    Gc = G - G.mean(axis=1, keepdims=True)
+    K = Gc.T @ Gc / m
+    y = rng.normal(size=n) + Gc[3] * 0.8
+    train = np.arange(n - 40)
+    test = np.arange(n - 40, n)
+    ref = fit_gblup(K, y, train)
+    monkeypatch.setenv("JX_TPU_GS_EIGH32", "1")
+    fast = fit_gblup(K, y, train)
+    assert np.log10(fast.lbd) == pytest.approx(np.log10(ref.lbd), abs=1e-3)
+    p_ref = predict_gblup(ref, K, test)
+    p_fast = predict_gblup(fast, K, test)
+    np.testing.assert_allclose(p_fast, p_ref, rtol=1e-3, atol=1e-4)

@@ -233,3 +233,55 @@ def test_kstats_pair_venn(tmp_path):
     venn = {l.split("\t")[0]: int(l.split("\t")[-1]) for l in
             open(tmp_path / "ks.venn.tsv").read().splitlines()[1:]}
     assert venn["110"] == 2 and venn["111"] == 1 and venn["001"] == 1
+
+
+def test_kmer_spill_matches_inram(tmp_path):
+    """A tiny memory budget forces the KMC-lite spill route; results must
+    equal the unbounded in-RAM count exactly (keys, counts, min_count)."""
+    from janusx_tpu.models import kmer
+
+    if not kmer.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    reads = []
+    for i in range(400):
+        seq = "".join("ACGT"[b] for b in rng.integers(0, 4, 80))
+        reads.append(f"@r{i}\n{seq}\n+\n{'I' * 80}\n")
+    fq = tmp_path / "x.fastq"
+    fq.write_text("".join(reads))
+
+    ref_c, ref_n = kmer.count_kmers(str(fq), k=17, min_count=1)
+    spill_c, spill_n = kmer.count_kmers(
+        str(fq), k=17, min_count=1,
+        mem_budget_bytes=64 << 10,  # 64 KB: far below the table size
+        spill_dir=str(tmp_path / "spill"),
+    )
+    np.testing.assert_array_equal(spill_c, ref_c)
+    np.testing.assert_array_equal(spill_n, ref_n)
+    # spill buckets are cleaned up after finalization
+    leftovers = list((tmp_path / "spill").glob("jxkmer_part*"))
+    assert not leftovers
+
+    # min_count filtering agrees too
+    ref2 = kmer.count_kmers(str(fq), k=17, min_count=2)
+    sp2 = kmer.count_kmers(str(fq), k=17, min_count=2,
+                           mem_budget_bytes=64 << 10,
+                           spill_dir=str(tmp_path / "spill2"))
+    np.testing.assert_array_equal(sp2[0], ref2[0])
+    np.testing.assert_array_equal(sp2[1], ref2[1])
+
+
+def test_kmer_budget_fails_fast_without_spill(tmp_path):
+    """spill_dir='' + a tiny budget must raise a clean MemoryError (the
+    pre-guard DRAM-death failure mode) instead of swapping."""
+    from janusx_tpu.models import kmer
+
+    if not kmer.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    seq = "".join("ACGT"[b] for b in rng.integers(0, 4, 200_000))
+    fa = tmp_path / "big.fa"
+    fa.write_text(f">chr\n{seq}\n")
+    with pytest.raises(MemoryError, match="memory budget"):
+        kmer.count_kmers(str(fa), k=21, mem_budget_bytes=64 << 10,
+                         spill_dir="")

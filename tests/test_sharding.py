@@ -305,6 +305,100 @@ def test_run_gs_sharded_matches_single(tmp_path, rng):
         assert float(va) == pytest.approx(float(vb), abs=2e-3)
 
 
+def test_windowed_sharded_scan_chromosome_scale(mesh8, tmp_path):
+    """Disk-backed (windowed) input composed with the 8-way mesh at
+    m > 2^20 with an UNEVEN final shard: the scan must stream superblocks
+    through the sharded resident kernel and agree with single-device
+    scans of spot-check slices (head + uneven tail)."""
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io.packed import QcParams
+    from janusx_tpu.io.windowed import WindowedBed
+    from janusx_tpu.models.lm import lm_scan
+
+    rng = np.random.default_rng(31)
+    m, n = (1 << 20) + 37, 64  # > 2^20, not divisible by 8*block
+    p = rng.uniform(0.1, 0.5, size=m).astype(np.float32)
+    g = np.empty((m, n), np.int8)
+    step = 1 << 17
+    for s in range(0, m, step):
+        e = min(s + step, m)
+        g[s:e] = rng.binomial(2, p[s:e, None], size=(e - s, n)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    prefix = str(tmp_path / "big")
+    plink.write_plink_genotypes(prefix, gd)
+    del g, gd
+
+    wp = WindowedBed(prefix, window=1 << 17).prepare(QcParams(maf=0.0, geno=1.0))
+    wp.max_resident_snps = 1 << 17  # force true superblock streaming
+    assert wp.m == m
+    y = rng.normal(size=n)
+
+    # spy on the packed-buffer uploads: every superblock must arrive
+    # SNP-sharded in 1/8 per-device slices (ephemeral windowed uploads are
+    # evicted from the device cache on GC, so inspect at upload time)
+    from janusx_tpu.utils import devcache
+
+    seen_shards = []
+    orig_upload = devcache.device_packed_blocks
+
+    def spy(pg_, shape, **kw):
+        out = orig_upload(pg_, shape, **kw)
+        if getattr(out.sharding, "num_devices", 1) == 8:
+            seen_shards.append(
+                (out.shape, out.addressable_shards[0].data.shape))
+        return out
+
+    devcache.device_packed_blocks = spy
+    try:
+        res = lm_scan(wp, y, block=4096, mesh=mesh8)
+    finally:
+        devcache.device_packed_blocks = orig_upload
+    assert res.m == m
+    assert np.isfinite(res.beta).all()
+    assert seen_shards, "windowed superblocks were not mesh-sharded"
+    for full, local in seen_shards:
+        assert local[1] == full[1] // 8
+
+    # spot-check slices against single-device scans (incl. the 37-SNP
+    # uneven tail, whose pad lanes must be dropped, not reported)
+    for lo, hi in ((0, 4096), (m - 4096 - 37, m)):
+        sub = wp.take_snps(np.arange(lo, hi))
+        ref = lm_scan(sub, y, block=4096)
+        np.testing.assert_allclose(
+            res.beta[lo:hi], ref.beta, rtol=2e-3, atol=1e-6, equal_nan=True)
+        ok = np.isfinite(ref.pwald) & (ref.pwald > 0)
+        dlogp = np.abs(np.log10(res.pwald[lo:hi][ok]) - np.log10(ref.pwald[ok]))
+        assert np.nanmax(dlogp) < 5e-3
+
+def test_grm_sharded_hlo_has_one_allreduce(mesh8, rng):
+    """The compiled sharded-GRM program contains exactly ONE cross-device
+    reduction (the single psum over ICI the design promises)."""
+    from janusx_tpu.models.grm import _grm_sharded
+    from janusx_tpu.utils import devcache
+
+    pg = _toy_pg(rng, m=512, n=96)
+    shape = (2, 4, 64)
+    pk = devcache.device_packed_blocks(pg, shape, mesh=mesh8, shard_axis=2)
+    mn = devcache.to_device_blocks(
+        pg.mean.astype(np.float32), shape, 0.0, dtype=jnp.float32,
+        mesh=mesh8, shard_axis=2)
+    iv = devcache.to_device_blocks(
+        np.ones(pg.m, np.float32), shape, 0.0, dtype=jnp.float32,
+        mesh=mesh8, shard_axis=2)
+    hlo = _grm_sharded(mesh8, jnp.float64, False).lower(
+        pk, mn, iv).compile().as_text()
+    n_ar = hlo.count("all-reduce-start") or hlo.count("all-reduce(")
+    assert n_ar == 1, f"expected 1 all-reduce, found {n_ar}"
+
+
 def test_distributed_recipe_single_process():
     """The documented multi-host recipe must execute end-to-end (here with
     process_count=1 over the 8 virtual devices): padded totals, host slice,
