@@ -91,6 +91,21 @@ def available() -> bool:
     return _load() is not None
 
 
+# two-word (k > 32) k-mer codes cross the ABI as (lo, hi) u64 pairs and
+# live in Python as this structured dtype (field order hi-first so numpy
+# comparisons/sorts order them numerically)
+WIDE_DTYPE = np.dtype([("hi", "<u8"), ("lo", "<u8")])
+
+
+def _wide_view(pairs: np.ndarray) -> np.ndarray:
+    """(w, 2) interleaved (lo, hi) export buffer -> sorted-comparable
+    structured codes."""
+    out = np.empty(pairs.shape[0], WIDE_DTYPE)
+    out["lo"] = pairs[:, 0]
+    out["hi"] = pairs[:, 1]
+    return out
+
+
 def _open_seq(path: str):
     if str(path).endswith(".gz"):
         return gzip.open(path, "rb")
@@ -208,6 +223,16 @@ def count_kmers(
                     _check_add(lib, h, feed, mem_budget_bytes)
         if carry:
             _check_add(lib, h, carry, mem_budget_bytes)
+        wide = k > 32
+
+        def _alloc(n):
+            return np.empty((n, 2) if wide else n, np.uint64)
+
+        def _finish(keys, cnts, w):
+            cnts = cnts[:w]
+            codes = _wide_view(keys[:w]) if wide else keys[:w]
+            return codes, cnts
+
         if mem_budget_bytes and lib.jx_kmt_spilling(h):
             # spilled finalize: count + export ONE partition at a time
             # (each ~1/64 of the distinct set — bounded memory)
@@ -218,7 +243,7 @@ def count_kmers(
                     raise RuntimeError(f"k-mer spill bucket {p} unreadable")
                 if n == 0:
                     continue
-                keys = np.empty(n, np.uint64)
+                keys = _alloc(n)
                 cnts = np.empty(n, np.uint32)
                 w = lib.jx_kmt_part_export(
                     h, p,
@@ -226,14 +251,16 @@ def count_kmers(
                     cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
                     n, min_count,
                 )
-                parts_k.append(keys[:w])
-                parts_c.append(cnts[:w])
-            keys = np.concatenate(parts_k) if parts_k else np.empty(0, np.uint64)
+                ck, cc = _finish(keys, cnts, w)
+                parts_k.append(ck)
+                parts_c.append(cc)
+            empty = np.empty(0, WIDE_DTYPE if wide else np.uint64)
+            keys = np.concatenate(parts_k) if parts_k else empty
             cnts = np.concatenate(parts_c) if parts_c else np.empty(0, np.uint32)
             order = np.argsort(keys)
             return keys[order], cnts[order]
         n = lib.jx_kmt_size(h)
-        keys = np.empty(n, np.uint64)
+        keys = _alloc(n)
         cnts = np.empty(n, np.uint32)
         w = lib.jx_kmt_export(
             h,
@@ -242,11 +269,11 @@ def count_kmers(
             n,
             min_count,
         )
+        keys, cnts = _finish(keys, cnts, w)
     finally:
         lib.jx_kmt_free(h)
         if tmp_ctx is not None:
             tmp_ctx.cleanup()
-    keys, cnts = keys[:w], cnts[:w]
     order = np.argsort(keys)
     return keys[order], cnts[order]
 
@@ -264,7 +291,12 @@ def _check_add(lib, h, feed: bytes, mem_budget_bytes) -> None:
         raise RuntimeError("k-mer counting failed")
 
 
-def decode_kmer(code: int, k: int) -> str:
+def decode_kmer(code, k: int) -> str:
+    """2-bit code -> ACGT string; accepts plain ints (k <= 32) and the
+    two-word structured codes (k > 32)."""
+    names = getattr(getattr(code, "dtype", None), "names", None)
+    if names == ("hi", "lo"):
+        code = (int(code["hi"]) << 64) | int(code["lo"])
     return "".join("ACGT"[(int(code) >> (2 * (k - 1 - i))) & 3] for i in range(k))
 
 

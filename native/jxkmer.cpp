@@ -2,8 +2,9 @@
 //
 // Replaces the capability of the reference's vendored KMC3 pipeline
 // (/root/reference/src/kmer/ + vendored KMC C++ ~38k LoC): canonical
-// k-mer counting from FASTA/FASTQ text for k <= 32, 2-bit encoded in
-// open-addressing hash tables.
+// k-mer counting from FASTA/FASTQ text, 2-bit encoded in open-addressing
+// hash tables. k <= 32 uses one-word (u64) keys; k <= 64 uses two-word
+// (__int128) keys (KMC-class k range without its internals).
 //
 // Scale design (KMC-capability class, not KMC internals):
 //   - streaming handle API: the caller feeds record-aligned buffers of
@@ -22,21 +23,20 @@
 //     on high-duplication data);
 //   - multi-line FASTA: the rolling 2-bit encoder carries across
 //     newlines inside a record (KMC semantics; the old single-line
-//     reset dropped k-mers spanning wraps).
-//
+//     reset dropped k-mers spanning wraps);
 //   - KMC-lite spill (memory budget): jx_kmt_new2 takes a byte budget
-//     and a spill directory. When the in-RAM tables cross the budget,
+//     and a spill directory. When the next chunk could cross the budget,
 //     the handle converts to spill mode: tables are dumped to
 //     per-partition bucket files as (key, count) records and later
 //     chunks append their phase-1 codes directly to the buckets.
 //     Finalization then counts ONE partition at a time (each ~1/64 of
 //     the distinct set), so inputs whose k-mer table exceeds RAM still
-//     complete in bounded memory — the capability class of KMC's
-//     external-memory partitioning without its internals. A hard cap at
-//     2x budget inside grow() fails FAST with a clean error instead of
-//     swapping to DRAM death when no spill dir was given.
+//     complete in bounded memory. A hard cap at 2x budget inside grow()
+//     fails FAST with a clean error instead of swapping to DRAM death
+//     when no spill dir was given.
 //
-// Plain C ABI for ctypes.
+// Plain C ABI for ctypes. Wide (k > 32) keys cross the ABI as
+// (lo, hi) u64 pairs, interleaved in the export buffers.
 
 #include <algorithm>
 #include <atomic>
@@ -52,16 +52,35 @@ namespace {
 
 constexpr int kPartitions = 64;
 
-struct Table {
-  uint64_t* keys = nullptr;  // k-mer code + 1 (0 = empty)
+typedef unsigned __int128 u128;
+
+inline uint64_t hash64(uint64_t x) {
+  x ^= x >> 33;
+  x *= 0xff51afd7ed558ccdULL;
+  x ^= x >> 33;
+  x *= 0xc4ceb9fe1a85ec53ULL;
+  x ^= x >> 33;
+  return x;
+}
+
+inline uint64_t hash_of(uint64_t x) { return hash64(x); }
+inline uint64_t hash_of(u128 x) {
+  return hash64((uint64_t)(x >> 64) ^ hash64((uint64_t)x));
+}
+
+template <class KT>
+struct TableT {
+  KT* keys = nullptr;  // k-mer code + 1 (0 = empty)
   uint32_t* counts = nullptr;
   uint64_t cap = 0;  // power of two
   uint64_t size = 0;
 
+  static constexpr long slot_bytes = (long)sizeof(KT) + 4;
+
   void init(uint64_t c) {
     cap = c;
     size = 0;
-    keys = (uint64_t*)calloc(cap, sizeof(uint64_t));
+    keys = (KT*)calloc(cap, sizeof(KT));
     counts = (uint32_t*)calloc(cap, sizeof(uint32_t));
   }
   void destroy() {
@@ -73,31 +92,24 @@ struct Table {
   }
 };
 
-inline uint64_t hash64(uint64_t x) {
-  x ^= x >> 33;
-  x *= 0xff51afd7ed558ccdULL;
-  x ^= x >> 33;
-  x *= 0xc4ceb9fe1a85ec53ULL;
-  x ^= x >> 33;
-  return x;
-}
-
-bool grow(Table* t, std::atomic<long>* bytes = nullptr, long hard_cap = 0) {
+template <class KT>
+bool grow(TableT<KT>* t, std::atomic<long>* bytes = nullptr,
+          long hard_cap = 0) {
   uint64_t ncap = t->cap << 1;
   if (bytes) {
-    long delta = (long)(ncap - t->cap) * 12;
+    long delta = (long)(ncap - t->cap) * TableT<KT>::slot_bytes;
     long now = bytes->fetch_add(delta) + delta;
     if (hard_cap > 0 && now > hard_cap) {
       bytes->fetch_add(-delta);
       return false;  // budget breach: caller converts to spill or errors
     }
   }
-  uint64_t* nk = (uint64_t*)calloc(ncap, sizeof(uint64_t));
+  KT* nk = (KT*)calloc(ncap, sizeof(KT));
   uint32_t* nc = (uint32_t*)calloc(ncap, sizeof(uint32_t));
   if (!nk || !nc) return false;
   for (uint64_t i = 0; i < t->cap; ++i) {
     if (!t->keys[i]) continue;
-    uint64_t h = hash64(t->keys[i]) & (ncap - 1);
+    uint64_t h = hash_of(t->keys[i]) & (ncap - 1);
     while (nk[h]) h = (h + 1) & (ncap - 1);
     nk[h] = t->keys[i];
     nc[h] = t->counts[i];
@@ -110,12 +122,13 @@ bool grow(Table* t, std::atomic<long>* bytes = nullptr, long hard_cap = 0) {
   return true;
 }
 
-inline bool add_count(Table* t, uint64_t key, uint32_t add,
+template <class KT>
+inline bool add_count(TableT<KT>* t, KT key, uint32_t add,
                       std::atomic<long>* bytes = nullptr, long cap = 0) {
   if ((t->size + 1) * 10 > t->cap * 7) {
     if (!grow(t, bytes, cap)) return false;
   }
-  uint64_t h = hash64(key) & (t->cap - 1);
+  uint64_t h = hash_of(key) & (t->cap - 1);
   while (t->keys[h]) {
     if (t->keys[h] == key) {
       t->counts[h] += add;
@@ -141,10 +154,20 @@ struct BaseInit {
 };
 const BaseInit kBases;
 
-struct Handle {
+// (key, count) spill record — packed
+#pragma pack(push, 1)
+template <class KT>
+struct SpillRecT {
+  KT key;
+  uint32_t count;
+};
+#pragma pack(pop)
+
+template <class KT>
+struct HandleT {
   int k;
   int threads;
-  Table parts[kPartitions];
+  TableT<KT> parts[kPartitions];
   std::atomic<bool> failed{false};
   // spill state (jx_kmt_new2)
   long budget = 0;              // soft budget in bytes (0 = unlimited)
@@ -159,35 +182,35 @@ struct Handle {
   }
 };
 
-// (key, count) spill record — 12 bytes packed
-#pragma pack(push, 1)
-struct SpillRec {
-  uint64_t key;
-  uint32_t count;
-};
-#pragma pack(pop)
+template <class KT>
+inline int partition_of(KT key) {
+  return (int)(hash_of(key) >> 58) & (kPartitions - 1);
+}
 
-bool spill_append(FILE* f, const uint64_t* keys, const uint32_t* counts,
-                  size_t n) {
-  std::vector<SpillRec> recs(n);
-  for (size_t i = 0; i < n; ++i) recs[i] = {keys[i], counts ? counts[i] : 1u};
-  return fwrite(recs.data(), sizeof(SpillRec), n, f) == n;
+template <class KT>
+bool spill_append(FILE* f, const KT* keys, const uint32_t* counts, size_t n) {
+  std::vector<SpillRecT<KT>> recs(n);
+  for (size_t i = 0; i < n; ++i)
+    recs[i] = {keys[i], counts ? counts[i] : 1u};
+  return fwrite(recs.data(), sizeof(SpillRecT<KT>), n, f) == n;
 }
 
 // Convert the handle to spill mode: dump every partition table to its
 // bucket file and free the RAM.
-bool enter_spill(Handle* h) {
+template <class KT>
+bool enter_spill(HandleT<KT>* h) {
   for (int p = 0; p < kPartitions; ++p) {
     FILE* f = fopen(h->spill_path(p).c_str(), "wb+");
     if (!f) return false;
     h->spill_files[p] = f;
-    Table& t = h->parts[p];
-    std::vector<SpillRec> recs;
+    TableT<KT>& t = h->parts[p];
+    std::vector<SpillRecT<KT>> recs;
     recs.reserve(t.size);
     for (uint64_t i = 0; i < t.cap; ++i)
       if (t.keys[i]) recs.push_back({t.keys[i], t.counts[i]});
     if (!recs.empty() &&
-        fwrite(recs.data(), sizeof(SpillRec), recs.size(), f) != recs.size())
+        fwrite(recs.data(), sizeof(SpillRecT<KT>), recs.size(), f) !=
+            recs.size())
       return false;
     t.destroy();
   }
@@ -196,15 +219,12 @@ bool enter_spill(Handle* h) {
   return true;
 }
 
-inline int partition_of(uint64_t key) {
-  return (int)(hash64(key) >> 58) & (kPartitions - 1);
-}
-
 // Emit canonical k-mer codes of one sequence stretch [s, e) into the
 // per-partition append buffers; rolling state carries across newlines.
-inline bool count_seq(const char* buf, long s, long e, int k, uint64_t mask,
-                      std::vector<uint64_t>* out) {
-  uint64_t fwd = 0, rev = 0;
+template <class KT>
+inline bool count_seq(const char* buf, long s, long e, int k, KT mask,
+                      std::vector<KT>* out) {
+  KT fwd = 0, rev = 0;
   int have = 0;
   for (long i = s; i < e; ++i) {
     unsigned char ch = (unsigned char)buf[i];
@@ -215,11 +235,11 @@ inline bool count_seq(const char* buf, long s, long e, int k, uint64_t mask,
       fwd = rev = 0;
       continue;
     }
-    fwd = ((fwd << 2) | (uint64_t)b) & mask;
-    rev = (rev >> 2) | (((uint64_t)(3 - b)) << (2 * (k - 1)));
+    fwd = ((fwd << 2) | (KT)(unsigned)b) & mask;
+    rev = (rev >> 2) | (((KT)(unsigned)(3 - b)) << (2 * (k - 1)));
     if (++have >= k) {
-      uint64_t canon = fwd < rev ? fwd : rev;
-      out[partition_of(canon + 1)].push_back(canon + 1);
+      KT canon = fwd < rev ? fwd : rev;
+      out[partition_of<KT>(canon + 1)].push_back(canon + 1);
     }
   }
   return true;
@@ -231,9 +251,13 @@ inline long line_end(const char* buf, long i, long len) {
 }
 
 // Parse records in [s, e): FASTA (multi-line seq) or FASTQ (4-line).
+template <class KT>
 bool count_range(const char* buf, long s, long e, int k,
-                 std::vector<uint64_t>* parts) {
-  const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+                 std::vector<KT>* parts) {
+  const KT one = 1;
+  const KT mask = (2 * k == (int)sizeof(KT) * 8)
+                      ? (KT)~(KT)0
+                      : ((one << (2 * k)) - 1);
   long i = s;
   while (i < e) {
     char c0 = buf[i];
@@ -281,46 +305,26 @@ long next_record_start(const char* buf, long pos, long len, bool fastq) {
   return len;
 }
 
-}  // namespace
-
-extern "C" {
-
-void* jx_kmt_new(int k, int threads) {
-  if (k < 1 || k > 32) return nullptr;
-  Handle* h = new Handle();
+template <class KT>
+HandleT<KT>* make_handle(int k, int threads) {
+  HandleT<KT>* h = new HandleT<KT>();
   h->k = k;
   int hw = (int)std::thread::hardware_concurrency();
   if (threads <= 0) threads = hw > 0 ? hw : 4;
   if (threads > 32) threads = 32;
   h->threads = threads;
   for (int p = 0; p < kPartitions; ++p) h->parts[p].init(1 << 10);
-  h->table_bytes.store((long)kPartitions * (1 << 10) * 12);
+  h->table_bytes.store((long)kPartitions * (1 << 10) *
+                       TableT<KT>::slot_bytes);
   return h;
-}
-
-// Budgeted constructor: mem_budget_bytes bounds the in-RAM tables; when
-// the next chunk could cross it the handle converts to on-disk partition
-// buckets under spill_dir (KMC-lite). spill_dir == NULL/"" -> no spill:
-// the counter fails fast (jx_kmt_add returns 2) at 2x budget instead of
-// swapping.
-void* jx_kmt_new2(int k, int threads, long mem_budget_bytes,
-                  const char* spill_dir) {
-  Handle* h = (Handle*)jx_kmt_new(k, threads);
-  if (!h) return nullptr;
-  h->budget = mem_budget_bytes > 0 ? mem_budget_bytes : 0;
-  if (spill_dir && spill_dir[0]) h->spill_dir = spill_dir;
-  return h;
-}
-
-int jx_kmt_spilling(void* handle) {
-  return ((Handle*)handle)->spilling ? 1 : 0;
 }
 
 // Feed one buffer of whole records. Thread-splits at record boundaries,
-// counts into thread-local partition tables, merges partitions in
-// parallel into the persistent handle tables. Returns 0 on success.
-int jx_kmt_add(void* handle, const char* buf, long len) {
-  Handle* h = (Handle*)handle;
+// counts into thread-local partition buffers, merges partitions in
+// parallel into the persistent handle tables (or bucket files when
+// spilling). Returns 0 ok, 1 error, 2 fail-fast budget breach.
+template <class KT>
+int handle_add(HandleT<KT>* h, const char* buf, long len) {
   if (!h || h->failed.load()) return 1;
   if (len <= 0) return 0;
   const int k = h->k;
@@ -337,7 +341,7 @@ int jx_kmt_add(void* handle, const char* buf, long len) {
 
   // phase 1: threads append canonical codes into per-(thread, partition)
   // buffers — sequential writes, no locks
-  std::vector<std::vector<std::vector<uint64_t>>> local(T);
+  std::vector<std::vector<std::vector<KT>>> local(T);
   std::atomic<bool> ok{true};
   std::vector<std::thread> workers;
   for (int t = 0; t < T; ++t) {
@@ -347,7 +351,7 @@ int jx_kmt_add(void* handle, const char* buf, long len) {
       if (span <= 0) return;
       for (int p = 0; p < kPartitions; ++p)
         local[t][p].reserve((size_t)(span / kPartitions + 16));
-      if (!count_range(buf, split[t], split[t + 1], k, local[t].data()))
+      if (!count_range<KT>(buf, split[t], split[t + 1], k, local[t].data()))
         ok.store(false);
     });
   }
@@ -367,8 +371,8 @@ int jx_kmt_add(void* handle, const char* buf, long len) {
     for (int t = 0; t < T; ++t)
       for (int p = 0; p < kPartitions; ++p)
         incoming += (long)local[t][p].size();
-    if (h->table_bytes.load() + incoming * 18 > h->budget &&
-        !h->spill_dir.empty()) {
+    long worst = incoming * (TableT<KT>::slot_bytes * 3 / 2);
+    if (h->table_bytes.load() + worst > h->budget && !h->spill_dir.empty()) {
       if (!enter_spill(h)) {
         h->failed.store(true);
         return 1;
@@ -390,7 +394,8 @@ int jx_kmt_add(void* handle, const char* buf, long len) {
           for (int s = 0; s < T; ++s) {
             auto& v = local[s][p];
             if (!v.empty() &&
-                !spill_append(h->spill_files[p], v.data(), nullptr, v.size()))
+                !spill_append(h->spill_files[p], v.data(), (uint32_t*)nullptr,
+                              v.size()))
               ok.store(false);
           }
         }
@@ -421,10 +426,15 @@ int jx_kmt_add(void* handle, const char* buf, long len) {
       for (;;) {
         int p = next.fetch_add(1);
         if (p >= kPartitions) return;
-        Table* dst = &h->parts[p];
-        for (int s = 0; s < T; ++s)
-          for (uint64_t key : local[s][p])
-            if (!add_count(dst, key, 1, bytes, cap)) {
+        TableT<KT>* dst = &h->parts[p];
+        for (KT key : local[0][p])
+          if (!add_count(dst, key, 1u, bytes, cap)) {
+            oom.store(true);
+            return;
+          }
+        for (int s = 1; s < T; ++s)
+          for (KT key : local[s][p])
+            if (!add_count(dst, key, 1u, bytes, cap)) {
               oom.store(true);
               return;
             }
@@ -445,24 +455,57 @@ int jx_kmt_add(void* handle, const char* buf, long len) {
   return 0;
 }
 
-// ---- spilled-mode finalization: count one partition at a time ----
+template <class KT>
+long handle_size(HandleT<KT>* h) {
+  long n = 0;
+  for (int p = 0; p < kPartitions; ++p) n += (long)h->parts[p].size;
+  return n;
+}
 
-// Load bucket p: stream its (key, count) records through a fresh hash
-// table (bounded by that partition's DISTINCT set, ~1/64 of the total).
-// Returns the distinct count, or -1 on error.
-long jx_kmt_part_load(void* handle, int p) {
-  Handle* h = (Handle*)handle;
+// keys cross the ABI minus the +1 sentinel; wide keys as (lo, hi) pairs
+inline void put_key(uint64_t* out, long w, uint64_t key) { out[w] = key - 1; }
+inline void put_key(uint64_t* out, long w, u128 key) {
+  u128 v = key - 1;
+  out[2 * w] = (uint64_t)v;
+  out[2 * w + 1] = (uint64_t)(v >> 64);
+}
+
+template <class KT>
+long table_export(TableT<KT>& t, uint64_t* out_keys, uint32_t* out_counts,
+                  long w, long max_out, uint32_t min_count) {
+  for (uint64_t i = 0; i < t.cap && w < max_out; ++i) {
+    if (t.keys[i] && t.counts[i] >= min_count) {
+      put_key(out_keys, w, t.keys[i]);
+      out_counts[w] = t.counts[i];
+      ++w;
+    }
+  }
+  return w;
+}
+
+template <class KT>
+long handle_export(HandleT<KT>* h, uint64_t* out_keys, uint32_t* out_counts,
+                   long max_out, uint32_t min_count) {
+  long w = 0;
+  for (int p = 0; p < kPartitions && w < max_out; ++p)
+    w = table_export(h->parts[p], out_keys, out_counts, w, max_out,
+                     min_count);
+  return w;
+}
+
+template <class KT>
+long part_load(HandleT<KT>* h, int p) {
   if (!h || !h->spilling || p < 0 || p >= kPartitions) return -1;
   FILE* f = h->spill_files[p];
   if (!f) return -1;
   fflush(f);
   rewind(f);
-  Table& t = h->parts[p];
+  TableT<KT>& t = h->parts[p];
   t.destroy();
   t.init(1 << 12);
-  std::vector<SpillRec> buf(1 << 20);  // 12 MB streaming window
+  std::vector<SpillRecT<KT>> buf(1 << 20);  // streaming window
   for (;;) {
-    size_t got = fread(buf.data(), sizeof(SpillRec), buf.size(), f);
+    size_t got = fread(buf.data(), sizeof(SpillRecT<KT>), buf.size(), f);
     if (got == 0) break;
     for (size_t i = 0; i < got; ++i)
       if (!add_count(&t, buf[i].key, buf[i].count)) return -1;
@@ -473,51 +516,18 @@ long jx_kmt_part_load(void* handle, int p) {
   return (long)t.size;
 }
 
-// Export + free one loaded partition (spilled-mode finalization).
-long jx_kmt_part_export(void* handle, int p, uint64_t* out_keys,
-                        uint32_t* out_counts, long max_out,
-                        uint32_t min_count) {
-  Handle* h = (Handle*)handle;
-  Table& t = h->parts[p];
-  long w = 0;
-  for (uint64_t i = 0; i < t.cap && w < max_out; ++i) {
-    if (t.keys[i] && t.counts[i] >= min_count) {
-      out_keys[w] = t.keys[i] - 1;
-      out_counts[w] = t.counts[i];
-      ++w;
-    }
-  }
-  t.destroy();
-  t.init(1);
+template <class KT>
+long part_export(HandleT<KT>* h, int p, uint64_t* out_keys,
+                 uint32_t* out_counts, long max_out, uint32_t min_count) {
+  long w = table_export(h->parts[p], out_keys, out_counts, 0L, max_out,
+                        min_count);
+  h->parts[p].destroy();
+  h->parts[p].init(1);
   return w;
 }
 
-long jx_kmt_size(void* handle) {
-  Handle* h = (Handle*)handle;
-  long n = 0;
-  for (int p = 0; p < kPartitions; ++p) n += (long)h->parts[p].size;
-  return n;
-}
-
-long jx_kmt_export(void* handle, uint64_t* out_keys, uint32_t* out_counts,
-                   long max_out, uint32_t min_count) {
-  Handle* h = (Handle*)handle;
-  long w = 0;
-  for (int p = 0; p < kPartitions && w < max_out; ++p) {
-    Table& t = h->parts[p];
-    for (uint64_t i = 0; i < t.cap && w < max_out; ++i) {
-      if (t.keys[i] && t.counts[i] >= min_count) {
-        out_keys[w] = t.keys[i] - 1;
-        out_counts[w] = t.counts[i];
-        ++w;
-      }
-    }
-  }
-  return w;
-}
-
-void jx_kmt_free(void* handle) {
-  Handle* h = (Handle*)handle;
+template <class KT>
+void handle_free(HandleT<KT>* h) {
   for (int p = 0; p < kPartitions; ++p) {
     h->parts[p].destroy();
     if (h->spill_files[p]) {
@@ -526,6 +536,100 @@ void jx_kmt_free(void* handle) {
     }
   }
   delete h;
+}
+
+// --- C-ABI dispatch wrapper: one-word (k <= 32) or two-word (k <= 64) ---
+struct AnyHandle {
+  bool wide;
+  HandleT<uint64_t>* h64 = nullptr;
+  HandleT<u128>* h128 = nullptr;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* jx_kmt_new(int k, int threads) {
+  if (k < 1 || k > 64) return nullptr;
+  AnyHandle* a = new AnyHandle();
+  a->wide = k > 32;
+  if (a->wide)
+    a->h128 = make_handle<u128>(k, threads);
+  else
+    a->h64 = make_handle<uint64_t>(k, threads);
+  return a;
+}
+
+// Budgeted constructor: mem_budget_bytes bounds the in-RAM tables; when
+// the next chunk could cross it the handle converts to on-disk partition
+// buckets under spill_dir (KMC-lite). spill_dir == NULL/"" -> no spill:
+// the counter fails fast (jx_kmt_add returns 2) at 2x budget instead of
+// swapping.
+void* jx_kmt_new2(int k, int threads, long mem_budget_bytes,
+                  const char* spill_dir) {
+  AnyHandle* a = (AnyHandle*)jx_kmt_new(k, threads);
+  if (!a) return nullptr;
+  long b = mem_budget_bytes > 0 ? mem_budget_bytes : 0;
+  std::string dir = (spill_dir && spill_dir[0]) ? spill_dir : "";
+  if (a->wide) {
+    a->h128->budget = b;
+    a->h128->spill_dir = dir;
+  } else {
+    a->h64->budget = b;
+    a->h64->spill_dir = dir;
+  }
+  return a;
+}
+
+int jx_kmt_wide(void* handle) { return ((AnyHandle*)handle)->wide ? 1 : 0; }
+
+int jx_kmt_spilling(void* handle) {
+  AnyHandle* a = (AnyHandle*)handle;
+  return (a->wide ? a->h128->spilling : a->h64->spilling) ? 1 : 0;
+}
+
+int jx_kmt_add(void* handle, const char* buf, long len) {
+  AnyHandle* a = (AnyHandle*)handle;
+  return a->wide ? handle_add(a->h128, buf, len)
+                 : handle_add(a->h64, buf, len);
+}
+
+long jx_kmt_size(void* handle) {
+  AnyHandle* a = (AnyHandle*)handle;
+  return a->wide ? handle_size(a->h128) : handle_size(a->h64);
+}
+
+long jx_kmt_export(void* handle, uint64_t* out_keys, uint32_t* out_counts,
+                   long max_out, uint32_t min_count) {
+  AnyHandle* a = (AnyHandle*)handle;
+  return a->wide
+             ? handle_export(a->h128, out_keys, out_counts, max_out, min_count)
+             : handle_export(a->h64, out_keys, out_counts, max_out, min_count);
+}
+
+long jx_kmt_part_load(void* handle, int p) {
+  AnyHandle* a = (AnyHandle*)handle;
+  return a->wide ? part_load(a->h128, p) : part_load(a->h64, p);
+}
+
+long jx_kmt_part_export(void* handle, int p, uint64_t* out_keys,
+                        uint32_t* out_counts, long max_out,
+                        uint32_t min_count) {
+  AnyHandle* a = (AnyHandle*)handle;
+  return a->wide
+             ? part_export(a->h128, p, out_keys, out_counts, max_out,
+                           min_count)
+             : part_export(a->h64, p, out_keys, out_counts, max_out,
+                           min_count);
+}
+
+void jx_kmt_free(void* handle) {
+  AnyHandle* a = (AnyHandle*)handle;
+  if (a->wide)
+    handle_free(a->h128);
+  else
+    handle_free(a->h64);
+  delete a;
 }
 
 // ---- legacy one-shot API (kept for compatibility) ----

@@ -285,3 +285,51 @@ def test_kmer_budget_fails_fast_without_spill(tmp_path):
     with pytest.raises(MemoryError, match="memory budget"):
         kmer.count_kmers(str(fa), k=21, mem_budget_bytes=64 << 10,
                          spill_dir="")
+
+
+def test_kmer_wide_keys_k_up_to_64(tmp_path):
+    """Two-word (k > 32) keys: counts match a pure-python canonical
+    reference for k in {33, 40, 64}, spill agrees, merge + genotype wrap
+    handle the structured codes (KMC supports large k; the old one-word
+    path stopped at 32)."""
+    from collections import Counter
+
+    from janusx_tpu.models import kmer
+
+    if not kmer.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    seq = "".join("ACGT"[b] for b in rng.integers(0, 4, 1500))
+    fa = tmp_path / "w.fa"
+    fa.write_text(f">c\n{seq}\n")
+
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+    def pyref(k):
+        c = Counter()
+        for i in range(len(seq) - k + 1):
+            f = seq[i:i + k]
+            r = "".join(comp[x] for x in reversed(f))
+            c[min(f, r)] += 1
+        return dict(c)
+
+    for k in (33, 64):
+        codes, counts = kmer.count_kmers(str(fa), k=k, min_count=1)
+        assert codes.dtype == kmer.WIDE_DTYPE
+        got = {kmer.decode_kmer(c, k): int(n) for c, n in zip(codes, counts)}
+        assert got == pyref(k)
+        sp_c, sp_n = kmer.count_kmers(str(fa), k=k, min_count=1,
+                                      mem_budget_bytes=64 << 10)
+        np.testing.assert_array_equal(sp_c, codes)
+        np.testing.assert_array_equal(sp_n, counts)
+
+    per = {"a": kmer.count_kmers(str(fa), k=40),
+           "b": kmer.count_kmers(str(fa), k=40)}
+    codes, mat, samples = kmer.merge_to_matrix(per, min_samples=2,
+                                               max_samples=2)
+    assert len(codes) and mat.shape == (len(codes), 2)
+    gd = kmer.kmer_matrix_to_genotypes(codes[:3], mat[:3], samples, 40)
+    assert all(len(s) == 40 for s in gd.sites.snp)
+
+    with pytest.raises(RuntimeError, match="bad k"):
+        kmer.count_kmers(str(fa), k=65)
