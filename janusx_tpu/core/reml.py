@@ -354,18 +354,14 @@ def lmm_grid_scan(rot: RotatedData, Gr: jax.Array, grid_lg: jax.Array):
     maintain the closed form. Returns lg_star (B,) float64."""
     return lmm_grid_scan_with(grid_shared(rot, grid_lg), rot, Gr)
 
-def final_stats_f32(
-    sh_rot: RotatedData, Gr32: jax.Array, log10_lbd: jax.Array, with_ml: bool
-):
-    """Final (beta, se[, ml]) at per-lane λ* with f32 MXU grams.
-
-    The hot-path replacement for beta_se_snp_batch inside the resident
-    scan: the (B, n) weighted grams run as f32-HIGHEST matmuls (the f64
-    elementwise/matmul chain dominates scan time on TPU), then the small
-    (p+1) Schur algebra runs in f64. Gram rounding (~1e-7 relative)
-    perturbs beta/se by ~1e-6 — far inside the λ-search tolerance.
-    """
-    rot = sh_rot
+def final_grams_f32(rot: RotatedData, Gr32: jax.Array, log10_lbd: jax.Array,
+                    with_ml: bool):
+    """f32 MXU gram pieces at per-lane λ* — the PER-BLOCK half of the
+    final-stats pass. Returns (A1 (B, p^2+p+1), A2 (B, p+1), agg (B,)
+    [, logdetV (B,)]) all f32; the f64 Schur epilogue runs ONCE over the
+    whole scan (final_stats_from_grams) because f64 elementwise ops are
+    software-emulated on TPU and their per-launch overhead inside the
+    block loop measured ~35% of whole-scan time (round-3 ablation)."""
     p = rot.p
     f32 = jnp.float32
     hp = jax.lax.Precision.HIGHEST
@@ -374,35 +370,66 @@ def final_stats_f32(
     v = s32[None, :] + lbd32[:, None]  # (B, n) f32
     w = 1.0 / v
     Gw = Gr32 * w
-    PXX32 = rot.PXX.astype(f32)
-    PXy32 = rot.PXy.astype(f32)
-    Pyy32 = rot.Pyy.astype(f32)
-    Xr32 = rot.Xr.astype(f32)
-    yr32 = rot.yr.astype(f32)
-    Axx = jnp.dot(w, PXX32, precision=hp).astype(jnp.float64).reshape(-1, p, p)
-    axy = jnp.dot(w, PXy32, precision=hp).astype(jnp.float64)
-    ayy = jnp.dot(w, Pyy32, precision=hp).astype(jnp.float64)
-    axg = jnp.dot(Gw, Xr32, precision=hp).astype(jnp.float64)
-    agy = jnp.dot(Gw, yr32, precision=hp).astype(jnp.float64)
-    agg = jnp.sum(Gw * Gr32, axis=-1).astype(jnp.float64)
+    # the shared-side grams stack into ONE (B, n) @ (n, p^2+p+1) matmul
+    # and the SNP-side pair into ONE (B, n) @ (n, p+1) — per-op launch
+    # overhead (not bandwidth) dominates this stage on TPU (scan
+    # ablation: final stats was 54% of whole-scan time as 5 thin matmuls)
+    P1 = jnp.concatenate(
+        [rot.PXX.astype(f32), rot.PXy.astype(f32),
+         rot.Pyy.astype(f32)[:, None]], axis=1,
+    )  # (n, p*p + p + 1) — loop-invariant: hoisted out of the block scan
+    P2 = jnp.concatenate(
+        [rot.Xr.astype(f32), rot.yr.astype(f32)[:, None]], axis=1
+    )  # (n, p + 1)
+    A1 = jnp.dot(w, P1, precision=hp)
+    A2 = jnp.dot(Gw, P2, precision=hp)
+    agg = jnp.sum(Gw * Gr32, axis=-1)
+    if not with_ml:
+        return A1, A2, agg, jnp.zeros_like(agg)
+    logdetV = jnp.sum(jnp.log(v), axis=-1)
+    return A1, A2, agg, logdetV
+
+
+def final_stats_from_grams(n: int, p: int, A1, A2, agg64, with_ml: bool,
+                           logdetV=None):
+    """f64 Schur epilogue over the WHOLE scan's stacked (N, ...) grams."""
+    A1 = A1.astype(jnp.float64)
+    A2 = A2.astype(jnp.float64)
+    Axx = A1[..., : p * p].reshape(-1, p, p)
+    axy = A1[..., p * p: p * p + p]
+    ayy = A1[..., p * p + p]
+    axg = A2[..., :p]
+    agy = A2[..., p]
+    agg = agg64.astype(jnp.float64)
 
     ridge = config.GRAM_RIDGE
-    Ar = Axx + ridge * jnp.eye(p, dtype=jnp.float64)
-    L = jnp.linalg.cholesky(Ar)
-    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
-    badA = jnp.any(~jnp.isfinite(diag) | (diag <= 0), axis=-1)
-    Ls = jnp.where(badA[:, None, None], jnp.eye(p, dtype=jnp.float64), L)
+    if p == 1:
+        # intercept-only design (the common case): the 1x1 "Cholesky
+        # solve" is a scalar division — skip the batched linalg custom
+        # calls entirely (f64 linalg is emulated on TPU)
+        Ar1 = Axx[..., 0, 0] + ridge
+        badA = ~jnp.isfinite(Ar1) | (Ar1 <= 0)
+        Ars = jnp.where(badA, 1.0, Ar1)
+        u = (axg[..., 0] / Ars)[..., None]
+        Ainv_axy = (axy[..., 0] / Ars)[..., None]
+    else:
+        Ar = Axx + ridge * jnp.eye(p, dtype=jnp.float64)
+        L = jnp.linalg.cholesky(Ar)
+        diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+        badA = jnp.any(~jnp.isfinite(diag) | (diag <= 0), axis=-1)
+        Ls = jnp.where(badA[:, None, None], jnp.eye(p, dtype=jnp.float64), L)
 
-    def chosolve(b):
-        z = jax.lax.linalg.triangular_solve(
-            Ls, b[..., None], left_side=True, lower=True, transpose_a=False
-        )
-        return jax.lax.linalg.triangular_solve(
-            Ls, z, left_side=True, lower=True, transpose_a=True
-        )[..., 0]
+        def chosolve(b):
+            z = jax.lax.linalg.triangular_solve(
+                Ls, b[..., None], left_side=True, lower=True,
+                transpose_a=False
+            )
+            return jax.lax.linalg.triangular_solve(
+                Ls, z, left_side=True, lower=True, transpose_a=True
+            )[..., 0]
 
-    u = chosolve(axg)  # (B, p) = Ar^-1 axg
-    Ainv_axy = chosolve(axy)
+        u = chosolve(axg)  # (B, p) = Ar^-1 axg
+        Ainv_axy = chosolve(axy)
     schur = (agg + ridge) - jnp.sum(axg * u, axis=-1)
     beta_g = (agy - jnp.sum(axg * Ainv_axy, axis=-1)) / schur
     beta_X = Ainv_axy - beta_g[:, None] * u
@@ -413,7 +440,6 @@ def final_stats_f32(
         + beta_g * beta_g * agg
     )
     rtwr = ayy - 2.0 * lin + quad
-    n = rot.n
     p1 = p + 1
     sigma2 = rtwr / (float(n) - float(p1))
     var_k = sigma2 / schur  # (Mr^-1)_kk = 1/schur for the last coordinate
@@ -422,12 +448,27 @@ def final_stats_f32(
     se = jnp.where(ok, jnp.sqrt(jnp.where(ok, var_k, 1.0)), jnp.nan)
     if not with_ml:
         return beta, se, jnp.zeros_like(beta)
-    logdetV = jnp.sum(jnp.log(v), axis=-1).astype(jnp.float64)  # f32 logs
     nf = float(n)
     c = nf * (math.log(nf) - 1.0 - math.log(2.0 * math.pi)) / 2.0
-    ml = c - 0.5 * (nf * jnp.log(rtwr) + logdetV)
+    ml = c - 0.5 * (nf * jnp.log(rtwr) + logdetV.astype(jnp.float64))
     ml = jnp.where(ok, ml, -_BAD)
     return beta, se, ml
+
+
+def final_stats_f32(
+    sh_rot: RotatedData, Gr32: jax.Array, log10_lbd: jax.Array, with_ml: bool
+):
+    """Final (beta, se[, ml]) at per-lane λ* with f32 MXU grams.
+
+    Composition of final_grams_f32 + final_stats_from_grams for callers
+    outside the resident scan (the scan itself splits them: grams per
+    block, ONE f64 epilogue over the whole scan). Gram rounding (~1e-7
+    relative) perturbs beta/se by ~1e-6 — far inside the λ-search
+    tolerance."""
+    rot = sh_rot
+    A1, A2, agg, logdetV = final_grams_f32(rot, Gr32, log10_lbd, with_ml)
+    return final_stats_from_grams(rot.n, rot.p, A1, A2, agg, with_ml,
+                                  logdetV)
 
 
 # --------------------------------------------------------------- null model

@@ -30,7 +30,8 @@ from janusx_tpu.core.reml import (
     NullFit,
     RotatedData,
     beta_se_snp_batch,
-    final_stats_f32,
+    final_grams_f32,
+    final_stats_from_grams,
     fit_null_reml,
     grid_shared,
     lmm_grid_scan,
@@ -133,7 +134,7 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
         else:
             Graw = decode.decode_centered(pkb, mnb, dtype=jnp.float32)[:, :n]
             Gr32 = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST)
-        ssq = jnp.sum(Gr32 * Gr32, axis=-1).astype(jnp.float64)
+        ssq = jnp.sum(Gr32 * Gr32, axis=-1)  # f32; cast once post-scan
         if use_lattice:
             from janusx_tpu.core.reml import argmin_parabolic
 
@@ -144,16 +145,37 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
             lgs = argmin_parabolic(neg, sh.grid_lg)
         else:
             lgs = lmm_grid_scan_with(sh, rot, Gr32)  # internally casts to f32
-        beta, se, ml = final_stats_f32(rot, Gr32, lgs, with_ml)
-        return None, (lgs, beta, se, ml, ssq)
+        # per-block work stays f32 (MXU grams); the f64 Schur epilogue is
+        # launch-bound (emulated f64 elementwise) and runs ONCE post-scan
+        A1, A2, agg, ldV = final_grams_f32(rot, Gr32, lgs, with_ml)
+        return None, (lgs, A1, A2, agg, ldV, ssq)
 
-    _, (lgs, beta, se, ml, ssq) = jax.lax.scan(body, None, (pk, mn))
+    _, (lgs, A1, A2, agg, ldV, ssq) = jax.lax.scan(body, None, (pk, mn))
+    nblk, B = lgs.shape
+    beta, se, ml = final_stats_from_grams(
+        n, p, A1.reshape(nblk * B, -1), A2.reshape(nblk * B, -1),
+        agg.reshape(-1), with_ml, ldV.reshape(-1),
+    )
+    beta = beta.reshape(nblk, B)
+    se = se.reshape(nblk, B)
     # Wald χ²(1) p on device: merges the scipy host step into the same
     # dispatch (reference p-value semantics, src/math/linalg.rs:99-108)
     pwald = jstats.pwald_from_beta_se_device(beta, se)
-    # one stacked output -> a single host fetch (remote links charge per
-    # round trip)
-    return jnp.stack([lgs, beta, se, ml, ssq, pwald])
+    # one stacked f32 output -> a single host fetch. The dev relay moves
+    # ~50 MB/s with ~35 ms latency, so transported bytes are ~45% of the
+    # measured scan wall at chromosome m — f32 carries the full precision
+    # of every printed column (beta/se %.4f, p %.4e; p-values at the f32
+    # floor are recomputed exactly on host via _PWALD_F32_FLOOR). Only
+    # ml stays f64 (LRT takes differences of O(n)-magnitude logliks),
+    # and only when the route needs it.
+    f32 = jnp.float32
+    stack = jnp.stack([lgs.astype(f32), beta.astype(f32), se.astype(f32),
+                       ssq, pwald.astype(f32)])
+    # shape kept (nblk, B) for the shard_map out_spec; the caller only
+    # FETCHES it on the lmm2 route, so the zeros cost no transport
+    ml64 = (ml.reshape(nblk, B) if with_ml
+            else jnp.zeros((nblk, B), f32))
+    return stack, ml64
 
 
 @partial(jax.jit, static_argnames=("n", "with_ml", "use_pallas", "lattice",
@@ -183,7 +205,7 @@ def _lmm_scan_sharded(mesh, n: int, with_ml: bool, use_pallas: bool,
         fn,
         mesh=mesh,
         in_specs=(P(None, "snp", None), P(None, "snp"), P(), P(), P()),
-        out_specs=P(None, None, "snp"),
+        out_specs=(P(None, None, "snp"), P(None, "snp")),
     )
     return jax.jit(mapped)
 
@@ -202,6 +224,31 @@ def _lmm_block_grid(packed, mean, U32, rot: RotatedData, grid_lg, n: int, with_m
     beta, se = beta_se_snp_batch(lgs, rot, Gr)
     ml = ml_snp_batch(lgs, rot, Gr) if with_ml else jnp.zeros_like(lgs)
     return lgs, beta, se, ml, ssq
+
+
+def _planar_operand(basis: SpectralBasis, pk_lanes: int, n: int):
+    """Plane-permuted (K2, N2) f32 rotation operand for the fused Pallas
+    decode+rotate kernel, cached on the basis identity (shared by the
+    single- and multi-trait scans)."""
+    from janusx_tpu.ops.pallas_kernels import plane_permutation
+
+    bk, bn = 512, 256
+    K2 = pk_lanes * 4
+    N2 = -(-n // bn) * bn
+    key = (id(basis.U), "Uplanar", K2, N2)
+    U_op = devcache._cache.get(key)
+    if U_op is None:
+        U2 = np.zeros((K2, N2), np.float32)
+        U2[:n, :n] = basis.U.astype(np.float32)
+        U_op = jnp.asarray(U2[plane_permutation(K2, bk)])
+        import weakref
+
+        try:
+            weakref.finalize(basis.U, devcache._cache.pop, key, None)
+            devcache._cache[key] = U_op
+        except TypeError:
+            pass  # not weakref-able: skip caching
+    return U_op
 
 
 # Per-trait scan state cache: rotated data + λ-grid shared pieces stay
@@ -328,27 +375,10 @@ def lmm_scan(
         m_pad = -(-m // block) * block
         nblk = m_pad // block
         if use_pallas:
-            from janusx_tpu.ops.pallas_kernels import plane_permutation
-
-            bk, bn = 512, 256
             pk = devcache.device_packed_blocks(
-                pg, (nblk, block), lane_align=bk, mesh=mesh
+                pg, (nblk, block), lane_align=512, mesh=mesh
             )
-            K2 = pk.shape[2] * 4
-            N2 = -(-n // bn) * bn
-            key = (id(basis.U), "Uplanar", K2, N2)
-            U_op = devcache._cache.get(key)
-            if U_op is None:
-                U2 = np.zeros((K2, N2), np.float32)
-                U2[:n, :n] = basis.U.astype(np.float32)
-                U_op = jnp.asarray(U2[plane_permutation(K2, bk)])
-                import weakref
-
-                try:
-                    weakref.finalize(basis.U, devcache._cache.pop, key, None)
-                    devcache._cache[key] = U_op
-                except TypeError:
-                    pass  # not weakref-able: skip caching
+            U_op = _planar_operand(basis, pk.shape[2], n)
         else:
             pk = devcache.device_packed_blocks(pg, (nblk, block), mesh=mesh)
             U_op = U32
@@ -359,18 +389,21 @@ def lmm_scan(
             U_op, rot_d, sh_d = devcache.replicate_tree((U_op, rot, sh), mesh)
             fn = _lmm_scan_sharded(mesh, n, lmm2, use_pallas, lattice,
                                    grid_prec)
-            out = np.asarray(fn(pk, mn, U_op, rot_d, sh_d)).reshape(6, m_pad)
+            stack, ml_dev = fn(pk, mn, U_op, rot_d, sh_d)
         else:
-            out = np.asarray(
-                _lmm_scan_resident(pk, mn, U_op, rot, sh, n, lmm2,
-                                   use_pallas, lattice, grid_prec)
-            ).reshape(6, m_pad)
+            stack, ml_dev = _lmm_scan_resident(
+                pk, mn, U_op, rot, sh, n, lmm2, use_pallas, lattice,
+                grid_prec)
+        out = np.asarray(stack).astype(np.float64).reshape(5, m_pad)
         lbd = 10.0 ** out[0, :m]
         beta = out[1, :m]
         se = out[2, :m]
-        ml = out[3, :m]
-        ssq = out[4, :m]
-        pwald_dev = out[5, :m]
+        # ml transports f64 and ONLY for the LRT route (fetch bytes are
+        # ~45% of measured scan wall through the dev relay)
+        ml = (np.asarray(ml_dev, np.float64).reshape(m_pad)[:m]
+              if lmm2 else np.zeros(m))
+        ssq = out[3, :m]
+        pwald_dev = out[4, :m]
     else:
         pwald_dev = None
         lbd = np.empty(m)
@@ -427,42 +460,115 @@ def lmm_scan(
 # ------------------------------------------------------------ multi-trait
 
 
-def _lmm_scan_core_multi(pk, mn, U32, rots, shs, n: int, with_ml: bool):
+def _lmm_scan_core_multi(pk, mn, U32, rots, shs, n: int, with_ml: bool,
+                         use_pallas: bool = False, grid_prec: str = "default"):
     """Multi-trait grid scan: decode + rotate once per SNP block, vmapped
     per-trait λ-grid search + final stats (the trait-level LMM fast path —
     decode+rotate is the scan's throughput floor and is amortized over T).
-    rots/shs carry a leading trait axis on every leaf."""
+    rots/shs carry a leading trait axis on every leaf.
+
+    With ``use_pallas`` the block decodes through the fused
+    decode_rotate_planar kernel and each trait's λ lattice runs in the
+    VMEM-fused grid kernel (an unrolled loop over the static T — the
+    same kernels the single-trait scan uses; the earlier XLA-only multi
+    path was measured SLOWER per trait than T separate Pallas scans)."""
+    p = int(rots.Xr.shape[-1])
+    T = int(rots.yr.shape[0])
+    if use_pallas:
+        from janusx_tpu.core.reml import argmin_parabolic
+        from janusx_tpu.ops.pallas_kernels import (
+            decode_rotate_planar, grid_neg_reml_lattice,
+        )
+
+        N2 = U32.shape[1]
+        G = shs.grid_lg.shape[-1]
+        f32 = jnp.float32
+        grid_lg = shs.grid_lg[0]
+        Wp = jnp.zeros((T, G, N2), f32).at[:, :, :n].set(shs.w32)
+        YX = jnp.zeros((T, 1 + p, N2), f32)
+        YX = YX.at[:, 0, :n].set(rots.yr.astype(f32))
+        for q in range(p):
+            YX = YX.at[:, 1 + q, :n].set(rots.Xr[:, :, q].astype(f32))
+        SH = jnp.concatenate(
+            [
+                shs.Ar_inv32.reshape(T, G, p * p).transpose(0, 2, 1),
+                shs.Ainv_axy32.transpose(0, 2, 1),
+                shs.Axx32.reshape(T, G, p * p).transpose(0, 2, 1),
+                shs.axy32.transpose(0, 2, 1),
+                shs.ayy32[:, None, :],
+                shs.logdetAr32[:, None, :],
+                shs.logdetV32[:, None, :],
+            ],
+            axis=1,
+        )
 
     def body(_, xs):
         pkb, mnb = xs
-        Graw = decode.decode_centered(pkb, mnb, dtype=jnp.float32)[:, :n]
-        Gr32 = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST)
-        ssq = jnp.sum(Gr32 * Gr32, axis=-1).astype(jnp.float64)
+        if use_pallas:
+            GrF = decode_rotate_planar(pkb, mnb[:, None], U32)
+            Gr32 = GrF[:, :n]
+        else:
+            Graw = decode.decode_centered(pkb, mnb, dtype=jnp.float32)[:, :n]
+            Gr32 = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST)
+        ssq = jnp.sum(Gr32 * Gr32, axis=-1)  # f32; cast once post-scan
 
-        def per_trait(rot, sh):
-            lgs = lmm_grid_scan_with(sh, rot, Gr32)
-            beta, se, ml = final_stats_f32(rot, Gr32, lgs, with_ml)
-            return lgs, beta, se, ml
+        if use_pallas:
+            outs = []
+            for t in range(T):
+                neg = grid_neg_reml_lattice(
+                    GrF, Wp[t], YX[t], SH[t], p=p,
+                    ridge=float(config.GRAM_RIDGE), nf=float(n),
+                    prec=grid_prec,
+                )
+                lgs_t = argmin_parabolic(neg, grid_lg)
+                rot_t = jax.tree.map(lambda a: a[t], rots)
+                outs.append(
+                    (lgs_t,) + final_grams_f32(rot_t, Gr32, lgs_t, with_ml)
+                )
+            lgs, A1, A2, agg, ldV = (jnp.stack(x) for x in zip(*outs))
+        else:
+            def per_trait(rot, sh):
+                lgs = lmm_grid_scan_with(sh, rot, Gr32)
+                return (lgs,) + final_grams_f32(rot, Gr32, lgs, with_ml)
 
-        lgs, beta, se, ml = jax.vmap(per_trait)(rots, shs)  # (T, B) each
-        return None, (lgs, beta, se, ml, ssq)
+            lgs, A1, A2, agg, ldV = jax.vmap(per_trait)(rots, shs)  # (T, ...)
+        return None, (lgs, A1, A2, agg, ldV, ssq)
 
-    _, (lgs, beta, se, ml, ssq) = jax.lax.scan(body, None, (pk, mn))
+    _, (lgs, A1, A2, agg, ldV, ssq) = jax.lax.scan(body, None, (pk, mn))
+    nblk, T_, B = lgs.shape
+    N = nblk * T_ * B
+    beta, se, ml = final_stats_from_grams(
+        n, p, A1.reshape(N, -1), A2.reshape(N, -1), agg.reshape(-1),
+        with_ml, ldV.reshape(-1),
+    )
+    beta = beta.reshape(nblk, T_, B)
+    se = se.reshape(nblk, T_, B)
     pwald = jstats.pwald_from_beta_se_device(beta, se)
-    ssq_t = jnp.broadcast_to(ssq[:, None, :], lgs.shape)
-    return jnp.stack([lgs, beta, se, ml, ssq_t, pwald])  # (6, nblk, T, B)
+    f32 = jnp.float32
+    ssq_t = jnp.broadcast_to(ssq[:, None, :].astype(f32), lgs.shape)
+    stack = jnp.stack([lgs.astype(f32), beta.astype(f32), se.astype(f32),
+                       ssq_t, pwald.astype(f32)])  # (5, nblk, T, B)
+    ml64 = (ml.reshape(nblk, T_, B) if with_ml
+            else jnp.zeros((nblk, T_, B), f32))
+    return stack, ml64
 
 
-@partial(jax.jit, static_argnames=("n", "with_ml"))
-def _lmm_scan_resident_multi(pk, mn, U32, rots, shs, n: int, with_ml: bool):
-    return _lmm_scan_core_multi(pk, mn, U32, rots, shs, n, with_ml)
+@partial(jax.jit, static_argnames=("n", "with_ml", "use_pallas", "grid_prec"))
+def _lmm_scan_resident_multi(pk, mn, U32, rots, shs, n: int, with_ml: bool,
+                             use_pallas: bool = False,
+                             grid_prec: str = "default"):
+    return _lmm_scan_core_multi(pk, mn, U32, rots, shs, n, with_ml,
+                                use_pallas, grid_prec)
 
 
 @lru_cache(maxsize=8)
-def _lmm_scan_sharded_multi(mesh, n: int, with_ml: bool):
+def _lmm_scan_sharded_multi(mesh, n: int, with_ml: bool,
+                            use_pallas: bool = False,
+                            grid_prec: str = "default"):
     from jax.sharding import PartitionSpec as P
 
-    fn = partial(_lmm_scan_core_multi, n=n, with_ml=with_ml)
+    fn = partial(_lmm_scan_core_multi, n=n, with_ml=with_ml,
+                 use_pallas=use_pallas, grid_prec=grid_prec)
     rot_spec = RotatedData(*([P()] * len(RotatedData._fields)))
     from janusx_tpu.core.reml import GridShared
 
@@ -472,7 +578,7 @@ def _lmm_scan_sharded_multi(mesh, n: int, with_ml: bool):
             fn, mesh=mesh,
             in_specs=(P(None, "snp", None), P(None, "snp"), P(),
                       rot_spec, sh_spec),
-            out_specs=P(None, None, None, "snp"),
+            out_specs=(P(None, None, None, "snp"), P(None, None, "snp")),
         )
     )
 
@@ -527,34 +633,55 @@ def lmm_scan_multi(
     rots = jax.tree.map(lambda *xs: jnp.stack(xs), *[s[0] for s in states])
     shs = jax.tree.map(lambda *xs: jnp.stack(xs), *[s[2] for s in states])
 
-    U32 = devcache.to_device(basis.U, jnp.float32)
     m = pg.m
     block = min(block, m) if m else block
     if mesh is not None:
         block = -(-block // mesh.devices.size) * mesh.devices.size
+    # fused Pallas kernels (decode+rotate, λ lattice) per trait — same
+    # gating as the single-trait scan; the pure-XLA multi path measured
+    # SLOWER per trait than separate Pallas scans (BENCH_NOTES round 3)
+    use_pallas = (
+        jax.default_backend() not in ("cpu",)
+        and os.environ.get("JX_TPU_PALLAS", "1") not in ("0", "false")
+        and os.environ.get("JX_TPU_PALLAS_GRID", "1") not in ("0", "false")
+        and states[0][0].p <= 4
+        and grid_points % 128 == 0
+        and block % 512 == 0
+        and (mesh is None or (block // mesh.devices.size) % 512 == 0)
+    )
+    grid_prec = str(config.knob("JX_TPU_GRID_MXU_PREC")).lower()
     m_pad = -(-m // block) * block
     nblk = m_pad // block
-    pk = devcache.device_packed_blocks(pg, (nblk, block), mesh=mesh)
+    if use_pallas:
+        pk = devcache.device_packed_blocks(
+            pg, (nblk, block), lane_align=512, mesh=mesh
+        )
+        U_op = _planar_operand(basis, pk.shape[2], n)
+    else:
+        pk = devcache.device_packed_blocks(pg, (nblk, block), mesh=mesh)
+        U_op = devcache.to_device(basis.U, jnp.float32)
     mn = devcache.to_device_blocks(
         pg.mean, (nblk, block), 0.0, dtype=jnp.float32, mesh=mesh
     )
     if mesh is not None:
-        U_d, rots_d, shs_d = devcache.replicate_tree((U32, rots, shs), mesh)
-        out = np.asarray(
-            _lmm_scan_sharded_multi(mesh, n, lmm2)(pk, mn, U_d, rots_d, shs_d)
-        )
+        U_d, rots_d, shs_d = devcache.replicate_tree((U_op, rots, shs), mesh)
+        stack, ml_dev = _lmm_scan_sharded_multi(
+            mesh, n, lmm2, use_pallas, grid_prec)(pk, mn, U_d, rots_d, shs_d)
     else:
-        out = np.asarray(
-            _lmm_scan_resident_multi(pk, mn, U32, rots, shs, n, lmm2)
-        )
-    # (6, nblk, T, B) -> (6, T, m_pad)
-    out = out.transpose(0, 2, 1, 3).reshape(6, T, m_pad)
+        stack, ml_dev = _lmm_scan_resident_multi(
+            pk, mn, U_op, rots, shs, n, lmm2, use_pallas, grid_prec)
+    # (5, nblk, T, B) -> (5, T, m_pad); ml fetches f64 only for lmm2
+    out = np.asarray(stack).astype(np.float64).transpose(0, 2, 1, 3)
+    out = out.reshape(5, T, m_pad)
+    ml_all = (np.asarray(ml_dev, np.float64).transpose(1, 0, 2).reshape(T, m_pad)
+              if lmm2 else np.zeros((T, m_pad)))
     results = []
     for t in range(T):
         null = nulls[t]
         lbd = 10.0 ** out[0, t, :m]
-        beta, se, ml, ssq = out[1, t, :m], out[2, t, :m], out[3, t, :m], out[4, t, :m]
-        pwald = out[5, t, :m]
+        beta, se, ssq = out[1, t, :m], out[2, t, :m], out[3, t, :m]
+        ml = ml_all[t, :m]
+        pwald = out[4, t, :m]
         tiny = pwald <= _PWALD_F32_FLOOR
         if tiny.any():
             pwald = pwald.copy()
