@@ -33,6 +33,11 @@ def build_parser(prog="jx tree") -> argparse.ArgumentParser:
                    "`jx tree -ml` / FastTree)")
     o.add_argument("-ml-sites", "--ml-sites", type=int, default=2000,
                    help="site budget for the ML refinement")
+    o.add_argument("-ml-cat", "--ml-cat", type=int, default=1, metavar="N",
+                   help="per-site rate categories for -ml (FastTree-CAT "
+                   "style; 1 = uniform rates)")
+    o.add_argument("-ml-no-spr", "--ml-no-spr", action="store_true",
+                   help="disable SPR moves in the -ml search (NNI only)")
     o.add_argument("-seed", "--seed", type=int, default=0)
     common.add_out_args(p, default_prefix="jxtree")
     return p
@@ -119,7 +124,9 @@ def main(argv=None) -> int:
             k_states = 2
         # support labels are not part of the ML tree: rebuild unannotated
         base = neighbor_joining(D, samples)
-        t = ml_refine_tree(base, parts, samples, k=k_states)
+        t = ml_refine_tree(base, parts, samples, k=k_states,
+                           rate_categories=args.ml_cat,
+                           spr=not args.ml_no_spr)
         ml_nwk = to_newick(t)
         if args.bootstrap:
             # -b composes with -ml: replicates refine under weighted site

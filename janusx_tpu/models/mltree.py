@@ -115,16 +115,24 @@ def _postorder(t: MlTree):
     return order[::-1]
 
 
-def _pmul(msg: np.ndarray, x: float, k: int) -> np.ndarray:
+def _pmul(msg: np.ndarray, x, k: int) -> np.ndarray:
     """Message through an edge with x = e^{-mu t}:
-    (P(t) @ m)_y = x*m_y + (1-x)*sum(m)/k  (k-state JC)."""
+    (P(t) @ m)_y = x*m_y + (1-x)*sum(m)/k  (k-state JC).
+    ``x`` is a scalar (uniform rate) or per-site (m,) array (CAT rates:
+    x_s = e^{-mu r_s t})."""
     s = msg.sum(axis=1, keepdims=True)
+    if np.ndim(x):
+        x = np.asarray(x)[:, None]
     return x * msg + (1.0 - x) * s / k
 
 
-def _x_of(blen, k):
+def _x_of(blen, k, rates=None):
+    """e^{-mu t} (scalar), or per-site e^{-mu r_s t} under CAT rates."""
     mu = k / (k - 1.0)
-    return np.exp(-mu * np.clip(blen, MIN_BLEN, MAX_BLEN))
+    t = np.clip(blen, MIN_BLEN, MAX_BLEN)
+    if rates is None:
+        return np.exp(-mu * t)
+    return np.exp(-mu * t * rates)
 
 
 def _blen_of_x(x, k):
@@ -133,7 +141,7 @@ def _blen_of_x(x, k):
     return -np.log(x) / mu
 
 
-def _down_pass(t: MlTree, leaf_part: dict, k: int):
+def _down_pass(t: MlTree, leaf_part: dict, k: int, rates=None):
     """Felsenstein pruning: down[v] (n_sites, k) + PER-SITE log-scalers
     (vectors, so site weights can reweight them — bootstrap-by-weights
     composes with -ml)."""
@@ -146,7 +154,7 @@ def _down_pass(t: MlTree, leaf_part: dict, k: int):
         acc = None
         sc = 0.0
         for c in t.children[v]:
-            m = _pmul(down[c], _x_of(t.blen[c], k), k)
+            m = _pmul(down[c], _x_of(t.blen[c], k, rates), k)
             acc = m if acc is None else acc * m
             sc = sc + scal[c]
         mx = np.maximum(acc.max(axis=1), 1e-300)
@@ -166,7 +174,7 @@ def _loglik_from_down(t: MlTree, down, scal, k: int, weights) -> float:
     return float(site_log @ weights)
 
 
-def _up_pass(t: MlTree, down, k: int):
+def _up_pass(t: MlTree, down, k: int, rates=None):
     """Outside-subtree contexts. Returns (A, atnode):
     A[v] = message at parent(v) from everything EXCEPT v's subtree,
     BEFORE crossing v's edge (pairs with down[v] in the per-edge
@@ -180,7 +188,8 @@ def _up_pass(t: MlTree, down, k: int):
     while order:
         v = order.pop()
         msgs = {
-            c: _pmul(down[c], _x_of(t.blen[c], k), k) for c in t.children[v]
+            c: _pmul(down[c], _x_of(t.blen[c], k, rates), k)
+            for c in t.children[v]
         }
         for c in t.children[v]:
             acc = atnode[v].copy()
@@ -190,7 +199,7 @@ def _up_pass(t: MlTree, down, k: int):
             mx = np.maximum(acc.max(axis=1), 1e-300)
             acc = acc / mx[:, None]
             A[c] = acc
-            atnode[c] = _pmul(acc, _x_of(t.blen[c], k), k)
+            atnode[c] = _pmul(acc, _x_of(t.blen[c], k, rates), k)
             order.append(c)
     return A, atnode
 
@@ -228,29 +237,77 @@ def _optimize_x(a: np.ndarray, b: np.ndarray, k: int, x0: float,
     return x
 
 
+def _optimize_t(a: np.ndarray, b: np.ndarray, k: int, rates: np.ndarray,
+                t0: float, weights=None) -> float:
+    """Branch length under per-site CAT rates: the edge likelihood
+    L_s(t) = x_s a_s + (1-x_s) b_s/k with x_s = e^{-mu r_s t} is no
+    longer linear in one unknown, so Newton runs in t-space with
+    backtracking (f'' has mixed sign away from the optimum)."""
+    mu = k / (k - 1.0)
+    c = b / k
+    d = a - c
+    w = 1.0 if weights is None else weights
+
+    def f(tt):
+        L = c + np.exp(-mu * rates * tt) * d
+        if np.any(L <= 0):
+            return -np.inf
+        return float(np.sum(w * np.log(L)))
+
+    t = min(max(float(t0), MIN_BLEN), MAX_BLEN)
+    ft = f(t)
+    for _ in range(30):
+        x = np.exp(-mu * rates * t)
+        L = c + x * d
+        if np.any(L <= 0):
+            t = min(max(t * 2.0, MIN_BLEN), MAX_BLEN)
+            ft = f(t)
+            continue
+        u = x * d / L
+        g = -mu * float(np.sum(w * rates * u))
+        h = (mu * mu) * float(np.sum(w * rates * rates * u * (1.0 - u)))
+        step = -g / h if h > 1e-300 else (0.5 * t if g < 0 else -0.5 * t)
+        # backtrack the Newton/gradient step until f does not decrease
+        ok = False
+        for _bt in range(12):
+            tn = min(max(t + step, MIN_BLEN), MAX_BLEN)
+            fn = f(tn)
+            if fn >= ft - 1e-12:
+                ok = True
+                break
+            step *= 0.5
+        if not ok or abs(tn - t) < 1e-9:
+            break
+        t, ft = tn, fn
+    return t
+
+
 def optimize_branch_lengths(t: MlTree, leaf_part, k: int, rounds: int = 2,
-                            weights=None):
+                            weights=None, rates=None):
     """Per-edge closed-form updates from shared (stale) messages are a
     Jacobi-style simultaneous step, which can overshoot — each round
     backtracks the full update vector until the global likelihood is
     non-decreasing (guaranteed monotone)."""
-    down, scal = _down_pass(t, leaf_part, k)
+    down, scal = _down_pass(t, leaf_part, k, rates)
     ll0 = _loglik_from_down(t, down, scal, k, weights)
     for _ in range(rounds):
-        A, _ = _up_pass(t, down, k)
+        A, _ = _up_pass(t, down, k, rates)
         old = t.blen.copy()
         cand = t.blen.copy()
         for v in range(len(t.children)):
             if v == t.root:
                 continue
             a, b = _edge_ab(A[v], down[v], k)
-            x = _optimize_x(a, b, k, _x_of(t.blen[v], k), weights)
-            cand[v] = _blen_of_x(x, k)
+            if rates is None:
+                x = _optimize_x(a, b, k, _x_of(t.blen[v], k), weights)
+                cand[v] = _blen_of_x(x, k)
+            else:
+                cand[v] = _optimize_t(a, b, k, rates, t.blen[v], weights)
         step = 1.0
         ll_new = None
         for _bt in range(8):
             t.blen = old + step * (cand - old)
-            down, scal = _down_pass(t, leaf_part, k)
+            down, scal = _down_pass(t, leaf_part, k, rates)
             ll = _loglik_from_down(t, down, scal, k, weights)
             if ll >= ll0 - 1e-9:
                 ll_new = ll
@@ -258,7 +315,7 @@ def optimize_branch_lengths(t: MlTree, leaf_part, k: int, rounds: int = 2,
             step *= 0.5
         if ll_new is None:
             t.blen = old
-            down, scal = _down_pass(t, leaf_part, k)
+            down, scal = _down_pass(t, leaf_part, k, rates)
             break
         improved = ll_new > ll0 + 1e-9
         ll0 = max(ll_new, ll0)
@@ -282,16 +339,16 @@ def _score_config(G, eD, eA, eB, xc, k, weights=None):
     return float(site_log @ weights)
 
 
-def nni_round(t: MlTree, leaf_part, k: int, weights=None) -> int:
+def nni_round(t: MlTree, leaf_part, k: int, weights=None, rates=None) -> int:
     """One NNI step: for each internal edge (p, c) with c internal,
     children(c) = {A, B} and sibling D at p, score the three topologies
     with fixed local messages (reference collect_nni_edges/apply_nni_swap,
     tree.rs:2404,2584). Messages go stale after any swap, so only the
     single best-scoring swap is applied per step and then verified with a
     full recompute (reverted if the global likelihood drops)."""
-    down, scal = _down_pass(t, leaf_part, k)
+    down, scal = _down_pass(t, leaf_part, k, rates)
     ll_before = _loglik_from_down(t, down, scal, k, weights)
-    _, atnode = _up_pass(t, down, k)
+    _, atnode = _up_pass(t, down, k, rates)
     best_gain, best_move = 0.0, None
     for c in range(len(t.children)):
         p = int(t.parent[c])
@@ -304,11 +361,11 @@ def nni_round(t: MlTree, leaf_part, k: int, weights=None) -> int:
             continue
         D = sibs[0]
         A, B = t.children[c]
-        eA = _pmul(down[A], _x_of(t.blen[A], k), k)
-        eB = _pmul(down[B], _x_of(t.blen[B], k), k)
-        eD = _pmul(down[D], _x_of(t.blen[D], k), k)
+        eA = _pmul(down[A], _x_of(t.blen[A], k, rates), k)
+        eB = _pmul(down[B], _x_of(t.blen[B], k, rates), k)
+        eD = _pmul(down[D], _x_of(t.blen[D], k, rates), k)
         G = atnode[p]
-        xc = _x_of(t.blen[c], k)
+        xc = _x_of(t.blen[c], k, rates)
         s0 = _score_config(G, eD, eA, eB, xc, k, weights)  # current
         s1 = _score_config(G, eB, eA, eD, xc, k, weights)  # swap B <-> D
         s2 = _score_config(G, eA, eB, eD, xc, k, weights)  # swap A <-> D
@@ -323,11 +380,141 @@ def nni_round(t: MlTree, leaf_part, k: int, weights=None) -> int:
     t.children[c] = [keep, D]
     t.children[p] = [c, out]
     t.parent[D], t.parent[out] = c, p
-    down, scal = _down_pass(t, leaf_part, k)
+    down, scal = _down_pass(t, leaf_part, k, rates)
     if _loglik_from_down(t, down, scal, k, weights) <= ll_before:
         t.children[c], t.children[p] = old_cc, old_pc
         t.parent[D], t.parent[out] = p, c
         return 0
+    return 1
+
+
+def estimate_site_rates(t: MlTree, leaf_part, k: int, ncat: int = 8,
+                        weights=None):
+    """FastTree-CAT-style per-site rates: evaluate every site under a
+    geometric rate ladder, assign each site its argmax category, then
+    normalize to (weighted) mean rate 1 so the branch-length scale stays
+    identifiable (reference vendored FastTree.c CAT approximation)."""
+    ladder = np.geomspace(1.0 / 8.0, 8.0, ncat)
+    n_sites = next(iter(leaf_part.values())).shape[0]
+    site_ll = np.empty((ncat, n_sites))
+    for i, r in enumerate(ladder):
+        down, scal = _down_pass(t, leaf_part, k, np.full(n_sites, r))
+        site = (down[t.root] / k).sum(axis=1)
+        site_ll[i] = np.log(np.maximum(site, 1e-300)) + scal[t.root]
+    rates = ladder[np.argmax(site_ll, axis=0)]
+    w = np.ones(n_sites) if weights is None else np.asarray(weights, float)
+    mean = float(rates @ w) / max(float(w.sum()), 1e-300)
+    return rates / max(mean, 1e-300)
+
+
+def spr_round(t: MlTree, leaf_part, k: int, weights=None, rates=None,
+              radius: int = 5, verify_top: int = 8) -> int:
+    """One subtree-prune-regraft step (FastTree-style SPR, the move set
+    NNI cannot reach — reference tree.rs + vendored FastTree SPR rounds).
+
+    Candidates: prune each subtree S (binary parent P, non-root), regraft
+    onto edges within ``radius`` of the pruned position. Each candidate
+    gets a CHEAP proxy score from the CURRENT tree's messages (combined
+    (w + S) message against the outside context A[w]; the prune-side
+    correction is ignored, so the ranking is biased near the prune
+    point); the ``verify_top`` best-ranked moves are then applied and
+    scored with a FULL likelihood recompute, and the single best
+    verified improvement is kept (reverted otherwise) — the same
+    verified-acceptance discipline as nni_round."""
+    down, scal = _down_pass(t, leaf_part, k, rates)
+    ll_before = _loglik_from_down(t, down, scal, k, weights)
+    A, _ = _up_pass(t, down, k, rates)
+
+    wts = None if weights is None else np.asarray(weights, float)
+
+    def site_sum(mp, log_mx):
+        site = np.maximum(mp.sum(axis=1), 1e-300)
+        sl = np.log(site) + log_mx
+        return float(sl.sum()) if wts is None else float(sl @ wts)
+
+    cands = []
+    n_nodes = len(t.children)
+    for S in range(n_nodes):
+        P = int(t.parent[S])
+        if P < 0 or int(t.parent[P]) < 0 or len(t.children[P]) != 2:
+            continue
+        sibs = [c for c in t.children[P] if c != S]
+        B = sibs[0]
+        eS = _pmul(down[S], _x_of(t.blen[S], k, rates), k)
+        # BFS outward from P, not entering S
+        seen = {S, P}
+        frontier = [(B, 1), (int(t.parent[P]), 1)]
+        while frontier:
+            w, dist = frontier.pop()
+            if w in seen or dist > radius:
+                continue
+            seen.add(w)
+            if w != t.root and w != B and int(t.parent[w]) != P:
+                eW = _pmul(down[w], _x_of(t.blen[w], k, rates), k)
+                mc = eW * eS
+                mx = np.maximum(mc.max(axis=1), 1e-300)
+                mp = (mc / mx[:, None]) * A[w]
+                cands.append((site_sum(mp, np.log(mx)), S, w))
+            nxt = list(t.children[w])
+            pw = int(t.parent[w])
+            if pw >= 0:
+                nxt.append(pw)
+            for u in nxt:
+                if u not in seen:
+                    frontier.append((u, dist + 1))
+    if not cands:
+        return 0
+    cands.sort(key=lambda c: -c[0])
+
+    def snapshot():
+        return ([list(c) for c in t.children], t.parent.copy(),
+                t.blen.copy())
+
+    def restore(snap):
+        t.children = [list(c) for c in snap[0]]
+        t.parent = snap[1].copy()
+        t.blen = snap[2].copy()
+
+    def apply_move(S, w):
+        P = int(t.parent[S])
+        B = [c for c in t.children[P] if c != S][0]
+        G = int(t.parent[P])
+        Gp = int(t.parent[w])
+        if Gp == P or w == S or w == P:
+            return False
+        # prune: collapse P into B under G
+        t.children[G][t.children[G].index(P)] = B
+        t.parent[B] = G
+        t.blen[B] = min(t.blen[B] + t.blen[P], MAX_BLEN)
+        if Gp == P:  # target vanished with the collapse (defensive)
+            return False
+        # regraft: reuse P as the junction splitting w's edge
+        Gp = int(t.parent[w])  # may have changed if w was B's sibling
+        t.children[P] = [S, w]
+        t.parent[S] = P
+        t.parent[w] = P
+        t.children[Gp][t.children[Gp].index(w)] = P
+        t.parent[P] = Gp
+        half = max(t.blen[w] / 2.0, MIN_BLEN)
+        t.blen[P] = half
+        t.blen[w] = half
+        return True
+
+    base = snapshot()
+    best_ll, best_snap = ll_before, None
+    for _score, S, w in cands[:verify_top]:
+        if not apply_move(S, w):
+            restore(base)
+            continue
+        d2, s2 = _down_pass(t, leaf_part, k, rates)
+        ll = _loglik_from_down(t, d2, s2, k, weights)
+        if ll > best_ll + 1e-9:
+            best_ll, best_snap = ll, snapshot()
+        restore(base)
+    if best_snap is None:
+        return 0
+    restore(best_snap)
+    t.loglik = best_ll
     return 1
 
 
@@ -361,12 +548,21 @@ def ml_refine_tree(
     nni_rounds: int | None = None,
     bl_rounds: int = 2,
     weights=None,
+    rate_categories: int = 1,
+    spr: bool = True,
+    spr_radius: int = 5,
 ) -> MlTree:
     """NJ topology -> approximate-ML tree: alternate verified single-swap
-    NNI steps and monotone branch-length rounds until no swap improves.
-    Default budget 4*n_leaves steps (one swap applied per step).
-    ``weights``: per-site multiplicities (bootstrap resamples compose with
-    -ml by reweighting instead of materializing resampled alignments)."""
+    NNI steps and monotone branch-length rounds until no swap improves,
+    then verified SPR steps (re-entering NNI after each accepted
+    regraft) — the FastTree move schedule in miniature. Default budget
+    4*n_leaves NNI steps and n_leaves SPR steps.
+
+    ``weights``: per-site multiplicities (bootstrap resamples compose
+    with -ml by reweighting instead of materializing resampled
+    alignments). ``rate_categories`` > 1 enables FastTree-CAT-style
+    per-site rates: estimated once on the branch-optimized start tree,
+    then held fixed through the search."""
     t = parse_newick(newick)
     if nni_rounds is None:
         nni_rounds = 4 * t.n_leaves
@@ -384,13 +580,33 @@ def ml_refine_tree(
             raise ValueError(
                 f"site weights length {len(weights)} != {n_sites} sites")
     t.blen = np.clip(t.blen, MIN_BLEN, MAX_BLEN)
+    rates = None
     optimize_branch_lengths(t, leaf_part, k, rounds=bl_rounds,
                             weights=weights)
-    for _ in range(nni_rounds):
-        swaps = nni_round(t, leaf_part, k, weights=weights)
-        optimize_branch_lengths(t, leaf_part, k, rounds=1, weights=weights)
-        if swaps == 0:
-            break
+    if rate_categories > 1:
+        rates = estimate_site_rates(t, leaf_part, k, ncat=rate_categories,
+                                    weights=weights)
+        optimize_branch_lengths(t, leaf_part, k, rounds=bl_rounds,
+                                weights=weights, rates=rates)
+
+    def nni_until_done(budget):
+        for _ in range(budget):
+            swaps = nni_round(t, leaf_part, k, weights=weights, rates=rates)
+            optimize_branch_lengths(t, leaf_part, k, rounds=1,
+                                    weights=weights, rates=rates)
+            if swaps == 0:
+                break
+
+    nni_until_done(nni_rounds)
+    if spr:
+        for _ in range(max(1, t.n_leaves)):
+            moved = spr_round(t, leaf_part, k, weights=weights, rates=rates,
+                              radius=spr_radius)
+            if moved == 0:
+                break
+            optimize_branch_lengths(t, leaf_part, k, rounds=1,
+                                    weights=weights, rates=rates)
+            nni_until_done(nni_rounds)
     return t
 
 
@@ -422,9 +638,11 @@ def ml_bootstrap_support(
 
 
 def ml_tree(pg, site_budget: int | None = None, seed: int = 0,
-            nni_rounds: int | None = None) -> tuple[str, float]:
+            nni_rounds: int | None = None, rate_categories: int = 1,
+            spr: bool = True) -> tuple[str, float]:
     """Approximate-ML tree from packed genotypes: IBS-NJ start + CFN
-    NNI/branch-length refinement. Returns (newick, loglik)."""
+    NNI/SPR/branch-length refinement (optionally with CAT per-site
+    rates). Returns (newick, loglik)."""
     from janusx_tpu import config
     from janusx_tpu.models.tree import nj_tree
 
@@ -433,5 +651,6 @@ def ml_tree(pg, site_budget: int | None = None, seed: int = 0,
     nwk = nj_tree(pg)
     parts = genotype_leaf_partials(pg.dosages(), site_budget, seed)
     t = ml_refine_tree(nwk, parts, [str(s) for s in pg.samples], k=2,
-                       nni_rounds=nni_rounds)
+                       nni_rounds=nni_rounds,
+                       rate_categories=rate_categories, spr=spr)
     return to_newick(t), t.loglik
