@@ -122,42 +122,74 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
             axis=0,
         )
 
-    def body(_, xs):
-        pkb, mnb = xs
-        if use_pallas:
-            # fused decode+matmul kernel: U32 here is the plane-permuted
-            # (K2, N2) operand (janusx_tpu.ops.pallas_kernels)
+    if use_lattice:
+        # maximally hoisted form: the scan body is ONLY the fused
+        # decode+rotate kernel and the VMEM lattice kernel (the measured
+        # compute floor); GrF and the (B, G) lattice carry through HBM
+        # (the caller bounds resident m so the carry stays ~2 GB) and
+        # argmin + final grams + the f64 epilogue each run ONCE over the
+        # whole scan — per-op launch overhead inside lax.scan was the
+        # dominant non-floor cost (round-3 ablation).
+        from janusx_tpu.core.reml import argmin_parabolic
+
+        def body_lat(_, xs):
+            pkb, mnb = xs
             from janusx_tpu.ops.pallas_kernels import decode_rotate_planar
 
             GrF = decode_rotate_planar(pkb, mnb[:, None], U32)
-            Gr32 = GrF[:, :n]
-        else:
-            Graw = decode.decode_centered(pkb, mnb, dtype=jnp.float32)[:, :n]
-            Gr32 = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST)
-        ssq = jnp.sum(Gr32 * Gr32, axis=-1)  # f32; cast once post-scan
-        if use_lattice:
-            from janusx_tpu.core.reml import argmin_parabolic
-
             neg = grid_neg_reml_lattice(
                 GrF, Wp, YX, SH, p=p, ridge=float(config.GRAM_RIDGE),
                 nf=float(n), prec=grid_prec,
             )
-            lgs = argmin_parabolic(neg, sh.grid_lg)
-        else:
-            lgs = lmm_grid_scan_with(sh, rot, Gr32)  # internally casts to f32
-        # per-block work stays f32 (MXU grams); the f64 Schur epilogue is
-        # launch-bound (emulated f64 elementwise) and runs ONCE post-scan
-        A1, A2, agg, ldV = final_grams_f32(rot, Gr32, lgs, with_ml)
-        return None, (lgs, A1, A2, agg, ldV, ssq)
+            return None, (GrF, neg)
 
-    _, (lgs, A1, A2, agg, ldV, ssq) = jax.lax.scan(body, None, (pk, mn))
-    nblk, B = lgs.shape
-    beta, se, ml = final_stats_from_grams(
-        n, p, A1.reshape(nblk * B, -1), A2.reshape(nblk * B, -1),
-        agg.reshape(-1), with_ml, ldV.reshape(-1),
-    )
+        _, (GrF_all, neg_all) = jax.lax.scan(body_lat, None, (pk, mn))
+        nblk, B = neg_all.shape[0], neg_all.shape[1]
+        Gr_flat = GrF_all.reshape(nblk * B, -1)[:, :n]
+        lgs_flat = argmin_parabolic(
+            neg_all.reshape(nblk * B, -1), sh.grid_lg)
+        ssq = jnp.sum(Gr_flat * Gr_flat, axis=-1).reshape(nblk, B)
+        A1, A2, agg, ldV = final_grams_f32(rot, Gr_flat, lgs_flat, with_ml)
+        lgs = lgs_flat.reshape(nblk, B)
+        beta, se, ml = final_stats_from_grams(
+            n, p, A1, A2, agg, with_ml, ldV,
+        )
+    else:
+        def body(_, xs):
+            pkb, mnb = xs
+            if use_pallas:
+                # fused decode+matmul kernel: U32 here is the
+                # plane-permuted (K2, N2) operand
+                from janusx_tpu.ops.pallas_kernels import decode_rotate_planar
+
+                GrF = decode_rotate_planar(pkb, mnb[:, None], U32)
+                Gr32 = GrF[:, :n]
+            else:
+                Graw = decode.decode_centered(
+                    pkb, mnb, dtype=jnp.float32)[:, :n]
+                Gr32 = jnp.dot(Graw, U32,
+                               precision=jax.lax.Precision.HIGHEST)
+            ssq = jnp.sum(Gr32 * Gr32, axis=-1)  # f32; cast post-scan
+            lgs = lmm_grid_scan_with(sh, rot, Gr32)  # casts to f32 inside
+            # per-block work stays f32 (MXU grams); the f64 Schur epilogue
+            # is launch-bound (emulated f64) and runs ONCE post-scan
+            A1, A2, agg, ldV = final_grams_f32(rot, Gr32, lgs, with_ml)
+            return None, (lgs, A1, A2, agg, ldV, ssq)
+
+        _, (lgs, A1, A2, agg, ldV, ssq) = jax.lax.scan(body, None, (pk, mn))
+        nblk, B = lgs.shape
+        beta, se, ml = final_stats_from_grams(
+            n, p, A1.reshape(nblk * B, -1), A2.reshape(nblk * B, -1),
+            agg.reshape(-1), with_ml, ldV.reshape(-1),
+        )
     beta = beta.reshape(nblk, B)
     se = se.reshape(nblk, B)
+    # monomorphic/degenerate-lane sanitize ON DEVICE (reference rules,
+    # src/math/linalg.rs:99-108 + ssq<=eps): transporting ssq just to
+    # re-apply the same mask on host costs relay bytes
+    bad = ~jnp.isfinite(beta) | ~jnp.isfinite(se) | (se <= 0) | (ssq <= 1e-12)
+    beta = jnp.where(bad, jnp.nan, beta)
+    se = jnp.where(bad, jnp.nan, se)
     # Wald χ²(1) p on device: merges the scipy host step into the same
     # dispatch (reference p-value semantics, src/math/linalg.rs:99-108)
     pwald = jstats.pwald_from_beta_se_device(beta, se)
@@ -165,17 +197,16 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
     # ~50 MB/s with ~35 ms latency, so transported bytes are ~45% of the
     # measured scan wall at chromosome m — f32 carries the full precision
     # of every printed column (beta/se %.4f, p %.4e; p-values at the f32
-    # floor are recomputed exactly on host via _PWALD_F32_FLOOR). Only
-    # ml stays f64 (LRT takes differences of O(n)-magnitude logliks),
-    # and only when the route needs it.
+    # floor are recomputed exactly on host via _PWALD_F32_FLOOR). lgs/ml
+    # transport ONLY on the lmm2 route (the plain-LMM TSV has no lambda
+    # column; ml stays f64 — LRT differences O(n)-magnitude logliks).
     f32 = jnp.float32
-    stack = jnp.stack([lgs.astype(f32), beta.astype(f32), se.astype(f32),
-                       ssq, pwald.astype(f32)])
-    # shape kept (nblk, B) for the shard_map out_spec; the caller only
-    # FETCHES it on the lmm2 route, so the zeros cost no transport
+    stack = jnp.stack([beta.astype(f32), se.astype(f32), pwald.astype(f32)])
+    # shapes kept (nblk, B) for the shard_map out_spec; the caller only
+    # FETCHES these on the lmm2 route, so the zeros cost no transport
     ml64 = (ml.reshape(nblk, B) if with_ml
             else jnp.zeros((nblk, B), f32))
-    return stack, ml64
+    return stack, lgs.astype(f32), ml64
 
 
 @partial(jax.jit, static_argnames=("n", "with_ml", "use_pallas", "lattice",
@@ -205,7 +236,7 @@ def _lmm_scan_sharded(mesh, n: int, with_ml: bool, use_pallas: bool,
         fn,
         mesh=mesh,
         in_specs=(P(None, "snp", None), P(None, "snp"), P(), P(), P()),
-        out_specs=(P(None, None, "snp"), P(None, "snp")),
+        out_specs=(P(None, None, "snp"), P(None, "snp"), P(None, "snp")),
     )
     return jax.jit(mapped)
 
@@ -344,6 +375,12 @@ def lmm_scan(
     # lazy disk-backed inputs (io.windowed.WindowedPacked) bound their
     # resident-SNP chunk; in-RAM inputs chunk only above `superblock`
     superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
+    if use_pallas and method == "grid":
+        # the hoisted lattice path carries GrF (m, N2) f32 + the (m, G)
+        # lattice through HBM: bound the resident chunk to ~2 GB of carry
+        N2 = (-(-n // 256)) * 256
+        cap = (2 << 30) // ((N2 + grid_points) * 4)
+        superblock = max(min(superblock, (cap // block) * block), block)
     if m > superblock:
         # streaming superblock mode: chunk the (possibly disk-backed)
         # matrix through the resident scan so neither host RAM nor HBM
@@ -389,21 +426,26 @@ def lmm_scan(
             U_op, rot_d, sh_d = devcache.replicate_tree((U_op, rot, sh), mesh)
             fn = _lmm_scan_sharded(mesh, n, lmm2, use_pallas, lattice,
                                    grid_prec)
-            stack, ml_dev = fn(pk, mn, U_op, rot_d, sh_d)
+            stack, lgs_dev, ml_dev = fn(pk, mn, U_op, rot_d, sh_d)
         else:
-            stack, ml_dev = _lmm_scan_resident(
+            stack, lgs_dev, ml_dev = _lmm_scan_resident(
                 pk, mn, U_op, rot, sh, n, lmm2, use_pallas, lattice,
                 grid_prec)
-        out = np.asarray(stack).astype(np.float64).reshape(5, m_pad)
-        lbd = 10.0 ** out[0, :m]
-        beta = out[1, :m]
-        se = out[2, :m]
-        # ml transports f64 and ONLY for the LRT route (fetch bytes are
-        # ~45% of measured scan wall through the dev relay)
-        ml = (np.asarray(ml_dev, np.float64).reshape(m_pad)[:m]
-              if lmm2 else np.zeros(m))
-        ssq = out[3, :m]
-        pwald_dev = out[4, :m]
+        out = np.asarray(stack).astype(np.float64).reshape(3, m_pad)
+        beta = out[0, :m]
+        se = out[1, :m]
+        pwald_dev = out[2, :m]
+        # lambda/ml transport ONLY for the LRT route (fetch bytes are a
+        # large share of measured scan wall through the dev relay; the
+        # plain-LMM TSV has no lambda column)
+        if lmm2:
+            lbd = 10.0 ** np.asarray(lgs_dev, np.float64).reshape(m_pad)[:m]
+            ml = np.asarray(ml_dev, np.float64).reshape(m_pad)[:m]
+        else:
+            lbd = np.full(m, np.nan)
+            ml = np.zeros(m)
+        # degenerate lanes already sanitized on device (ssq mask folded in)
+        ssq = np.ones(m)
     else:
         pwald_dev = None
         lbd = np.empty(m)
@@ -543,14 +585,17 @@ def _lmm_scan_core_multi(pk, mn, U32, rots, shs, n: int, with_ml: bool,
     )
     beta = beta.reshape(nblk, T_, B)
     se = se.reshape(nblk, T_, B)
+    bad = (~jnp.isfinite(beta) | ~jnp.isfinite(se) | (se <= 0)
+           | (ssq[:, None, :] <= 1e-12))
+    beta = jnp.where(bad, jnp.nan, beta)
+    se = jnp.where(bad, jnp.nan, se)
     pwald = jstats.pwald_from_beta_se_device(beta, se)
     f32 = jnp.float32
-    ssq_t = jnp.broadcast_to(ssq[:, None, :].astype(f32), lgs.shape)
-    stack = jnp.stack([lgs.astype(f32), beta.astype(f32), se.astype(f32),
-                       ssq_t, pwald.astype(f32)])  # (5, nblk, T, B)
+    stack = jnp.stack([beta.astype(f32), se.astype(f32),
+                       pwald.astype(f32)])  # (3, nblk, T, B)
     ml64 = (ml.reshape(nblk, T_, B) if with_ml
             else jnp.zeros((nblk, T_, B), f32))
-    return stack, ml64
+    return stack, lgs.astype(f32), ml64
 
 
 @partial(jax.jit, static_argnames=("n", "with_ml", "use_pallas", "grid_prec"))
@@ -578,7 +623,8 @@ def _lmm_scan_sharded_multi(mesh, n: int, with_ml: bool,
             fn, mesh=mesh,
             in_specs=(P(None, "snp", None), P(None, "snp"), P(),
                       rot_spec, sh_spec),
-            out_specs=(P(None, None, None, "snp"), P(None, None, "snp")),
+            out_specs=(P(None, None, None, "snp"), P(None, None, "snp"),
+                       P(None, None, "snp")),
         )
     )
 
@@ -665,23 +711,30 @@ def lmm_scan_multi(
     )
     if mesh is not None:
         U_d, rots_d, shs_d = devcache.replicate_tree((U_op, rots, shs), mesh)
-        stack, ml_dev = _lmm_scan_sharded_multi(
+        stack, lgs_dev, ml_dev = _lmm_scan_sharded_multi(
             mesh, n, lmm2, use_pallas, grid_prec)(pk, mn, U_d, rots_d, shs_d)
     else:
-        stack, ml_dev = _lmm_scan_resident_multi(
+        stack, lgs_dev, ml_dev = _lmm_scan_resident_multi(
             pk, mn, U_op, rots, shs, n, lmm2, use_pallas, grid_prec)
-    # (5, nblk, T, B) -> (5, T, m_pad); ml fetches f64 only for lmm2
+    # (3, nblk, T, B) -> (3, T, m_pad); lgs/ml fetch only for lmm2
     out = np.asarray(stack).astype(np.float64).transpose(0, 2, 1, 3)
-    out = out.reshape(5, T, m_pad)
-    ml_all = (np.asarray(ml_dev, np.float64).transpose(1, 0, 2).reshape(T, m_pad)
-              if lmm2 else np.zeros((T, m_pad)))
+    out = out.reshape(3, T, m_pad)
+    if lmm2:
+        lbd_all = 10.0 ** np.asarray(lgs_dev, np.float64).transpose(
+            1, 0, 2).reshape(T, m_pad)
+        ml_all = np.asarray(ml_dev, np.float64).transpose(
+            1, 0, 2).reshape(T, m_pad)
+    else:
+        lbd_all = np.full((T, m_pad), np.nan)
+        ml_all = np.zeros((T, m_pad))
     results = []
     for t in range(T):
         null = nulls[t]
-        lbd = 10.0 ** out[0, t, :m]
-        beta, se, ssq = out[1, t, :m], out[2, t, :m], out[3, t, :m]
+        lbd = lbd_all[t, :m]
+        beta, se = out[0, t, :m], out[1, t, :m]
+        ssq = np.ones(m)  # degenerate lanes sanitized on device
         ml = ml_all[t, :m]
-        pwald = out[4, t, :m]
+        pwald = out[2, t, :m]
         tiny = pwald <= _PWALD_F32_FLOOR
         if tiny.any():
             pwald = pwald.copy()
