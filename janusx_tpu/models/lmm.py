@@ -241,22 +241,6 @@ def _lmm_scan_sharded(mesh, n: int, with_ml: bool, use_pallas: bool,
     return jax.jit(mapped)
 
 
-@partial(jax.jit, static_argnames=("n", "with_ml"))
-def _lmm_block_grid(packed, mean, U32, rot: RotatedData, grid_lg, n: int, with_ml: bool):
-    """Grid-mode block: shared fine-grid λ search (TPU speed-of-light path).
-
-    Two MXU matmuls give the objective for every (SNP, grid-λ) cell;
-    argmin + parabolic refine localize λ*; beta/se/ML are then evaluated
-    exactly in f64 at λ* (core/reml.py lmm_grid_scan docstring)."""
-    Graw = decode.decode_centered(packed, mean, dtype=jnp.float32)[:, :n]
-    Gr = jnp.dot(Graw, U32, precision=jax.lax.Precision.HIGHEST).astype(jnp.float64)
-    ssq = jnp.sum(Gr * Gr, axis=-1)
-    lgs = lmm_grid_scan(rot, Gr, grid_lg)
-    beta, se = beta_se_snp_batch(lgs, rot, Gr)
-    ml = ml_snp_batch(lgs, rot, Gr) if with_ml else jnp.zeros_like(lgs)
-    return lgs, beta, se, ml, ssq
-
-
 def _planar_operand(basis: SpectralBasis, pk_lanes: int, n: int):
     """Plane-permuted (K2, N2) f32 rotation operand for the fused Pallas
     decode+rotate kernel, cached on the basis identity (shared by the
