@@ -15,10 +15,46 @@ def build_parser(prog="jx postgwas") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog=prog, description="Post-GWAS plots + tables")
     p.add_argument("-i", "--input", type=str, required=True, nargs="+",
                    help="assoc TSV file(s) or glob(s)")
-    p.add_argument("-sig", "--sig", type=float, default=None,
-                   help="significance line (default 0.05/m Bonferroni)")
+    p.add_argument("-sig", "--sig", "-thr", "--thr", "-threshold",
+                   "--threshold", dest="sig", type=float, default=None,
+                   help="significance threshold p (default 0.05/m "
+                   "Bonferroni) — reference -thr/-threshold aliases")
     p.add_argument("-top", "--top", type=int, default=20, help="top-hit table rows")
-    p.add_argument("-pcol", "--pcol", type=str, default="pwald", help="p-value column")
+    p.add_argument("-pcol", "--pcol", "-pvalue", "--pvalue", dest="pcol",
+                   type=str, default="pwald", help="p-value column name")
+    p.add_argument("-chr", "--chr", dest="chrcol", type=str, default="chrom",
+                   help="chromosome column name")
+    p.add_argument("-pos", "--pos", dest="poscol", type=str, default="pos",
+                   help="position column name")
+    p.add_argument("-manh-merge", "--manh-merge", action="store_true",
+                   help="one merged figure of stacked Manhattan panels "
+                   "for all -i inputs (shared chromosome axis)")
+    p.add_argument("-qq-merge", "--qq-merge", action="store_true",
+                   help="one overlaid QQ figure for all -i inputs "
+                   "(per-file lambda_GC in the legend)")
+    p.add_argument("-circle", "--circle", action="store_true",
+                   help="circular (Circos-style) Manhattan: one "
+                   "concentric ring per -i input")
+    p.add_argument("-circle-in", "--circle-in", dest="circle_dir",
+                   action="store_const", const="in", default="out",
+                   help="draw circular Manhattan values toward the center")
+    p.add_argument("-circle-out", "--circle-out", dest="circle_dir",
+                   action="store_const", const="out",
+                   help="values away from the center (default)")
+    p.add_argument("-LDclump", "--LDclump", dest="ldclump", nargs=2,
+                   default=None, metavar=("WINDOW", "R2"),
+                   help="LD-clump significant hits: window (bp or e.g. "
+                   "250kb) and r^2 cutoff; needs a genotype input for "
+                   "r^2 against each index SNP")
+    p.add_argument("-bimrange", "--bimrange", action="append", default=None,
+                   metavar="CHR:START-END",
+                   help="restrict plotted/processed rows to ranges "
+                   "(repeatable; values < 1e5 are Mb)")
+    p.add_argument("-ylim", "--ylim", nargs="+", type=float, default=None,
+                   help="y-range for Manhattan/QQ: MAX or MIN MAX")
+    p.add_argument("-fmt", "--fmt", dest="format", type=str, default="png",
+                   choices=("png", "pdf", "svg", "tif"),
+                   help="figure output format")
     p.add_argument("-gff", "--gff", type=str, default=None,
                    help="GFF3 file: annotate top hits with overlapping/nearest genes")
     p.add_argument("-ldblock", "--ldblock", type=str, default=None, metavar="CHR:START-END",
@@ -54,15 +90,33 @@ def build_parser(prog="jx postgwas") -> argparse.ArgumentParser:
     return p
 
 
-def _read_assoc(path: str, pcol: str):
+def _read_assoc(path: str, pcol: str, chrcol: str = "chrom",
+                poscol: str = "pos", ranges=None):
     import pandas as pd
 
     df = pd.read_csv(path, sep="\t")
-    required = {"chrom", "pos", pcol}
+    required = {chrcol, poscol, pcol}
     if not required.issubset(df.columns):
         # ValueError, not SystemExit: SystemExit escapes the mp.Pool worker
         # loop (which catches only Exception) and hangs pool.map forever
         raise ValueError(f"{path}: missing columns {required - set(df.columns)}")
+    if chrcol != "chrom" or poscol != "pos":
+        df = df.rename(columns={chrcol: "chrom", poscol: "pos"})
+    if ranges:
+        import numpy as np
+
+        mask = np.zeros(len(df), bool)
+        for spec in ranges:
+            c, rest = str(spec).split(":", 1)
+            a_s, b_s = rest.replace(":", "-").split("-", 1)
+            a, b = float(a_s), float(b_s)
+            lo = int(a * 1e6) if a < 1e5 else int(a)
+            hi = int(b * 1e6) if b < 1e5 else int(b)
+            mask |= ((df["chrom"].astype(str) == c.strip())
+                     & (df["pos"] >= lo) & (df["pos"] <= hi)).to_numpy()
+        df = df[mask]
+        if not len(df):
+            raise ValueError(f"{path}: no rows inside -bimrange")
     return df
 
 
@@ -94,17 +148,18 @@ def _render_one(task: tuple) -> tuple:
 
     Top-level (picklable) so multiple files render in a process pool —
     reference postgwas parallel plotting (postgwas.py:581)."""
-    path, tag, pcol, prefix, sig, top_n, gff_path = task
+    (path, tag, pcol, prefix, sig, top_n, gff_path, chrcol, poscol,
+     ranges, fmt, ylim) = task
     from janusx_tpu.plots.gwasplots import manhattan_plot, qq_plot
 
-    df = _read_assoc(path, pcol)
-    man = f"{prefix}.{tag}.manhattan.png"
-    qq = f"{prefix}.{tag}.qq.png"
+    df = _read_assoc(path, pcol, chrcol, poscol, ranges)
+    man = f"{prefix}.{tag}.manhattan.{fmt}"
+    qq = f"{prefix}.{tag}.qq.{fmt}"
     manhattan_plot(
         df["chrom"].to_numpy(), df["pos"].to_numpy(),
-        df[pcol].to_numpy(), man, sig_line=sig, title=tag,
+        df[pcol].to_numpy(), man, sig_line=sig, title=tag, ylim=ylim,
     )
-    lam = qq_plot(df[pcol].to_numpy(), qq, title=tag)
+    lam = qq_plot(df[pcol].to_numpy(), qq, title=tag, ylim=ylim)
     top = df.nsmallest(top_n, pcol).copy()
     if gff_path:
         from janusx_tpu.utils.gff import GffIndex
@@ -132,8 +187,13 @@ def main(argv=None) -> int:
         hits = sorted(glob.glob(pat))
         paths.extend(hits if hits else [pat])
     tags = _tags_for(paths)
+    ylim = None
+    if args.ylim:
+        ylim = ((0.0, args.ylim[0]) if len(args.ylim) == 1
+                else (args.ylim[0], args.ylim[1]))
     tasks = [
-        (path, tag, args.pcol, prefix, args.sig, args.top, args.gff)
+        (path, tag, args.pcol, prefix, args.sig, args.top, args.gff,
+         args.chrcol, args.poscol, args.bimrange, args.format, ylim)
         for path, tag in zip(paths, tags)
     ]
     jobs = args.jobs
@@ -150,6 +210,82 @@ def main(argv=None) -> int:
     for tag, lam, man, qq, top_path in results:
         outputs += [man, qq, top_path]
         print(f"{tag}\tlambda_GC={lam:.3f}\t{man}")
+    if args.manh_merge or args.qq_merge or args.circle:
+        panels = []
+        for path, tag in zip(paths, tags):
+            df = _read_assoc(path, args.pcol, args.chrcol, args.poscol,
+                             args.bimrange)
+            panels.append((tag, df["chrom"].to_numpy(),
+                           df["pos"].to_numpy(), df[args.pcol].to_numpy()))
+        if args.manh_merge:
+            from janusx_tpu.plots.gwasplots import manhattan_merge_plot
+
+            out = f"{prefix}.manhattan.merge.{args.format}"
+            manhattan_merge_plot(panels, out, sig_line=args.sig, ylim=ylim)
+            print(out)
+        if args.qq_merge:
+            from janusx_tpu.plots.gwasplots import qq_merge_plot
+
+            out = f"{prefix}.qq.merge.{args.format}"
+            lams = qq_merge_plot(
+                [(t, p) for t, _, _, p in panels], out, ylim=ylim)
+            print(out + "\t" + " ".join(
+                f"{t}:lambda={v:.3f}" for t, v in lams.items()))
+        if args.circle:
+            from janusx_tpu.plots.gwasplots import circular_manhattan
+
+            out = f"{prefix}.circle.{args.format}"
+            circular_manhattan(panels, out, sig_line=args.sig,
+                               direction=args.circle_dir)
+            print(out)
+    if args.ldclump:
+        from janusx_tpu.models.ldprune import ld_clump
+
+        win_s, r2_s = args.ldclump
+        wl = str(win_s).lower()
+        if wl.endswith("kb"):
+            window = int(float(wl[:-2]) * 1e3)
+        elif wl.endswith("mb"):
+            window = int(float(wl[:-2]) * 1e6)
+        else:
+            window = int(float(wl))
+        r2_cut = float(r2_s)
+        pg_clump = None
+        geno = common.resolve_genotype_optional(args)
+        if geno is not None:
+            from janusx_tpu.io.gfreader import load_raw_packed
+            from janusx_tpu.io.packed import QcParams
+
+            pg_clump = load_raw_packed(geno).prepare(
+                QcParams(maf=0.0, geno=1.0))
+        for path, tag in zip(paths, tags):
+            df = _read_assoc(path, args.pcol, args.chrcol, args.poscol,
+                             args.bimrange)
+            m = max(int(df[args.pcol].notna().sum()), 1)
+            thr = args.sig if args.sig is not None else 0.05 / m
+            clumps = ld_clump(
+                pg_clump, df["chrom"].to_numpy(), df["pos"].to_numpy(),
+                df[args.pcol].to_numpy(), thr=thr, window_bp=window,
+                r2_cut=r2_cut,
+            )
+            out = f"{prefix}.{tag}.clumped.tsv"
+            snp_col = df["snp"] if "snp" in df.columns else None
+            with open(out, "wt") as fh:
+                fh.write("chrom\tpos\tsnp\tp\tn_members\tmembers\n")
+                for c in clumps:
+                    names = (
+                        [str(snp_col.iloc[j]) for j in c["members"]]
+                        if snp_col is not None else
+                        [f"{df['chrom'].iloc[j]}:{df['pos'].iloc[j]}"
+                         for j in c["members"]]
+                    )
+                    lead_name = names[0]
+                    fh.write(
+                        f"{c['chrom']}\t{c['pos']}\t{lead_name}\t"
+                        f"{c['p']:.4e}\t{len(c['members'])}\t"
+                        + ";".join(names) + "\n")
+            print(f"{out}\t{len(clumps)} clumps (window={window}bp "
+                  f"r2>={r2_cut}, thr={thr:.3g})")
     if args.ldblock:
         import numpy as np
 
@@ -188,7 +324,8 @@ def main(argv=None) -> int:
         lo, hi = (int(x) for x in span.split("-"))
         assoc = None
         if paths:
-            df = _read_assoc(paths[0], args.pcol)
+            df = _read_assoc(paths[0], args.pcol, args.chrcol,
+                             args.poscol, args.bimrange)
             sub = df[(df["chrom"].astype(str) == chrom)
                      & (df["pos"] >= lo) & (df["pos"] <= hi)]
             if len(sub):
@@ -219,7 +356,8 @@ def main(argv=None) -> int:
 
             pg = load_raw_packed(geno).prepare(QcParams(maf=0.01, geno=0.2))
         for path, tag in zip(paths, tags):
-            df = _read_assoc(path, args.pcol)
+            df = _read_assoc(path, args.pcol, args.chrcol,
+                             args.poscol, args.bimrange)
             m = max(int(np.isfinite(df[args.pcol]).sum()), 1)
             # region_report's sig_line sits on the -log10 axis; -sig is a
             # raw p-value (same semantics as the Manhattan panel)

@@ -157,3 +157,84 @@ def ld_prune(
             removed[s:e_ov] |= local_removed
             s = e
     return np.nonzero(~removed)[0]
+
+
+def ld_clump(
+    pg: PackedGenotypes,
+    chrom: np.ndarray,
+    pos: np.ndarray,
+    pvals: np.ndarray,
+    thr: float,
+    window_bp: int = 250_000,
+    r2_cut: float = 0.5,
+):
+    """PLINK-style LD clumping of significant hits (reference postgwas
+    -LDclump WINDOW R2): walk hits by ascending p; each unclaimed index
+    SNP claims every unclaimed significant SNP within +-window_bp on the
+    same chromosome with r^2 >= r2_cut against the INDEX genotype
+    (pairwise-complete r, same missingness convention as r2_matrix).
+
+    ``chrom``/``pos``/``pvals`` come from the assoc TSV; markers are
+    matched to ``pg`` by (chrom, pos) — unmatched hits clump by position
+    only (r^2 treated as 1 inside the window, flagged in the output).
+
+    Returns a list of dicts: lead assoc-row index, chrom, pos, p,
+    members (assoc-row indices incl. the lead), n_genotyped.
+    """
+    chrom = np.asarray(chrom).astype(str)
+    pos = np.asarray(pos, np.int64)
+    pvals = np.asarray(pvals, np.float64)
+    sig = np.nonzero(np.isfinite(pvals) & (pvals < thr))[0]
+    if sig.size == 0:
+        return []
+    sig = sig[np.argsort(pvals[sig], kind="stable")]
+
+    geno_row = {}
+    if pg is not None:
+        lookup = {}
+        pchrom = pg.sites.chrom.astype(str)
+        for j in range(pg.m):
+            lookup[(pchrom[j], int(pg.sites.pos[j]))] = j
+        for i in sig:
+            j = lookup.get((chrom[i], int(pos[i])))
+            if j is not None:
+                geno_row[int(i)] = j
+
+    claimed: set = set()
+    clumps = []
+    for i in sig:
+        i = int(i)
+        if i in claimed:
+            continue
+        near = sig[
+            (chrom[sig] == chrom[i])
+            & (np.abs(pos[sig] - pos[i]) <= window_bp)
+        ]
+        cand = [int(j) for j in near if int(j) not in claimed and int(j) != i]
+        members = [i]
+        gi = geno_row.get(i)
+        if gi is not None and cand:
+            cand_g = [c for c in cand if c in geno_row]
+            if cand_g:
+                rows = pg.take_snps(
+                    np.asarray([gi] + [geno_row[c] for c in cand_g]))
+                Z = rows.centered()
+                Zs = Z - Z.mean(axis=1, keepdims=True)
+                nrm = np.sqrt((Zs * Zs).sum(axis=1))
+                nrm[nrm == 0] = 1.0
+                r = (Zs[1:] @ Zs[0]) / (nrm[1:] * nrm[0])
+                for c, rv in zip(cand_g, r):
+                    if rv * rv >= r2_cut:
+                        members.append(c)
+            # hits absent from the genotype panel stay unclaimed
+        elif gi is None:
+            # no genotype for the index: claim the whole window by
+            # position (flagged via n_genotyped=0)
+            members.extend(cand)
+        claimed.update(members)
+        clumps.append({
+            "lead": i, "chrom": chrom[i], "pos": int(pos[i]),
+            "p": float(pvals[i]), "members": members,
+            "n_genotyped": int(gi is not None),
+        })
+    return clumps

@@ -27,6 +27,7 @@ def manhattan_plot(
     sig_line: float | None = None,
     title: str | None = None,
     dpi: int = 150,
+    ylim=None,
 ) -> None:
     chrom = np.asarray(chrom).astype(str)
     pos = np.asarray(pos, np.float64)
@@ -51,6 +52,8 @@ def manhattan_plot(
     ax.set_xticklabels(labels, fontsize=8)
     ax.set_xlabel("Chromosome")
     ax.set_ylabel(r"$-\log_{10}(p)$")
+    if ylim is not None:
+        ax.set_ylim(*ylim)
     if title:
         ax.set_title(title)
     ax.spines[["top", "right"]].set_visible(False)
@@ -65,6 +68,7 @@ def qq_plot(
     title: str | None = None,
     band: bool = True,
     dpi: int = 150,
+    ylim=None,
 ) -> float:
     """QQ plot with exact beta-distribution confidence band; returns the
     genomic-inflation factor lambda_GC."""
@@ -90,6 +94,8 @@ def qq_plot(
     ax.scatter(exp, obs, s=5, c=_PALETTE[0], rasterized=True, lw=0)
     ax.set_xlabel(r"Expected $-\log_{10}(p)$")
     ax.set_ylabel(r"Observed $-\log_{10}(p)$")
+    if ylim is not None:
+        ax.set_ylim(*ylim)
     label = title or ""
     ax.set_title(f"{label} $\\lambda_{{GC}}$={lambda_gc:.3f}".strip())
     ax.spines[["top", "right"]].set_visible(False)
@@ -97,3 +103,186 @@ def qq_plot(
     fig.savefig(out_path, dpi=dpi)
     plt.close(fig)
     return lambda_gc
+
+
+def manhattan_merge_plot(
+    panels: list,
+    out_path: str,
+    sig_line: float | None = None,
+    ylim=None,
+    dpi: int = 150,
+) -> None:
+    """One merged figure of stacked Manhattan panels sharing the
+    chromosome axis (reference `-manh-merge`). ``panels`` is a list of
+    (tag, chrom, pos, pvals)."""
+    union: list = []
+    spans: dict = {}
+    for _, chrom, pos, _ in panels:
+        chrom = np.asarray(chrom).astype(str)
+        pos = np.asarray(pos, np.float64)
+        for c in dict.fromkeys(chrom):
+            hi = float(pos[chrom == c].max())
+            spans[c] = max(spans.get(c, 0.0), hi)
+            if c not in union:
+                union.append(c)
+    gap = 0.02 * float(np.median(list(spans.values()))) + 1
+    offsets, ticks = {}, []
+    off = 0.0
+    for c in union:
+        offsets[c] = off
+        ticks.append(off + spans[c] / 2)
+        off += spans[c] + gap
+
+    T = len(panels)
+    fig, axes = plt.subplots(T, 1, figsize=(11, 2.6 * T), sharex=True,
+                             squeeze=False)
+    for row, (tag, chrom, pos, pvals) in enumerate(panels):
+        ax = axes[row, 0]
+        chrom = np.asarray(chrom).astype(str)
+        pos = np.asarray(pos, np.float64)
+        with np.errstate(divide="ignore"):
+            logp = -np.log10(np.clip(np.asarray(pvals, np.float64),
+                                     1e-300, 1.0))
+        for i, c in enumerate(union):
+            sel = chrom == c
+            if not sel.any():
+                continue
+            ax.scatter(pos[sel] + offsets[c], logp[sel], s=4,
+                       c=_PALETTE[i % 2], rasterized=True, lw=0)
+        sig = sig_line if sig_line is not None else 0.05 / max(len(pvals), 1)
+        ax.axhline(-np.log10(sig), color="red", ls="--", lw=0.8)
+        ax.set_ylabel(r"$-\log_{10}(p)$")
+        ax.set_title(tag, fontsize=9, loc="left")
+        if ylim is not None:
+            ax.set_ylim(*ylim)
+        ax.spines[["top", "right"]].set_visible(False)
+    axes[-1, 0].set_xticks(ticks)
+    axes[-1, 0].set_xticklabels(union, fontsize=8)
+    axes[-1, 0].set_xlabel("Chromosome")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)
+
+
+def qq_merge_plot(
+    panels: list,
+    out_path: str,
+    band: bool = True,
+    ylim=None,
+    dpi: int = 150,
+) -> dict:
+    """Overlaid QQ curves for several GWAS files on one axes (reference
+    `-qq-merge`); the confidence band follows the largest panel. Returns
+    {tag: lambda_GC}."""
+    fig, ax = plt.subplots(figsize=(4.6, 4.6))
+    lams: dict = {}
+    m_max, drawn_band = 0, False
+    cleaned = []
+    for tag, pvals in panels:
+        p = np.asarray(pvals, np.float64)
+        p = np.sort(p[np.isfinite(p) & (p > 0) & (p <= 1)])
+        cleaned.append((tag, p))
+        m_max = max(m_max, len(p))
+    lim = 1.0
+    for i, (tag, p) in enumerate(cleaned):
+        m = len(p)
+        if m == 0:
+            continue
+        exp = -np.log10((np.arange(1, m + 1) - 0.5) / m)
+        obs = -np.log10(p)
+        if band and not drawn_band and m == m_max:
+            ranks = np.arange(1, m + 1)
+            lo = -np.log10(sp_stats.beta.ppf(0.975, ranks, m - ranks + 1))
+            hi = -np.log10(sp_stats.beta.ppf(0.025, ranks, m - ranks + 1))
+            ax.fill_between(exp, lo, hi, color="#cccccc", alpha=0.5, lw=0)
+            drawn_band = True
+        chi2 = sp_stats.chi2.isf(p, df=1)
+        lam = float(np.median(chi2) / sp_stats.chi2.ppf(0.5, df=1))
+        lams[tag] = lam
+        color = f"C{i % 10}"
+        ax.scatter(exp, obs, s=5, c=color, rasterized=True, lw=0,
+                   label=f"{tag} ($\\lambda$={lam:.3f})")
+        lim = max(lim, exp.max() * 1.05, obs.max() * 1.05)
+    ax.plot([0, lim], [0, lim], color="red", lw=0.8)
+    ax.set_xlabel(r"Expected $-\log_{10}(p)$")
+    ax.set_ylabel(r"Observed $-\log_{10}(p)$")
+    if ylim is not None:
+        ax.set_ylim(*ylim)
+    ax.legend(fontsize=7, frameon=False)
+    ax.spines[["top", "right"]].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)
+    return lams
+
+
+def circular_manhattan(
+    rings: list,
+    out_path: str,
+    sig_line: float | None = None,
+    direction: str = "out",
+    dpi: int = 170,
+) -> None:
+    """Circular (Circos-style) Manhattan: one concentric ring per GWAS
+    file, chromosomes as arcs (reference `-circle` with -circle-in/-out
+    direction control). ``rings`` is a list of (tag, chrom, pos, pvals),
+    outermost first."""
+    union: list = []
+    spans: dict = {}
+    for _, chrom, pos, _ in rings:
+        chrom = np.asarray(chrom).astype(str)
+        pos = np.asarray(pos, np.float64)
+        for c in dict.fromkeys(chrom):
+            spans[c] = max(spans.get(c, 0.0), float(pos[chrom == c].max()))
+            if c not in union:
+                union.append(c)
+    total = sum(spans.values())
+    gap_rad = 2.0 * np.pi * 0.01
+    arc = 2.0 * np.pi - gap_rad * len(union)
+    theta0, starts = 0.0, {}
+    for c in union:
+        starts[c] = theta0
+        theta0 += arc * spans[c] / total + gap_rad
+
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(111, projection="polar")
+    ax.set_theta_zero_location("N")
+    ax.set_theta_direction(-1)
+    n_rings = len(rings)
+    r_lo0, band_w, band_gap = 0.35, 0.55 / max(n_rings, 1), 0.04
+    for ridx, (tag, chrom, pos, pvals) in enumerate(rings):
+        chrom = np.asarray(chrom).astype(str)
+        pos = np.asarray(pos, np.float64)
+        with np.errstate(divide="ignore"):
+            logp = -np.log10(np.clip(np.asarray(pvals, np.float64),
+                                     1e-300, 1.0))
+        top = np.percentile(logp, 99.9) * 1.3 + 1e-9
+        logp = np.minimum(logp, top)
+        r_lo = r_lo0 + ridx * band_w
+        w = band_w - band_gap
+        for i, c in enumerate(union):
+            sel = chrom == c
+            if not sel.any():
+                continue
+            th = starts[c] + arc * (pos[sel] / total)
+            frac = logp[sel] / top
+            if direction == "in":
+                r = r_lo + w * (1.0 - frac)
+            else:
+                r = r_lo + w * frac
+            ax.scatter(th, r, s=2.5, c=_PALETTE[i % 2], rasterized=True,
+                       lw=0)
+        sig = sig_line if sig_line is not None else 0.05 / max(len(pvals), 1)
+        sfrac = min(-np.log10(sig) / top, 1.0)
+        rs = r_lo + w * (1.0 - sfrac if direction == "in" else sfrac)
+        ax.plot(np.linspace(0, 2 * np.pi, 256), np.full(256, rs),
+                color="red", ls="--", lw=0.6)
+        ax.text(0.0, r_lo + w + 0.01, tag, fontsize=6, ha="center")
+    for c in union:
+        mid = starts[c] + arc * spans[c] / total / 2.0
+        ax.text(mid, r_lo0 + n_rings * band_w + 0.05, c, fontsize=8,
+                ha="center", va="center")
+    ax.set_ylim(0, r_lo0 + n_rings * band_w + 0.12)
+    ax.axis("off")
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)

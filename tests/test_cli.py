@@ -480,3 +480,51 @@ def test_gstats_ldscore_chunk_boundaries(tmp_path):
         lo, up = max(0, gi - win), min(pgq.m, gi + win + 1)
         want = float(((Z[lo:up] @ Z[gi]) ** 2).sum() - 1.0)
         assert ld[gi] == pytest.approx(want, abs=1e-3)
+
+
+def test_cli_postgwas_merge_circle_clump(sim_dataset, tmp_path):
+    """Reference postgwas surface: -manh-merge, -qq-merge, -circle,
+    -LDclump, -thr alias, -bimrange filter, -fmt, column-name options."""
+    rc = jx_main([
+        "gwas", "-bfile", sim_dataset, "-p", sim_dataset + ".pheno",
+        "-lm", "-lmm", "-force-model", "-o", str(tmp_path), "-prefix", "m",
+    ])
+    assert rc == 0
+    t1 = str(tmp_path / "m.trait0.LM.assoc.tsv")
+    t2 = str(tmp_path / "m.trait0.LMM.assoc.tsv")
+    rc = jx_main([
+        "postgwas", "-i", t1, t2, "-o", str(tmp_path), "-prefix", "pg2",
+        "-manh-merge", "-qq-merge", "-circle", "-circle-in",
+        "-fmt", "pdf", "-ylim", "8",
+    ])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "pg2.manhattan.merge.pdf"))
+    assert os.path.exists(str(tmp_path / "pg2.qq.merge.pdf"))
+    assert os.path.exists(str(tmp_path / "pg2.circle.pdf"))
+
+    # LD clump with genotypes + loose threshold so clumps exist
+    rc = jx_main([
+        "postgwas", "-i", t1, "-bfile", sim_dataset,
+        "-o", str(tmp_path), "-prefix", "pg3",
+        "-LDclump", "100kb", "0.2", "-thr", "0.01",
+    ])
+    assert rc == 0
+    clumped = str(tmp_path / "pg3.m.trait0.LM.clumped.tsv")
+    assert os.path.exists(clumped)
+    lines = open(clumped).read().splitlines()
+    assert lines[0].split("\t") == [
+        "chrom", "pos", "snp", "p", "n_members", "members"]
+    assert len(lines) > 1
+    # leads are mutually unclaimed: every member appears exactly once
+    all_members = []
+    for ln in lines[1:]:
+        all_members += ln.split("\t")[5].split(";")
+    assert len(all_members) == len(set(all_members))
+
+    # -bimrange restricts the plotted rows; bogus range errors cleanly
+    rc = jx_main([
+        "postgwas", "-i", t1, "-o", str(tmp_path), "-prefix", "pg4",
+        "-bimrange", "1:0-1000000",
+    ])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "pg4.m.trait0.LM.manhattan.png"))
