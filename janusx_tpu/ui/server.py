@@ -7,6 +7,14 @@ registry (janusx_tpu.utils.history) with:
 
   /            dashboard: job table + run history + submit form
   /run/<id>    recorded run detail (params, outputs, previews)
+  /run/<id>/render (POST)  render Manhattan+QQ for the run's assoc TSVs
+                           in the browser (reference /api/gwas-history/
+                           <id>/render)
+  /run/<id>/sigsites?thr=  significant-site table for the run's assoc
+                           TSVs (reference .../sigsites)
+  /upload      (POST form: name + pasted TSV content) drop an arbitrary
+               assoc TSV: renders Manhattan+QQ + sigsites (reference
+               /api/gwas-upload)
   /job/<id>    live job detail (status, log tail)
   /job/<id>/cancel (POST)
   /submit      (POST) launch `jx <module> ...` as a tracked subprocess
@@ -228,6 +236,13 @@ class Handler(BaseHTTPRequestHandler):
                  "started": j.started, "args": j.args}
                 for j in self.state.jobs.values()
             ])
+        if route.startswith("/run/") and route.endswith("/sigsites"):
+            try:
+                run_id = int(route.split("/")[2])
+            except (ValueError, IndexError):
+                return self._send(_page("not found", ""), code=404)
+            thr = q.get("thr", [None])[0]
+            return self._sigsites(run_id, None if thr is None else float(thr))
         if route.startswith("/run/"):
             try:
                 run_id = int(route.split("/")[2])
@@ -264,6 +279,14 @@ class Handler(BaseHTTPRequestHandler):
             self.end_headers()
             return
         m = url.path.split("/")
+        if len(m) == 4 and m[1] == "run" and m[3] == "render":
+            try:
+                run_id = int(m[2])
+            except ValueError:
+                return self._send(_page("not found", ""), code=404)
+            return self._render_run(run_id)
+        if url.path == "/upload":
+            return self._upload(form)
         if len(m) == 4 and m[1] == "job" and m[3] == "cancel":
             try:
                 job = self.state.jobs.get(int(m[2]))
@@ -304,6 +327,14 @@ class Handler(BaseHTTPRequestHandler):
             "-lmm -o out'> <input type='submit' value='run'></form>"
             f"<p style='color:#666'>runs in {html.escape(self.state.workdir)}"
             "</p></div>"
+            "<div class='card'><h3>Upload an assoc TSV</h3>"
+            "<form method='post' action='/upload'>"
+            f"<input type='hidden' name='csrf' value='{self.state.csrf}'>"
+            "<input name='name' placeholder='name'> "
+            "<input type='submit' value='render'><br>"
+            "<textarea name='content' rows='4' cols='90' "
+            "placeholder='paste chrom/pos/pwald TSV content'></textarea>"
+            "</form></div>"
             "<div class='card'><h3>Jobs (this session)</h3><table>"
             "<tr><th>job</th><th>module</th><th>status</th><th>started</th>"
             f"<th>args</th></tr>{jobs_rows}</table></div>"
@@ -355,6 +386,136 @@ class Handler(BaseHTTPRequestHandler):
             "setTimeout(()=>location.reload(), 3000)</script>"
         )
         return self._send(_page(f"job #{job_id}", body))
+
+    @staticmethod
+    def _assoc_tsvs(outputs: list) -> list:
+        return [o for o in outputs
+                if str(o).endswith(".assoc.tsv") and os.path.exists(o)]
+
+    @staticmethod
+    def _load_tsv(path: str) -> dict:
+        """Tiny stdlib TSV reader (column name -> list of strings).
+        pandas' pyarrow string backend is NOT safe inside handler
+        threads (observed segfault in _from_sequence), and the server
+        must stay importable without heavy deps anyway."""
+        import csv
+
+        with open(path, "rt", newline="") as fh:
+            rd = csv.reader(fh, delimiter="\t")
+            header = next(rd, None)
+            if not header:
+                raise ValueError(f"{os.path.basename(path)}: empty TSV")
+            cols: dict = {h: [] for h in header}
+            for row in rd:
+                for h, v in zip(header, row):
+                    cols[h].append(v)
+        return cols
+
+    def _run_outputs(self, run_id: int):
+        r = history.get_run(run_id)
+        if r is None:
+            return None
+        return json.loads(r[5] or "[]")
+
+    def _render_run(self, run_id: int):
+        """Render Manhattan + QQ for every assoc TSV of a recorded run —
+        browser-driven postgwas (reference /api/gwas-history/<id>/render);
+        images land next to the TSVs (inside an allowed run root)."""
+        outputs = self._run_outputs(run_id)
+        if outputs is None:
+            return self._send(_page("run not found", ""), code=404)
+        tsvs = self._assoc_tsvs(outputs)
+        if not tsvs:
+            return self._send(
+                _page("nothing to render", "run has no assoc TSVs"), code=400)
+        import numpy as np
+
+        from janusx_tpu.plots.gwasplots import manhattan_plot, qq_plot
+
+        body = ""
+        for t in tsvs:
+            cols = self._load_tsv(t)
+            if not {"chrom", "pos", "pwald"}.issubset(cols):
+                continue
+            man = t[: -len(".assoc.tsv")] + ".ui.manhattan.png"
+            qq = t[: -len(".assoc.tsv")] + ".ui.qq.png"
+            tag = os.path.basename(t)[: -len(".assoc.tsv")]
+            manhattan_plot(np.asarray(cols["chrom"]),
+                           np.asarray(cols["pos"], float),
+                           np.asarray(cols["pwald"], float), man, title=tag)
+            lam = qq_plot(np.asarray(cols["pwald"], float), qq, title=tag)
+            body += (f"<h4>{html.escape(tag)} (&lambda;={lam:.3f})</h4>"
+                     + _preview(man) + _preview(qq))
+        body += (f"<p><a href='/run/{run_id}/sigsites'>significant sites"
+                 "</a></p>")
+        return self._send(_page(f"run #{run_id} plots", body))
+
+    def _sigsites(self, run_id: int, thr: float | None):
+        """Significant-site table across the run's assoc TSVs (reference
+        /api/gwas-history/<id>/sigsites); default threshold 0.05/m."""
+        outputs = self._run_outputs(run_id)
+        if outputs is None:
+            return self._send(_page("run not found", ""), code=404)
+        import numpy as np
+
+        body = ""
+        for t in self._assoc_tsvs(outputs):
+            cols = self._load_tsv(t)
+            if "pwald" not in cols:
+                continue
+            p = np.asarray(cols["pwald"], float)
+            m = max(int(np.isfinite(p).sum()), 1)
+            cut = thr if thr is not None else 0.05 / m
+            idx = np.nonzero(np.isfinite(p) & (p < cut))[0]
+            idx = idx[np.argsort(p[idx], kind="stable")][:500]
+            tag = os.path.basename(t)
+            body += (f"<h4>{html.escape(tag)} — {len(idx)} sites "
+                     f"(p &lt; {cut:.3g})</h4>")
+            show = [c for c in ("chrom", "pos", "snp", "af", "beta", "se",
+                                "pwald") if c in cols]
+            rows = "".join(
+                "<tr>" + "".join(
+                    f"<td>{html.escape(cols[c][i])}</td>" for c in show
+                ) + "</tr>"
+                for i in idx)
+            body += ("<table><tr>" + "".join(f"<th>{c}</th>" for c in show)
+                     + f"</tr>{rows}</table>")
+        return self._send(_page(f"run #{run_id} significant sites", body))
+
+    def _upload(self, form: dict):
+        """Paste-an-assoc-TSV entry point (reference /api/gwas-upload):
+        stores the content under the workdir and renders Manhattan/QQ +
+        a sigsites link."""
+        name = os.path.basename(form.get("name", ["upload"])[0]) or "upload"
+        if not name.endswith(".assoc.tsv"):
+            name += ".assoc.tsv"
+        content = form.get("content", [""])[0]
+        if not content.strip():
+            return self._send(_page("error", "empty TSV content"), code=400)
+        updir = os.path.join(self.state.workdir, "uploads")
+        os.makedirs(updir, exist_ok=True)
+        path = os.path.join(updir, name)
+        with open(path, "wt") as fh:
+            fh.write(content)
+        import numpy as np
+
+        from janusx_tpu.plots.gwasplots import manhattan_plot, qq_plot
+
+        try:
+            cols = self._load_tsv(path)
+            if not {"chrom", "pos", "pwald"}.issubset(cols):
+                raise ValueError("needs chrom/pos/pwald columns")
+            man = path[: -len(".assoc.tsv")] + ".ui.manhattan.png"
+            qq = path[: -len(".assoc.tsv")] + ".ui.qq.png"
+            manhattan_plot(np.asarray(cols["chrom"]),
+                           np.asarray(cols["pos"], float),
+                           np.asarray(cols["pwald"], float), man, title=name)
+            lam = qq_plot(np.asarray(cols["pwald"], float), qq, title=name)
+        except Exception as e:  # malformed paste -> clean 400, not a 500
+            return self._send(_page("error", html.escape(str(e))), code=400)
+        body = (f"<p>stored {html.escape(path)} (&lambda;={lam:.3f})</p>"
+                + _preview(man) + _preview(qq))
+        return self._send(_page(f"upload: {name}", body))
 
     def _file(self, path: str):
         if not path or not self.state.allowed_file(path):

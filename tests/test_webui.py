@@ -97,3 +97,48 @@ def test_file_access_restricted(ui):
     ok.write_text("fine")
     code, body = _get(base + f"/file?p={urllib.parse.quote(str(ok))}")
     assert code == 200 and body == "fine"
+
+
+def test_render_sigsites_and_upload(ui):
+    """Browser-driven GWAS views (reference /api/gwas-history render/
+    sigsites and /api/gwas-upload): render a recorded run's assoc TSV,
+    list its significant sites, and paste-upload an arbitrary TSV."""
+    base, state, tmp = ui
+    from janusx_tpu.utils import history
+
+    tsv = tmp / "x.trait0.LM.assoc.tsv"
+    rows = ["chrom\tpos\tsnp\taf\tbeta\tse\tpwald"]
+    for i in range(50):
+        p = 1e-8 if i == 7 else 0.3 + i * 0.01
+        rows.append(f"1\t{100 + i}\ts{i}\t0.3\t0.1\t0.05\t{p}")
+    tsv.write_text("\n".join(rows) + "\n")
+    history.record_run("gwas", str(tmp / "x"), {}, [str(tsv)], 1.0)
+    run_id = json.loads(_get(base + "/api/runs")[1])[0][0]
+
+    code, body = _post(f"{base}/run/{run_id}/render", {}, state=state)
+    assert code == 200 and "manhattan" in body
+    assert os.path.exists(tmp / "x.trait0.LM.ui.manhattan.png")
+    assert os.path.exists(tmp / "x.trait0.LM.ui.qq.png")
+
+    code, body = _get(f"{base}/run/{run_id}/sigsites")
+    assert code == 200 and "s7" in body and "1 sites" in body
+    # p = 0.3 + i*0.01 for i != 7 -> 19 of those under 0.5, plus s7
+    code, body = _get(f"{base}/run/{run_id}/sigsites?thr=0.5")
+    assert "s7" in body and "20 sites" in body
+
+    content = "\n".join(rows) + "\n"
+    code, body = _post(base + "/upload",
+                       {"name": "pasted", "content": content}, state=state)
+    assert code == 200 and "lambda" in body.lower() or "λ" in body
+    assert os.path.exists(tmp / "uploads" / "pasted.assoc.tsv")
+    assert os.path.exists(tmp / "uploads" / "pasted.ui.manhattan.png")
+
+    # malformed paste -> clean 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/upload", {"name": "bad", "content": "not a tsv"},
+              state=state)
+    assert e.value.code == 400
+    # upload without the CSRF token is rejected
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/upload", {"name": "x", "content": content})
+    assert e.value.code == 403
