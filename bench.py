@@ -5,10 +5,11 @@ decode + eigenbasis rotate + shared λ-grid search + beta/se/Wald) end to
 end on the available accelerator, excluding one-time compile.
 
 Workload: mouse_hs1940 trait test0 (n=1410 analysis samples, m~=8.9k QC'd
-SNPs), with the QC'd SNP set tiled 8x to m~=72k so the measurement is
-representative of a real chromosome-scale scan rather than dominated by
-the ~20 ms fixed per-call cost (host sync + final-stats fetch through the
-device relay; at m=8.9k that fixed cost is ~50% of wall time). Every SNP
+SNPs), with the QC'd SNP set tiled 32x to m~=287k (human chromosome 1-2
+scale) so the measurement is steady-state rather than dominated by the
+~35 ms fixed per-call cost (host sync + relay round-trip latency; at
+m=72k that fixed cost was still ~30% of wall time — measured slope is
+~0.77 us/SNP). Every SNP
 column scanned is real genotype data and runs the identical production
 code path (`janusx_tpu.models.lmm.lmm_scan`); only the scan length is
 extended.
@@ -32,7 +33,7 @@ import time
 import numpy as np
 
 ANALYTIC_BASELINE_SNPS_PER_SEC = 20_000.0  # retained cross-check only
-TILE = 8  # extend the scan to chromosome-scale m (~72k SNPs)
+TILE = 32  # extend the scan to chromosome-scale m (~287k SNPs)
 
 
 def measure_baseline(basis, y, Gc: np.ndarray, lg_init: float):
