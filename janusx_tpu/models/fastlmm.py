@@ -586,10 +586,13 @@ def fastlmm_scan(
     # resident scan like every other route (nulls/rotation reused)
     superblock = min(1 << 20, getattr(pg, "max_resident_snps", 1 << 20))
     if pg.m > superblock:
+        from janusx_tpu.utils.prefetch import prefetch_one_ahead
+
         sb = max((superblock // block) * block, block)
+        spans = [(s0, min(s0 + sb, pg.m)) for s0 in range(0, pg.m, sb)]
         parts = []
-        for s0 in range(0, pg.m, sb):
-            sub = pg.take_snps(np.arange(s0, min(s0 + sb, pg.m)))
+        for sub in prefetch_one_ahead(
+                spans, lambda se: pg.take_snps(np.arange(se[0], se[1]))):
             r, null = fastlmm_scan(sub, lrb, y, covariates, block=block,
                                    lmm2=lmm2, grid_points=grid_points,
                                    model=model, rot=rot, null=null, mesh=mesh)

@@ -122,11 +122,15 @@ def lm_scan(
     """Run the LM scan over all SNPs of an (already subset) PackedGenotypes."""
     superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
     if pg.m > superblock:
+        # host IO/decode of chunk k+1 overlaps chunk k's device work
+        from janusx_tpu.utils.prefetch import prefetch_one_ahead
+
         sb = max((superblock // block) * block, block)
+        spans = [(s, min(s + sb, pg.m)) for s in range(0, pg.m, sb)]
         parts = [
-            lm_scan(pg.take_snps(np.arange(s, min(s + sb, pg.m))), y,
-                    covariates, block=block, mesh=mesh)
-            for s in range(0, pg.m, sb)
+            lm_scan(sub, y, covariates, block=block, mesh=mesh)
+            for sub in prefetch_one_ahead(
+                spans, lambda se: pg.take_snps(np.arange(se[0], se[1])))
         ]
         return ScanResult.concat(parts)
     if not hasattr(pg, "packed"):  # lazy input small enough: materialize
@@ -256,11 +260,14 @@ def lm_scan_multi(
         raise ValueError(f"Y rows {Y.shape[0]} != samples {n}")
     superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
     if pg.m > superblock:
+        from janusx_tpu.utils.prefetch import prefetch_one_ahead
+
         sb = max((superblock // block) * block, block)
+        spans = [(s0, min(s0 + sb, pg.m)) for s0 in range(0, pg.m, sb)]
         parts = [
-            lm_scan_multi(pg.take_snps(np.arange(s0, min(s0 + sb, pg.m))), Y,
-                          covariates, block=block, mesh=mesh)
-            for s0 in range(0, pg.m, sb)
+            lm_scan_multi(sub, Y, covariates, block=block, mesh=mesh)
+            for sub in prefetch_one_ahead(
+                spans, lambda se: pg.take_snps(np.arange(se[0], se[1])))
         ]
         return [ScanResult.concat([p[t] for p in parts]) for t in range(T)]
     if not hasattr(pg, "packed"):

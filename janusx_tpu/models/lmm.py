@@ -369,12 +369,16 @@ def lmm_scan(
         # streaming superblock mode: chunk the (possibly disk-backed)
         # matrix through the resident scan so neither host RAM nor HBM
         # ever holds more than `superblock` materialized SNPs
-        # (reference analog: WindowedBedMatrix streaming, src/io/gload.rs)
+        # (reference analog: WindowedBedMatrix streaming, src/io/gload.rs).
+        # Host IO/decode of chunk k+1 overlaps chunk k's device work
+        # (reference double-buffer overlap, src/stats/gblup.rs:27-28).
+        from janusx_tpu.utils.prefetch import prefetch_one_ahead
+
         parts = []
         sb = max((superblock // block) * block, block)
-        for s0 in range(0, m, sb):
-            e0 = min(s0 + sb, m)
-            sub = pg.take_snps(np.arange(s0, e0))
+        spans = [(s0, min(s0 + sb, m)) for s0 in range(0, m, sb)]
+        for sub in prefetch_one_ahead(
+                spans, lambda se: pg.take_snps(np.arange(se[0], se[1]))):
             r, null = lmm_scan(
                 sub, basis, y, covariates, block=block, lmm2=lmm2, null=null,
                 method=method, grid_points=grid_points, use_pallas=use_pallas,

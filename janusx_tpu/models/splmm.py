@@ -311,10 +311,17 @@ def splmm_grammar_scan(
     gMg_all = np.empty(m)
     superblock = min(superblock, getattr(pg, "max_resident_snps", superblock))
     sb = max((superblock // block) * block, block)
-    for c0 in range(0, m, sb):
-        c1 = min(c0 + sb, m)
-        sub = pg if (c0 == 0 and c1 == m and hasattr(pg, "packed")) else \
-            pg.take_snps(np.arange(c0, c1))
+    from janusx_tpu.utils.prefetch import prefetch_one_ahead
+
+    def _materialize(span):
+        c0, c1 = span
+        if c0 == 0 and c1 == m and hasattr(pg, "packed"):
+            return c0, c1, pg
+        return c0, c1, pg.take_snps(np.arange(c0, c1))
+
+    spans = [(c0, min(c0 + sb, m)) for c0 in range(0, m, sb)]
+    # chunk k+1's host IO/decode overlaps chunk k's device work
+    for c0, c1, sub in prefetch_one_ahead(spans, _materialize):
         gA, gMgb = _scan_ga_gmg(sub, X, C, Ma, n, block, mesh)
         with np.errstate(divide="ignore", invalid="ignore"):
             beta[c0:c1] = gA / (gamma_eff * gMgb)

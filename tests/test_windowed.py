@@ -220,3 +220,43 @@ def test_gstats_and_view_on_windowed_input(tmp_path, rng, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "s0" in out and "format=bed" in out
+
+
+def test_prefetch_one_ahead_order_errors_and_overlap():
+    """prefetch_one_ahead: results in order, exceptions surface at the
+    right yield, and item k+1 really materializes while k is consumed."""
+    import threading
+    import time as _t
+
+    from janusx_tpu.utils.prefetch import prefetch_one_ahead
+
+    assert list(prefetch_one_ahead([], lambda x: x)) == []
+    assert list(prefetch_one_ahead([1, 2, 3], lambda x: x * 10)) == [10, 20, 30]
+
+    def boom(x):
+        if x == 2:
+            raise ValueError("x2")
+        return x
+
+    it = prefetch_one_ahead([1, 2, 3], boom)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="x2"):
+        next(it)
+
+    # overlap: the worker starts item k+1 before the consumer finishes k
+    started = []
+    gate = threading.Event()
+
+    def make(x):
+        started.append(x)
+        return x
+
+    out = []
+    for v in prefetch_one_ahead([1, 2, 3], make):
+        _t.sleep(0.05)  # consumer busy: worker should already be on v+1
+        if v < 3:
+            assert len(started) >= v + 1, started
+        out.append(v)
+    assert out == [1, 2, 3]
