@@ -178,7 +178,11 @@ def grm_from_packed(
         n = pg.n_samples
         acc = None
         denom = 0.0
-        for _, _, sub in pg.iter_materialized():
+        from janusx_tpu.utils.prefetch import prefetch_iter
+
+        # window k+1's disk IO/decode overlaps window k's device syrk
+        # (reference decode/compute double buffering, gblup.rs:27-28)
+        for _, _, sub in prefetch_iter(pg.iter_materialized()):
             mean, inv_sd, var = _snp_scales(sub, method)
             blk = min(block, sub.m)
             if mesh is not None:

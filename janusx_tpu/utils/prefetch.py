@@ -29,3 +29,26 @@ def prefetch_one_ahead(items: Iterable, make: Callable) -> Iterator:
             fut = ex.submit(make, nxt)
             yield cur
         yield fut.result()
+
+
+_SENTINEL = object()
+
+
+def prefetch_iter(it: Iterable) -> Iterator:
+    """One-ahead prefetch over an arbitrary iterator: the NEXT element is
+    pulled in a background thread while the caller consumes the current
+    one. The source iterator is only ever advanced by the single worker
+    (no concurrent access to its internals)."""
+    it = iter(it)
+
+    def pull():
+        return next(it, _SENTINEL)
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(pull)
+        while True:
+            cur = fut.result()
+            if cur is _SENTINEL:
+                return
+            fut = ex.submit(pull)
+            yield cur

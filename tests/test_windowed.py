@@ -260,3 +260,21 @@ def test_prefetch_one_ahead_order_errors_and_overlap():
             assert len(started) >= v + 1, started
         out.append(v)
     assert out == [1, 2, 3]
+
+
+def test_prefetch_iter_matches_plain_iteration():
+    from janusx_tpu.utils.prefetch import prefetch_iter
+
+    assert list(prefetch_iter(range(7))) == list(range(7))
+    assert list(prefetch_iter([])) == []
+
+    def gen():
+        yield 1
+        raise RuntimeError("mid-stream")
+
+    import pytest as _pytest
+
+    it = prefetch_iter(gen())
+    assert next(it) == 1
+    with _pytest.raises(RuntimeError, match="mid-stream"):
+        next(it)
