@@ -58,7 +58,8 @@ def add_mem_arg(p: argparse.ArgumentParser):
     0.128` in the reference's SparseLMM RSS benchmarks, doc/release/
     v1.0.27.md). Maps onto the windowed disk-backed genotype path."""
     p.add_argument(
-        "-mem", "--mem", type=float, default=None, metavar="GB",
+        "-mem", "--mem", "-memory", "--memory", type=float, default=None,
+        metavar="GB",
         help="host memory budget in GB: inputs whose packed size exceeds "
              "half the budget stream from disk in windows sized to fit",
     )

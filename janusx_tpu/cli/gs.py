@@ -33,6 +33,9 @@ def build_parser(prog="jx gs") -> argparse.ArgumentParser:
         m.add_argument(
             f"-{name}", f"--{name}", dest=f"m_{name}", action="store_true", help=help_
         )
+    # reference hidden alias for the additive+dominance kernel model
+    m.add_argument("-adBLUP", "--adBLUP", dest="m_GBLUPad",
+                   action="store_true", help=argparse.SUPPRESS)
     common.add_qc_args(p)
     o = p.add_argument_group("Options")
     o.add_argument("-model", "--model", type=str, default=None,
@@ -83,6 +86,30 @@ def build_parser(prog="jx gs") -> argparse.ArgumentParser:
         help="signed feature hashing before GS (count-sketch of the marker "
         "matrix). No values = dim 2048, seed 520 (reference --hash)",
     )
+    # reference hidden spellings of the hash knobs
+    o.add_argument("-hash-dim", "--hash-dim", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    o.add_argument("-hash-seed", "--hash-seed", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    o.add_argument("-hash-raw", "--hash-raw", action="store_true",
+                   help=argparse.SUPPRESS)
+    o.add_argument("-pcd", "--pcd", action="store_true",
+                   help="PCA-reduce the ML feature matrix before fitting "
+                   "(reference -pcd)")
+    o.add_argument("-limit-predtrain", "--limit-predtrain", "-limit-train",
+                   "--limit-train", dest="limit_predtrain", type=int,
+                   default=None, help=argparse.SUPPRESS)
+    # accepted-for-drop-in reference dev flags with no analog here:
+    # -batchsize/-force-fast tune the reference's Adam rrBLUP minibatches
+    # (our exact/PCG solvers have no minibatch), -strict-cv selects its
+    # strict fold re-preparation (always on here)
+    o.add_argument("-batchsize", "--batchsize", "--rrblup-batch-size",
+                   dest="rrblup_batch_size", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    o.add_argument("-force-fast", "--force-fast", action="store_true",
+                   help=argparse.SUPPRESS)
+    o.add_argument("-strict-cv", "--strict-cv", action="store_true",
+                   help=argparse.SUPPRESS)
     common.add_mem_arg(p)
     common.add_out_args(p, default_prefix="jxgs")
     return p
@@ -137,6 +164,13 @@ def main(argv=None) -> int:
     from janusx_tpu import config as _cfg
     from janusx_tpu.gs.workflow import GsConfig, run_gs
 
+    if args.rrblup_batch_size is not None or args.force_fast:
+        import logging
+
+        logging.getLogger("janusx_tpu.gs").info(
+            "-batchsize/-force-fast tune the reference's Adam rrBLUP "
+            "minibatches; the exact/PCG solvers here have no analog — "
+            "accepted and ignored")
     cfg = GsConfig(
         genotype=common.resolve_genotype(args),
         phenotype=args.pheno,
@@ -155,10 +189,15 @@ def main(argv=None) -> int:
         select=_parse_select(args.select),
         top_l2=args.top_l2,
         top_max_iter=args.top_max_iter,
-        hash_dim=(None if args.hash is None else
+        hash_dim=(args.hash_dim if args.hash_dim is not None else
+                  None if args.hash is None else
                   int(args.hash[0]) if args.hash else _cfg.knob("JX_TPU_HASH_DIM")),
-        hash_seed=(int(args.hash[1]) if args.hash and len(args.hash) > 1
+        hash_seed=(args.hash_seed if args.hash_seed is not None else
+                   int(args.hash[1]) if args.hash and len(args.hash) > 1
                    else _cfg.knob("JX_TPU_HASH_SEED")),
+        hash_standardize=not args.hash_raw,
+        pcd=args.pcd,
+        limit_predtrain=args.limit_predtrain,
         select_metric=args.model_select_metric,
         rrblup_solver=args.rrblup_solver,
         rrblup_lambda=args.rrblup_lambda,

@@ -45,6 +45,10 @@ def build_parser(prog="jx gwas", dev: bool = False) -> argparse.ArgumentParser:
     # (workflow.py:6930-6934); -lowrank is the replacement route
     m.add_argument("-fastlmm", "--fastlmm", action="store_true",
                    help=argparse.SUPPRESS)
+    # -fast was likewise removed upstream (workflow.py parse_args:
+    # "removed; use model-specific routes")
+    m.add_argument("-fast", "--fast", action="store_true",
+                   help=argparse.SUPPRESS)
     m.add_argument("-frgwas", "--frgwas", action="store_true", help=_dev("unified FarmCPU route with r2 merging"))
     m.add_argument("-algwas", "--algwas", action="store_true", help=_dev("adaptive-lasso GWAS (stage1 EBIC lasso + stage2 scan)"))
     common.add_qc_args(p)
@@ -62,6 +66,12 @@ def build_parser(prog="jx gwas", dev: bool = False) -> argparse.ArgumentParser:
     o.add_argument("-global", "--global", dest="global_stats",
                    action="store_true",
                    help=_dev("reuse full-sample row stats for trait subsets"))
+    # hidden reference aliases: strict per-trait re-preparation is our
+    # default; accepting the flags keeps reference command lines drop-in
+    # (they force global_stats off)
+    o.add_argument("-strict-train", "--strict-train", "-strict-trait",
+                   "--strict-trait", dest="strict_train",
+                   action="store_true", help=argparse.SUPPRESS)
     o.add_argument("-lowrank-prune", "--lowrank-prune", action="store_true",
                    help="LD-prune the -lowrank kinship SNPs before selection")
     o.add_argument("-spk", "--grm-sparse", dest="grm_sparse", type=str,
@@ -108,6 +118,14 @@ def main(argv=None) -> int:
             "-fastlmm has been removed (reference workflow.py:6930): use "
             "-lowrank [Q] for the FaST-LMM low-rank route, or -fvlmm for "
             "the fixed-lambda scan")
+    if args.fast:
+        raise SystemExit(
+            "-fast has been removed (reference parse_args): use "
+            "model-specific routes (-fvlmm, -splmm, -lowrank)")
+    if getattr(args, "strict_train", False):
+        # strict per-trait re-preparation is the default here; the flag
+        # just forces -global off for reference drop-in command lines
+        args.global_stats = False
     common.apply_mem_budget(args)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "gwas")

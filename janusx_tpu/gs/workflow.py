@@ -66,6 +66,12 @@ class GsConfig:
     # signed feature hashing before GS (reference -hash, dim=2048 seed=520)
     hash_dim: int | None = None
     hash_seed: int = 520
+    hash_standardize: bool = True  # reference -hash-raw flips this off
+    # -limit-predtrain N: subsample the training set to N for fits
+    # (reference hidden dev flag; deterministic under cfg.seed)
+    limit_predtrain: int | None = None
+    # -pcd: PCA-reduce the ML feature matrix before fitting
+    pcd: bool = False
     # cross-method selection metric (reference --model-select-metric)
     select_metric: str = "pearson"
     # LD-prune markers before GS (reference -ldprune WIN STEP R2)
@@ -185,12 +191,15 @@ def run_gs(cfg: GsConfig):
         from janusx_tpu.models.hashing import signed_hash_features
 
         H, hscale, hkept = signed_hash_features(
-            pg, n_buckets=cfg.hash_dim, seed=cfg.hash_seed, block=cfg.block
+            pg, n_buckets=cfg.hash_dim, seed=cfg.hash_seed, block=cfg.block,
+            standardize=cfg.hash_standardize,
         )
-        log.info("signed hash: %d SNPs -> %d buckets (scale=%.4g)",
-                 hkept, cfg.hash_dim, hscale)
+        log.info("signed hash: %d SNPs -> %d buckets (scale=%.4g%s)",
+                 hkept, cfg.hash_dim, hscale,
+                 "" if cfg.hash_standardize else ", raw dosages")
         summary_hash = {"dim": cfg.hash_dim, "seed": cfg.hash_seed,
-                        "kept_snps": hkept, "scale": hscale}
+                        "kept_snps": hkept, "scale": hscale,
+                        "raw": not cfg.hash_standardize}
         if any(mm in ("GBLUPd", "GBLUPad") for mm in cfg.methods):
             raise ValueError("-hash does not support dominance kernels")
         if cfg.export_effects or cfg.save_models:
@@ -224,6 +233,14 @@ def run_gs(cfg: GsConfig):
             var = 2.0 * pg.af * (1.0 - pg.af)
             inv_sd = np.where(var > 0, 1.0 / np.sqrt(var), 0.0)
             Xml = (pg.centered() * inv_sd[:, None]).T.astype(np.float32)  # (n, m)
+        if cfg.pcd and Xml is not None:
+            # -pcd: PCA scores replace the marker features for the ML
+            # models (reference gs -pcd dimensionality reduction)
+            q = min(100, Xml.shape[0] - 1, Xml.shape[1])
+            Xc = Xml - Xml.mean(axis=0, keepdims=True)
+            U, S, _ = np.linalg.svd(Xc, full_matrices=False)
+            Xml = (U[:, :q] * S[:q]).astype(np.float32)
+            log.info("-pcd: ML features reduced to %d PC scores", q)
 
     if cfg.write_outputs:
         os.makedirs(
@@ -242,6 +259,12 @@ def run_gs(cfg: GsConfig):
         y = y_all[:, ti]
         train = np.nonzero(np.isfinite(y))[0]
         test = np.nonzero(~np.isfinite(y))[0]
+        if cfg.limit_predtrain and len(train) > cfg.limit_predtrain:
+            rng_lim = np.random.default_rng(cfg.seed)
+            train = np.sort(rng_lim.choice(
+                train, size=cfg.limit_predtrain, replace=False))
+            log.info("trait %s: -limit-predtrain subsampled train to %d",
+                     trait, len(train))
         if len(train) < max(cfg.cv, 10):
             log.warning("trait %s: too few training samples, skipped", trait)
             continue

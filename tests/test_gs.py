@@ -231,3 +231,45 @@ def test_gs_eigh32_knob_matches_f64(monkeypatch):
     p_ref = predict_gblup(ref, K, test)
     p_fast = predict_gblup(fast, K, test)
     np.testing.assert_allclose(p_fast, p_ref, rtol=1e-3, atol=1e-4)
+
+def test_gs_cli_reference_flag_surface(tmp_path):
+    """Reference drop-in flags: -adBLUP alias, -hash-dim/-hash-seed/
+    -hash-raw spellings, -pcd, -limit-predtrain, accepted no-analog dev
+    flags (-batchsize/-force-fast/-strict-cv)."""
+    import numpy as np
+
+    from janusx_tpu.cli.main import main as jx_main
+    from janusx_tpu.io import plink
+    from janusx_tpu.models.sim import (
+        simulate_genotypes, simulate_phenotype, write_pheno,
+    )
+
+    gd = simulate_genotypes(90, 300, seed=3)
+    sim = simulate_phenotype(gd, n_qtl=20, h2=0.6, seed=3)
+    prefix = str(tmp_path / "g")
+    plink.write_plink_genotypes(prefix, gd)
+    y = sim.phenotypes.copy()
+    y[-15:] = np.nan
+    write_pheno(prefix + ".pheno", gd.samples, y)
+
+    rc = jx_main([
+        "gs", "-bfile", prefix, "-p", prefix + ".pheno",
+        "-RF", "-pcd", "-limit-predtrain", "60", "-cv", "3",
+        "-hash-dim", "256", "-hash-seed", "11", "-hash-raw",
+        "-batchsize", "64", "-force-fast", "-strict-cv",
+        "-o", str(tmp_path), "-prefix", "gsx",
+    ])
+    assert rc == 0
+    import json
+
+    s = json.load(open(str(tmp_path / "gsx.gs.summary.json")))
+    assert s["hash"] == {"dim": 256, "seed": 11, "raw": True,
+                         "kept_snps": s["hash"]["kept_snps"],
+                         "scale": s["hash"]["scale"]}
+    assert "RF" in s["traits"]["trait0"]
+
+    # -adBLUP alias == GBLUPad flag
+    from janusx_tpu.cli.gs import build_parser
+
+    a = build_parser().parse_args(["-bfile", "x", "-p", "y", "-adBLUP"])
+    assert a.m_GBLUPad
