@@ -29,6 +29,49 @@ def build_parser(prog="jx garfield") -> argparse.ArgumentParser:
                    "instead of genotype hom-alt indicators")
     o.add_argument("-windows", "--windows", type=float, default=None, metavar="KB",
                    help="window-restricted scans of this size in kb")
+    o.add_argument("-w", "--window", dest="window_args", nargs="*",
+                   default=None, metavar=("EXT", "STEP"),
+                   help="window scan, reference spelling: EXT kb and "
+                   "optional STEP kb (EXT also extends -g gene spans)")
+    o.add_argument("-g", "--genefile", type=str, default=None, metavar="FILE",
+                   help="gene / gene-set scan: one gene name per line "
+                   "(optional 2nd column = set id groups genes into one "
+                   "scan unit); needs -gff (reference -g)")
+    o.add_argument("-gff", "--gff3", dest="gff", type=str, default=None,
+                   help="GFF3 annotation (for -g gene spans)")
+    o.add_argument("-layer", "--layer", type=int, default=None,
+                   help="alias of -depth (reference -layer; default 2)")
+    o.add_argument("-width", "--width", type=int, default=None,
+                   help="unified width: sets the beam width AND the ML "
+                   "preselect top-k (reference -width)")
+    o.add_argument("-topk", "--topk", type=int, default=None,
+                   help="top rules kept per scan unit (reference -topk)")
+    o.add_argument("-lmaf", "--lmaf", type=float, default=None,
+                   help="min frequency of a logic/pseudo-SNP indicator "
+                   "(maps to the rule support floor: ceil(lmaf * n); "
+                   "reference -lmaf, auto = 30/n)")
+    o.add_argument("-engine", "--engine", type=str.upper,
+                   choices=("CORR", "RF", "GBDT"), default="CORR",
+                   help="ML engine for the preselect screen "
+                   "(reference -engine; CORR is the univariate+pair "
+                   "screen, RF/GBDT use sklearn importances)")
+    # reference dev/compat flags accepted for drop-in command lines:
+    # whole-genome is the default scan mode here, XOR gates are always in
+    # the beam, and row stats are computed once per trait
+    for names in (("-wg", "--whole-genome"), ("-global", "--global"),
+                  ("-no-clean", "--no-clean"), ("-nf-xor", "--nf-xor"),
+                  ("--xor-search",), ("-dev", "--dev")):
+        o.add_argument(*names, action="store_true", help=argparse.SUPPRESS,
+                       dest="compat_" + names[-1].strip("-").replace("-", "_"))
+    o.add_argument("-gain", "--gain-layer", dest="gain_layer", type=int,
+                   default=None, help=argparse.SUPPRESS)
+    o.add_argument("-pm", "--permutation", dest="perm_quantile", type=str,
+                   default=None, help=argparse.SUPPRESS)
+    o.add_argument("-m", "--meff", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    o.add_argument("-bimrange", "--bimrange", action="append", default=None,
+                   help="restrict the scan to chr:start-end ranges "
+                   "(repeatable)")
     common.add_out_args(p, default_prefix="garfield")
     return p
 
@@ -83,6 +126,92 @@ def _main_bin(args, prefix: str) -> int:
     return 0
 
 
+def _engine_preselect(pg, y, engine: str, top_k: int, seed: int):
+    """RF/GBDT feature-importance screen over hom-alt indicators."""
+    import numpy as np
+
+    B = (pg.dosages() == 2).astype(np.float32)
+    if engine == "RF":
+        from sklearn.ensemble import RandomForestRegressor
+
+        mdl = RandomForestRegressor(n_estimators=200, random_state=seed,
+                                    n_jobs=-1)
+    else:
+        from sklearn.ensemble import HistGradientBoostingRegressor
+
+        mdl = HistGradientBoostingRegressor(random_state=seed)
+    mdl.fit(B.T, y)
+    if hasattr(mdl, "feature_importances_"):
+        imp = mdl.feature_importances_
+    else:  # HistGBDT: permutation-free proxy via split counts is not
+        # exposed — use univariate |corr| fallback weighted by prediction
+        from sklearn.inspection import permutation_importance
+
+        imp = permutation_importance(
+            mdl, B.T, y, n_repeats=3, random_state=seed
+        ).importances_mean
+    return np.sort(np.argsort(imp)[::-1][: min(top_k, len(imp))])
+
+
+def _main_genes(args, prefix, trait, pg, y, K, ttype, depth, beam,
+                preselect, min_support, window_kb):
+    """-g gene / gene-set scans: each gene's span (± EXT kb from -w)
+    is one scan unit; a 2-column file groups genes into sets scanned
+    jointly (reference -g FILE semantics + -gff spans)."""
+    import numpy as np
+
+    from janusx_tpu.models.garfield import garfield_scan
+    from janusx_tpu.utils.gff import GffIndex
+
+    if not args.gff:
+        raise SystemExit("-g needs -gff for gene spans")
+    gi = GffIndex.from_file(args.gff)
+    by_name = {g.name: g for genes in gi.by_chrom.values() for g in genes}
+    units: dict[str, list] = {}
+    with open(args.genefile) as fh:
+        for line in fh:
+            toks = line.split()
+            if not toks or toks[0].startswith("#"):
+                continue
+            units.setdefault(toks[1] if len(toks) > 1 else toks[0],
+                             []).append(toks[0])
+    ext = int((window_kb or 0) * 1000)
+    chrom = pg.sites.chrom.astype(str)
+    pos = np.asarray(pg.sites.pos, np.int64)
+    path = f"{prefix}.{trait}.garfield.genes.tsv"
+    n_units = 0
+    with open(path, "wt") as fh:
+        fh.write("unit\tgenes\tn_snps\trule\tdepth\tsupport\tscore\tpperm\n")
+        for unit, genes in units.items():
+            mask = np.zeros(pg.m, bool)
+            found = []
+            for gname in genes:
+                g = by_name.get(gname)
+                if g is None:
+                    continue
+                found.append(gname)
+                mask |= ((chrom == str(g.chrom)) & (pos >= g.start - ext)
+                         & (pos <= g.end + ext))
+            rows = np.nonzero(mask)[0]
+            if len(rows) < 2:
+                continue
+            n_units += 1
+            res = garfield_scan(
+                pg, y, K=K, depth=depth, beam=beam, n_perm=args.perm,
+                seed=args.seed, trait_type=ttype, preselect=preselect,
+                min_support=min_support, top_rules=(args.topk or 3),
+                snp_subset=rows,
+            )
+            for ru, pv in zip(res.rules, res.pvalues):
+                fh.write(
+                    f"{unit}\t{','.join(found)}\t{len(rows)}\t"
+                    f"{ru.describe(pg.sites.snp)}\t{len(ru.snps)}\t"
+                    f"{ru.support}\t{ru.score:.6g}\t{pv:.4g}\n"
+                )
+    print(f"{trait}\t{n_units} gene units\t{path}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     prefix = common.out_prefix(args)
@@ -108,15 +237,39 @@ def main(argv=None) -> int:
         y = y_all[:, ti]
         keep = analysis_sample_index(y)
         pg = raw.prepare(qc, sample_idx=keep)
+        if args.bimrange:
+            from janusx_tpu.workflows.gwas import _range_mask
+
+            idx = _range_mask(pg.sites, args.bimrange)
+            if idx.size == 0:
+                raise SystemExit("no markers inside -bimrange")
+            pg = pg.take_snps(idx)
         K = grm_from_packed(pg) if args.grm_residualize else None
         ttype = "binary" if args.binary else "auto"
-        if args.windows:
+        depth = args.layer if args.layer is not None else args.depth
+        beam = args.width if args.width is not None else args.beam
+        preselect = (args.width if args.width is not None
+                     else args.preselect)
+        min_support = (max(int(np.ceil(args.lmaf * len(keep))), 1)
+                       if args.lmaf is not None else 5)
+        window_kb, step_kb = args.windows, None
+        if args.window_args is not None:
+            window_kb = (float(args.window_args[0])
+                         if args.window_args else 500.0)
+            if len(args.window_args) > 1:
+                step_kb = float(args.window_args[1])
+        if args.genefile:
+            return _main_genes(args, prefix, trait, pg, y[keep], K, ttype,
+                               depth, beam, preselect, min_support,
+                               window_kb)
+        if window_kb:
             from janusx_tpu.models.garfield import garfield_window_scan
 
             wins = garfield_window_scan(
-                pg, y[keep], window_kb=args.windows, K=K, depth=args.depth,
-                beam=args.beam, n_perm=args.perm, seed=args.seed,
-                trait_type=ttype, preselect=args.preselect,
+                pg, y[keep], window_kb=window_kb, step_kb=step_kb, K=K,
+                depth=depth, beam=beam, n_perm=args.perm, seed=args.seed,
+                trait_type=ttype, preselect=preselect,
+                top_per_window=(args.topk or 3),
             )
             path = f"{prefix}.{trait}.garfield.windows.tsv"
             with open(path, "wt") as fh:
@@ -130,10 +283,19 @@ def main(argv=None) -> int:
             outputs.append(path)
             print(f"{trait}\t{len(wins)} windows\t{path}")
             continue
+        snp_subset = None
+        if args.engine != "CORR" and preselect:
+            # sklearn importance screens (reference -engine RF/GBDT,
+            # src/ml/engine.rs): rank hom-alt indicators by ensemble
+            # feature importance, then beam-search the top slice
+            snp_subset = _engine_preselect(
+                pg, y[keep], args.engine, preselect, args.seed)
+            preselect = 0
         res = garfield_scan(
-            pg, y[keep], K=K, depth=args.depth, beam=args.beam,
+            pg, y[keep], K=K, depth=depth, beam=beam,
             n_perm=args.perm, seed=args.seed, trait_type=ttype,
-            preselect=args.preselect,
+            preselect=preselect, min_support=min_support,
+            top_rules=(args.topk or 50), snp_subset=snp_subset,
         )
         path = f"{prefix}.{trait}.garfield.tsv"
         write_garfield_tsv(path, res, pg.sites)

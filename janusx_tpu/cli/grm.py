@@ -34,6 +34,21 @@ def build_parser(prog="jx grm") -> argparse.ArgumentParser:
                         "negative cutoff keeps all entries)")
     o.add_argument("-txt", "--txt", action="store_true",
                    help="write the dense GRM as plain text instead of .npy")
+    o.add_argument("-part", "--part", nargs="+", default=None,
+                   metavar=("N", "IDX"),
+                   help="dense row-strip partitioning (reference -part): "
+                   "`-part N IDX` builds only part IDX (1-based) of N "
+                   "GCTA-like work-balanced lower-triangle parts; "
+                   "`-part N` builds all N parts sequentially. Each part "
+                   "writes {prefix}.{tag}.partK_N.npy with that strip's "
+                   "rows x all samples — the full n x n matrix is never "
+                   "resident on host")
+    o.add_argument("-part-group", "--part-group", type=str, default=None,
+                   metavar="FILE",
+                   help="group strip build (reference -part-group): FILE "
+                   "has two columns sample_id group_id; one strip "
+                   "{prefix}.{tag}.group_{gid}.npy per group (rows = the "
+                   "group's samples x all samples)")
     common.add_out_args(p, default_prefix="jx")
     return p
 
@@ -91,8 +106,48 @@ def main(argv=None) -> int:
         common.resolve_genotype(args),
         QcParams(maf=args.maf, geno=args.geno, het=args.het),
     )
-    K = grm_from_packed(pg, method=args.method)
     tag = "cGRM" if args.method == 1 else "sGRM"
+    if args.part or args.part_group:
+        from janusx_tpu.models.grm import (
+            balanced_part_bounds, grm_strip_from_packed,
+        )
+
+        with open(f"{prefix}.{tag}.id", "wt") as fh:
+            for s in pg.samples:
+                fh.write(f"{s}\n")
+        if args.part:
+            n_parts = int(args.part[0])
+            want = (int(args.part[1]) if len(args.part) > 1 else None)
+            bounds = balanced_part_bounds(pg.n, n_parts)
+            for k, (s0, e0) in enumerate(bounds, start=1):
+                if want is not None and k != want:
+                    continue
+                strip = grm_strip_from_packed(
+                    pg, np.arange(s0, e0), method=args.method)
+                out = f"{prefix}.{tag}.part{k}_{n_parts}.npy"
+                np.save(out, strip)
+                print(f"{out}\trows {s0}..{e0 - 1} x {pg.n}")
+        else:
+            groups: dict[str, list] = {}
+            pos = {str(s): i for i, s in enumerate(pg.samples)}
+            with open(args.part_group) as fh:
+                for line in fh:
+                    toks = line.split()
+                    if len(toks) >= 2 and toks[0] in pos:
+                        groups.setdefault(toks[1], []).append(pos[toks[0]])
+            if not groups:
+                raise SystemExit("-part-group: no listed sample matched "
+                                 "the genotype panel")
+            # largest groups first (the reference sorts by descending
+            # size so the big strips land early)
+            for gid in sorted(groups, key=lambda g: -len(groups[g])):
+                rows = np.sort(np.asarray(groups[gid], np.int64))
+                strip = grm_strip_from_packed(pg, rows, method=args.method)
+                out = f"{prefix}.{tag}.group_{gid}.npy"
+                np.save(out, strip)
+                print(f"{out}\t{len(rows)} x {pg.n}")
+        return 0
+    K = grm_from_packed(pg, method=args.method)
     if args.txt:
         np.savetxt(f"{prefix}.{tag}.txt", K, fmt="%.6g", delimiter="\t")
         out = f"{prefix}.{tag}.txt"

@@ -44,6 +44,8 @@ def build_parser(prog="jx hybrid") -> argparse.ArgumentParser:
                    help="TSV of p1<TAB>p2 crosses (default: all pairs)")
     d.add_argument("-top", "--top", type=int, default=50,
                    help="write only the top N crosses (0 = all)")
+    p.add_argument("-chunksize", "--chunksize", type=int, default=None,
+                   help=argparse.SUPPRESS)  # reference streaming knob
     common.add_out_args(p, default_prefix="hybrid")
     return p
 

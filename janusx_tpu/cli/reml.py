@@ -62,6 +62,8 @@ def build_parser(prog="jx reml") -> argparse.ArgumentParser:
     p.add_argument("-maxiter", "--maxiter", "--max-iter", type=int, default=100,
                    dest="maxiter")
     p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("-dev", "--dev", action="store_true",
+                   help=argparse.SUPPRESS)  # reference dev-help flag
     common.add_out_args(p, default_prefix="reml")
     return p
 

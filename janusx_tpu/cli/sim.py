@@ -33,7 +33,26 @@ def build_parser(prog="jx sim") -> argparse.ArgumentParser:
     g.add_argument("-ntrait", "--ntrait", type=int, default=1)
     g.add_argument("-miss", "--miss", type=float, default=0.0, help="missing rate")
     g.add_argument("-maf-low", "--maf-low", type=float, default=0.05)
+    g.add_argument("-maf-high", "--maf-high", type=float, default=0.5,
+                   help="upper MAF bound for simulated sites")
+    g.add_argument("-homo", "--homo", action="store_true",
+                   help="pure homozygous genotypes (0/2 only — inbred "
+                   "DH/RIL-style panels; reference -homo)")
     g.add_argument("-seed", "--seed", type=int, default=0)
+    g.add_argument("-pve", "--pve", dest="h2_alias", type=float, default=None,
+                   help="alias of -h2 (reference -pve)")
+    g.add_argument("-ve", "--ve", type=float, default=None,
+                   help="environmental variance scale: phenotypes are "
+                   "rescaled so var(e) = VE (reference -ve; default "
+                   "leaves total variance 1)")
+    g.add_argument("-trait-name", "--trait-name", type=str, default=None,
+                   help="trait column name(s) in .pheno (comma list)")
+    g.add_argument("-na-rate", "--na-rate", type=float, default=None,
+                   help="also write {prefix}.pheno.NA.txt with this "
+                   "missing rate injected (reference -na-rate)")
+    g.add_argument("-chunksize", "--chunksize", type=int, default=None,
+                   help=argparse.SUPPRESS)  # reference streaming knob;
+    # generation here is vectorized in RAM at supported sizes
     s = p.add_argument_group("Structure & architecture (g2p)")
     s.add_argument("-structure", "--structure", type=str, default="unrelated",
                    choices=["unrelated", "family", "mixed"],
@@ -112,24 +131,48 @@ def main(argv=None) -> int:
         causal_pool = np.nonzero(elig)[0]
     else:
         gd = simulate_genotypes(
-            args.nind, args.nsnp, maf_low=args.maf_low, missing_rate=args.miss,
+            args.nind, args.nsnp, maf_low=args.maf_low,
+            maf_high=args.maf_high, missing_rate=args.miss,
             n_chrom=args.nchr, seed=args.seed, structure=args.structure,
             family_size=args.family_size, family_frac=args.family_frac,
+            homozygous=args.homo,
         )
     # `or` would turn an explicit -causal 0 (pure-epistasis designs) into
     # the nqtl default
     n_qtl = args.causal if args.causal is not None else args.nqtl
+    h2 = args.h2 if args.h2_alias is None else args.h2_alias
     sim = simulate_phenotype(
-        gd, n_qtl=n_qtl, h2=args.h2, n_traits=args.ntrait,
+        gd, n_qtl=n_qtl, h2=h2, n_traits=args.ntrait,
         seed=args.seed,
         effect_dist=args.effect_dist, effect_model=args.effect_model,
         dominance_pve=args.dom_pve, epistasis_pairs=args.epi_pairs,
         epistasis_pve=args.epi_pve, epistasis_gate=args.gate,
         bg_pve=args.bg_pve, causal_pool=causal_pool,
     )
+    phenos = sim.phenotypes
+    if args.ve is not None:
+        # rescale so the environmental variance equals VE while keeping
+        # the h2 share (total variance is h2+(1-h2)=1 before scaling)
+        if h2 >= 1.0:
+            raise SystemExit("-ve needs h2 < 1")
+        phenos = phenos * float(np.sqrt(args.ve / (1.0 - h2)))
+    names = (args.trait_name.split(",") if args.trait_name else None)
+    if names is not None and len(names) != phenos.shape[1]:
+        if len(names) == 1:
+            names = [f"{names[0]}{i}" for i in range(phenos.shape[1])]
+        else:
+            raise SystemExit(
+                f"-trait-name: {len(names)} names for {phenos.shape[1]} traits")
     if not g2p_mode:
         plink.write_plink_genotypes(prefix, gd)
-    write_pheno(prefix + ".pheno", gd.samples, sim.phenotypes)
+    write_pheno(prefix + ".pheno", gd.samples, phenos, names=names)
+    if args.na_rate is not None:
+        # reference -na-rate: a second phenotype file with injected NAs
+        # (GS prediction-set demos)
+        rng_na = np.random.default_rng(args.seed + 7)
+        pna = phenos.copy()
+        pna[rng_na.random(pna.shape) < args.na_rate] = np.nan
+        write_pheno(prefix + ".pheno.NA.txt", gd.samples, pna, names=names)
     with open(prefix + ".qtl.tsv", "wt") as fh:
         fh.write("snp\tchrom\tpos\teffect\tkind\n")
         for k, (i, e) in enumerate(zip(sim.qtl_idx, sim.qtl_effects)):

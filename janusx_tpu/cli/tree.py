@@ -27,6 +27,22 @@ def build_parser(prog="jx tree") -> argparse.ArgumentParser:
                    help="also write the distance matrix in PHYLIP format")
     o.add_argument("-b", "--bootstrap", type=int, default=None, metavar="B",
                    help="bootstrap replicates for internal-node support")
+    o.add_argument("-nj", "--nj", nargs="?", const="exact", default=None,
+                   choices=("exact", "bionj", "bionj-jc", "bionj-dist",
+                            "bionj-binom", "bionj-auto", "approx"),
+                   help="agglomeration algorithm: exact NJ (default) or "
+                   "BIONJ with a variance model (jc delta-method | "
+                   "dist | binom; bionj = bionj-jc). 'approx' maps to "
+                   "the exact NJ here (the reference's approx mode is a "
+                   "legacy shortcut)")
+    o.add_argument("-asc", "--asc", action="store_true",
+                   help="SNP ascertainment-bias pseudo correction for "
+                   "-ml: k pseudo-constant sites per state enter the "
+                   "likelihood as site WEIGHTS (k from "
+                   "JANUSX_ASC_PSEUDO_CONST, default 1 — reference -asc)")
+    o.add_argument("-chunksize", "--chunksize", type=int, default=None,
+                   help=argparse.SUPPRESS)  # reference streaming knob;
+    # the IBS kernel streams packed blocks on device already
     o.add_argument("-ml", "--ml", action="store_true",
                    help="refine the NJ tree by approximate maximum "
                    "likelihood (CFN model, NNI search — reference "
@@ -85,7 +101,15 @@ def main(argv=None) -> int:
         m, n = pg.m, pg.n
         samples = [str(s) for s in pg.samples]
 
-    newick = neighbor_joining(D, samples)
+    if args.nj and args.nj.startswith("bionj"):
+        from janusx_tpu.models.tree import bionj, bionj_stats
+
+        var_mode = args.nj.split("-", 1)[1] if "-" in args.nj else "jc"
+        n_states = 4 if args.fasta else 3
+        Dv, V = bionj_stats(codes, n_states, var_mode=var_mode)
+        newick = bionj(Dv, V, samples)
+    else:
+        newick = neighbor_joining(D, samples)
     if args.bootstrap:
         newick = bootstrap_support(
             newick, codes, samples, n_boot=args.bootstrap,
@@ -122,6 +146,20 @@ def main(argv=None) -> int:
                 codes, site_budget=args.ml_sites, seed=args.seed
             )
             k_states = 2
+        if args.asc:
+            # ascertainment-bias pseudo correction (reference -asc /
+            # _apply_asc_pseudo_constant_sites): append k certain
+            # constant sites PER STATE to every leaf partial, so the
+            # SNP-only alignment stops implying infinite rates
+            import os as _os
+
+            k_pseudo = int(_os.environ.get("JANUSX_ASC_PSEUDO_CONST", "1"))
+            if k_pseudo > 0:
+                k_states = 4 if args.fasta else 2
+                tail = np.zeros((k_states * k_pseudo, k_states))
+                for st in range(k_states):
+                    tail[st * k_pseudo:(st + 1) * k_pseudo, st] = 1.0
+                parts = [np.vstack([P, tail]) for P in parts]
         # support labels are not part of the ML tree: rebuild unannotated
         base = neighbor_joining(D, samples)
         t = ml_refine_tree(base, parts, samples, k=k_states,

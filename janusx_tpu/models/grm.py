@@ -271,3 +271,72 @@ def grm_denominator(pg: PackedGenotypes, method: int = 1) -> float:
         var = 2.0 * pg.af * (1.0 - pg.af)
         return float(var.sum())
     return float(pg.m)
+
+
+def grm_strip_from_packed(
+    pg: PackedGenotypes,
+    rows: np.ndarray,
+    method: int = 1,
+    block: int = config.DEFAULT_SNP_BLOCK,
+) -> np.ndarray:
+    """Row strip K[rows, :] of the GRM without materializing the full
+    (n, n) matrix — the engine behind GCTA-style -part/-part-group
+    builds (reference grm.py -part: dense lower-triangle partitioning
+    for n too large for one matrix). Per SNP block the strip accumulates
+    C[:, rows]^T @ C; device memory is O(|rows| * n)."""
+    rows = np.asarray(rows, np.int64)
+    mean, inv_sd, var = _snp_scales(pg, method)
+    n = pg.n_samples
+    packed = decode.pad_packed_cols(pg.packed)
+    m = pg.m
+    block = min(block, m)
+    rows_d = jnp.asarray(rows, jnp.int32)
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("dom",))
+    def step(acc, pk, mn, iv, dom: bool = False):
+        if dom:
+            c = decode.decode_dominance(pk, mn, dtype=jnp.float32)
+        else:
+            c = decode.decode_standardized(pk, mn, iv, dtype=jnp.float32)
+        part = jnp.dot(c[:, rows_d].T, c,
+                       precision=jax.lax.Precision.HIGHEST)
+        return acc + part.astype(acc.dtype)
+
+    n_pad = packed.shape[1] * 4
+    acc = jnp.zeros((len(rows), n_pad), jnp.float64)
+    mn32 = mean.astype(np.float32)
+    iv32 = inv_sd.astype(np.float32)
+    from janusx_tpu.models.scan_common import pad_rows
+
+    for s in range(0, m, block):
+        e = min(s + block, m)
+        acc = step(
+            acc,
+            jnp.asarray(pad_rows(packed[s:e], block, 0xFF)),
+            jnp.asarray(pad_rows(mn32[s:e], block)),
+            jnp.asarray(pad_rows(iv32[s:e], block)),
+            method == 3,
+        )
+    denom = float(var.sum()) if method in (1, 3) else float(m)
+    if denom <= 0:
+        raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
+    return np.asarray(acc)[:, :n] / denom
+
+
+def balanced_part_bounds(n: int, n_parts: int) -> list:
+    """GCTA-like work-balanced row partition of the lower triangle:
+    row i contributes i+1 cells, so part boundaries equalize cumulative
+    i(i+1)/2 shares. Returns [(start, end), ...]."""
+    total = n * (n + 1) / 2.0
+    bounds = []
+    start = 0
+    for k in range(1, n_parts + 1):
+        target = total * k / n_parts
+        # smallest e with e(e+1)/2 >= target
+        e = int(np.ceil((-1 + np.sqrt(1 + 8 * target)) / 2))
+        e = min(max(e, start + 1), n)
+        if k == n_parts:
+            e = n
+        bounds.append((start, e))
+        start = e
+    return bounds

@@ -51,10 +51,16 @@ def simulate_genotypes(
     structure: str = "unrelated",  # unrelated | family | mixed
     family_size: int = 5,
     family_frac: float = 0.5,
+    homozygous: bool = False,
 ) -> GenotypeData:
     """HWE draws; with ``structure`` != unrelated, a fraction of samples
     form nuclear families (2 founder parents + family_size-2 offspring
-    from meiosis) — mirrors g2p.rs:85-119 layout rules."""
+    from meiosis) — mirrors g2p.rs:85-119 layout rules.
+
+    ``homozygous`` (reference -homo): 0/2-only genotypes, the inbred
+    DH/RIL-style panel — founders carry doubled alleles and family
+    offspring inherit each locus whole from one random parent, so
+    homozygosity is preserved through the pedigree."""
     if structure not in ("unrelated", "family", "mixed"):
         raise ValueError("structure must be unrelated|family|mixed")
     if structure != "unrelated" and family_size < 3:
@@ -70,9 +76,13 @@ def simulate_genotypes(
     n_fam_samples = (n_fam_samples // family_size) * family_size
     n_families = n_fam_samples // family_size
     n_founder = n_samples - n_fam_samples + 2 * n_families
-    founders = rng.binomial(2, p[:, None], size=(n_snps, n_founder)).astype(
-        np.int8
-    )
+    if homozygous:
+        founders = (2 * rng.binomial(1, p[:, None], size=(n_snps, n_founder))
+                    ).astype(np.int8)
+    else:
+        founders = rng.binomial(2, p[:, None], size=(n_snps, n_founder)).astype(
+            np.int8
+        )
     if n_families == 0:
         g = founders
     else:
@@ -84,7 +94,13 @@ def simulate_genotypes(
             fam_cols.append(founders[:, 2 * f])
             fam_cols.append(founders[:, 2 * f + 1])
             for _ in range(family_size - 2):
-                fam_cols.append(_family_offspring(rng, pa, pb))
+                if homozygous:
+                    pick = rng.random(n_snps) < 0.5
+                    fam_cols.append(np.where(
+                        pick, founders[:, 2 * f], founders[:, 2 * f + 1]
+                    ).astype(np.int8))
+                else:
+                    fam_cols.append(_family_offspring(rng, pa, pb))
         g = np.column_stack(fam_cols + cols).astype(np.int8)
     if missing_rate > 0:
         g[rng.random(g.shape) < missing_rate] = -1

@@ -289,3 +289,92 @@ def read_fasta_alignment(path: str):
         lut[np.frombuffer(s.encode(), np.uint8)] for s in seqs
     ]).T  # (m_sites, n)
     return codes, names
+
+
+def bionj(D: np.ndarray, V: np.ndarray, labels) -> str:
+    """BIONJ (Gascuel 1997): variance-weighted neighbor joining.
+
+    Like NJ but each agglomeration picks the convex combination
+    λ ∈ [0, 1] of the two merged rows that minimizes the variance of the
+    reduced distance matrix: λ = 1/2 + Σ_k (v_jk − v_ik) / (2(r−2)v_ij).
+    Reference: src/stats/tree.rs nj_newick_bionj_from_alignment with the
+    same variance bookkeeping (reduction v_uk = λv_ik + (1−λ)v_jk −
+    λ(1−λ)v_ij)."""
+    D = np.asarray(D, np.float64).copy()
+    V = np.asarray(V, np.float64).copy()
+    n = D.shape[0]
+    labels = [str(l) for l in labels]
+    newick = {i: labels[i] for i in range(n)}
+    active = list(range(n))
+    while len(active) > 2:
+        r = len(active)
+        sub = D[np.ix_(active, active)]
+        rowsum = sub.sum(axis=1)
+        Q = (r - 2) * sub - rowsum[:, None] - rowsum[None, :]
+        np.fill_diagonal(Q, np.inf)
+        i_loc, j_loc = np.unravel_index(np.argmin(Q), Q.shape)
+        i, j = active[i_loc], active[j_loc]
+        dij = D[i, j]
+        bi = 0.5 * dij + (rowsum[i_loc] - rowsum[j_loc]) / (2 * (r - 2))
+        bj = dij - bi
+        bi, bj = max(bi, 0.0), max(bj, 0.0)
+        rest = [k for k in active if k not in (i, j)]
+        vij = V[i, j]
+        if vij > 1e-12 and rest:
+            lam = 0.5 + float(
+                np.sum(V[j, rest] - V[i, rest])) / (2.0 * (r - 2) * vij)
+            lam = min(max(lam, 0.0), 1.0)
+        else:
+            lam = 0.5
+        u = D.shape[0]
+        D = np.pad(D, ((0, 1), (0, 1)))
+        V = np.pad(V, ((0, 1), (0, 1)))
+        for k in rest:
+            D[u, k] = D[k, u] = (
+                lam * (D[i, k] - bi) + (1.0 - lam) * (D[j, k] - bj)
+            )
+            V[u, k] = V[k, u] = (
+                lam * V[i, k] + (1.0 - lam) * V[j, k]
+                - lam * (1.0 - lam) * vij
+            )
+        newick[u] = f"({newick[i]}:{bi:.6g},{newick[j]}:{bj:.6g})"
+        active = rest + [u]
+    i, j = active
+    return f"({newick[i]}:{max(D[i, j], 0.0) / 2:.6g},{newick[j]}:{max(D[i, j], 0.0) / 2:.6g});"
+
+
+def bionj_stats(codes: np.ndarray, n_states: int, var_mode: str = "jc"):
+    """Per-pair JC distance + BIONJ variance from a coded alignment.
+
+    var modes (reference tree.rs bionj_variance_from_stats):
+      binom  p(1-p)/L          (raw binomial mismatch variance)
+      jc     delta-method      (binomial pushed through the JC transform)
+      dist   the JC distance itself
+      auto   = jc
+    """
+    w = np.ones(codes.shape[0])
+    both, mismatch, cross02 = weighted_pair_counts(codes, w, n_states)
+    if n_states == 3:  # genotype codes: |0-2| cross counts twice
+        mismatch = mismatch + cross02
+        denom_sites = 2.0 * both
+    else:
+        denom_sites = both
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(denom_sites > 0, mismatch / denom_sites, 0.0)
+    p = np.clip(p, 0.0, 1.0)
+    a = (n_states - 1.0) / n_states if n_states != 3 else 0.75
+    d = -a * np.log(np.clip(1.0 - p / a, 1e-10, None))
+    L = np.maximum(both, 1.0)
+    var_p = np.maximum(p * (1.0 - p) / L, 1e-12)
+    mode = var_mode if var_mode != "auto" else "jc"
+    if mode == "binom":
+        V = var_p
+    elif mode == "dist":
+        V = np.maximum(d, 1e-12)
+    else:  # jc delta method
+        p_clip = np.minimum(p, a - 1e-12)
+        denom = np.maximum(1.0 - p_clip / a, 1e-12)
+        V = np.maximum(var_p / (denom * denom), 1e-12)
+    np.fill_diagonal(d, 0.0)
+    np.fill_diagonal(V, 0.0)
+    return d, V

@@ -209,3 +209,80 @@ def test_active_set_polish_kkt():
     assert (np.abs(grad[~on]) <= lam + 1e-6).all()
     # planted signals survive, most nulls are exactly zero
     assert on[:3].all()
+
+
+def test_garfield_cli_reference_surface(tmp_path):
+    """Reference garfield CLI spellings: -layer/-width/-topk/-lmaf,
+    -w EXT STEP windows, -g gene-set scans with -gff, -engine RF,
+    accepted dev flags, -bimrange."""
+    import numpy as np
+
+    from janusx_tpu.cli.main import main as jx_main
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.models.sim import write_pheno
+
+    rng = np.random.default_rng(5)
+    m, n = 120, 150
+    g = rng.binomial(2, 0.4, size=(m, n)).astype(np.int8)
+    # plant an AND interaction between snp10 and snp40
+    b = (g[10] == 2) & (g[40] == 2)
+    y = rng.normal(size=n) * 0.5 + 2.0 * b
+    sites = SiteInfo(
+        chrom=np.array(["Chr1"] * m, object),
+        pos=(np.arange(m, dtype=np.int64) + 1) * 100,
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    prefix = str(tmp_path / "gf")
+    plink.write_plink_genotypes(
+        prefix, GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object)))
+    write_pheno(prefix + ".pheno", [f"i{j}" for j in range(n)], y[:, None])
+    gff = tmp_path / "g.gff3"
+    gff.write_text(
+        "##gff-version 3\n"
+        "Chr1\tsrc\tgene\t900\t4500\t.\t+\t.\tID=GeneA\n"
+        "Chr1\tsrc\tgene\t3500\t6000\t.\t+\t.\tID=GeneB\n")
+    genes = tmp_path / "genes.txt"
+    genes.write_text("GeneA\tset1\nGeneB\tset1\n")
+
+    # whole-genome with reference spellings + dev flags
+    rc = jx_main([
+        "garfield", "-bfile", prefix, "-p", prefix + ".pheno",
+        "-layer", "2", "-width", "48", "-topk", "5", "-lmaf", "0.03",
+        "-perm", "20", "-wg", "--xor-search", "-maf", "0.0", "-geno", "1.0",
+        "-o", str(tmp_path), "-prefix", "wg",
+    ])
+    assert rc == 0
+    out = open(str(tmp_path / "wg.trait0.garfield.tsv")).read()
+    assert "s10" in out and "s40" in out  # planted pair found
+
+    # gene-set scan: one unit covering both genes, planted pair inside
+    rc = jx_main([
+        "garfield", "-bfile", prefix, "-p", prefix + ".pheno",
+        "-g", str(genes), "-gff", str(gff), "-w", "0.5",
+        "-perm", "20", "-maf", "0.0", "-geno", "1.0",
+        "-o", str(tmp_path), "-prefix", "gs",
+    ])
+    assert rc == 0
+    gout = open(str(tmp_path / "gs.trait0.garfield.genes.tsv")).read()
+    assert "set1" in gout and "GeneA,GeneB" in gout
+
+    # -w window scan with step + -bimrange restriction
+    rc = jx_main([
+        "garfield", "-bfile", prefix, "-p", prefix + ".pheno",
+        "-w", "3", "1.5", "-perm", "10", "-bimrange", "Chr1:0-0.008",
+        "-maf", "0.0", "-geno", "1.0", "-o", str(tmp_path), "-prefix", "wn",
+    ])
+    assert rc == 0
+    assert (tmp_path / "wn.trait0.garfield.windows.tsv").exists()
+
+    # RF engine preselect
+    rc = jx_main([
+        "garfield", "-bfile", prefix, "-p", prefix + ".pheno",
+        "-engine", "RF", "-preselect", "30", "-perm", "10",
+        "-maf", "0.0", "-geno", "1.0", "-o", str(tmp_path), "-prefix", "rf",
+    ])
+    assert rc == 0
+    assert (tmp_path / "rf.trait0.garfield.tsv").exists()

@@ -283,3 +283,63 @@ def test_weighted_likelihood_matches_materialized_under_rates():
     ll_w = _loglik_from_down(t, dw, sw, 2, w.astype(float))
     ll_m = _loglik_from_down(t, dm, sm, 2, None)
     assert ll_w == pytest.approx(ll_m, rel=1e-12)
+
+
+def test_bionj_recovers_clades_and_matches_nj_on_clean_data():
+    """BIONJ (variance-weighted NJ) recovers the planted clade split on
+    genotype data under every variance mode."""
+    from janusx_tpu.models.tree import bionj, bionj_stats
+
+    codes, names = _clade_genotypes(seed=13, n_per=5, m=400)
+    for mode in ("jc", "binom", "dist", "auto"):
+        D, V = bionj_stats(codes, 3, var_mode=mode)
+        assert (V >= 0).all() and np.isfinite(D).all()
+        nwk = bionj(D, V, names)
+        assert nwk.endswith(";")
+        assert _clade_split(nwk, [f"A{i}" for i in range(5)]), mode
+
+
+def test_tree_cli_bionj_and_asc(tmp_path):
+    """`jx tree -nj bionj` and `-ml -asc` run end-to-end; -asc shrinks
+    branch lengths (pseudo-constant sites penalize long branches)."""
+    from janusx_tpu.cli.tree import main as tree_main
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+
+    codes, names = _clade_genotypes(seed=17, n_per=4, m=250)
+    m = codes.shape[0]
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["C"] * m, object),
+    )
+    gd = GenotypeData(codes, sites, np.array(names, object))
+    prefix = str(tmp_path / "t")
+    plink.write_plink_genotypes(prefix, gd)
+    rc = tree_main(["-bfile", prefix, "-nj", "bionj", "-maf", "0.0",
+                    "-geno", "1.0", "-o", str(tmp_path / "bj")])
+    assert rc == 0
+    nwk = open(str(tmp_path / "bj" / "jxtree.nwk")).read()
+    assert _clade_split(nwk, [f"A{i}" for i in range(4)])
+
+    def total_blen(path):
+        t = parse_newick(open(path).read())
+        return float(t.blen.sum())
+
+    rc = tree_main(["-bfile", prefix, "-ml", "-maf", "0.0", "-geno", "1.0",
+                    "-o", str(tmp_path / "plain")])
+    assert rc == 0
+    import os
+
+    os.environ["JANUSX_ASC_PSEUDO_CONST"] = "40"
+    try:
+        rc = tree_main(["-bfile", prefix, "-ml", "-asc", "-maf", "0.0",
+                        "-geno", "1.0", "-o", str(tmp_path / "asc")])
+    finally:
+        del os.environ["JANUSX_ASC_PSEUDO_CONST"]
+    assert rc == 0
+    b_plain = total_blen(str(tmp_path / "plain" / "jxtree.ml.nwk"))
+    b_asc = total_blen(str(tmp_path / "asc" / "jxtree.ml.nwk"))
+    assert b_asc < b_plain, (b_asc, b_plain)
