@@ -99,6 +99,7 @@ KNOBS: dict = {
     "JX_TPU_CG_MAX_ITER": (int, 1000, "Jacobi-PCG iteration cap"),
     "JX_TPU_SPARSE_CUTOFF": (float, 0.05, "sparse-GRM off-diagonal threshold (-splmm default)"),
     "JX_TPU_SPARSE_MAX_DENSE_COMP": (int, 4096, "largest kinship component eigendecomposed densely; bigger (percolated) ones take per-lambda sparse-LU factors"),
+    "JX_TPU_ROTATE_PREC": (str, "highest", "fused decode+rotate MXU precision: highest (full f32) | high (bf16x3, ~2x faster, ~1e-6 rel)"),
     "JX_TPU_ML_SITE_BUDGET": (int, 2000, "site subsample budget for the approximate-ML tree"),
     "JX_TPU_LOWMEM": (bool, False, "force the disk-backed windowed genotype path regardless of size"),
     "JX_TPU_LOWMEM_BYTES": (int, None, "packed-size threshold (bytes) above which inputs stream from disk"),

@@ -75,7 +75,7 @@ def _lmm_block(
 
 def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
                    use_pallas: bool, lattice: bool = True,
-                   grid_prec: str = "default"):
+                   grid_prec: str = "default", rot_prec: str = "highest"):
     """Whole-scan body on pre-blocked (nblk, B, K) packed genotypes:
     lax.scan streams SNP blocks through decode -> rotate -> grid λ-search
     -> f32-gram beta/se -> device Wald p. Under shard_map the B axis is
@@ -136,7 +136,8 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
             pkb, mnb = xs
             from janusx_tpu.ops.pallas_kernels import decode_rotate_planar
 
-            GrF = decode_rotate_planar(pkb, mnb[:, None], U32)
+            GrF = decode_rotate_planar(pkb, mnb[:, None], U32,
+                                       prec=rot_prec)
             neg = grid_neg_reml_lattice(
                 GrF, Wp, YX, SH, p=p, ridge=float(config.GRAM_RIDGE),
                 nf=float(n), prec=grid_prec,
@@ -162,7 +163,8 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
                 # plane-permuted (K2, N2) operand
                 from janusx_tpu.ops.pallas_kernels import decode_rotate_planar
 
-                GrF = decode_rotate_planar(pkb, mnb[:, None], U32)
+                GrF = decode_rotate_planar(pkb, mnb[:, None], U32,
+                                           prec=rot_prec)
                 Gr32 = GrF[:, :n]
             else:
                 Graw = decode.decode_centered(
@@ -210,16 +212,18 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
 
 
 @partial(jax.jit, static_argnames=("n", "with_ml", "use_pallas", "lattice",
-                                   "grid_prec"))
+                                   "grid_prec", "rot_prec"))
 def _lmm_scan_resident(pk, mn, U32, rot, sh, n, with_ml, use_pallas=False,
-                       lattice=True, grid_prec="default"):
+                       lattice=True, grid_prec="default",
+                       rot_prec="highest"):
     return _lmm_scan_core(pk, mn, U32, rot, sh, n, with_ml, use_pallas,
-                          lattice, grid_prec)
+                          lattice, grid_prec, rot_prec)
 
 
 @lru_cache(maxsize=8)
 def _lmm_scan_sharded(mesh, n: int, with_ml: bool, use_pallas: bool,
-                      lattice: bool = True, grid_prec: str = "default"):
+                      lattice: bool = True, grid_prec: str = "default",
+                      rot_prec: str = "highest"):
     """SNP-sharded whole scan: shard_map over the mesh 'snp' axis.
 
     pk/mn arrive with their per-block SNP axis sharded; U32/rot/sh are
@@ -231,7 +235,7 @@ def _lmm_scan_sharded(mesh, n: int, with_ml: bool, use_pallas: bool,
     shard_map = jax.shard_map
 
     fn = partial(_lmm_scan_core, n=n, with_ml=with_ml, use_pallas=use_pallas,
-                 lattice=lattice, grid_prec=grid_prec)
+                 lattice=lattice, grid_prec=grid_prec, rot_prec=rot_prec)
     mapped = shard_map(
         fn,
         mesh=mesh,
@@ -345,6 +349,7 @@ def lmm_scan(
         use_pallas = False
     lattice = os.environ.get("JX_TPU_PALLAS_GRID", "1") not in ("0", "false")
     grid_prec = str(config.knob("JX_TPU_GRID_MXU_PREC")).lower()
+    rot_prec = str(config.knob("JX_TPU_ROTATE_PREC")).lower()
     if grid_points is None:
         grid_points = config.knob("JX_TPU_GRID_POINTS")
     y = np.asarray(y, np.float64).reshape(-1)
@@ -413,12 +418,12 @@ def lmm_scan(
         if mesh is not None:
             U_op, rot_d, sh_d = devcache.replicate_tree((U_op, rot, sh), mesh)
             fn = _lmm_scan_sharded(mesh, n, lmm2, use_pallas, lattice,
-                                   grid_prec)
+                                   grid_prec, rot_prec)
             stack, lgs_dev, ml_dev = fn(pk, mn, U_op, rot_d, sh_d)
         else:
             stack, lgs_dev, ml_dev = _lmm_scan_resident(
                 pk, mn, U_op, rot, sh, n, lmm2, use_pallas, lattice,
-                grid_prec)
+                grid_prec, rot_prec)
         out = np.asarray(stack).astype(np.float64).reshape(3, m_pad)
         beta = out[0, :m]
         se = out[1, :m]
@@ -491,7 +496,8 @@ def lmm_scan(
 
 
 def _lmm_scan_core_multi(pk, mn, U32, rots, shs, n: int, with_ml: bool,
-                         use_pallas: bool = False, grid_prec: str = "default"):
+                         use_pallas: bool = False, grid_prec: str = "default",
+                         rot_prec: str = "highest"):
     """Multi-trait grid scan: decode + rotate once per SNP block, vmapped
     per-trait λ-grid search + final stats (the trait-level LMM fast path —
     decode+rotate is the scan's throughput floor and is amortized over T).
@@ -535,7 +541,8 @@ def _lmm_scan_core_multi(pk, mn, U32, rots, shs, n: int, with_ml: bool,
     def body(_, xs):
         pkb, mnb = xs
         if use_pallas:
-            GrF = decode_rotate_planar(pkb, mnb[:, None], U32)
+            GrF = decode_rotate_planar(pkb, mnb[:, None], U32,
+                                       prec=rot_prec)
             Gr32 = GrF[:, :n]
         else:
             Graw = decode.decode_centered(pkb, mnb, dtype=jnp.float32)[:, :n]
@@ -586,22 +593,26 @@ def _lmm_scan_core_multi(pk, mn, U32, rots, shs, n: int, with_ml: bool,
     return stack, lgs.astype(f32), ml64
 
 
-@partial(jax.jit, static_argnames=("n", "with_ml", "use_pallas", "grid_prec"))
+@partial(jax.jit, static_argnames=("n", "with_ml", "use_pallas", "grid_prec",
+                                   "rot_prec"))
 def _lmm_scan_resident_multi(pk, mn, U32, rots, shs, n: int, with_ml: bool,
                              use_pallas: bool = False,
-                             grid_prec: str = "default"):
+                             grid_prec: str = "default",
+                             rot_prec: str = "highest"):
     return _lmm_scan_core_multi(pk, mn, U32, rots, shs, n, with_ml,
-                                use_pallas, grid_prec)
+                                use_pallas, grid_prec, rot_prec)
 
 
 @lru_cache(maxsize=8)
 def _lmm_scan_sharded_multi(mesh, n: int, with_ml: bool,
                             use_pallas: bool = False,
-                            grid_prec: str = "default"):
+                            grid_prec: str = "default",
+                            rot_prec: str = "highest"):
     from jax.sharding import PartitionSpec as P
 
     fn = partial(_lmm_scan_core_multi, n=n, with_ml=with_ml,
-                 use_pallas=use_pallas, grid_prec=grid_prec)
+                 use_pallas=use_pallas, grid_prec=grid_prec,
+                 rot_prec=rot_prec)
     rot_spec = RotatedData(*([P()] * len(RotatedData._fields)))
     from janusx_tpu.core.reml import GridShared
 
@@ -684,6 +695,7 @@ def lmm_scan_multi(
         and (mesh is None or (block // mesh.devices.size) % 512 == 0)
     )
     grid_prec = str(config.knob("JX_TPU_GRID_MXU_PREC")).lower()
+    rot_prec = str(config.knob("JX_TPU_ROTATE_PREC")).lower()
     m_pad = -(-m // block) * block
     nblk = m_pad // block
     if use_pallas:
@@ -700,10 +712,12 @@ def lmm_scan_multi(
     if mesh is not None:
         U_d, rots_d, shs_d = devcache.replicate_tree((U_op, rots, shs), mesh)
         stack, lgs_dev, ml_dev = _lmm_scan_sharded_multi(
-            mesh, n, lmm2, use_pallas, grid_prec)(pk, mn, U_d, rots_d, shs_d)
+            mesh, n, lmm2, use_pallas, grid_prec, rot_prec)(
+                pk, mn, U_d, rots_d, shs_d)
     else:
         stack, lgs_dev, ml_dev = _lmm_scan_resident_multi(
-            pk, mn, U_op, rots, shs, n, lmm2, use_pallas, grid_prec)
+            pk, mn, U_op, rots, shs, n, lmm2, use_pallas, grid_prec,
+            rot_prec)
     # (3, nblk, T, B) -> (3, T, m_pad); lgs/ml fetch only for lmm2
     out = np.asarray(stack).astype(np.float64).transpose(0, 2, 1, 3)
     out = out.reshape(3, T, m_pad)

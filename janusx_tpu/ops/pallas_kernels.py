@@ -62,7 +62,7 @@ def plane_permutation(K: int, bk: int) -> np.ndarray:
     return perm
 
 
-def _rotate_kernel(pk_ref, mean_ref, u_ref, out_ref, acc_ref):
+def _rotate_kernel(prec, pk_ref, mean_ref, u_ref, out_ref, acc_ref):
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -71,19 +71,36 @@ def _rotate_kernel(pk_ref, mean_ref, u_ref, out_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     a = _decode_tile_planar(pk_ref[:], mean_ref[:])  # (bm, bk)
-    # HIGHEST: full-f32 MXU passes — the rotation feeds f64 likelihoods and
-    # must match the reference's f32 sgemm accuracy
-    acc_ref[:] += jnp.dot(
-        a, u_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if prec == "highest":
+        # full-f32 MXU passes (default) — the rotation feeds f64
+        # likelihoods and matches the reference's f32 sgemm accuracy
+        acc_ref[:] += jnp.dot(
+            a, u_ref[:], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        # JX_TPU_ROTATE_PREC=high: manual bf16x3 (Mosaic has no
+        # Precision.HIGH) — split both operands into bf16 hi+lo parts;
+        # three single-pass products reconstruct ~f32 accuracy (~1e-6
+        # rel) at half the HIGHEST pass count
+        u = u_ref[:]
+        bf16, f32 = jnp.bfloat16, jnp.float32
+        a_hi = a.astype(bf16)
+        a_lo = (a - a_hi.astype(f32)).astype(bf16)
+        u_hi = u.astype(bf16)
+        u_lo = (u - u_hi.astype(f32)).astype(bf16)
+        kw = dict(preferred_element_type=f32,
+                  precision=jax.lax.Precision.DEFAULT)
+        acc_ref[:] += (jnp.dot(a_hi, u_hi, **kw)
+                       + jnp.dot(a_hi, u_lo, **kw)
+                       + jnp.dot(a_lo, u_hi, **kw))
 
     @pl.when(k == nk - 1)
     def _():
         out_ref[:] = acc_ref[:]
 
 
-@partial(jax.jit, static_argnames=("bm", "bk", "bn", "interpret"))
+@partial(jax.jit, static_argnames=("bm", "bk", "bn", "interpret", "prec"))
 def decode_rotate_planar(
     packed: jax.Array,  # (M, K/4) uint8
     mean: jax.Array,  # (M, 1) f32
@@ -92,13 +109,15 @@ def decode_rotate_planar(
     bk: int = 512,
     bn: int = 256,
     interpret: bool = False,
+    prec: str = "highest",  # callers thread JX_TPU_ROTATE_PREC (read
+    # OUTSIDE jit so the knob participates in the compile key)
 ):
     M, Kb = packed.shape
     K, N = U_planar.shape
     assert K == Kb * 4
     grid = (M // bm, N // bn, K // bk)
     return pl.pallas_call(
-        _rotate_kernel,
+        partial(_rotate_kernel, prec),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

@@ -108,3 +108,27 @@ def test_grid_lattice_kernel_matches_xla():
     b_xl, se_xl, _ = final_stats_f32(rot, Gr32, jnp.asarray(lg_xla), False)
     np.testing.assert_allclose(np.asarray(b_pl), np.asarray(b_xl), rtol=2e-3, atol=1e-6)
     np.testing.assert_allclose(np.asarray(se_pl), np.asarray(se_xl), rtol=2e-3, atol=1e-6)
+
+
+def test_decode_rotate_bf16x3_precision(rng):
+    """JX_TPU_ROTATE_PREC=high (manual bf16 hi+lo splits, 3 single-pass
+    products) must track the full-f32 HIGHEST rotation to ~1e-5 rel."""
+    from janusx_tpu.ops.pallas_kernels import (
+        decode_rotate_planar, plane_permutation,
+    )
+
+    M, n = 256, 512
+    codes = rng.integers(0, 4, size=(M, n)).astype(np.uint8)
+    packed = bitcodec.pack_codes(codes)
+    mean = rng.uniform(0, 2, M).astype(np.float32)
+    Kb = packed.shape[1]
+    K = Kb * 4
+    U = rng.normal(size=(K, 256)).astype(np.float32)
+    Up = U[plane_permutation(K, 512)]
+    hi = np.asarray(decode_rotate_planar(
+        packed, mean[:, None], Up, interpret=True, prec="highest"))
+    lo = np.asarray(decode_rotate_planar(
+        packed, mean[:, None], Up, interpret=True, prec="high"))
+    # matrix-relative: tiny entries of an O(10)-magnitude product carry
+    # absolute error from the large terms they sum over
+    assert np.max(np.abs(hi - lo)) / np.max(np.abs(hi)) < 1e-5
