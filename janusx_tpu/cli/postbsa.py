@@ -3,16 +3,24 @@
 Reference: /root/reference/python/janusx/script/postbsa.py (window G/G'
 recompute, CI-percentile thresholds, per-chromosome genome panels).
 
-Input: the `jx bsa` output TSV (chrom pos snp_index1 snp_index2
-delta_snp_index G Gprime). Produces:
+Two input modes:
 
-- {prefix}.postbsa.tsv — per-SNP table extended with simulated null
-  Δ-SNP confidence bounds (Takagi et al.: binomial resampling of both
-  bulk depths at p=0.5, per depth pair), G' p-values from a lognormal
-  null fitted on the Hampel-trimmed G' distribution (QTLseqr semantics),
-  and BH-FDR q-values.
-- {prefix}.bsa.png — stacked per-chromosome panels: Δ-SNP index with CI
-  band + windowed mean, and -log10 p(G') track.
+- `jx bsa` TSV mode (default): per-SNP table (chrom pos snp_index1
+  snp_index2 delta_snp_index G Gprime). Produces
+  {prefix}.postbsa.tsv — the table extended with simulated null Δ-SNP
+  confidence bounds (Takagi et al.: binomial resampling of both bulk
+  depths at p=0.5, per depth pair), G' p-values from a lognormal null
+  fitted on the Hampel-trimmed G' distribution (QTLseqr semantics) and
+  BH-FDR q-values — plus {prefix}.bsa.png panels.
+- bulk-prefix mode (-b1/-b2, the reference `jx postbsa` drop-in
+  surface, postbsa.py:1623-1764): a caller table (or glob of
+  per-chromosome tables) with CHROM/POS and {bulk}.DP/.AD[/.GQ]
+  columns. Runs the reference DP/GQ/total-DP/depth-difference/
+  allele-frequency filter chain, per-SNP SNP-index/Δ/ED/G, stepped
+  sliding-window smoothing (window/step, ED^power, tricube G'),
+  CI-percentile thresholds (repeatable -ci; region filtering at the
+  max level), and writes {prefix}.raw.tsv, {prefix}.smooth.tsv,
+  {prefix}.thr.tsv plus snp-index and stats figures.
 """
 
 from __future__ import annotations
@@ -29,21 +37,36 @@ log = logging.getLogger("janusx_tpu.postbsa")
 
 def build_parser(prog="jx postbsa") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog=prog, description="BSA thresholds + plots")
-    p.add_argument("-i", "--input", type=str, required=True,
-                   help="jx bsa output TSV")
+    p.add_argument("-i", "-file", "--input", type=str, required=True,
+                   nargs="+",
+                   help="jx bsa output TSV, or (with -b1/-b2) caller "
+                        "table(s)/glob with {bulk}.DP/.AD[/.GQ] columns")
+    p.add_argument("-b1", "--bulk1", type=str, default=None,
+                   help="bulk-1 column prefix (enables reference prefix mode)")
+    p.add_argument("-b2", "--bulk2", type=str, default=None,
+                   help="bulk-2 column prefix")
     p.add_argument("-d", "--depths", type=str, default=None,
                    help="original depth TSV (chrom pos alt1 ref1 alt2 ref2) "
                         "for exact per-SNP CI simulation; omit to use the "
                         "median depth")
     p.add_argument("-win", "--window", type=int, default=1_000_000,
-                   help="window for the smoothed Δ-SNP track (bp)")
-    p.add_argument("-ci", "--ci", type=float, default=95.0,
-                   help="CI percentile for the Δ-SNP null band")
+                   help="window for the smoothed tracks (bp)")
+    p.add_argument("-step", "--step", type=int, default=None,
+                   help="window-center step (bp; prefix mode; default win/2)")
+    p.add_argument("-ed", "--ed-power", dest="ed_power", type=int, default=4,
+                   help="ED exponent for thresholding/smoothing (default 4)")
+    p.add_argument("-ci", "--ci", type=float, action="append", default=None,
+                   help="CI percentile; repeatable in prefix mode "
+                        "(-ci 95 -ci 99; region filter uses the max). "
+                        "Default 95")
     p.add_argument("-sims", "--sims", type=int, default=10_000,
                    help="null simulation replicates per depth pair")
     p.add_argument("-fdr", "--fdr", type=float, default=0.05,
                    help="G' BH-FDR significance level")
     p.add_argument("-no-plot", "--no-plot", action="store_true")
+    from janusx_tpu.cli.bsa import add_filter_args
+
+    add_filter_args(p)
     common.add_out_args(p, default_prefix="postbsa")
     return p
 
@@ -162,14 +185,186 @@ def plot_bsa(df, prefix: str, ci_pct: float, fdr: float) -> str:
     return path
 
 
+def _fmt_pct(p: float) -> str:
+    return f"{p:g}"
+
+
+def run_prefix_mode(args, prefix: str, ci_levels: list) -> int:
+    """Reference `jx postbsa -file ... -b1 ... -b2 ...` pipeline
+    (postbsa.py:1767-1990): filter chain -> per-SNP stats -> stepped
+    windows -> percentile thresholds -> region table + figures."""
+    import glob as globmod
+
+    import pandas as pd
+
+    from janusx_tpu.cli.bsa import load_bulk_prefixed
+    from janusx_tpu.models.bsa import bsa_analysis, bsa_windows
+
+    paths: list = []
+    for pat in args.input:
+        hits = sorted(globmod.glob(pat))
+        paths.extend(hits if hits else [pat])
+    frames = [pd.read_csv(f, sep="\t") for f in paths]
+    df = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+    log.info("loaded %d loci from %d file(s)", len(df), len(paths))
+
+    chrom, pos, a1, r1, a2, r2 = load_bulk_prefixed(
+        df, args.bulk1, args.bulk2, args)
+    res = bsa_analysis(chrom, pos, a1, r1, a2, r2,
+                       window_bp=args.window, min_depth=0, gprime=False)
+    win = bsa_windows(res, window_bp=args.window, step_bp=args.step,
+                      ed_power=args.ed_power)
+
+    b1n, b2n = f"{args.bulk1}.SNPindex", f"{args.bulk2}.SNPindex"
+    dname = f"Delta.SNPindex({args.bulk2}-{args.bulk1})"
+    raw = pd.DataFrame({
+        "chr": res.chrom, "pos": res.pos, b1n: res.snp_index1,
+        b2n: res.snp_index2, dname: res.delta, "ED": res.ed, "G": res.g_stat,
+    })
+    raw_path = prefix + ".raw.tsv"
+    raw.to_csv(raw_path, sep="\t", index=False, float_format="%.6g")
+    print(raw_path)
+
+    smooth = pd.DataFrame({
+        "chr": win.chrom, "pos": win.center.astype(np.int64),
+        "n_snps": win.n_snps, b1n: win.index1, b2n: win.index2,
+        dname: win.delta, "ED_power": win.ed_power, "Gprime": win.g_prime,
+    })
+    smooth_path = prefix + ".smooth.tsv"
+    smooth.to_csv(smooth_path, sep="\t", index=False, float_format="%.6g")
+    print(smooth_path)
+
+    # percentile thresholds: raw ED^power / raw delta, smoothed Gprime
+    # (reference postbsa.py:1431-1451)
+    edp_raw = np.power(np.asarray(res.ed, float), args.ed_power)
+    delta_raw = np.asarray(res.delta, float)
+    gp_sm = np.asarray(win.g_prime, float)
+    gp_fin = gp_sm[np.isfinite(gp_sm)]
+    max_ci = max(ci_levels)
+    thr = {}
+    for ci in ci_levels:
+        thr[ci] = (
+            float(np.nanpercentile(edp_raw, ci)),
+            float(np.nanpercentile(delta_raw, 100.0 - ci)),
+            float(np.nanpercentile(delta_raw, ci)),
+            float(np.nanpercentile(gp_fin, ci)) if gp_fin.size else float("nan"),
+        )
+        log.info("Threshold of ED^%d (P%s): %.4f", args.ed_power,
+                 _fmt_pct(ci), thr[ci][0])
+        log.info("Threshold of Delta-SNPindex (P%s,P%s): %.4f, %.4f",
+                 _fmt_pct(100.0 - ci), _fmt_pct(ci), thr[ci][1], thr[ci][2])
+        log.info("Threshold of Gprime (P%s): %.4f", _fmt_pct(ci), thr[ci][3])
+
+    ed_cut, d_lo, d_hi, _ = thr[max_ci]
+    half = args.window // 2
+    sm_ed = np.asarray(win.ed_power, float)
+    sm_d = np.asarray(win.delta, float)
+    mask = (np.isfinite(sm_ed) & np.isfinite(sm_d)
+            & ((sm_ed >= ed_cut) | (sm_d >= d_hi) | (sm_d <= d_lo)))
+    if mask.any():
+        centers = win.center[mask].astype(np.int64)
+        thr_df = pd.DataFrame({
+            "Chr": win.chrom[mask], "start": centers - half,
+            "end": centers + half,
+            f"ED{args.ed_power}": np.round(sm_ed[mask], 4),
+            "deltaSNPindex": np.round(sm_d[mask], 4),
+            "direction": np.where(sm_d[mask] >= d_hi, "upper", "lower"),
+        })
+        thr_path = prefix + ".thr.tsv"
+        thr_df.to_csv(thr_path, sep="\t", index=False)
+        print(thr_path)
+        log.info("threshold regions at P%s: %d windows", _fmt_pct(max_ci),
+                 int(mask.sum()))
+    else:
+        log.info("no windows exceed the P%s thresholds", _fmt_pct(max_ci))
+
+    if not args.no_plot:
+        print(plot_prefix_mode(raw, smooth, b1n, b2n, dname, thr[max_ci],
+                               args.ed_power, prefix))
+    return 0
+
+
+def plot_prefix_mode(raw, smooth, b1n, b2n, dname, cuts, ed_power,
+                     prefix: str) -> str:
+    """Per-chromosome snp-index (2 rows) + stats (3 rows) panel figures
+    (reference fig_snp/fig_stats, postbsa.py:1515-1620)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ed_cut, d_lo, d_hi, gp_cut = cuts
+    chroms = list(dict.fromkeys(raw["chr"]))
+    ncol = max(1, len(chroms))
+
+    def _panels(nrows):
+        return plt.subplots(
+            nrows, ncol, figsize=(max(8, 2.2 * ncol), 1.9 * nrows + 1.2),
+            sharey="row", squeeze=False, gridspec_kw={"wspace": 0.06},
+        )
+
+    fig1, ax1 = _panels(2)
+    fig2, ax2 = _panels(3)
+    for j, ch in enumerate(chroms):
+        rsub = raw[raw["chr"] == ch]
+        ssub = smooth[smooth["chr"].astype(str) == str(ch)]
+        mb, smb = rsub["pos"] / 1e6, ssub["pos"] / 1e6
+        for k, col in enumerate((b1n, b2n)):
+            ax = ax1[k][j]
+            ax.scatter(mb, rsub[col], s=2, c="#b8c4d0", rasterized=True)
+            ax.plot(smb, ssub[col], c="#1f4e79", lw=1.2)
+            ax.set_ylim(-0.05, 1.05)
+            if j == 0:
+                ax.set_ylabel(col, fontsize=8)
+        ax1[0][j].set_title(str(ch), fontsize=9)
+        ax1[1][j].set_xlabel("Mb")
+
+        ax = ax2[0][j]
+        ax.scatter(mb, rsub[dname], s=2, c="#b8c4d0", rasterized=True)
+        ax.plot(smb, ssub[dname], c="#1f4e79", lw=1.2)
+        for y in (d_lo, d_hi):
+            ax.axhline(y, c="#c0504d", lw=0.8, ls="--")
+        ax.set_ylim(-1.05, 1.05)
+        ax.set_title(str(ch), fontsize=9)
+        if j == 0:
+            ax.set_ylabel("Δ(SNP-index)")
+        ax = ax2[1][j]
+        ax.plot(smb, ssub["ED_power"], c="#9caf88", lw=1.2)
+        ax.axhline(ed_cut, c="#c0504d", lw=0.8, ls="--")
+        if j == 0:
+            ax.set_ylabel(f"ED^{ed_power}")
+        ax = ax2[2][j]
+        ax.plot(smb, ssub["Gprime"], c="#8064a2", lw=1.2)
+        if np.isfinite(gp_cut):
+            ax.axhline(gp_cut, c="#c0504d", lw=0.8, ls="--")
+        ax.set_xlabel("Mb")
+        if j == 0:
+            ax.set_ylabel("G'")
+    p1, p2 = prefix + ".snpindex.png", prefix + ".stats.png"
+    fig1.savefig(p1, dpi=150, bbox_inches="tight")
+    fig2.savefig(p2, dpi=150, bbox_inches="tight")
+    plt.close(fig1)
+    plt.close(fig2)
+    return p2
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "postbsa")
+    if (args.bulk1 is None) != (args.bulk2 is None):
+        raise SystemExit("-b1 and -b2 must be given together")
+    ci_levels = sorted({float(c) for c in (args.ci or [95.0])})
+    if any(not 0.0 < c < 100.0 for c in ci_levels):
+        raise SystemExit("-ci percentiles must be in (0, 100)")
+    if args.bulk1:
+        return run_prefix_mode(args, prefix, ci_levels)
+    if len(args.input) != 1:
+        raise SystemExit("multiple -i inputs need -b1/-b2 (prefix mode)")
 
     import pandas as pd
 
-    df = pd.read_csv(args.input, sep="\t")
+    df = pd.read_csv(args.input[0], sep="\t")
     need = {"chrom", "pos", "delta_snp_index", "Gprime"}
     missing = need - set(df.columns)
     if missing:
@@ -194,7 +389,8 @@ def main(argv=None) -> int:
         log.warning("no -d depth table: using a flat 40x CI band")
         d1 = np.full(len(df), 40.0)
         d2 = np.full(len(df), 40.0)
-    df["delta_ci_hi"] = simulate_delta_ci(d1, d2, args.ci, args.sims)
+    ci_pct = max(ci_levels)
+    df["delta_ci_hi"] = simulate_delta_ci(d1, d2, ci_pct, args.sims)
 
     parts = []
     for ch, sub in df.groupby("chrom", sort=False):
@@ -216,5 +412,5 @@ def main(argv=None) -> int:
     n_sig = int(df["sig_gprime"].sum())
     log.info("G' significant SNPs at FDR %.2g: %d", args.fdr, n_sig)
     if not args.no_plot:
-        print(plot_bsa(df, prefix, args.ci, args.fdr))
+        print(plot_bsa(df, prefix, ci_pct, args.fdr))
     return 0

@@ -73,6 +73,129 @@ def test_bsa_analysis(rng):
     assert 150 <= peak <= 350
 
 
+def test_bsa_filter_chain():
+    from janusx_tpu.models.bsa import ed_statistic, filter_bulk_depths
+
+    #        keep  dp1<15 gq1<90 totDP>300 both-low both-high keep
+    dp1 = np.array([20.0, 5, 20, 20, 20, 20, 30])
+    dp2 = np.array([20.0, 20, 20, 400, 20, 20, 30])
+    ad1 = np.array([2.0, 10, 10, 10, 1, 19, 27])
+    ad2 = np.array([18.0, 10, 10, 200, 1, 19, 3])
+    gq1 = np.array([99.0, 99, 50, 99, 99, 99, 99])
+    gq2 = np.full(7, 99.0)
+    fr = filter_bulk_depths(dp1, ad1, dp2, ad2, gq1, gq2)
+    np.testing.assert_array_equal(
+        fr.keep, [True, False, False, False, False, False, True])
+    # sequential stage audit mirrors the reference per-stage kept counts
+    stages = {label: (b, a) for label, b, a in fr.stages}
+    assert stages["bulk1.DP>=minDP(15)"] == (7, 6)
+    assert stages["bulk1.GQ>=minGQ(90)"] == (6, 5)
+    assert stages["totalDP<=max(300)"][1] == 4
+    assert stages["refAlleleFreq(0.2)"][1] == 2
+    # ED = sqrt(2)|i2-i1| (postbsa.py ED column)
+    ed = ed_statistic(np.array([0.1, 0.5]), np.array([0.9, 0.5]))
+    np.testing.assert_allclose(ed, [np.sqrt(2) * 0.8, 0.0], atol=1e-12)
+
+
+def test_bsa_windows(rng):
+    from janusx_tpu.models.bsa import bsa_analysis, bsa_windows
+
+    m, depth = 400, 40
+    chrom = np.array(["1"] * m)
+    pos = np.arange(1, m + 1) * 10_000
+    alt1 = rng.binomial(depth, 0.5, m)
+    alt2 = rng.binomial(depth, 0.5, m)
+    res = bsa_analysis(chrom, pos, alt1, depth - alt1, alt2, depth - alt2,
+                       window_bp=200_000, gprime=False)
+    win = bsa_windows(res, window_bp=200_000, step_bp=100_000, ed_power=4)
+    assert len(win.center) > 10
+    # centers start one step in and every window holds >= min_snps
+    assert win.center[0] == pos[0] + 100_000
+    assert (win.n_snps >= max(5, int(200_000 * 1e-4))).all()
+    # brute-force one window's nan-means
+    k = len(win.center) // 2
+    c = win.center[k]
+    sel = (pos >= c - 100_000) & (pos <= c + 100_000)
+    assert win.n_snps[k] == sel.sum()
+    np.testing.assert_allclose(win.delta[k], np.nanmean(res.delta[sel]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(
+        win.ed_power[k], np.nanmean(np.asarray(res.ed)[sel] ** 4), rtol=1e-12)
+    # tricube G' at the center: heavier weight near the center
+    d = np.abs(pos[sel] - c) / 100_000.0
+    w = (1 - np.minimum(d, 1.0) ** 3) ** 3
+    np.testing.assert_allclose(
+        win.g_prime[k], np.sum(w * res.g_stat[sel]) / w.sum(), rtol=1e-10)
+    # a chromosome shorter than one window is dropped entirely
+    short = bsa_analysis(chrom[:5], pos[:5], alt1[:5], depth - alt1[:5],
+                         alt2[:5], depth - alt2[:5], gprime=False)
+    assert len(bsa_windows(short, window_bp=200_000).center) == 0
+
+
+def test_bsa_prefix_mode_cli(rng, tmp_path):
+    """Reference drop-in: caller tables with {bulk}.DP/.AD/.GQ columns
+    through `jx bsa -b1/-b2` and the full `jx postbsa -b1/-b2` pipeline."""
+    import pandas as pd
+
+    from janusx_tpu.cli.bsa import main as bsa_main
+    from janusx_tpu.cli.postbsa import main as postbsa_main
+
+    # planted region kept small (<1% of loci) so the percentile
+    # thresholds land in the null distribution, as on real data
+    m, depth = 6000, 40
+    p2 = np.full(m, 0.5)
+    p2[250:300] = 1.0  # planted: bulk2 ALT-fixed at 2.5-3.0 Mb
+    alt1 = rng.binomial(depth, 0.5, m)
+    alt2 = rng.binomial(depth, p2)
+    df = pd.DataFrame({
+        "CHROM": ["1"] * m,
+        "POS": np.arange(1, m + 1) * 10_000,
+        "Bulk1.DP": depth, "Bulk1.GQ": 99,
+        # AD as "ref,alt" strings: the parser takes the last comma field
+        "Bulk1.AD": [f"{depth - a},{a}" for a in alt1],
+        "Bulk2.DP": depth, "Bulk2.GQ": 99,
+        "Bulk2.AD": [f"{depth - a},{a}" for a in alt2],
+    })
+    # a handful of rows the filter chain must drop
+    df.loc[0, "Bulk1.DP"] = 5
+    df.loc[1, "Bulk2.GQ"] = 10
+    half = m // 2
+    df.iloc[:half].to_csv(tmp_path / "part1.tsv", sep="\t", index=False)
+    df.iloc[half:].to_csv(tmp_path / "part2.tsv", sep="\t", index=False)
+
+    assert bsa_main(["-i", str(tmp_path / "part1.tsv"), "-b1", "Bulk1",
+                     "-b2", "Bulk2", "-o", str(tmp_path), "-p", "pm",
+                     "-win", "500000"]) == 0
+    per_snp = pd.read_csv(tmp_path / "pm.bsa.tsv", sep="\t")
+    assert "ED" in per_snp.columns
+    assert len(per_snp) == half - 2  # the two planted bad rows dropped
+
+    assert postbsa_main(["-i", str(tmp_path / "part*.tsv"), "-b1", "Bulk1",
+                         "-b2", "Bulk2", "-o", str(tmp_path), "-p", "pb",
+                         "-win", "500000", "-ci", "95", "-ci", "99"]) == 0
+    raw = pd.read_csv(tmp_path / "pb.raw.tsv", sep="\t")
+    assert len(raw) == m - 2
+    dname = "Delta.SNPindex(Bulk2-Bulk1)"
+    for col in ("Bulk1.SNPindex", "Bulk2.SNPindex", dname, "ED", "G"):
+        assert col in raw.columns
+    smooth = pd.read_csv(tmp_path / "pb.smooth.tsv", sep="\t")
+    assert {"n_snps", "ED_power", "Gprime"} <= set(smooth.columns)
+    # the planted region carries the top smoothed delta
+    peak = smooth.loc[smooth[dname].idxmax(), "pos"]
+    assert 2_300_000 <= peak <= 3_200_000
+    thr = pd.read_csv(tmp_path / "pb.thr.tsv", sep="\t")
+    assert len(thr) > 0
+    # the fully-planted window is "upper"; ED-triggered flanks whose
+    # delta sits below the upper cut are labeled "lower" (reference
+    # direction semantics, postbsa.py:1494-1500)
+    top = thr.loc[thr["deltaSNPindex"].idxmax()]
+    assert top["direction"] == "upper"
+    mid = (thr["start"] + thr["end"]) / 2
+    assert mid.between(2_000_000, 3_500_000).all()
+    assert (tmp_path / "pb.stats.png").exists()
+    assert (tmp_path / "pb.snpindex.png").exists()
+
+
 def test_gmerge_cli(rng, tmp_path):
     from janusx_tpu.io import plink
 
