@@ -25,8 +25,17 @@ def build_parser(prog="jx tree") -> argparse.ArgumentParser:
                    help="also write the distance matrix (TSV)")
     o.add_argument("--write-phylip", action="store_true",
                    help="also write the distance matrix in PHYLIP format")
-    o.add_argument("-b", "--bootstrap", type=int, default=None, metavar="B",
-                   help="bootstrap replicates for internal-node support")
+    o.add_argument("-b", "--bootstrap", type=int, nargs="?", const=100,
+                   default=None, metavar="B",
+                   help="resamples for internal-node support (bare -b = 100)")
+    o.add_argument("--support", type=str, default="bootstrap",
+                   choices=("bootstrap", "shlike"),
+                   help="support algorithm when -ml and -b are given: "
+                   "'bootstrap' refines every site-weight replicate "
+                   "(global, slower); 'shlike' scores SH-like/RELL local "
+                   "supports on the ML tree (reference --support)")
+    o.add_argument("--profile", action="store_true",
+                   help="report phase timings and save {prefix}.profile.tsv")
     o.add_argument("-nj", "--nj", nargs="?", const="exact", default=None,
                    choices=("exact", "bionj", "bionj-jc", "bionj-dist",
                             "bionj-binom", "bionj-auto", "approx"),
@@ -72,7 +81,18 @@ def main(argv=None) -> int:
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "tree")
 
+    import time
+
     import numpy as np
+
+    phases: list = []
+    t_phase = time.monotonic()
+
+    def _mark(label: str) -> None:
+        nonlocal t_phase
+        now = time.monotonic()
+        phases.append((label, now - t_phase))
+        t_phase = now
 
     from janusx_tpu.models.tree import (
         bootstrap_support, ibs_distance, neighbor_joining,
@@ -100,6 +120,7 @@ def main(argv=None) -> int:
         distance = "ibs"
         m, n = pg.m, pg.n
         samples = [str(s) for s in pg.samples]
+    _mark("read+distance")
 
     if args.nj and args.nj.startswith("bionj"):
         from janusx_tpu.models.tree import bionj, bionj_stats
@@ -110,11 +131,13 @@ def main(argv=None) -> int:
         newick = bionj(Dv, V, samples)
     else:
         newick = neighbor_joining(D, samples)
+    _mark("nj")
     if args.bootstrap:
         newick = bootstrap_support(
             newick, codes, samples, n_boot=args.bootstrap,
             seed=args.seed, distance=distance,
         )
+        _mark("nj-bootstrap")
     with open(prefix + ".nwk", "wt") as fh:
         fh.write(newick + "\n")
     if args.ml:
@@ -166,13 +189,28 @@ def main(argv=None) -> int:
                            rate_categories=args.ml_cat,
                            spr=not args.ml_no_spr)
         ml_nwk = to_newick(t)
+        _mark("ml-refine")
         if args.bootstrap:
-            # -b composes with -ml: replicates refine under weighted site
-            # likelihoods and support maps onto the ML topology
-            ml_nwk = ml_bootstrap_support(
-                ml_nwk, parts, samples, k=k_states,
-                n_boot=args.bootstrap, seed=args.seed,
-            )
+            if args.support == "shlike":
+                # SH-like/RELL local supports on the fitted ML tree
+                # (reference --support shlike; FastTree SHSupport)
+                from janusx_tpu.models.mltree import (
+                    shlike_support, to_newick_with_support,
+                )
+
+                sup = shlike_support(
+                    t, t.partials, k=k_states, n_res=args.bootstrap,
+                    seed=args.seed, rates=t.rates,
+                )
+                ml_nwk = to_newick_with_support(t, sup)
+            else:
+                # -b composes with -ml: replicates refine under weighted
+                # site likelihoods; support maps onto the ML topology
+                ml_nwk = ml_bootstrap_support(
+                    ml_nwk, parts, samples, k=k_states,
+                    n_boot=args.bootstrap, seed=args.seed,
+                )
+            _mark(f"ml-support-{args.support}")
         with open(prefix + ".ml.nwk", "wt") as fh:
             fh.write(ml_nwk + "\n")
         print(f"{prefix}.ml.nwk\tlogL={t.loglik:.2f}")
@@ -183,5 +221,12 @@ def main(argv=None) -> int:
                 fh.write(f"{s}\n")
     if args.write_phylip:
         _write_phylip(prefix + ".phylip.dist", D, samples)
+    if args.profile:
+        _mark("write")
+        with open(prefix + ".profile.tsv", "wt") as fh:
+            fh.write("phase\tseconds\n")
+            for label, secs in phases:
+                fh.write(f"{label}\t{secs:.3f}\n")
+        print(prefix + ".profile.tsv")
     print(f"{prefix}.nwk\t({n} samples, {m} sites)")
     return 0

@@ -38,8 +38,10 @@ class MlTree:
     root: int
     n_leaves: int
     loglik: float = float("nan")
-    # site-compressed alignment state
+    # per-node leaf partials + CAT rates of the last refinement, kept so
+    # post-hoc passes (SH-like supports) reuse the fitted state
     partials: dict = field(default_factory=dict)
+    rates: np.ndarray | None = None
 
 
 def parse_newick(s: str):
@@ -607,6 +609,8 @@ def ml_refine_tree(
             optimize_branch_lengths(t, leaf_part, k, rounds=1,
                                     weights=weights, rates=rates)
             nni_until_done(nni_rounds)
+    t.partials = leaf_part
+    t.rates = rates
     return t
 
 
@@ -635,6 +639,86 @@ def ml_bootstrap_support(
         for s in _tree_splits(to_newick(t)):
             counts[s] = counts.get(s, 0) + 1
     return annotate_split_support(main_newick, counts, n_boot)
+
+
+def _config_site_log(G, eD, eA, eB, xc, k) -> np.ndarray:
+    """Per-site log-likelihood vector of topology ((A,B)c, D)p with
+    rest-of-tree context G (same algebra as _score_config, kept as a
+    vector). The down-pass log-scalers are identical across the three
+    NNI configurations of an edge and cancel in comparisons, so they are
+    deliberately omitted."""
+    mc = eA * eB
+    mx = np.maximum(mc.max(axis=1), 1e-300)
+    mc = mc / mx[:, None]
+    mp = _pmul(mc, xc, k) * eD * G
+    site = np.maximum(mp.sum(axis=1), 1e-300)
+    return np.log(site) + np.log(mx)
+
+
+def shlike_support(t: MlTree, leaf_part, k: int, n_res: int = 1000,
+                   seed: int = 0, weights=None, rates=None) -> dict:
+    """SH-like local supports (FastTree's default support algorithm,
+    reference `jx tree -ml --support shlike` / vendored FastTree.c
+    SHSupport): for each internal edge eligible for NNI, compute the
+    per-site log-likelihoods of the current configuration and its two
+    NNI alternatives, then draw ``n_res`` RELL multinomial site
+    resamples (shared across edges, as FastTree does); the support of
+    the edge is the fraction of resamples in which the current
+    configuration beats the better alternative. Returns
+    {internal node id: support in [0, 1]}."""
+    down, _scal = _down_pass(t, leaf_part, k, rates)
+    _, atnode = _up_pass(t, down, k, rates)
+    m = down[t.root].shape[0]
+    rng = np.random.default_rng(seed)
+    if weights is None:
+        p_site = np.full(m, 1.0 / m)
+        ndraw = m
+    else:
+        w = np.asarray(weights, np.float64).reshape(-1)
+        p_site = w / w.sum()
+        ndraw = int(round(w.sum()))
+    W = rng.multinomial(ndraw, p_site, size=int(n_res)).astype(np.float64)
+    support: dict = {}
+    for c in range(len(t.children)):
+        p = int(t.parent[c])
+        if p < 0 or not t.children[c] or len(t.children[c]) != 2:
+            continue
+        if len(t.children[p]) != 2:
+            continue
+        sibs = [s for s in t.children[p] if s != c]
+        if len(sibs) != 1:
+            continue
+        D = sibs[0]
+        A, B = t.children[c]
+        eA = _pmul(down[A], _x_of(t.blen[A], k, rates), k)
+        eB = _pmul(down[B], _x_of(t.blen[B], k, rates), k)
+        eD = _pmul(down[D], _x_of(t.blen[D], k, rates), k)
+        G = atnode[p]
+        xc = _x_of(t.blen[c], k, rates)
+        s0 = _config_site_log(G, eD, eA, eB, xc, k)
+        s1 = _config_site_log(G, eB, eA, eD, xc, k)
+        s2 = _config_site_log(G, eA, eB, eD, xc, k)
+        cur = W @ s0
+        alt = np.maximum(W @ s1, W @ s2)
+        support[c] = float(np.mean(cur > alt))
+    return support
+
+
+def to_newick_with_support(t: MlTree, support: dict) -> str:
+    """Newick with internal-node support labels `(...)NN:blen`
+    (percent, same convention as the NJ bootstrap annotator)."""
+    def rec(v: int) -> str:
+        if not t.children[v]:
+            body = t.labels[v]
+        else:
+            body = "(" + ",".join(rec(c) for c in t.children[v]) + ")"
+            if v in support:
+                body += str(int(round(100.0 * support[v])))
+        if v == t.root:
+            return body
+        return f"{body}:{t.blen[v]:.6g}"
+
+    return rec(t.root) + ";"
 
 
 def ml_tree(pg, site_budget: int | None = None, seed: int = 0,

@@ -205,6 +205,87 @@ def test_tree_cli_ml_bootstrap(tmp_path):
     assert re.search(r"\)\d+(?:\.\d+)?:", ml), "ML tree lacks bootstrap support"
 
 
+def test_shlike_support_high_on_true_clades():
+    """SH-like/RELL supports: the planted clade split gets near-1 support
+    and all values stay in [0, 1] (reference --support shlike)."""
+    from janusx_tpu.models.mltree import (
+        shlike_support, to_newick_with_support,
+    )
+
+    codes, names = _clade_genotypes(seed=11, n_per=4, m=400)
+    parts = genotype_leaf_partials(codes, site_budget=10**9)
+    from janusx_tpu.models.tree import neighbor_joining, weighted_ibs_distance
+
+    D = weighted_ibs_distance(codes, np.ones(codes.shape[0]))
+    t = ml_refine_tree(neighbor_joining(D, names), parts, names, k=2)
+    sup = shlike_support(t, t.partials, k=2, n_res=200, seed=0,
+                         rates=t.rates)
+    assert sup, "no NNI-eligible internal edges scored"
+    vals = list(sup.values())
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert max(vals) >= 0.95  # the clean clade split is decisive
+    ann = to_newick_with_support(t, sup)
+    import re
+
+    labels = [int(x) for x in re.findall(r"\)(\d+):", ann)]
+    assert labels and max(labels) >= 95
+    t2 = parse_newick(ann)  # annotated newick stays parseable
+    assert t2.n_leaves == 8
+    # determinism: shared RELL draws -> same supports for same seed
+    sup2 = shlike_support(t, t.partials, k=2, n_res=200, seed=0,
+                          rates=t.rates)
+    assert sup == sup2
+
+
+def test_shlike_noise_sites_get_low_support():
+    """Pure-noise data: no split is real, so SH-like supports must not
+    all saturate (a frequent failure mode of misimplemented RELL)."""
+    from janusx_tpu.models.mltree import shlike_support
+
+    rng = np.random.default_rng(5)
+    codes = rng.binomial(2, 0.5, size=(400, 8)).astype(np.int8)
+    names = [f"s{i}" for i in range(8)]
+    parts = genotype_leaf_partials(codes, site_budget=10**9)
+    from janusx_tpu.models.tree import neighbor_joining, weighted_ibs_distance
+
+    D = weighted_ibs_distance(codes, np.ones(codes.shape[0]))
+    t = ml_refine_tree(neighbor_joining(D, names), parts, names, k=2)
+    sup = shlike_support(t, t.partials, k=2, n_res=300, seed=1,
+                         rates=t.rates)
+    assert sup and min(sup.values()) <= 0.9
+
+
+def test_tree_cli_shlike_and_profile(tmp_path):
+    """`jx tree -ml -b --support shlike --profile` end-to-end."""
+    from janusx_tpu.cli.tree import main as tree_main
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+
+    codes, names = _clade_genotypes(seed=13, n_per=4, m=200)
+    m = codes.shape[0]
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["C"] * m, object),
+    )
+    gd = GenotypeData(codes, sites, np.array(names, object))
+    prefix = str(tmp_path / "t")
+    plink.write_plink_genotypes(prefix, gd)
+    rc = tree_main(["-bfile", prefix, "-ml", "-b", "--support", "shlike",
+                    "--profile", "-maf", "0.0", "-geno", "1.0",
+                    "-o", str(tmp_path / "out")])
+    assert rc == 0
+    ml = open(str(tmp_path / "out" / "jxtree.ml.nwk")).read()
+    import re
+
+    assert re.search(r"\)\d+:", ml), "ML tree lacks SH-like supports"
+    prof = open(str(tmp_path / "out" / "jxtree.profile.tsv")).read()
+    assert prof.startswith("phase\tseconds\n")
+    assert "ml-support-shlike" in prof and "ml-refine" in prof
+
+
 def test_spr_recovers_distant_misplacement():
     """A leaf grafted far from its clade in the start topology needs a
     long-range move: SPR must recover the clade split (and beat the
