@@ -657,14 +657,16 @@ def _config_site_log(G, eD, eA, eB, xc, k) -> np.ndarray:
 
 def shlike_support(t: MlTree, leaf_part, k: int, n_res: int = 1000,
                    seed: int = 0, weights=None, rates=None) -> dict:
-    """SH-like local supports (FastTree's default support algorithm,
-    reference `jx tree -ml --support shlike` / vendored FastTree.c
-    SHSupport): for each internal edge eligible for NNI, compute the
-    per-site log-likelihoods of the current configuration and its two
-    NNI alternatives, then draw ``n_res`` RELL multinomial site
-    resamples (shared across edges, as FastTree does); the support of
-    the edge is the fraction of resamples in which the current
-    configuration beats the better alternative. Returns
+    """SH-like local supports (reference `jx tree -ml --support shlike`,
+    shlike_support_on_cache tree.rs:4686 legacy local-bootstrap form):
+    for each internal edge eligible for NNI, compute the per-site
+    log-likelihoods of the current configuration and its two NNI
+    alternatives, then draw ``n_res`` RELL multinomial site resamples
+    (shared across edges); the support of the edge is the fraction of
+    resamples in which the current configuration stays at least as good
+    as both alternatives (resampled sum of s0-s1 and s0-s2 both >= 0 —
+    tree.rs:4905-4913). The reference's adaptive-rep/winsorization
+    variance-reduction knobs are deliberately not reproduced. Returns
     {internal node id: support in [0, 1]}."""
     down, _scal = _down_pass(t, leaf_part, k, rates)
     _, atnode = _up_pass(t, down, k, rates)
@@ -700,7 +702,7 @@ def shlike_support(t: MlTree, leaf_part, k: int, n_res: int = 1000,
         s2 = _config_site_log(G, eA, eB, eD, xc, k)
         cur = W @ s0
         alt = np.maximum(W @ s1, W @ s2)
-        support[c] = float(np.mean(cur > alt))
+        support[c] = float(np.mean(cur >= alt))
     return support
 
 
