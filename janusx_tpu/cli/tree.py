@@ -39,11 +39,12 @@ def build_parser(prog="jx tree") -> argparse.ArgumentParser:
     o.add_argument("-nj", "--nj", nargs="?", const="exact", default=None,
                    choices=("exact", "bionj", "bionj-jc", "bionj-dist",
                             "bionj-binom", "bionj-auto", "approx"),
-                   help="agglomeration algorithm: exact NJ (default) or "
+                   help="agglomeration algorithm: exact NJ (default), "
                    "BIONJ with a variance model (jc delta-method | "
-                   "dist | binom; bionj = bionj-jc). 'approx' maps to "
-                   "the exact NJ here (the reference's approx mode is a "
-                   "legacy shortcut)")
+                   "dist | binom; bionj = bionj-jc), or 'approx' = "
+                   "RapidNJ-style pruned search (same min-Q joins, "
+                   "O(n^2 log n) — use for large cohorts; reference "
+                   "rapid-core mode)")
     o.add_argument("-asc", "--asc", action="store_true",
                    help="SNP ascertainment-bias pseudo correction for "
                    "-ml: k pseudo-constant sites per state enter the "
@@ -129,6 +130,10 @@ def main(argv=None) -> int:
         n_states = 4 if args.fasta else 3
         Dv, V = bionj_stats(codes, n_states, var_mode=var_mode)
         newick = bionj(Dv, V, samples)
+    elif args.nj == "approx":
+        from janusx_tpu.models.tree import rapid_neighbor_joining
+
+        newick = rapid_neighbor_joining(D, samples)
     else:
         newick = neighbor_joining(D, samples)
     _mark("nj")

@@ -106,6 +106,137 @@ def neighbor_joining(D: np.ndarray, labels) -> str:
     return f"({newick[i]}:{d / 2:.6g},{newick[j]}:{d / 2:.6g});"
 
 
+def rapid_neighbor_joining(D: np.ndarray, labels) -> str:
+    """RapidNJ-style NJ for large n (reference `jx tree -nj approx` =
+    "rapid-core lowmem", tree.rs nj_newick_lowertri_rapid_core): the
+    SAME minimum-Q join criterion as classic NJ, found without scanning
+    all O(r²) pairs each round. Distances are static per pair, so every
+    slot keeps its candidates SORTED BY DISTANCE once; a row scan can
+    stop at d ≥ best + u_i + u_max (since q = d − u_i − u_j ≥
+    d − u_i − u_max), and rows whose head distance already exceeds the
+    bound are skipped wholesale. Joined pairs reuse slot i in-place
+    (O(n²) memory total, f32 rows) with generation counters invalidating
+    stale candidate entries. O(n² log n) typical work vs the classic
+    implementation's O(n³) + per-round matrix copies.
+
+    Tie-breaking may differ from `neighbor_joining` (argmin order);
+    on generic distances the topologies agree."""
+    D = np.ascontiguousarray(D, np.float32).copy()
+    n = D.shape[0]
+    labels = [str(lb) for lb in labels]
+    if n <= 3:
+        return neighbor_joining(D, labels)
+    newick = {i: labels[i] for i in range(n)}
+    np.fill_diagonal(D, np.inf)  # keeps self out of sorted candidates
+    alive = np.ones(n, bool)
+    gen = np.zeros(n, np.int32)
+    S = np.where(np.isfinite(D), D, 0.0).sum(axis=1, dtype=np.float64)
+    # per-slot candidate state in fixed-width rows (so whole batches of
+    # rows evaluate in single vector ops): js sorted by distance + the
+    # generation of each candidate at build time (stale once gen moved)
+    cand_j = np.zeros((n, n), np.int32)
+    cand_d = np.full((n, n), np.inf, np.float32)
+    cand_g = np.full((n, n), -1, np.int32)
+    cand_len = np.zeros(n, np.int64)
+    pos = np.zeros(n, np.int64)
+
+    def build_row(i, js):
+        d = D[i, js]
+        order = np.argsort(d, kind="stable")
+        m = len(js)
+        cand_j[i, :m] = js[order]
+        cand_d[i, :m] = d[order]
+        cand_d[i, m:] = np.inf
+        cand_g[i, :m] = gen[cand_j[i, :m]]
+        cand_len[i] = m
+        pos[i] = 0
+
+    # cached first-valid candidate per row: re-advanced only when the head
+    # entry itself dies (points at a just-joined slot), so head upkeep is
+    # O(affected rows) per round instead of O(r)
+    head_d = np.full(n, np.inf)
+    head_j = np.full(n, -1, np.int64)
+
+    def advance(i):
+        p, m = int(pos[i]), int(cand_len[i])
+        while p < m and not (alive[cand_j[i, p]]
+                             and gen[cand_j[i, p]] == cand_g[i, p]):
+            p += 1
+        pos[i] = p
+        if p < m:
+            head_d[i], head_j[i] = cand_d[i, p], cand_j[i, p]
+        else:
+            head_d[i], head_j[i] = np.inf, -1
+
+    all_idx = np.arange(n)
+    for i in range(n):
+        build_row(i, np.delete(all_idx, i))
+        advance(i)
+
+    win = np.arange(64)  # vectorized scan window width
+    r = n
+    while r > 2:
+        act = np.nonzero(alive)[0]
+        u = np.full(n, -np.inf)
+        u[act] = S[act] / (r - 2)
+        umax = u[act].max()
+        # head entries are valid pairs: their exact q values seed best_q,
+        # so most rows fail the d−u_i−u_max ≥ best_q bound outright
+        hq = head_d[act] - u[act] - np.where(head_j[act] >= 0,
+                                             u[head_j[act]], -np.inf)
+        t0 = int(np.argmin(hq))
+        best_q = float(hq[t0])
+        i0 = int(act[t0])
+        best = (i0, int(head_j[i0]), float(head_d[i0]))
+        rows = act[head_d[act] - u[act] - umax < best_q]
+        start = pos[rows].copy()
+        while rows.size:
+            # evaluate a 64-wide sorted-candidate window of every
+            # surviving row at once; deepen only rows whose window end
+            # is still inside the pruning cutoff
+            idx = np.minimum(start[:, None] + win, n - 1)
+            dwin = cand_d[rows[:, None], idx]
+            below = ((start[:, None] + win < cand_len[rows][:, None])
+                     & (dwin - u[rows][:, None] - umax < best_q))
+            jwin = cand_j[rows[:, None], idx]
+            valid = (below & alive[jwin]
+                     & (gen[jwin] == cand_g[rows[:, None], idx]))
+            q = np.where(valid, dwin - u[rows][:, None] - u[jwin], np.inf)
+            k = int(np.argmin(q))
+            ri, ci = divmod(k, len(win))
+            if q[ri, ci] < best_q:
+                best_q = float(q[ri, ci])
+                best = (int(rows[ri]), int(jwin[ri, ci]),
+                        float(dwin[ri, ci]))
+            more = below[:, -1]
+            rows = rows[more]
+            start = start[more] + len(win)
+        i, j, dij = best
+        li = 0.5 * dij + (S[i] - S[j]) / (2.0 * (r - 2))
+        lj = dij - li
+        li, lj = max(li, 0.0), max(lj, 0.0)
+        newick[i] = f"({newick[i]}:{li:.6g},{newick[j]}:{lj:.6g})"
+        # merge j into slot i
+        alive[j] = False
+        rest = act[(act != i) & (act != j)]
+        newrow = 0.5 * (D[i, rest] + D[j, rest] - dij)
+        S[rest] += newrow - D[i, rest] - D[j, rest]
+        S[i] = newrow.sum(dtype=np.float64)
+        D[i, rest] = newrow
+        D[rest, i] = newrow
+        gen[i] += 1
+        gen[j] += 1
+        build_row(i, rest)
+        advance(i)
+        stale = rest[(head_j[rest] == i) | (head_j[rest] == j)]
+        for k in stale:
+            advance(int(k))
+        r -= 1
+    i, j = np.nonzero(alive)[0]
+    d = max(float(D[i, j]), 0.0)
+    return f"({newick[i]}:{d / 2:.6g},{newick[j]}:{d / 2:.6g});"
+
+
 def nj_tree(pg: PackedGenotypes, block: int = config.DEFAULT_SNP_BLOCK) -> str:
     D = ibs_distance(pg, block)
     return neighbor_joining(D, pg.samples)

@@ -380,6 +380,59 @@ def test_bionj_recovers_clades_and_matches_nj_on_clean_data():
         assert _clade_split(nwk, [f"A{i}" for i in range(5)]), mode
 
 
+def test_rapid_nj_matches_exact_nj():
+    """RapidNJ pruned search picks the same min-Q joins as classic NJ:
+    identical split sets on generic (tie-free) random distances."""
+    from janusx_tpu.models.tree import (
+        _tree_splits, neighbor_joining, rapid_neighbor_joining,
+    )
+
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 40))
+        X = rng.normal(size=(n, 12))
+        D = np.sqrt(((X[:, None] - X[None, :]) ** 2).sum(-1))
+        names = [f"s{i}" for i in range(n)]
+        exact = neighbor_joining(D, names)
+        rapid = rapid_neighbor_joining(D, names)
+        assert _tree_splits(rapid) == _tree_splits(exact), f"seed {seed}"
+
+
+def test_rapid_nj_branch_lengths_and_clades():
+    """Branch lengths follow the classic NJ formulas and the planted
+    clade split is recovered on genotype distances."""
+    from janusx_tpu.models.tree import (
+        rapid_neighbor_joining, weighted_ibs_distance,
+    )
+
+    codes, names = _clade_genotypes(seed=17, n_per=6, m=500)
+    D = weighted_ibs_distance(codes, np.ones(codes.shape[0]))
+    nwk = rapid_neighbor_joining(D, names)
+    assert nwk.endswith(";")
+    assert _clade_split(nwk, [f"A{i}" for i in range(6)])
+    t = parse_newick(nwk)
+    assert t.n_leaves == 12
+    # no negative branch lengths (clamped exactly like the classic path)
+    assert (t.blen[np.arange(len(t.blen)) != t.root] >= 0).all()
+
+
+def test_rapid_nj_midsize():
+    """n=500 completes quickly and yields a valid binary tree (the
+    classic path at this size already spends seconds in matrix pads)."""
+    from janusx_tpu.models.tree import rapid_neighbor_joining
+
+    rng = np.random.default_rng(99)
+    X = rng.normal(size=(500, 8))
+    D = np.sqrt(((X[:, None] - X[None, :]) ** 2).sum(-1))
+    names = [f"s{i}" for i in range(500)]
+    import time
+
+    t0 = time.monotonic()
+    nwk = rapid_neighbor_joining(D, names)
+    assert time.monotonic() - t0 < 30.0
+    assert nwk.count("(") == 499 and nwk.endswith(";")
+
+
 def test_tree_cli_bionj_and_asc(tmp_path):
     """`jx tree -nj bionj` and `-ml -asc` run end-to-end; -asc shrinks
     branch lengths (pseudo-constant sites penalize long branches)."""
