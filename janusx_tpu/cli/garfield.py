@@ -209,7 +209,7 @@ def _main_genes(args, prefix, trait, pg, y, K, ttype, depth, beam,
                     f"{ru.support}\t{ru.score:.6g}\t{pv:.4g}\n"
                 )
     print(f"{trait}\t{n_units} gene units\t{path}")
-    return 0
+    return path
 
 
 def main(argv=None) -> int:
@@ -259,9 +259,12 @@ def main(argv=None) -> int:
             if len(args.window_args) > 1:
                 step_kb = float(args.window_args[1])
         if args.genefile:
-            return _main_genes(args, prefix, trait, pg, y[keep], K, ttype,
-                               depth, beam, preselect, min_support,
-                               window_kb)
+            # one gene-scan TSV per trait — do NOT return here, or every
+            # trait after the first is silently skipped
+            outputs.append(_main_genes(
+                args, prefix, trait, pg, y[keep], K, ttype,
+                depth, beam, preselect, min_support, window_kb))
+            continue
         if window_kb:
             from janusx_tpu.models.garfield import garfield_window_scan
 

@@ -187,6 +187,16 @@ def main(argv=None) -> int:
         hits = sorted(glob.glob(pat))
         paths.extend(hits if hits else [pat])
     tags = _tags_for(paths)
+
+    # every feature block below reads the assoc table with identical
+    # arguments — parse each file once (pool workers read their own copy)
+    assoc_cache: dict = {}
+
+    def _read_cached(path):
+        if path not in assoc_cache:
+            assoc_cache[path] = _read_assoc(
+                path, args.pcol, args.chrcol, args.poscol, args.bimrange)
+        return assoc_cache[path]
     ylim = None
     if args.ylim:
         ylim = ((0.0, args.ylim[0]) if len(args.ylim) == 1
@@ -213,8 +223,7 @@ def main(argv=None) -> int:
     if args.manh_merge or args.qq_merge or args.circle:
         panels = []
         for path, tag in zip(paths, tags):
-            df = _read_assoc(path, args.pcol, args.chrcol, args.poscol,
-                             args.bimrange)
+            df = _read_cached(path)
             panels.append((tag, df["chrom"].to_numpy(),
                            df["pos"].to_numpy(), df[args.pcol].to_numpy()))
         if args.manh_merge:
@@ -259,8 +268,7 @@ def main(argv=None) -> int:
             pg_clump = load_raw_packed(geno).prepare(
                 QcParams(maf=0.0, geno=1.0))
         for path, tag in zip(paths, tags):
-            df = _read_assoc(path, args.pcol, args.chrcol, args.poscol,
-                             args.bimrange)
+            df = _read_cached(path)
             m = max(int(df[args.pcol].notna().sum()), 1)
             thr = args.sig if args.sig is not None else 0.05 / m
             clumps = ld_clump(
@@ -324,8 +332,7 @@ def main(argv=None) -> int:
         lo, hi = (int(x) for x in span.split("-"))
         assoc = None
         if paths:
-            df = _read_assoc(paths[0], args.pcol, args.chrcol,
-                             args.poscol, args.bimrange)
+            df = _read_cached(paths[0])
             sub = df[(df["chrom"].astype(str) == chrom)
                      & (df["pos"] >= lo) & (df["pos"] <= hi)]
             if len(sub):
@@ -356,8 +363,7 @@ def main(argv=None) -> int:
 
             pg = load_raw_packed(geno).prepare(QcParams(maf=0.01, geno=0.2))
         for path, tag in zip(paths, tags):
-            df = _read_assoc(path, args.pcol, args.chrcol,
-                             args.poscol, args.bimrange)
+            df = _read_cached(path)
             m = max(int(np.isfinite(df[args.pcol]).sum()), 1)
             # region_report's sig_line sits on the -log10 axis; -sig is a
             # raw p-value (same semantics as the Manhattan panel)

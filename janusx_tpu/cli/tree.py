@@ -137,6 +137,7 @@ def main(argv=None) -> int:
     else:
         newick = neighbor_joining(D, samples)
     _mark("nj")
+    base_nwk = newick  # unannotated topology; also the -ml start tree
     if args.bootstrap:
         newick = bootstrap_support(
             newick, codes, samples, n_boot=args.bootstrap,
@@ -188,9 +189,10 @@ def main(argv=None) -> int:
                 for st in range(k_states):
                     tail[st * k_pseudo:(st + 1) * k_pseudo, st] = 1.0
                 parts = [np.vstack([P, tail]) for P in parts]
-        # support labels are not part of the ML tree: rebuild unannotated
-        base = neighbor_joining(D, samples)
-        t = ml_refine_tree(base, parts, samples, k=k_states,
+        # start from the user-selected (unannotated) NJ/BIONJ/approx
+        # topology — recomputing exact NJ here would both ignore -nj and
+        # redo the O(n^3) work -nj approx exists to avoid
+        t = ml_refine_tree(base_nwk, parts, samples, k=k_states,
                            rate_categories=args.ml_cat,
                            spr=not args.ml_no_spr)
         ml_nwk = to_newick(t)

@@ -126,6 +126,16 @@ def knob(name: str):
     return raw
 
 
+def choice_knob(name: str, allowed: tuple) -> str:
+    """knob() for enumerated string knobs: unknown values raise instead
+    of silently falling into whichever branch `else` happens to pick."""
+    v = str(knob(name)).lower()
+    if v not in allowed:
+        raise ValueError(
+            f"{name}={v!r}: expected one of {', '.join(allowed)}")
+    return v
+
+
 def knob_table() -> list:
     """(name, current, default, overridden, help) rows for `jx env`."""
     rows = []

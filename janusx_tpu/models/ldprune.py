@@ -191,14 +191,21 @@ def ld_clump(
 
     geno_row = {}
     if pg is not None:
-        lookup = {}
+        # match only the significant hits against the panel (the panel is
+        # biobank-sized; a per-marker Python dict would dominate wall
+        # time): lexsort the panel (chrom, pos) keys once, searchsorted
+        # each hit
         pchrom = pg.sites.chrom.astype(str)
-        for j in range(pg.m):
-            lookup[(pchrom[j], int(pg.sites.pos[j]))] = j
-        for i in sig:
-            j = lookup.get((chrom[i], int(pos[i])))
-            if j is not None:
-                geno_row[int(i)] = j
+        ppos = np.asarray(pg.sites.pos, np.int64)
+        order = np.lexsort((ppos, pchrom))
+        sc, sp = pchrom[order], ppos[order]
+        hc, hp = chrom[sig], pos[sig]
+        lo = np.searchsorted(sc, hc, side="left")
+        hi = np.searchsorted(sc, hc, side="right")
+        for i, l, h, p_want in zip(sig, lo, hi, hp):
+            k = l + np.searchsorted(sp[l:h], p_want, side="left")
+            if k < h and sp[k] == p_want:
+                geno_row[int(i)] = int(order[k])
 
     claimed: set = set()
     clumps = []

@@ -348,8 +348,8 @@ def lmm_scan(
     if use_pallas and min(block, pg.m if pg.m else block) % 512 != 0:
         use_pallas = False
     lattice = os.environ.get("JX_TPU_PALLAS_GRID", "1") not in ("0", "false")
-    grid_prec = str(config.knob("JX_TPU_GRID_MXU_PREC")).lower()
-    rot_prec = str(config.knob("JX_TPU_ROTATE_PREC")).lower()
+    grid_prec = config.choice_knob("JX_TPU_GRID_MXU_PREC", ("default", "highest"))
+    rot_prec = config.choice_knob("JX_TPU_ROTATE_PREC", ("highest", "high"))
     if grid_points is None:
         grid_points = config.knob("JX_TPU_GRID_POINTS")
     y = np.asarray(y, np.float64).reshape(-1)
@@ -694,8 +694,8 @@ def lmm_scan_multi(
         and block % 512 == 0
         and (mesh is None or (block // mesh.devices.size) % 512 == 0)
     )
-    grid_prec = str(config.knob("JX_TPU_GRID_MXU_PREC")).lower()
-    rot_prec = str(config.knob("JX_TPU_ROTATE_PREC")).lower()
+    grid_prec = config.choice_knob("JX_TPU_GRID_MXU_PREC", ("default", "highest"))
+    rot_prec = config.choice_knob("JX_TPU_ROTATE_PREC", ("highest", "high"))
     m_pad = -(-m // block) * block
     nblk = m_pad // block
     if use_pallas:

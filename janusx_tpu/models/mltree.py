@@ -327,15 +327,24 @@ def optimize_branch_lengths(t: MlTree, leaf_part, k: int, rounds: int = 2,
     return t
 
 
-def _score_config(G, eD, eA, eB, xc, k, weights=None):
-    """Log-score of topology ((A,B)c, D)p with rest-of-tree context G:
-    combine A,B at c, pass through edge c (xc), join D and G at p."""
+def _config_site_log(G, eD, eA, eB, xc, k) -> np.ndarray:
+    """Per-site log-likelihood vector of topology ((A,B)c, D)p with
+    rest-of-tree context G: combine A,B at c, pass through edge c (xc),
+    join D and G at p. The down-pass log-scalers are identical across
+    the three NNI configurations of an edge and cancel in comparisons,
+    so they are deliberately omitted."""
     mc = eA * eB
     mx = np.maximum(mc.max(axis=1), 1e-300)
     mc = mc / mx[:, None]
     mp = _pmul(mc, xc, k) * eD * G
     site = np.maximum(mp.sum(axis=1), 1e-300)
-    site_log = np.log(site) + np.log(mx)
+    return np.log(site) + np.log(mx)
+
+
+def _score_config(G, eD, eA, eB, xc, k, weights=None):
+    """Log-score of topology ((A,B)c, D)p with rest-of-tree context G:
+    combine A,B at c, pass through edge c (xc), join D and G at p."""
+    site_log = _config_site_log(G, eD, eA, eB, xc, k)
     if weights is None:
         return float(site_log.sum())
     return float(site_log @ weights)
@@ -488,8 +497,6 @@ def spr_round(t: MlTree, leaf_part, k: int, weights=None, rates=None,
         t.children[G][t.children[G].index(P)] = B
         t.parent[B] = G
         t.blen[B] = min(t.blen[B] + t.blen[P], MAX_BLEN)
-        if Gp == P:  # target vanished with the collapse (defensive)
-            return False
         # regraft: reuse P as the junction splitting w's edge
         Gp = int(t.parent[w])  # may have changed if w was B's sibling
         t.children[P] = [S, w]
@@ -639,20 +646,6 @@ def ml_bootstrap_support(
         for s in _tree_splits(to_newick(t)):
             counts[s] = counts.get(s, 0) + 1
     return annotate_split_support(main_newick, counts, n_boot)
-
-
-def _config_site_log(G, eD, eA, eB, xc, k) -> np.ndarray:
-    """Per-site log-likelihood vector of topology ((A,B)c, D)p with
-    rest-of-tree context G (same algebra as _score_config, kept as a
-    vector). The down-pass log-scalers are identical across the three
-    NNI configurations of an edge and cancel in comparisons, so they are
-    deliberately omitted."""
-    mc = eA * eB
-    mx = np.maximum(mc.max(axis=1), 1e-300)
-    mc = mc / mx[:, None]
-    mp = _pmul(mc, xc, k) * eD * G
-    site = np.maximum(mp.sum(axis=1), 1e-300)
-    return np.log(site) + np.log(mx)
 
 
 def shlike_support(t: MlTree, leaf_part, k: int, n_res: int = 1000,

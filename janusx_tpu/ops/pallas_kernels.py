@@ -112,6 +112,12 @@ def decode_rotate_planar(
     prec: str = "highest",  # callers thread JX_TPU_ROTATE_PREC (read
     # OUTSIDE jit so the knob participates in the compile key)
 ):
+    if prec not in ("highest", "high"):
+        # reject unknown values here rather than silently dropping onto
+        # the reduced-precision bf16x3 branch (the else below)
+        raise ValueError(
+            f"JX_TPU_ROTATE_PREC={prec!r}: expected 'highest' (full f32, "
+            "default) or 'high' (bf16x3)")
     M, Kb = packed.shape
     K, N = U_planar.shape
     assert K == Kb * 4

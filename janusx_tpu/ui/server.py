@@ -242,7 +242,12 @@ class Handler(BaseHTTPRequestHandler):
             except (ValueError, IndexError):
                 return self._send(_page("not found", ""), code=404)
             thr = q.get("thr", [None])[0]
-            return self._sigsites(run_id, None if thr is None else float(thr))
+            try:
+                thr_f = None if thr is None else float(thr)
+            except ValueError:
+                return self._send(_page("bad request",
+                                        "thr must be a number"), code=400)
+            return self._sigsites(run_id, thr_f)
         if route.startswith("/run/"):
             try:
                 run_id = int(route.split("/")[2])

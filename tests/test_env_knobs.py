@@ -81,3 +81,25 @@ def test_eigh_backend_knob(monkeypatch):
     b_host = eigh_grm(K)
     np.testing.assert_allclose(np.sort(b_dev.S), np.sort(b_host.S),
                                rtol=1e-10)
+
+
+def test_choice_knob_rejects_unknown_values(monkeypatch):
+    """Enumerated knobs error on typos instead of silently picking the
+    `else` branch (JX_TPU_ROTATE_PREC=higest must not select bf16x3)."""
+    import pytest
+
+    from janusx_tpu import config
+
+    monkeypatch.setenv("JX_TPU_ROTATE_PREC", "higest")
+    with pytest.raises(ValueError, match="JX_TPU_ROTATE_PREC"):
+        config.choice_knob("JX_TPU_ROTATE_PREC", ("highest", "high"))
+    monkeypatch.setenv("JX_TPU_ROTATE_PREC", "HIGH")  # case-folded ok
+    assert config.choice_knob("JX_TPU_ROTATE_PREC",
+                              ("highest", "high")) == "high"
+    from janusx_tpu.ops import pallas_kernels as pk
+
+    with pytest.raises(ValueError, match="ROTATE_PREC"):
+        pk.decode_rotate_planar(np.zeros((512, 32), np.uint8),
+                                np.zeros(512, np.float32),
+                                np.zeros((128, 256), np.float32),
+                                prec="default")

@@ -258,16 +258,21 @@ def test_garfield_cli_reference_surface(tmp_path):
     out = open(str(tmp_path / "wg.trait0.garfield.tsv")).read()
     assert "s10" in out and "s40" in out  # planted pair found
 
-    # gene-set scan: one unit covering both genes, planted pair inside
+    # gene-set scan: one unit covering both genes, planted pair inside;
+    # TWO traits — regression: -g used to return after the first trait
+    write_pheno(prefix + ".pheno2", [f"i{j}" for j in range(n)],
+                np.stack([y, rng.normal(size=n)], axis=1))
     rc = jx_main([
-        "garfield", "-bfile", prefix, "-p", prefix + ".pheno",
-        "-g", str(genes), "-gff", str(gff), "-w", "0.5",
+        "garfield", "-bfile", prefix, "-p", prefix + ".pheno2",
+        "-n", "0,1", "-g", str(genes), "-gff", str(gff), "-w", "0.5",
         "-perm", "20", "-maf", "0.0", "-geno", "1.0",
         "-o", str(tmp_path), "-prefix", "gs",
     ])
     assert rc == 0
     gout = open(str(tmp_path / "gs.trait0.garfield.genes.tsv")).read()
     assert "set1" in gout and "GeneA,GeneB" in gout
+    assert (tmp_path / "gs.trait1.garfield.genes.tsv").exists(), \
+        "gene mode must scan every selected trait, not just the first"
 
     # -w window scan with step + -bimrange restriction
     rc = jx_main([
