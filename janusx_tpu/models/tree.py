@@ -126,6 +126,13 @@ def rapid_neighbor_joining(D: np.ndarray, labels) -> str:
     labels = [str(lb) for lb in labels]
     if n <= 3:
         return neighbor_joining(D, labels)
+    # candidate state is 3 more n x n arrays (12 B/pair on top of D's 4):
+    # fail fast with the bill rather than OOM-ing mid-join
+    need_gb = 16.0 * n * n / 1e9
+    if need_gb > 64.0:
+        raise MemoryError(
+            f"rapid NJ at n={n} needs ~{need_gb:.0f} GB of candidate "
+            "state; subset samples or raise host memory")
     newick = {i: labels[i] for i in range(n)}
     np.fill_diagonal(D, np.inf)  # keeps self out of sorted candidates
     alive = np.ones(n, bool)
