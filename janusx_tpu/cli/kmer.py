@@ -13,19 +13,44 @@ from janusx_tpu.cli import common
 
 def build_parser(prog="jx kmer") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog=prog, description="count k-mers per sample")
-    p.add_argument("-i", "--inputs", type=str, nargs="+", required=True,
-                   help="FASTA/FASTQ(.gz) files, one per sample")
-    p.add_argument("-k", "--k", type=int, default=21)
-    p.add_argument("-min-count", "--min-count", type=int, default=2)
-    p.add_argument("-mem", "--mem", type=float, default=None, metavar="GB",
+    p.add_argument("-i", "-fa", "--inputs", "--fa", dest="inputs", type=str,
+                   nargs="+", required=True,
+                   help="FASTA/FASTQ(.gz) files, one per sample "
+                   "(reference spelling: -fa)")
+    p.add_argument("-k", "--k", "--kmer-len", dest="k", type=int, default=21)
+    p.add_argument("-min-count", "--min-count", "-ci", "--cutoff-min",
+                   dest="min_count", type=int, default=2,
+                   help="minimal k-mer count cutoff (reference -ci)")
+    p.add_argument("-cx", "--cutoff-max", dest="max_count", type=int,
+                   default=None,
+                   help="maximal k-mer count cutoff (reference -cx)")
+    p.add_argument("--counter-max", type=int, default=None,
+                   help="cap stored counter values (reference KMC -cs)")
+    p.add_argument("-mem", "--mem", "-m", "--max-ram-gb", "-limit-mem",
+                   "--limit-mem", dest="mem", type=float, default=None,
+                   metavar="GB",
                    help="in-RAM k-mer table budget in GB; tables that "
                    "would cross it spill to on-disk partition buckets "
                    "(KMC-class external-memory counting) and finalize "
-                   "one bucket at a time")
-    p.add_argument("-spill-dir", "--spill-dir", type=str, default=None,
+                   "one bucket at a time (reference -m/-limit-mem)")
+    p.add_argument("-spill-dir", "--spill-dir", "--tmp-dir",
+                   dest="spill_dir", type=str, default=None,
                    help="directory for spill buckets (default: temp dir); "
                    "'' disables spilling — the counter then fails fast "
-                   "at 2x the -mem budget instead of swapping")
+                   "at 2x the -mem budget instead of swapping "
+                   "(reference --tmp-dir)")
+    p.add_argument("-t", "--threads", dest="threads", type=int, default=None,
+                   help="counter threads (default: all cores)")
+    # reference hidden mode flags (kmer.py:585-597): -count is the
+    # default behavior; -tree builds a presence-based NJ tree of the
+    # counted samples on top of it
+    p.add_argument("-count", "--count", action="store_true",
+                   help=argparse.SUPPRESS)
+    p.add_argument("-tree", "--tree", action="store_true",
+                   help="also build an NJ tree of the samples from "
+                   "shared-k-mer (Jaccard) distances of the presence "
+                   "matrix -> {prefix}.kmer.nwk (needs >= 3 inputs; "
+                   "reference hidden -tree mode)")
     common.add_out_args(p, default_prefix="kmer")
     return p
 
@@ -39,19 +64,49 @@ def main(argv=None) -> int:
 
     if not kmer.available():
         raise SystemExit("native k-mer counter unavailable (needs g++)")
+    if args.tree and len(args.inputs) < 3:
+        raise SystemExit("-tree needs at least 3 input samples")
     outputs = []
+    per_sample = {}
     for path in args.inputs:
         sid = os.path.basename(path).split(".")[0]
         codes, counts = kmer.count_kmers(
             path, k=args.k, min_count=args.min_count,
+            threads=args.threads,
             mem_budget_bytes=(None if args.mem is None
                               else int(args.mem * (1 << 30))),
             spill_dir=args.spill_dir,
         )
+        if args.max_count is not None:
+            keep = counts <= args.max_count
+            codes, counts = codes[keep], counts[keep]
+        if args.counter_max is not None:
+            counts = np.minimum(counts, args.counter_max)
         out = f"{prefix}.{sid}.k{args.k}.npz"
         np.savez_compressed(out, codes=codes, counts=counts, k=args.k)
         outputs.append(out)
+        if args.tree:
+            per_sample[sid] = (codes, counts)
         print(f"{sid}\t{len(codes)} k-mers\t{out}")
+    if args.tree:
+        # presence-based sample phylogeny (functional analog of the
+        # reference's hidden read-based WASTER tree mode): Jaccard
+        # distance over the shared-k-mer presence matrix, RapidNJ join
+        from janusx_tpu.models.tree import rapid_neighbor_joining
+
+        codes_m, mat, samples = kmer.merge_to_matrix(
+            per_sample, min_samples=1, max_samples=len(per_sample))
+        P = mat.astype(np.float64)  # (m, n) presence
+        inter = P.T @ P
+        sizes = P.sum(axis=0)
+        union = sizes[:, None] + sizes[None, :] - inter
+        D = 1.0 - inter / np.maximum(union, 1.0)
+        np.fill_diagonal(D, 0.0)
+        nwk = rapid_neighbor_joining(D, list(samples))
+        tree_path = f"{prefix}.kmer.nwk"
+        with open(tree_path, "wt") as fh:
+            fh.write(nwk + "\n")
+        print(f"tree\t{len(codes_m)} shared k-mers\t{tree_path}")
     return 0
 
 

@@ -64,6 +64,15 @@ def build_parser(prog="jx postbsa") -> argparse.ArgumentParser:
     p.add_argument("-fdr", "--fdr", type=float, default=0.05,
                    help="G' BH-FDR significance level")
     p.add_argument("-no-plot", "--no-plot", action="store_true")
+    p.add_argument("-fmt", "--fmt", dest="format", type=str, default="png",
+                   choices=("png", "pdf", "svg", "tif"),
+                   help="figure output format (reference -fmt)")
+    p.add_argument("-ratio", "--ratio", type=str, default=None,
+                   help="subplot width/height ratio, e.g. 3, 3:1, 16/5 "
+                        "(reference -ratio)")
+    p.add_argument("-palette", "--palette", type=str, default=None,
+                   help="chromosome color palette: cmap name or "
+                        "';'-separated colors (reference -palette)")
     from janusx_tpu.cli.bsa import add_filter_args
 
     add_filter_args(p)
@@ -142,15 +151,31 @@ def window_mean(pos: np.ndarray, val: np.ndarray, window: int) -> np.ndarray:
     return (c[hi] - c[lo]) / cnt
 
 
-def plot_bsa(df, prefix: str, ci_pct: float, fdr: float) -> str:
+def _parse_ratio(spec):
+    if spec is None:
+        return None
+    s = str(spec).replace(":", "/")
+    if "/" in s:
+        a, b = s.split("/", 1)
+        return float(a) / float(b)
+    return float(spec)
+
+
+def plot_bsa(df, prefix: str, ci_pct: float, fdr: float,
+             fmt: str = "png", ratio=None, palette=None) -> str:
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from janusx_tpu.plots.structure import resolve_palette
+
     chroms = list(dict.fromkeys(df["chrom"]))
+    ccol = resolve_palette(palette, len(chroms)) if palette else None
+    r = _parse_ratio(ratio)
+    width = max(8, 2.2 * len(chroms))
     fig, axes = plt.subplots(
-        2, len(chroms), figsize=(max(8, 2.2 * len(chroms)), 5.2),
+        2, len(chroms), figsize=(width, width / r if r else 5.2),
         sharey="row", squeeze=False, gridspec_kw={"wspace": 0.06},
     )
     sig_any = df["gprime_q"] <= fdr
@@ -158,7 +183,8 @@ def plot_bsa(df, prefix: str, ci_pct: float, fdr: float) -> str:
         sub = df[df["chrom"] == ch]
         mb = sub["pos"] / 1e6
         ax = axes[0][j]
-        ax.scatter(mb, sub["delta_snp_index"], s=2, c="#b8c4d0", rasterized=True)
+        ax.scatter(mb, sub["delta_snp_index"], s=2,
+                   c=[ccol[j]] if ccol else "#b8c4d0", rasterized=True)
         ax.plot(mb, sub["delta_smoothed"], c="#1f4e79", lw=1.2)
         ax.plot(mb, sub["delta_ci_hi"], c="#c0504d", lw=0.8, ls="--")
         ax.plot(mb, -sub["delta_ci_hi"], c="#c0504d", lw=0.8, ls="--")
@@ -179,7 +205,7 @@ def plot_bsa(df, prefix: str, ci_pct: float, fdr: float) -> str:
         if j == 0:
             ax2.set_ylabel("-log10 p(G')")
     fig.suptitle(f"BSA: Δ-SNP index ({ci_pct:g}% CI) and G' significance", y=0.995)
-    path = prefix + ".bsa.png"
+    path = f"{prefix}.bsa.{fmt}"
     fig.savefig(path, dpi=150, bbox_inches="tight")
     plt.close(fig)
     return path
@@ -280,12 +306,14 @@ def run_prefix_mode(args, prefix: str, ci_levels: list) -> int:
 
     if not args.no_plot:
         print(plot_prefix_mode(raw, smooth, b1n, b2n, dname, thr[max_ci],
-                               args.ed_power, prefix))
+                               args.ed_power, prefix, fmt=args.format,
+                               ratio=args.ratio, palette=args.palette))
     return 0
 
 
 def plot_prefix_mode(raw, smooth, b1n, b2n, dname, cuts, ed_power,
-                     prefix: str) -> str:
+                     prefix: str, fmt: str = "png", ratio=None,
+                     palette=None) -> str:
     """Per-chromosome snp-index (2 rows) + stats (3 rows) panel figures
     (reference fig_snp/fig_stats, postbsa.py:1515-1620)."""
     import matplotlib
@@ -293,13 +321,19 @@ def plot_prefix_mode(raw, smooth, b1n, b2n, dname, cuts, ed_power,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from janusx_tpu.plots.structure import resolve_palette
+
     ed_cut, d_lo, d_hi, gp_cut = cuts
     chroms = list(dict.fromkeys(raw["chr"]))
     ncol = max(1, len(chroms))
+    ccol = resolve_palette(palette, ncol) if palette else None
+    r = _parse_ratio(ratio)
 
     def _panels(nrows):
+        width = max(8, 2.2 * ncol)
         return plt.subplots(
-            nrows, ncol, figsize=(max(8, 2.2 * ncol), 1.9 * nrows + 1.2),
+            nrows, ncol,
+            figsize=(width, width / r if r else 1.9 * nrows + 1.2),
             sharey="row", squeeze=False, gridspec_kw={"wspace": 0.06},
         )
 
@@ -311,7 +345,8 @@ def plot_prefix_mode(raw, smooth, b1n, b2n, dname, cuts, ed_power,
         mb, smb = rsub["pos"] / 1e6, ssub["pos"] / 1e6
         for k, col in enumerate((b1n, b2n)):
             ax = ax1[k][j]
-            ax.scatter(mb, rsub[col], s=2, c="#b8c4d0", rasterized=True)
+            ax.scatter(mb, rsub[col], s=2,
+                       c=[ccol[j]] if ccol else "#b8c4d0", rasterized=True)
             ax.plot(smb, ssub[col], c="#1f4e79", lw=1.2)
             ax.set_ylim(-0.05, 1.05)
             if j == 0:
@@ -320,7 +355,8 @@ def plot_prefix_mode(raw, smooth, b1n, b2n, dname, cuts, ed_power,
         ax1[1][j].set_xlabel("Mb")
 
         ax = ax2[0][j]
-        ax.scatter(mb, rsub[dname], s=2, c="#b8c4d0", rasterized=True)
+        ax.scatter(mb, rsub[dname], s=2,
+                   c=[ccol[j]] if ccol else "#b8c4d0", rasterized=True)
         ax.plot(smb, ssub[dname], c="#1f4e79", lw=1.2)
         for y in (d_lo, d_hi):
             ax.axhline(y, c="#c0504d", lw=0.8, ls="--")
@@ -340,7 +376,7 @@ def plot_prefix_mode(raw, smooth, b1n, b2n, dname, cuts, ed_power,
         ax.set_xlabel("Mb")
         if j == 0:
             ax.set_ylabel("G'")
-    p1, p2 = prefix + ".snpindex.png", prefix + ".stats.png"
+    p1, p2 = f"{prefix}.snpindex.{fmt}", f"{prefix}.stats.{fmt}"
     fig1.savefig(p1, dpi=150, bbox_inches="tight")
     fig2.savefig(p2, dpi=150, bbox_inches="tight")
     plt.close(fig1)
@@ -412,5 +448,6 @@ def main(argv=None) -> int:
     n_sig = int(df["sig_gprime"].sum())
     log.info("G' significant SNPs at FDR %.2g: %d", args.fdr, n_sig)
     if not args.no_plot:
-        print(plot_bsa(df, prefix, ci_pct, args.fdr))
+        print(plot_bsa(df, prefix, ci_pct, args.fdr, fmt=args.format,
+                       ratio=args.ratio, palette=args.palette))
     return 0

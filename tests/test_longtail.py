@@ -171,8 +171,9 @@ def test_bsa_prefix_mode_cli(rng, tmp_path):
     assert len(per_snp) == half - 2  # the two planted bad rows dropped
 
     assert postbsa_main(["-i", str(tmp_path / "part*.tsv"), "-b1", "Bulk1",
-                         "-b2", "Bulk2", "-o", str(tmp_path), "-p", "pb",
-                         "-win", "500000", "-ci", "95", "-ci", "99"]) == 0
+                         "-b2", "Bulk2", "-o", str(tmp_path),
+                         "-prefix", "pb", "-win", "500000",
+                         "-ci", "95", "-ci", "99"]) == 0
     raw = pd.read_csv(tmp_path / "pb.raw.tsv", sep="\t")
     assert len(raw) == m - 2
     dname = "Delta.SNPindex(Bulk2-Bulk1)"
@@ -413,7 +414,8 @@ def test_postbsa_cli(rng, tmp_path):
                      "-win", "500000"]) == 0
     bsa_tsv = str(tmp_path / "x.bsa.tsv")
     assert postbsa_main(["-i", bsa_tsv, "-d", str(dp), "-o", str(tmp_path),
-                         "-p", "x", "-win", "500000", "-sims", "2000"]) == 0
+                         "-prefix", "x", "-win", "500000",
+                         "-sims", "2000"]) == 0
     out = pd.read_csv(tmp_path / "x.postbsa.tsv", sep="\t")
     for col in ("delta_ci_hi", "delta_smoothed", "gprime_p", "gprime_q",
                 "sig_delta", "sig_gprime"):

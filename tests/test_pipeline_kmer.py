@@ -333,3 +333,52 @@ def test_kmer_wide_keys_k_up_to_64(tmp_path):
 
     with pytest.raises(RuntimeError, match="bad k"):
         kmer.count_kmers(str(fa), k=65)
+
+
+def test_kmer_cli_reference_flags_and_tree(tmp_path):
+    """Reference kmer CLI spellings (-fa/-ci/-cx/-m/--tmp-dir) and the
+    hidden -tree mode: presence-Jaccard NJ over the counted samples."""
+    import numpy as np
+
+    from janusx_tpu.cli.kmer import main as kmer_main
+    from janusx_tpu.models import kmer as kmod
+
+    if not kmod.available():
+        import pytest
+
+        pytest.skip("native counter unavailable")
+    rng = np.random.default_rng(3)
+    base = "".join(rng.choice(list("ACGT"), 400))
+    mut = list(base)
+    for i in range(0, 400, 9):
+        mut[i] = "ACGT"[(("ACGT".index(mut[i])) + 1) % 4]
+    far = "".join(rng.choice(list("ACGT"), 400))
+    for name, seq in (("s1", base), ("s2", base), ("s3", "".join(mut)),
+                      ("s4", far)):
+        (tmp_path / f"{name}.fa").write_text(f">r\n{seq}\n")
+    rc = kmer_main([
+        "-fa", str(tmp_path / "s1.fa"), str(tmp_path / "s2.fa"),
+        str(tmp_path / "s3.fa"), str(tmp_path / "s4.fa"),
+        "--kmer-len", "15", "-ci", "1", "-cx", "1000000",
+        "-m", "1", "--tmp-dir", str(tmp_path / "spill"),
+        "-tree", "-o", str(tmp_path), "-p", "km",
+    ])
+    assert rc == 0
+    for s in ("s1", "s2", "s3", "s4"):
+        assert (tmp_path / f"km.{s}.k15.npz").exists()
+    nwk = (tmp_path / "km.kmer.nwk").read_text().strip()
+    assert nwk.endswith(";") and all(s in nwk for s in ("s1", "s2", "s3", "s4"))
+    # identical samples s1/s2 must be siblings in the Jaccard NJ tree
+    import re
+
+    sib = re.search(r"\((s1|s2):[^,]*,(s1|s2):", nwk)
+    assert sib, nwk
+    # -cx filters high-count k-mers: a cx=1 run drops repeated k-mers
+    rc = kmer_main(["-i", str(tmp_path / "s1.fa"), "-k", "15",
+                    "-ci", "1", "-cx", "1",
+                    "-o", str(tmp_path), "-p", "kx"])
+    assert rc == 0
+    d_all = np.load(tmp_path / "km.s1.k15.npz")
+    d_cx = np.load(tmp_path / "kx.s1.k15.npz")
+    assert (d_cx["counts"] <= 1).all()
+    assert len(d_cx["codes"]) <= len(d_all["codes"])
