@@ -78,6 +78,17 @@ def apply_mem_budget(args) -> None:
     os.environ["JX_TPU_MEM_BUDGET_BYTES"] = str(budget)
 
 
+def add_compat_thread_arg(p: argparse.ArgumentParser):
+    """Accept the reference's thread-count spellings as advisory no-ops:
+    XLA and the host BLAS manage their own pools here (sized at import),
+    so the only job of these flags is keeping reference command lines
+    from erroring on an unknown option."""
+    p.add_argument("-t", "-thread", "--thread", "--threads",
+                   dest="threads", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    return p
+
+
 def add_out_args(p: argparse.ArgumentParser, default_prefix: str):
     g = p.add_argument_group("Output")
     g.add_argument("-o", "--out", type=str, default=".", help="output directory")

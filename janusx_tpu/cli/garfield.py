@@ -72,6 +72,7 @@ def build_parser(prog="jx garfield") -> argparse.ArgumentParser:
     o.add_argument("-bimrange", "--bimrange", action="append", default=None,
                    help="restrict the scan to chr:start-end ranges "
                    "(repeatable)")
+    common.add_compat_thread_arg(p)
     common.add_out_args(p, default_prefix="garfield")
     return p
 

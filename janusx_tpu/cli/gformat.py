@@ -61,6 +61,7 @@ def build_parser(prog="jx gformat") -> argparse.ArgumentParser:
                    metavar="TEMPLATE",
                    help="rename output SNPs from CHR/POS: 'chr_pos', 'chr*pos', "
                         "'{chr}_{pos}', 'chr{chr}_{pos}'")
+    common.add_compat_thread_arg(p)
     common.add_out_args(p, default_prefix="jxout")
     return p
 

@@ -39,6 +39,7 @@ def build_parser(prog="jx gmerge") -> argparse.ArgumentParser:
                    help="drop merged sites with MAF below this (default: 0)")
     o.add_argument("-geno", "--geno", type=float, default=1.0,
                    help="drop merged sites with missing rate above this (default: 1)")
+    common.add_compat_thread_arg(p)
     common.add_out_args(p, default_prefix="merged")
     return p
 

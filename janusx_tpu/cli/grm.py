@@ -49,6 +49,9 @@ def build_parser(prog="jx grm") -> argparse.ArgumentParser:
                    "has two columns sample_id group_id; one strip "
                    "{prefix}.{tag}.group_{gid}.npy per group (rows = the "
                    "group's samples x all samples)")
+    p.add_argument("--stage-timing", action="store_true",
+                   help="print a load/compute/write stage breakdown "
+                        "(reference --stage-timing)")
     common.add_out_args(p, default_prefix="jx")
     return p
 
@@ -102,10 +105,14 @@ def main(argv=None) -> int:
     from janusx_tpu.io.packed import QcParams
     from janusx_tpu.models.grm import grm_from_packed
 
+    import time
+
+    t0 = time.monotonic()
     pg = prepare_packed(
         common.resolve_genotype(args),
         QcParams(maf=args.maf, geno=args.geno, het=args.het),
     )
+    t_load = time.monotonic() - t0
     tag = "cGRM" if args.method == 1 else "sGRM"
     if args.part or args.part_group:
         from janusx_tpu.models.grm import (
@@ -147,7 +154,10 @@ def main(argv=None) -> int:
                 np.save(out, strip)
                 print(f"{out}\t{len(rows)} x {pg.n}")
         return 0
+    t0 = time.monotonic()
     K = grm_from_packed(pg, method=args.method)
+    t_compute = time.monotonic() - t0
+    t0 = time.monotonic()
     if args.txt:
         np.savetxt(f"{prefix}.{tag}.txt", K, fmt="%.6g", delimiter="\t")
         out = f"{prefix}.{tag}.txt"
@@ -158,6 +168,10 @@ def main(argv=None) -> int:
         for s in pg.samples:
             fh.write(f"{s}\n")
     print(f"{out}\t({K.shape[0]} x {K.shape[1]}, {pg.m} SNPs)")
+    if args.stage_timing:
+        t_write = time.monotonic() - t0
+        print(f"stage-timing\tload={t_load:.2f}s\t"
+              f"grm={t_compute:.2f}s\twrite={t_write:.2f}s")
     if args.sparse is not None:
         _write_spgrm(prefix, tag, K, pg.samples, args.sparse)
     return 0

@@ -36,6 +36,7 @@ def build_parser(prog="jx gstats") -> argparse.ArgumentParser:
                    help="site LD scores <prefix>.<window>.ldsc + Manhattan PDF; "
                         "WINDOW = SNP count (100) or physical (100kb/0.1mb/"
                         "100000b); default 100kb")
+    common.add_compat_thread_arg(p)
     common.add_out_args(p, default_prefix="jx")
     return p
 

@@ -21,6 +21,10 @@ from janusx_tpu.cli import common
 
 def build_parser(prog="jx refcheck") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog=prog, description="Input consistency checks")
+    p.add_argument("--online", action="store_true",
+                   help="also compare each RIS entry against DOI/OpenAlex "
+                        "metadata (needs network; entries degrade to a "
+                        "'could not resolve' note when offline)")
     p.add_argument("-i", "--input", type=str, default=None,
                    help="RIS bibliography file to validate")
     common.add_genotype_args(p, required=False)
@@ -84,7 +88,69 @@ def _ris_issues(e: dict) -> list:
     return issues
 
 
-def _run_ris(path: str) -> int:
+def _fetch_openalex(entry: dict) -> dict | None:
+    """DOI-first OpenAlex lookup (reference refcheck.py:98-129); any
+    network/parse failure -> None."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    def get(url):
+        req = urllib.request.Request(url, headers={"User-Agent": "jx-refcheck"})
+        with urllib.request.urlopen(req, timeout=8) as resp:
+            return json.loads(resp.read().decode("utf-8", "replace"))
+
+    try:
+        doi = (entry.get("DO") or entry.get("DOI") or [""])[0].strip()
+        if doi:
+            doi = doi.removeprefix("https://doi.org/").removeprefix(
+                "http://doi.org/")
+            return get("https://api.openalex.org/works/https://doi.org/"
+                       + urllib.parse.quote(doi, safe=""))
+        title = (entry.get("TI") or entry.get("T1") or [""])[0].strip()
+        if not title:
+            return None
+        payload = get("https://api.openalex.org/works?search="
+                      + urllib.parse.quote(title) + "&per-page=5")
+        results = payload.get("results") or []
+        want = _normalize_text(title)
+        for rec in results:
+            if _normalize_text(rec.get("display_name") or "") == want:
+                return rec
+        return results[0] if results else None
+    except Exception:
+        return None
+
+
+def _online_issues(entry: dict, record: dict | None) -> list:
+    """Year/journal/author-count drift vs external metadata (reference
+    _online_issues, refcheck.py:171-198 — the core checks)."""
+    if record is None:
+        return ["could not resolve external metadata"]
+    issues = []
+    year = (entry.get("PY") or entry.get("Y1") or [""])[0].split("/")[0].strip()
+    ext_year = str(record.get("publication_year") or "")
+    if year and ext_year and year != ext_year:
+        issues.append(f"year differs: RIS `{year}` vs external `{ext_year}`")
+    journal = (entry.get("JO") or entry.get("T2") or entry.get("JF")
+               or [""])[0]
+    ext_journal = (((record.get("primary_location") or {}).get("source")
+                    or {}).get("display_name") or "")
+    if journal and ext_journal and (_normalize_text(journal)
+                                    != _normalize_text(ext_journal)):
+        issues.append(f"journal differs: RIS `{journal}` vs external "
+                      f"`{ext_journal}`")
+    ris_authors = entry.get("AU") or entry.get("A1") or []
+    ext_authors = [(a.get("author") or {}).get("display_name", "")
+                   for a in (record.get("authorships") or [])]
+    if ris_authors and ext_authors and len(ris_authors) < len(ext_authors) \
+            and len(ris_authors) <= 2:
+        issues.append(f"author list appears truncated: RIS "
+                      f"{len(ris_authors)} vs external {len(ext_authors)}")
+    return issues
+
+
+def _run_ris(path: str, online: bool = False) -> int:
     entries = _parse_ris(path)
     if not entries:
         print(f"no RIS entries found in {path}")
@@ -94,6 +160,8 @@ def _run_ris(path: str) -> int:
     for i, e in enumerate(entries, 1):
         title = (e.get("TI") or e.get("T1") or ["<untitled>"])[0]
         issues = _ris_issues(e)
+        if online:
+            issues.extend(_online_issues(e, _fetch_openalex(e)))
         key = _normalize_text(title)
         if key in titles:
             issues.append(f"duplicate title of entry #{titles[key]}")
@@ -104,15 +172,16 @@ def _run_ris(path: str) -> int:
             print(f"#{i}\t{title[:70]}")
             for msg in issues:
                 print(f"\t- {msg}")
-    print(f"checked {len(entries)} entries\tissues in {n_bad}"
-          "\t(online metadata cross-check unavailable offline)")
+    tail = "" if online else "\t(offline checks only; --online adds " \
+        "DOI/OpenAlex cross-checks)"
+    print(f"checked {len(entries)} entries\tissues in {n_bad}{tail}")
     return 0
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.input:
-        return _run_ris(args.input)
+        return _run_ris(args.input, online=args.online)
     if not any((args.bfile, args.vcf, args.hmp, args.file)):
         raise SystemExit("either -i refs.ris or a genotype input is required")
     from janusx_tpu.io.gfreader import load_raw_packed

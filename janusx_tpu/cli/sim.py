@@ -75,6 +75,9 @@ def build_parser(prog="jx sim") -> argparse.ArgumentParser:
                    help="logic gate over hom-alt indicators")
     s.add_argument("-bg-pve", "--bg-pve", type=float, default=0.0,
                    help="polygenic-background share of h2")
+    p.add_argument("--chunk-size", dest="chunk_size", type=int, default=None,
+                   help=argparse.SUPPRESS)  # reference streaming knob;
+    # generation here is blocked internally
     common.add_out_args(p, default_prefix="sim")
     return p
 

@@ -64,6 +64,9 @@ def build_parser(prog="jx tree") -> argparse.ArgumentParser:
                    "style; 1 = uniform rates)")
     o.add_argument("-ml-no-spr", "--ml-no-spr", action="store_true",
                    help="disable SPR moves in the -ml search (NNI only)")
+    o.add_argument("--approx", dest="approx_legacy", action="store_true",
+                   default=False, help=argparse.SUPPRESS)  # reference
+    # hidden legacy spelling of `-nj approx`
     o.add_argument("-seed", "--seed", type=int, default=0)
     common.add_out_args(p, default_prefix="jxtree")
     return p
@@ -100,6 +103,8 @@ def main(argv=None) -> int:
         read_fasta_alignment, weighted_jc_distance,
     )
 
+    if args.approx_legacy and not args.nj:
+        args.nj = "approx"
     if args.fasta:
         codes, labels = read_fasta_alignment(args.fasta)
         D = weighted_jc_distance(codes, np.ones(codes.shape[0]))

@@ -11,23 +11,27 @@ def build_parser(prog="jx view") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog=prog, description="Dump genotype/matrix artifacts")
     p.add_argument("input", type=str, help=".bed prefix / .npy / .npz / genotype file")
     p.add_argument("-head", "--head", type=int, default=5, help="rows to preview")
+    p.add_argument("-bin", "--bin", action="store_true",
+                   help="treat the input as a BIN01 matrix regardless of "
+                        "extension (reference -bin)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     path = args.input
-    if path.endswith(".npy"):
+    as_bin = args.bin or path.endswith(".bin")
+    if not as_bin and path.endswith(".npy"):
         arr = np.load(path, mmap_mode="r")
         print(f"npy\t{arr.shape}\t{arr.dtype}")
         print(np.array2string(np.asarray(arr[: args.head, : min(8, arr.shape[-1])] if arr.ndim == 2 else arr[: args.head]), precision=4))
         return 0
-    if path.endswith(".npz"):
+    if not as_bin and path.endswith(".npz"):
         z = np.load(path)
         for k in z.files:
             print(f"{k}\t{z[k].shape}\t{z[k].dtype}")
         return 0
-    if path.endswith(".jxgrm") or path.endswith(".spgrm"):
+    if not as_bin and (path.endswith(".jxgrm") or path.endswith(".spgrm")):
         from janusx_tpu.io.jxgrm import jxgrm_n_samples, read_jxgrm
 
         n = jxgrm_n_samples(path)
@@ -41,7 +45,7 @@ def main(argv=None) -> int:
                 f"{j}:{v:.4g}" for j, v in zip(row.indices[:6], row.data[:6]))
             print(f"{i}\t{ent}{' ...' if row.nnz > 6 else ''}")
         return 0
-    if path.endswith(".bin"):
+    if as_bin:
         from janusx_tpu.io import bin01
 
         bm = bin01.read_bin01(path)

@@ -28,25 +28,69 @@ def manhattan_plot(
     title: str | None = None,
     dpi: int = 150,
     ylim=None,
+    ratio: float | None = None,
+    palette=None,
+    scatter_size: float | None = None,
+    alpha: float | None = None,
+    marker: str | None = None,
+    gap_ratio: float | None = None,
+    annotate=None,
 ) -> None:
+    """Genome-wide Manhattan. Reference-style controls: ``ratio`` =
+    width/height aspect, ``palette`` = per-chromosome colors (cmap or
+    ';'-list; default 2-color alternation), ``gap_ratio`` = the -interval
+    chromosome-gap fraction (gap = ratio * median chrom length / 10),
+    ``annotate`` = [(chrom, pos, label)] hit callouts (-anno)."""
     chrom = np.asarray(chrom).astype(str)
     pos = np.asarray(pos, np.float64)
     with np.errstate(divide="ignore"):
         logp = -np.log10(np.clip(np.asarray(pvals, np.float64), 1e-300, 1.0))
     order_chr = list(dict.fromkeys(chrom))
-    fig, ax = plt.subplots(figsize=(11, 3.6))
+    if palette is not None:
+        from janusx_tpu.plots.structure import resolve_palette
+
+        colors = resolve_palette(palette, len(order_chr))
+    else:
+        colors = [_PALETTE[i % 2] for i in range(len(order_chr))]
+    width = 11.0
+    fig, ax = plt.subplots(
+        figsize=(width, width / ratio if ratio else 3.6))
+    s_pt = 4 if scatter_size is None else scatter_size
+    gap_fixed = None
+    if gap_ratio is not None:
+        spans = [pos[chrom == c].max() - pos[chrom == c].min()
+                 for c in order_chr if (chrom == c).any()]
+        gap_fixed = float(gap_ratio) * float(np.median(spans)) / 10.0
     offset = 0.0
     ticks, labels = [], []
+    starts = {}
     for i, c in enumerate(order_chr):
         sel = chrom == c
         x = pos[sel] - pos[sel].min() + offset
-        ax.scatter(x, logp[sel], s=4, c=_PALETTE[i % 2], rasterized=True, lw=0)
+        starts[c] = offset - pos[sel].min() if len(x) else offset
+        ax.scatter(x, logp[sel], s=s_pt, c=colors[i], rasterized=True,
+                   lw=0, alpha=alpha, marker=marker or "o")
         ticks.append(offset + (x.max() - offset) / 2 if len(x) else offset)
         labels.append(c)
-        offset = (x.max() if len(x) else offset) + (pos[sel].max() - pos[sel].min()) * 0.02 + 1
+        gap = (gap_fixed if gap_fixed is not None
+               else (pos[sel].max() - pos[sel].min()) * 0.02)
+        offset = (x.max() if len(x) else offset) + gap + 1
     if sig_line is None:
         m = max(len(pvals), 1)
         sig_line = 0.05 / m
+    if annotate:
+        for (ac, ap, lab) in annotate:
+            ac = str(ac)
+            if ac in starts and lab:
+                sel = chrom == ac
+                pv = np.asarray(pvals, np.float64)[sel]
+                pp = pos[sel]
+                j = np.argmin(np.abs(pp - float(ap)))
+                ax.annotate(str(lab),
+                            (starts[ac] + pp[j],
+                             -np.log10(max(pv[j], 1e-300))),
+                            textcoords="offset points", xytext=(2, 4),
+                            fontsize=7)
     ax.axhline(-np.log10(sig_line), color="red", ls="--", lw=0.8)
     ax.set_xticks(ticks)
     ax.set_xticklabels(labels, fontsize=8)
@@ -69,6 +113,10 @@ def qq_plot(
     band: bool = True,
     dpi: int = 150,
     ylim=None,
+    ratio: float | None = None,
+    scatter_size: float | None = None,
+    alpha: float | None = None,
+    marker: str | None = None,
 ) -> float:
     """QQ plot with exact beta-distribution confidence band; returns the
     genomic-inflation factor lambda_GC."""
@@ -83,7 +131,9 @@ def qq_plot(
     chi2 = sp_stats.chi2.isf(p, df=1)
     lambda_gc = float(np.median(chi2) / sp_stats.chi2.ppf(0.5, df=1))
 
-    fig, ax = plt.subplots(figsize=(4.2, 4.2))
+    fig, ax = plt.subplots(
+        figsize=(4.2 * (ratio if ratio else 1.0), 4.2)
+        if ratio else (4.2, 4.2))
     if band:
         ranks = np.arange(1, m + 1)
         lo = -np.log10(sp_stats.beta.ppf(0.975, ranks, m - ranks + 1))
@@ -91,7 +141,9 @@ def qq_plot(
         ax.fill_between(exp, lo, hi, color="#cccccc", alpha=0.5, lw=0)
     lim = max(exp.max(), obs.max()) * 1.05
     ax.plot([0, lim], [0, lim], color="red", lw=0.8)
-    ax.scatter(exp, obs, s=5, c=_PALETTE[0], rasterized=True, lw=0)
+    ax.scatter(exp, obs, s=5 if scatter_size is None else scatter_size,
+               c=_PALETTE[0], rasterized=True, lw=0, alpha=alpha,
+               marker=marker or "o")
     ax.set_xlabel(r"Expected $-\log_{10}(p)$")
     ax.set_ylabel(r"Observed $-\log_{10}(p)$")
     if ylim is not None:
