@@ -37,6 +37,39 @@ def build_parser(prog="jx postgarfield") -> argparse.ArgumentParser:
                    help="chromosome-gap ratio for the circular x axis [0,1]")
     p.add_argument("-gff", "--gff", type=str, default=None,
                    help="GFF3 for endpoint nearest-gene annotation")
+    p.add_argument("-bed", "--bed", type=str, default=None,
+                   help="BED-like intervals as the annotation source "
+                        "instead of -gff (reference -bed)")
+    p.add_argument("-fmt", "--fmt", dest="format", type=str, default="png",
+                   choices=("png", "pdf", "svg", "tif"),
+                   help="figure output format (reference -fmt)")
+    p.add_argument("-fontsize", "--fontsize", type=float, default=None,
+                   help="base font size")
+    p.add_argument("-ylim", "--ylim", nargs="+", type=float, default=None,
+                   help="y-range for the background Manhattan: MAX or "
+                        "MIN MAX")
+    p.add_argument("-circle-in", "--circle-in", dest="circle_dir",
+                   action="store_const", const="in", default="out",
+                   help="draw circular values toward the center")
+    p.add_argument("-circle-out", "--circle-out", dest="circle_dir",
+                   action="store_const", const="out",
+                   help="values away from the center (default)")
+    import argparse as _ap
+
+    for names in (("-alpha", "--alpha"), ("-marker", "--marker"),
+                  ("-palette", "--palette"),
+                  ("-scatter-size", "--scatter-size"),
+                  ("-circle-interval", "--circle-interval"),
+                  ("-circle-lw", "--circle-lw"),
+                  ("-fontstyle", "--fontstyle"),
+                  ("-fontstype", "--fontstype")):
+        p.add_argument(*names, type=str, default=None,
+                       dest="cos_" + names[-1].strip("-").replace("-", "_"),
+                       help=_ap.SUPPRESS)  # reference cosmetics accepted
+    for names in (("-full", "--full"), ("-fullscatter", "--fullscatter")):
+        p.add_argument(*names, action="store_true",
+                       dest="cos_" + names[-1].strip("-").replace("-", "_"),
+                       help=_ap.SUPPRESS)
     common.add_out_args(p, default_prefix="postgarfield")
     return p
 
@@ -74,6 +107,8 @@ def main(argv=None) -> int:
     import matplotlib
 
     matplotlib.use("Agg")
+    if args.fontsize:
+        matplotlib.rcParams["font.size"] = float(args.fontsize)
     import matplotlib.pyplot as plt
     import pandas as pd
 
@@ -82,6 +117,10 @@ def main(argv=None) -> int:
         from janusx_tpu.utils.gff import GffIndex
 
         gff = GffIndex.from_file(args.gff)
+    elif args.bed:
+        from janusx_tpu.utils.gff import GffIndex
+
+        gff = GffIndex.from_bed(args.bed)
 
     gwas = None
     if args.gwasfile:
@@ -112,7 +151,7 @@ def main(argv=None) -> int:
         ax.set_xlabel("rule score")
         ax.spines[["top", "right"]].set_visible(False)
         fig.tight_layout()
-        out = f"{prefix}.{base}.rules.png"
+        out = f"{prefix}.{base}.rules.{args.format}"
         fig.savefig(out, dpi=150)
         plt.close(fig)
         outputs.append(out)
@@ -173,9 +212,12 @@ def main(argv=None) -> int:
             ax.set_xticklabels([c for c, _ in ticks], fontsize=8)
             ax.set_xlabel("Chromosome")
             ax.set_ylabel("-log10(p)")
+            if args.ylim:
+                ax.set_ylim(*((0.0, args.ylim[0]) if len(args.ylim) == 1
+                              else (args.ylim[0], args.ylim[1])))
             ax.spines[["top", "right"]].set_visible(False)
             fig.tight_layout()
-            out = f"{prefix}.{base}.arcs.png"
+            out = f"{prefix}.{base}.arcs.{args.format}"
             fig.savefig(out, dpi=150)
             plt.close(fig)
             outputs.append(out)
@@ -185,7 +227,10 @@ def main(argv=None) -> int:
                 gap = max(0.0, min(1.0, args.interval)) * 0.05 + 0.005
                 theta = gx / max(total, 1.0) * (2 * math.pi) * (1 - gap)
                 r0, r1 = 0.55, 0.95
-                rr = r0 + (r1 - r0) * (glogp / max(ymax, 1e-9))
+                frac = glogp / max(ymax, 1e-9)
+                if args.circle_dir == "in":
+                    frac = 1.0 - frac  # values grow toward the center
+                rr = r0 + (r1 - r0) * frac
                 fig, ax = plt.subplots(figsize=(6, 6),
                                        subplot_kw={"projection": "polar"})
                 for ci, c in enumerate(dict.fromkeys(chrom_arr.tolist())):
@@ -210,7 +255,7 @@ def main(argv=None) -> int:
                 ax.set_xticks([])
                 ax.set_yticks([])
                 ax.spines["polar"].set_visible(False)
-                out = f"{prefix}.{base}.circle.png"
+                out = f"{prefix}.{base}.circle.{args.format}"
                 fig.savefig(out, dpi=150)
                 plt.close(fig)
                 outputs.append(out)

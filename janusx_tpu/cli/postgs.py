@@ -31,6 +31,24 @@ def build_parser(prog="jx postgs") -> argparse.ArgumentParser:
                         "out-of-fold CV predictions) -> pred-vs-obs plots")
     p.add_argument("-fmt", "--fmt", type=str, default="png",
                    help="comma list of image formats (png,pdf,svg)")
+    # reference panel selectors: when any of -manh/-violin/-pcctime is
+    # given, only the enabled JSON-driven panels render; the optional
+    # spec is 'ratio [palette]' (e.g. -violin 1 tab10) and is accepted
+    # for drop-in compatibility
+    for flag in ("manh", "violin", "pcctime"):
+        p.add_argument(f"-{flag}", f"--{flag}", dest=flag, nargs="*",
+                       default=None, metavar="SPEC",
+                       help=f"enable the {flag} panel (reference -{flag}; "
+                            "optional 'ratio [palette]' spec)")
+    p.add_argument("-palette", "--palette", "-pallete", "--pallete",
+                   dest="palette", type=str, default=None,
+                   help=argparse.SUPPRESS)  # reference global palette
+    # (incl. its historical misspelling)
+    p.add_argument("-scatter-size", "--scatter-size", dest="scatter_size",
+                   type=float, default=None, help=argparse.SUPPRESS)
+    p.add_argument("-full", "--full", "-fullscatter", "--fullscatter",
+                   dest="fullscatter", action="store_true",
+                   help=argparse.SUPPRESS)  # nothing is downsampled here
     common.add_out_args(p, default_prefix="postgs")
     return p
 
@@ -72,10 +90,15 @@ def main(argv=None) -> int:
             if sec is not None and cv.get("pearson") is not None:
                 label = f"{trait}:{method}" if len(summary["traits"]) > 1 else method
                 runtime_pts.append((label, float(sec), float(cv["pearson"])))
-    if any(violin_data.values()):
+    selective = any(x is not None for x in (args.manh, args.violin,
+                                            args.pcctime))
+    want_violin = (args.violin is not None) if selective else True
+    want_pcc = (args.pcctime is not None) if selective else True
+    want_manh = (args.manh is not None) if selective else True
+    if want_violin and any(violin_data.values()):
         for path in out("cv.violin"):
             accuracy_violin(violin_data, path)
-    if runtime_pts:
+    if want_pcc and runtime_pts:
         for path in out("cv.runtime"):
             accuracy_runtime_scatter(runtime_pts, path)
 
@@ -90,7 +113,7 @@ def main(argv=None) -> int:
                 pred_vs_obs_plot(obs, df[method].to_numpy(float), opath,
                                  title=f"{base} {method}")
 
-    for path in args.effect:
+    for path in (args.effect if want_manh else []):
         import pandas as pd
 
         df = pd.read_csv(path, sep="\t")

@@ -26,6 +26,47 @@ def build_parser(prog="jx postgwas") -> argparse.ArgumentParser:
                    help="chromosome column name")
     p.add_argument("-pos", "--pos", dest="poscol", type=str, default="pos",
                    help="position column name")
+    p.add_argument("-manh", "--manh", type=str, nargs="?", const="2",
+                   default=None, metavar="RATIO",
+                   help="enable Manhattan rendering with a width/height "
+                        "aspect (e.g. 2, 3/2); when -manh or -qq is given "
+                        "explicitly, only the enabled panels render "
+                        "(reference -manh)")
+    p.add_argument("-qq", "--qq", type=str, nargs="?", const="5/4",
+                   default=None, metavar="RATIO",
+                   help="enable QQ rendering with an aspect (reference -qq)")
+    p.add_argument("-interval", "--interval", type=float, default=None,
+                   help="chromosome-gap ratio in [0,1] for the Manhattan "
+                        "x axis: gap = ratio * median(chrom length)/10 "
+                        "(reference -interval; default: legacy 2%% gaps)")
+    p.add_argument("-palette", "--palette", type=str, default=None,
+                   help="per-chromosome colors: cmap name or ';'-list "
+                        "(reference -palette)")
+    p.add_argument("-scatter-size", "--scatter-size", dest="scatter_size",
+                   type=float, default=None,
+                   help="scatter point size (reference -scatter-size)")
+    p.add_argument("-alpha", "--alpha", type=float, default=None,
+                   help="scatter alpha (reference -alpha)")
+    p.add_argument("-marker", "--marker", type=str, default=None,
+                   help="matplotlib marker for scatter points")
+    p.add_argument("-fontsize", "--fontsize", type=float, default=None,
+                   help="base font size for all panels")
+    p.add_argument("-fontstyle", "--fontstyle", "-fontstype", "--fontstype",
+                   dest="fontfamily", type=str, default=None,
+                   help=argparse.SUPPRESS)  # reference font-family knobs
+    p.add_argument("-full", "--full", "-fullscatter", "--fullscatter",
+                   dest="fullscatter", action="store_true",
+                   help=argparse.SUPPRESS)  # reference downsampling
+    # toggles; nothing is downsampled here, so these are no-ops
+    p.add_argument("-anno", "--anno", "-a", type=int, nargs="?", const=10,
+                   default=None, metavar="N",
+                   help="annotate the top N hits on the Manhattan with "
+                        "their nearest gene (needs -gff or -bed; "
+                        "reference -anno/-a)")
+    p.add_argument("-bed", "--bed", type=str, default=None,
+                   help="BED-like interval annotation source (chrom start "
+                        "end [name]) as an alternative to -gff "
+                        "(reference -bed)")
     p.add_argument("-manh-merge", "--manh-merge", action="store_true",
                    help="one merged figure of stacked Manhattan panels "
                    "for all -i inputs (shared chromosome axis)")
@@ -59,6 +100,16 @@ def build_parser(prog="jx postgwas") -> argparse.ArgumentParser:
                    help="GFF3 file: annotate top hits with overlapping/nearest genes")
     p.add_argument("-ldblock", "--ldblock", type=str, default=None, metavar="CHR:START-END",
                    help="draw an LD r² heatmap for a region (needs a genotype input)")
+    p.add_argument("-ldblock-all", "--ldblock-all", dest="ldblock_all",
+                   type=str, nargs="?", const="2", default=None,
+                   metavar="RATIO",
+                   help="LD heatmap of ALL SNPs inside -bimrange with an "
+                        "aspect ratio (reference -ldblock-all; needs "
+                        "-bimrange and a genotype input)")
+    p.add_argument("-ldblock-palette", "--ldblock-palette",
+                   dest="ldblock_palette", type=str, default=None,
+                   help="heatmap colormap: matplotlib name or "
+                        "';'-separated ramp (reference -ldblock-palette)")
     p.add_argument("-region", "--region", type=str, default=None, metavar="CHR:START-END",
                    help="regional association + gene-model plot (needs -gff)")
     p.add_argument("-autoregion", "--autoregion", nargs="?", const=3, type=int,
@@ -143,35 +194,77 @@ def _tags_for(paths: list) -> list:
     return out
 
 
+def _parse_aspect(spec):
+    """Aspect RATIO string ('2', '3/2', '5:4') -> float or None."""
+    if spec is None:
+        return None
+    s = str(spec).replace(":", "/")
+    if "/" in s:
+        a, b = s.split("/", 1)
+        return float(a) / float(b)
+    return float(s)
+
+
+def _anno_index(style):
+    """Interval index from -gff or -bed (None when neither given)."""
+    from janusx_tpu.utils.gff import GffIndex
+
+    if style.get("gff"):
+        return GffIndex.from_file(style["gff"])
+    if style.get("bed"):
+        return GffIndex.from_bed(style["bed"])
+    return None
+
+
 def _render_one(task: tuple) -> tuple:
     """Manhattan + QQ + annotated top table for ONE assoc TSV.
 
     Top-level (picklable) so multiple files render in a process pool —
     reference postgwas parallel plotting (postgwas.py:581)."""
-    (path, tag, pcol, prefix, sig, top_n, gff_path, chrcol, poscol,
-     ranges, fmt, ylim) = task
+    (path, tag, pcol, prefix, sig, top_n, chrcol, poscol,
+     ranges, fmt, ylim, style) = task
+    import matplotlib
+
+    matplotlib.use("Agg")
+    if style.get("fontsize"):
+        matplotlib.rcParams["font.size"] = float(style["fontsize"])
+    if style.get("fontfamily"):
+        matplotlib.rcParams["font.family"] = style["fontfamily"]
     from janusx_tpu.plots.gwasplots import manhattan_plot, qq_plot
 
     df = _read_assoc(path, pcol, chrcol, poscol, ranges)
-    man = f"{prefix}.{tag}.manhattan.{fmt}"
-    qq = f"{prefix}.{tag}.qq.{fmt}"
-    manhattan_plot(
-        df["chrom"].to_numpy(), df["pos"].to_numpy(),
-        df[pcol].to_numpy(), man, sig_line=sig, title=tag, ylim=ylim,
-    )
-    lam = qq_plot(df[pcol].to_numpy(), qq, title=tag, ylim=ylim)
+    gi = _anno_index(style)
     top = df.nsmallest(top_n, pcol).copy()
-    if gff_path:
-        from janusx_tpu.utils.gff import GffIndex
-
-        gff = GffIndex.from_file(gff_path)
+    if gi is not None:
         genes, dists = [], []
         for _, row in top.iterrows():
-            g, d = gff.nearest(str(row["chrom"]), int(row["pos"]))
+            g, d = gi.nearest(str(row["chrom"]), int(row["pos"]))
             genes.append("" if g is None else g.name)
             dists.append("" if d is None else d)
         top["gene"] = genes
         top["gene_dist"] = dists
+    man = qq = None
+    lam = float("nan")
+    if style.get("render_manh", True):
+        annotate = None
+        if style.get("anno") and gi is not None and "gene" in top.columns:
+            rows = top.head(int(style["anno"]))
+            annotate = list(zip(rows["chrom"], rows["pos"], rows["gene"]))
+        man = f"{prefix}.{tag}.manhattan.{fmt}"
+        manhattan_plot(
+            df["chrom"].to_numpy(), df["pos"].to_numpy(),
+            df[pcol].to_numpy(), man, sig_line=sig, title=tag, ylim=ylim,
+            ratio=style.get("manh_ratio"), palette=style.get("palette"),
+            scatter_size=style.get("scatter_size"),
+            alpha=style.get("alpha"), marker=style.get("marker"),
+            gap_ratio=style.get("interval"), annotate=annotate,
+        )
+    if style.get("render_qq", True):
+        qq = f"{prefix}.{tag}.qq.{fmt}"
+        lam = qq_plot(df[pcol].to_numpy(), qq, title=tag, ylim=ylim,
+                      ratio=style.get("qq_ratio"),
+                      scatter_size=style.get("scatter_size"),
+                      alpha=style.get("alpha"), marker=style.get("marker"))
     top_path = f"{prefix}.{tag}.top.tsv"
     top.to_csv(top_path, sep="\t", index=False)
     return tag, lam, man, qq, top_path
@@ -201,9 +294,23 @@ def main(argv=None) -> int:
     if args.ylim:
         ylim = ((0.0, args.ylim[0]) if len(args.ylim) == 1
                 else (args.ylim[0], args.ylim[1]))
+    # -manh/-qq are reference-style panel selectors with aspect ratios:
+    # if either is given explicitly, only the enabled panels render
+    selective = args.manh is not None or args.qq is not None
+    style = {
+        "render_manh": (args.manh is not None) if selective else True,
+        "render_qq": (args.qq is not None) if selective else True,
+        "manh_ratio": _parse_aspect(args.manh),
+        "qq_ratio": _parse_aspect(args.qq),
+        "palette": args.palette, "scatter_size": args.scatter_size,
+        "alpha": args.alpha, "marker": args.marker,
+        "interval": args.interval, "fontsize": args.fontsize,
+        "fontfamily": args.fontfamily, "anno": args.anno,
+        "gff": args.gff, "bed": args.bed,
+    }
     tasks = [
-        (path, tag, args.pcol, prefix, args.sig, args.top, args.gff,
-         args.chrcol, args.poscol, args.bimrange, args.format, ylim)
+        (path, tag, args.pcol, prefix, args.sig, args.top,
+         args.chrcol, args.poscol, args.bimrange, args.format, ylim, style)
         for path, tag in zip(paths, tags)
     ]
     jobs = args.jobs
@@ -218,8 +325,10 @@ def main(argv=None) -> int:
     else:
         results = [_render_one(t) for t in tasks]
     for tag, lam, man, qq, top_path in results:
-        outputs += [man, qq, top_path]
-        print(f"{tag}\tlambda_GC={lam:.3f}\t{man}")
+        outputs += [x for x in (man, qq, top_path) if x]
+        lead = man or qq or top_path
+        lam_txt = f"lambda_GC={lam:.3f}\t" if qq else ""
+        print(f"{tag}\t{lam_txt}{lead}")
     if args.manh_merge or args.qq_merge or args.circle:
         panels = []
         for path, tag in zip(paths, tags):
@@ -294,6 +403,17 @@ def main(argv=None) -> int:
                         + ";".join(names) + "\n")
             print(f"{out}\t{len(clumps)} clumps (window={window}bp "
                   f"r2>={r2_cut}, thr={thr:.3g})")
+    if args.ldblock_all and not args.ldblock:
+        # reference -ldblock-all: the region comes from -bimrange
+        if not args.bimrange:
+            raise SystemExit("-ldblock-all requires -bimrange")
+        spec = str(args.bimrange[0])
+        c, rest = spec.split(":", 1)
+        a_s, b_s = rest.replace(":", "-").split("-", 1)
+        a, b = float(a_s), float(b_s)
+        lo_ = int(a * 1e6) if a < 1e5 else int(a)
+        hi_ = int(b * 1e6) if b < 1e5 else int(b)
+        args.ldblock = f"{c.strip()}:{lo_}-{hi_}"
     if args.ldblock:
         import numpy as np
 
@@ -318,8 +438,10 @@ def main(argv=None) -> int:
         if len(sel) > 400:
             sel = sel[:: len(sel) // 400 + 1]
         r2 = r2_matrix(pg.take_snps(sel))
-        path = f"{prefix}.ldblock.{chrom}_{lo}_{hi}.png"
-        ld_heatmap(r2, path, title=f"{chrom}:{lo}-{hi} ({len(sel)} SNPs)")
+        path = f"{prefix}.ldblock.{chrom}_{lo}_{hi}.{args.format}"
+        ld_heatmap(r2, path, title=f"{chrom}:{lo}-{hi} ({len(sel)} SNPs)",
+                   cmap=args.ldblock_palette,
+                   ratio=_parse_aspect(args.ldblock_all))
         print(path)
     if args.region:
         if not args.gff:
@@ -404,7 +526,7 @@ def main(argv=None) -> int:
             # bundle stale pages from earlier runs with other settings
             locus_pngs = locus_pages.get(path, [])
             with PdfPages(pdf_path) as pdf:
-                for img_path in [man, qq] + locus_pngs:
+                for img_path in [x for x in (man, qq) if x] + locus_pngs:
                     img = mpimg.imread(img_path)
                     h, w = img.shape[:2]
                     fig = plt.figure(figsize=(10, 10 * h / w))

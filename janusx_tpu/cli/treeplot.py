@@ -241,8 +241,73 @@ def build_parser(prog="jx treeplot") -> argparse.ArgumentParser:
                    help="show tip labels")
     p.add_argument("-regexlabels", "--regexlabels", type=str, default=None,
                    help="only show labels matching this regex")
+    p.add_argument("-fmt", "--fmt", dest="format", type=str, default="png",
+                   choices=("png", "pdf", "svg", "tif"),
+                   help="figure output format (reference -fmt)")
+    p.add_argument("-fontsize", "--fontsize", type=float, default=None,
+                   help="tip-label font size")
+    p.add_argument("--edge-width", dest="edge_width", type=float,
+                   default=None, help="branch line width")
+    p.add_argument("--node-size", dest="node_size", type=float, default=4.0,
+                   help="tip-marker size when -meta assigns node colors")
+    p.add_argument("--height", type=float, default=None,
+                   help="figure height in inches")
+    p.add_argument("-ratio", "--ratio", type=float, default=None,
+                   help="figure width/height ratio")
+    p.add_argument("--scale-bar", dest="scale_bar", action="store_true",
+                   help="draw a branch-length scale bar (circular/unrooted "
+                        "layouts; rect layouts already carry a distance "
+                        "axis)")
+    p.add_argument("--shrink", type=float, default=None,
+                   help="extra margin fraction for long tip labels")
+    p.add_argument("--hover", action="store_true",
+                   help="accepted for reference compatibility (output here "
+                        "is static matplotlib; no tooltip layer)")
+    p.add_argument("-method", "--method", choices=("nj", "upgma"),
+                   default="nj",
+                   help="tree inference from GRM input (reference -method)")
+    p.add_argument("--nj-backend", dest="nj_backend",
+                   choices=("auto", "rust", "toytree"), default="auto",
+                   help="reference backend selector, mapped here: "
+                        "auto/rust -> RapidNJ pruned search at n>=1500, "
+                        "toytree -> classic exact NJ")
+    p.add_argument("-meta", "--meta", type=str, default=None,
+                   help="sample meta table (csv/tsv: sample,label,"
+                        "show_label,group,label_color,node_color,"
+                        "node_size columns; any subset) for tip "
+                        "coloring/relabeling (reference -meta)")
     common.add_out_args(p, default_prefix="tree")
     return p
+
+
+def _apply_meta_colors(ax, meta) -> None:
+    """Recolor/relabel already-drawn tip texts from the -meta table
+    (columns: sample [,label, show_label, group, label_color])."""
+    import matplotlib as mpl
+
+    groups = None
+    if "group" in meta.columns and "label_color" not in meta.columns:
+        uniq = list(dict.fromkeys(meta["group"].astype(str)))
+        cyc = mpl.rcParams["axes.prop_cycle"].by_key().get("color", ["k"])
+        groups = {g: cyc[i % len(cyc)] for i, g in enumerate(uniq)}
+    for txt in ax.texts:
+        name = txt.get_text().strip()
+        if name not in meta.index:
+            continue
+        row = meta.loc[name]
+        if "show_label" in meta.columns and not bool(row["show_label"]):
+            txt.set_visible(False)
+            continue
+        if "label" in meta.columns and str(row.get("label", "")) not in (
+                "", "nan"):
+            txt.set_text(" " + str(row["label"]))
+        color = None
+        if "label_color" in meta.columns:
+            color = str(row["label_color"])
+        elif groups is not None:
+            color = groups.get(str(row.get("group")))
+        if color and color != "nan":
+            txt.set_color(color)
 
 
 def main(argv=None) -> int:
@@ -277,7 +342,17 @@ def main(argv=None) -> int:
         D = 1.0 - K / max(float(np.mean(np.diag(K))), 1e-12)
         np.fill_diagonal(D, 0.0)
         D = np.clip((D + D.T) / 2, 0.0, None)
-        tree = parse_newick(neighbor_joining(D, labels))
+        if args.method == "upgma":
+            from janusx_tpu.models.tree import upgma
+
+            tree = parse_newick(upgma(D, labels))
+        elif (args.nj_backend in ("auto", "rust")
+              and (K.shape[0] >= 1500 or args.nj_backend == "rust")):
+            from janusx_tpu.models.tree import rapid_neighbor_joining
+
+            tree = parse_newick(rapid_neighbor_joining(D, labels))
+        else:
+            tree = parse_newick(neighbor_joining(D, labels))
     else:
         tree = parse_newick(open(args.input).read())
 
@@ -300,28 +375,49 @@ def main(argv=None) -> int:
 
     n = count_leaves(tree)
     show = args.showlabels
+    if args.fontsize:
+        plt.rcParams["font.size"] = float(args.fontsize)
+    if args.edge_width:
+        plt.rcParams["lines.linewidth"] = float(args.edge_width)
+    meta = None
+    if args.meta:
+        import pandas as pd
+
+        sep = "," if args.meta.endswith(".csv") else "\t"
+        mdf = pd.read_csv(args.meta, sep=sep)
+        if "sample" not in mdf.columns:
+            raise SystemExit("-meta needs a 'sample' column")
+        meta = mdf.set_index(mdf["sample"].astype(str))
+    def _size(w, h):
+        if args.height:
+            h = float(args.height)
+            w = h * (args.ratio or (w / h if h else 1.0))
+        elif args.ratio:
+            w = h * float(args.ratio)
+        return (w, h)
+
     if args.layout == "c":
-        fig = plt.figure(figsize=(7, 7))
+        fig = plt.figure(figsize=_size(7, 7))
         ax = fig.add_subplot(projection="polar")
         draw_circular(tree, ax, show, args.regexlabels)
         ax.set_xticks([])
         ax.set_yticks([])
         ax.spines["polar"].set_visible(False)
     elif args.layout == "w":
-        fig, ax = plt.subplots(figsize=(7, 7))
+        fig, ax = plt.subplots(figsize=_size(7, 7))
         draw_unrooted(tree, ax, show, args.regexlabels)
         ax.set_xticks([])
         ax.set_yticks([])
         ax.axis("off")
     elif args.layout in ("u", "d"):
-        fig, ax = plt.subplots(figsize=(max(2, n * 0.14), 6))
+        fig, ax = plt.subplots(figsize=_size(max(2, n * 0.14), 6))
         draw_rect_vertical(tree, ax, [0], show, args.regexlabels,
                            down=args.layout == "d")
         ax.set_xticks([])
         ax.spines[["top", "right", "bottom"]].set_visible(False)
         ax.set_ylabel("distance")
     else:
-        fig, ax = plt.subplots(figsize=(6, max(2, n * 0.14)))
+        fig, ax = plt.subplots(figsize=_size(6, max(2, n * 0.14)))
         draw_rect(tree, ax, 0.0, [0], show, args.regexlabels,
                   flip=args.layout == "l")
         if args.layout == "l":
@@ -329,8 +425,22 @@ def main(argv=None) -> int:
         ax.set_yticks([])
         ax.spines[["top", "right", "left"]].set_visible(False)
         ax.set_xlabel("distance")
+    if args.shrink:
+        for side in ("x", "y"):
+            getattr(ax, f"set_{side}margin")(float(args.shrink))
+    if args.scale_bar and args.layout in ("c", "w"):
+        from matplotlib.lines import Line2D
+
+        span = 0.1 * max(
+            (abs(x) for x in ax.get_xlim() + ax.get_ylim()), default=1.0)
+        ax.add_line(Line2D([0.05, 0.2], [0.02, 0.02],
+                           transform=ax.transAxes, color="black", lw=1.2))
+        ax.text(0.125, 0.035, f"{span:.3g}", transform=ax.transAxes,
+                ha="center", fontsize=7)
+    if meta is not None:
+        _apply_meta_colors(ax, meta)
     fig.tight_layout()
-    out = prefix + ".tree.png"
+    out = f"{prefix}.tree.{args.format}"
     fig.savefig(out, dpi=150)
     plt.close(fig)
     print(out)

@@ -244,6 +244,38 @@ def rapid_neighbor_joining(D: np.ndarray, labels) -> str:
     return f"({newick[i]}:{d / 2:.6g},{newick[j]}:{d / 2:.6g});"
 
 
+def upgma(D: np.ndarray, labels) -> str:
+    """UPGMA (average-linkage, ultrametric) -> Newick (reference
+    `jx treeplot -method upgma` on GRM input). Branch lengths place
+    every tip at the same root distance (heights = merge distance / 2)."""
+    D = np.asarray(D, np.float64).copy()
+    n = D.shape[0]
+    labels = [str(lb) for lb in labels]
+    np.fill_diagonal(D, np.inf)
+    size = np.ones(n)
+    height = np.zeros(n)
+    newick = {i: labels[i] for i in range(n)}
+    alive = np.ones(n, bool)
+    for _ in range(n - 1):
+        sub = np.where(alive[:, None] & alive[None, :], D, np.inf)
+        i, j = np.unravel_index(np.argmin(sub), sub.shape)
+        h = float(sub[i, j]) / 2.0
+        li, lj = h - height[i], h - height[j]
+        newick[i] = (f"({newick[i]}:{max(li, 0.0):.6g},"
+                     f"{newick[j]}:{max(lj, 0.0):.6g})")
+        # average-linkage update into slot i
+        rest = alive.copy()
+        rest[[i, j]] = False
+        D[i, rest] = ((size[i] * D[i, rest] + size[j] * D[j, rest])
+                      / (size[i] + size[j]))
+        D[rest, i] = D[i, rest]
+        size[i] += size[j]
+        height[i] = h
+        alive[j] = False
+    root = int(np.nonzero(alive)[0][0])
+    return newick[root] + ";"
+
+
 def nj_tree(pg: PackedGenotypes, block: int = config.DEFAULT_SNP_BLOCK) -> str:
     D = ibs_distance(pg, block)
     return neighbor_joining(D, pg.samples)

@@ -68,7 +68,7 @@ def manhattan_plot(
         sel = chrom == c
         x = pos[sel] - pos[sel].min() + offset
         starts[c] = offset - pos[sel].min() if len(x) else offset
-        ax.scatter(x, logp[sel], s=s_pt, c=colors[i], rasterized=True,
+        ax.scatter(x, logp[sel], s=s_pt, c=[colors[i]], rasterized=True,
                    lw=0, alpha=alpha, marker=marker or "o")
         ticks.append(offset + (x.max() - offset) / 2 if len(x) else offset)
         labels.append(c)

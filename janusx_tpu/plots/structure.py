@@ -126,10 +126,20 @@ def admixture_bars(Q: np.ndarray, out_path: str, sample_labels=None,
 
 
 def ld_heatmap(r2: np.ndarray, out_path: str, positions=None, title=None,
-               dpi: int = 150) -> None:
-    """LD r² heatmap for a marker window."""
-    fig, ax = plt.subplots(figsize=(4.6, 4.2))
-    im = ax.imshow(r2, cmap="Reds", vmin=0, vmax=1, interpolation="nearest")
+               dpi: int = 150, cmap=None, ratio: float | None = None) -> None:
+    """LD r² heatmap for a marker window. ``cmap``: matplotlib name or a
+    ';'-separated color ramp (reference -ldblock-palette)."""
+    if cmap and (";" in str(cmap) or "," in str(cmap)):
+        import re
+
+        from matplotlib.colors import LinearSegmentedColormap
+
+        cols = [t for t in re.split(r"[;,]", str(cmap)) if t.strip()]
+        cmap = LinearSegmentedColormap.from_list("ldpal", cols)
+    fig, ax = plt.subplots(
+        figsize=(4.6 * (ratio or 1.0), 4.2) if ratio else (4.6, 4.2))
+    im = ax.imshow(r2, cmap=cmap or "Reds", vmin=0, vmax=1,
+                   interpolation="nearest")
     fig.colorbar(im, ax=ax, shrink=0.8, label=r"$r^2$")
     if title:
         ax.set_title(title)

@@ -75,6 +75,32 @@ class GffIndex:
                 )
         return cls(genes)
 
+    @classmethod
+    def from_bed(cls, path: str) -> "GffIndex":
+        """BED-like interval text (chrom start end [name]; tab/comma/
+        space delimited, header lines skipped) -> the same interval
+        index the GFF path builds (reference postgwas -bed source)."""
+        import re
+
+        opener = gzip.open if str(path).endswith(".gz") else open
+        genes = []
+        with opener(path, "rt") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith(("#", "track", "browser")):
+                    continue
+                f = re.split(r"[\t, ]+", line)
+                if len(f) < 3:
+                    continue
+                try:
+                    start, end = int(f[1]), int(f[2])
+                except ValueError:
+                    continue  # header row
+                name = f[3] if len(f) > 3 else f"{f[0]}:{start}-{end}"
+                genes.append(Gene(chrom=f[0], start=start + 1, end=end,
+                                  name=name, strand="."))
+        return cls(genes)
+
     def query(self, chrom: str, pos: int, window: int = 0):
         """Genes overlapping [pos-window, pos+window] (exact; start order)."""
         lst = self.by_chrom.get(str(chrom))

@@ -140,6 +140,57 @@ def test_cli_postgwas(sim_dataset, tmp_path):
     assert os.path.exists(str(tmp_path / "pg.a.trait0.LM.top.tsv"))
 
 
+def test_cli_postgwas_style_flags(sim_dataset, tmp_path):
+    """Reference panel selectors + cosmetics: -manh/-qq aspect ratios
+    gate which panels render; -palette/-interval/-scatter-size/-alpha/
+    -anno with a -bed interval source; hidden -full/-fontstyle accepted."""
+    rc = jx_main([
+        "gwas", "-bfile", sim_dataset, "-p", sim_dataset + ".pheno",
+        "-lm", "-o", str(tmp_path), "-prefix", "s",
+    ])
+    assert rc == 0
+    tsv = str(tmp_path / "s.trait0.LM.assoc.tsv")
+    bed = tmp_path / "anno.bed"
+    bed.write_text("1\t0\t99999999\tGeneZ\n")
+    rc = jx_main([
+        "postgwas", "-i", tsv, "-manh", "3/2", "-palette", "tab20",
+        "-interval", "0.5", "-scatter-size", "2", "-alpha", "0.6",
+        "-anno", "3", "-bed", str(bed), "-fontsize", "9",
+        "-full", "-fontstyle", "DejaVu Sans",
+        "-o", str(tmp_path), "-prefix", "sel",
+    ])
+    assert rc == 0
+    # -manh given explicitly -> QQ panel skipped
+    assert os.path.exists(str(tmp_path / "sel.s.trait0.LM.manhattan.png"))
+    assert not os.path.exists(str(tmp_path / "sel.s.trait0.LM.qq.png"))
+    import pandas as pd
+
+    top = pd.read_csv(tmp_path / "sel.s.trait0.LM.top.tsv", sep="\t")
+    assert "gene" in top.columns
+    assert (top.loc[top["chrom"].astype(str) == "1", "gene"] == "GeneZ").all()
+    # -qq alone -> Manhattan skipped
+    rc = jx_main(["postgwas", "-i", tsv, "-qq", "-o", str(tmp_path),
+                  "-prefix", "qo"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "qo.s.trait0.LM.qq.png"))
+    assert not os.path.exists(str(tmp_path / "qo.s.trait0.LM.manhattan.png"))
+
+
+def test_gffindex_from_bed(tmp_path):
+    from janusx_tpu.utils.gff import GffIndex
+
+    bed = tmp_path / "x.bed"
+    bed.write_text("# comment\nchr1\t100\t200\tA\nchr1 300 400 B\n"
+                   "chr2,50,80\nbadline\n")
+    gi = GffIndex.from_bed(str(bed))
+    g, d = gi.nearest("chr1", 150)
+    assert g.name == "A" and d == 0
+    g, d = gi.nearest("chr1", 290)
+    assert g.name == "B"
+    g, _ = gi.nearest("chr2", 60)
+    assert g.name == "chr2:50-80"  # unnamed interval gets a span label
+
+
 def test_cli_gformat_roundtrip(sim_dataset, tmp_path):
     rc = jx_main([
         "gformat", "-bfile", sim_dataset, "-make-vcf", "-make-hmp", "-make-txt",
@@ -369,6 +420,15 @@ def test_cli_postgwas_ldblock(sim_dataset, tmp_path):
     import glob as _g
 
     assert _g.glob(str(tmp_path / "pgl.ldblock.*.png"))
+    # -ldblock-all: region from -bimrange, custom ramp palette + ratio
+    rc = jx_main([
+        "postgwas", "-i", str(tmp_path / "lb.trait0.LM.assoc.tsv"),
+        "-ldblock-all", "2", "-ldblock-palette", "white;yellow;red",
+        "-bimrange", "1:0.01-0.999999",
+        "-bfile", sim_dataset, "-o", str(tmp_path), "-prefix", "pga",
+    ])
+    assert rc == 0
+    assert _g.glob(str(tmp_path / "pga.ldblock.*.png"))
 
 
 def test_cli_postgarfield(tmp_path):

@@ -549,3 +549,61 @@ def test_gff_index_exact_vs_bruteforce(rng):
         g, d = idx.nearest("1", pos, max_dist=2_000_000)
         want_d = min(max(x.start - pos, pos - x.end, 0) for x in genes)
         assert d == want_d, (pos, d, want_d)
+
+
+def test_upgma_matches_scipy_average_linkage(rng):
+    """UPGMA topology + ultrametric heights vs scipy average linkage."""
+    from scipy.cluster.hierarchy import average, cut_tree
+    from scipy.spatial.distance import squareform
+
+    from janusx_tpu.models.tree import _tree_splits, upgma
+
+    X = rng.normal(size=(12, 6))
+    D = np.sqrt(((X[:, None] - X[None, :]) ** 2).sum(-1))
+    names = [f"s{i}" for i in range(12)]
+    nwk = upgma(D, names)
+    assert nwk.endswith(";")
+    # every scipy merge level induces a partition; the UPGMA tree's
+    # splits must be unions of scipy's average-linkage clusters
+    Z = average(squareform(D, checks=False))
+    scipy_clusters = set()
+    for k in range(1, 12):
+        cut = cut_tree(Z, n_clusters=k).ravel()
+        for c in np.unique(cut):
+            scipy_clusters.add(frozenset(np.array(names)[cut == c]))
+    for split in _tree_splits(nwk):
+        side = frozenset(split)
+        other = frozenset(set(names) - set(split))
+        assert side in scipy_clusters or other in scipy_clusters, split
+    # ultrametric: all tips equidistant from the root
+    from janusx_tpu.cli.treeplot import parse_newick
+
+    t = parse_newick(nwk)
+
+    def depths(nd, d, acc):
+        blen = nd[1]
+        if not nd[0]:
+            acc.append(d + blen)
+        for c in nd[0]:
+            depths(c, d + blen, acc)
+        return acc
+
+    dep = depths(t, 0.0, [])
+    assert np.allclose(dep, dep[0], atol=1e-9)
+
+
+def test_treeplot_upgma_meta_fmt(tmp_path, rng):
+    """treeplot reference flags: -method upgma, -meta coloring, -fmt."""
+    K = np.eye(10) + 0.1 * rng.random((10, 10))
+    K = (K + K.T) / 2
+    np.save(tmp_path / "k.npy", K)
+    (tmp_path / "k.id").write_text("\n".join(f"s{i}" for i in range(10)))
+    meta = tmp_path / "meta.tsv"
+    meta.write_text("sample\tgroup\n" + "\n".join(
+        f"s{i}\t{'A' if i < 5 else 'B'}" for i in range(10)))
+    rc = jx_main(["treeplot", "-k", str(tmp_path / "k.npy"),
+                  "-method", "upgma", "-meta", str(meta), "-fmt", "pdf",
+                  "-showlabels", "--scale-bar", "--edge-width", "1.5",
+                  "-fontsize", "7", "-o", str(tmp_path), "-prefix", "up"])
+    assert rc == 0
+    assert (tmp_path / "up.tree.pdf").exists()
