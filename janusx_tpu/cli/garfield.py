@@ -65,6 +65,24 @@ def build_parser(prog="jx garfield") -> argparse.ArgumentParser:
                        dest="compat_" + names[-1].strip("-").replace("-", "_"))
     o.add_argument("-gain", "--gain-layer", dest="gain_layer", type=int,
                    default=None, help=argparse.SUPPRESS)
+    # further hidden reference dev/compat shims (garfield.py:2510-2708):
+    # --max-pick is the reference's own -layer compat alias; the rest are
+    # accepted so dev command lines keep running
+    o.add_argument("--max-pick", dest="layer_compat", type=int,
+                   default=None, help=argparse.SUPPRESS)
+    o.add_argument("--scan-mode", type=str, default=None,
+                   choices=("window", "gene", "genepair", "geneset",
+                            "wholegenome"), help=argparse.SUPPRESS)
+    o.add_argument("--fold", type=int, default=0, help=argparse.SUPPRESS)
+    o.add_argument("--prior-not", dest="prior_not", type=float,
+                   default=None, help=argparse.SUPPRESS)
+    o.add_argument("--feature-source", dest="feature_source", type=str,
+                   choices=("bin", "mbin"), default=None,
+                   help=argparse.SUPPRESS)
+    o.add_argument("--raw-design", dest="raw_design", action="store_true",
+                   default=False, help=argparse.SUPPRESS)
+    o.add_argument("-simbench", "--simbench", type=str, default=None,
+                   help=argparse.SUPPRESS)
     o.add_argument("-pm", "--permutation", dest="perm_quantile", type=str,
                    default=None, help=argparse.SUPPRESS)
     o.add_argument("-m", "--meff", type=int, default=None,
@@ -247,7 +265,9 @@ def main(argv=None) -> int:
             pg = pg.take_snps(idx)
         K = grm_from_packed(pg) if args.grm_residualize else None
         ttype = "binary" if args.binary else "auto"
-        depth = args.layer if args.layer is not None else args.depth
+        layer = (args.layer if args.layer is not None
+                 else args.layer_compat)  # --max-pick = reference alias
+        depth = layer if layer is not None else args.depth
         beam = args.width if args.width is not None else args.beam
         preselect = (args.width if args.width is not None
                      else args.preselect)

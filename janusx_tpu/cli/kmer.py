@@ -46,6 +46,17 @@ def build_parser(prog="jx kmer") -> argparse.ArgumentParser:
     # counted samples on top of it
     p.add_argument("-count", "--count", action="store_true",
                    help=argparse.SUPPRESS)
+    # remaining reference hidden WASTER tuning knobs (kmer.py:597-640):
+    # the -tree analog here is presence-Jaccard NJ, so the read-sampling
+    # parameters have no effect — accepted for dev command lines
+    p.add_argument("--waster-mode", type=int, choices=(1, 2, 3, 4),
+                   default=4, help=argparse.SUPPRESS)
+    for flag, dv in (("--waster-sampled", 16), ("--waster-qcs", 30),
+                     ("--waster-qcn", 20), ("--waster-pattern", 500_000_000),
+                     ("--waster-consensus", 25_000_000)):
+        p.add_argument(flag, type=int, default=dv, help=argparse.SUPPRESS)
+    p.add_argument("--waster-continue-file", type=str, default=None,
+                   help=argparse.SUPPRESS)
     p.add_argument("-tree", "--tree", action="store_true",
                    help="also build an NJ tree of the samples from "
                    "shared-k-mer (Jaccard) distances of the presence "

@@ -25,7 +25,8 @@ def build_parser(prog="jx pca") -> argparse.ArgumentParser:
     o.add_argument("-k", "--grm", type=str, default=None, metavar="FILE",
                    help="existing GRM .npy (+ .id sidecar) to decompose "
                         "instead of building from genotypes")
-    o.add_argument("-c", "--cov", dest="qcov", type=str, default=None,
+    o.add_argument("-c", "--cov", "--qcov", dest="qcov", type=str,
+                   default=None,
                    metavar="PREFIX",
                    help="existing PCA result prefix ({prefix}.eigenvec/"
                         ".eigenval): visualization only")

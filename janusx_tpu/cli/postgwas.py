@@ -13,8 +13,10 @@ from janusx_tpu.cli import common
 
 def build_parser(prog="jx postgwas") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog=prog, description="Post-GWAS plots + tables")
-    p.add_argument("-i", "--input", type=str, required=True, nargs="+",
-                   help="assoc TSV file(s) or glob(s)")
+    p.add_argument("-i", "-gwasfile", "--gwasfile", "--input",
+                   dest="input", type=str, required=True, nargs="+",
+                   help="assoc TSV file(s) or glob(s) (reference also "
+                        "spells this -gwasfile)")
     p.add_argument("-sig", "--sig", "-thr", "--thr", "-threshold",
                    "--threshold", dest="sig", type=float, default=None,
                    help="significance threshold p (default 0.05/m "
@@ -82,6 +84,20 @@ def build_parser(prog="jx postgwas") -> argparse.ArgumentParser:
     p.add_argument("-circle-out", "--circle-out", dest="circle_dir",
                    action="store_const", const="out",
                    help="values away from the center (default)")
+    p.add_argument("-circle-interval", "--circle-interval", type=float,
+                   default=None,
+                   help="inter-chromosome gap scale for -circle "
+                        "(reference -circle-interval)")
+    p.add_argument("-circle-lw", "--circle-lw", dest="circle_lw",
+                   type=float, default=None,
+                   help="ring/chord line width for -circle")
+    p.add_argument("-interact", "--interact", nargs="+", default=None,
+                   metavar=("FILE", "SPEC"),
+                   help="interaction source for the circular Manhattan: "
+                        "a GARFIELD rules TSV (rule endpoints become "
+                        "chords) or a pair table with an optional "
+                        "'snp;chrom;pos;pvalue;group1;group2' column "
+                        "spec (reference -interact)")
     p.add_argument("-LDclump", "--LDclump", dest="ldclump", nargs=2,
                    default=None, metavar=("WINDOW", "R2"),
                    help="LD-clump significant hits: window (bp or e.g. "
@@ -270,6 +286,55 @@ def _render_one(task: tuple) -> tuple:
     return tag, lam, man, qq, top_path
 
 
+def _interact_chords(spec_args: list, assoc_df) -> list:
+    """-interact FILE [SPEC] -> [(chrom1, pos1, chrom2, pos2)] chord
+    pairs for the circular Manhattan. SPEC names the columns
+    'snp;chrom;pos;pvalue;group1;group2' (reference GARFIELD-compatible
+    default). A `rule` column marks a GARFIELD rules table whose
+    endpoint tokens (and group1/group2 tokens without their own
+    chrom/pos columns) resolve through the assoc table's snp column."""
+    import pandas as pd
+
+    path = spec_args[0]
+    cols = (spec_args[1].split(";") if len(spec_args) > 1
+            else ["snp", "chrom", "pos", "pvalue", "group1", "group2"])
+    tbl = pd.read_csv(path, sep="\t")
+    by_snp: dict = {}
+    if "snp" in assoc_df.columns:
+        snp = assoc_df["snp"].astype(str).to_numpy()
+        ch = assoc_df["chrom"].astype(str).to_numpy()
+        po = assoc_df["pos"].to_numpy(float)
+        by_snp = {s: (c, p) for s, c, p in zip(snp, ch, po)}
+
+    def resolve(tok):
+        return by_snp.get(str(tok))
+
+    chords: list = []
+    if "rule" in tbl.columns:
+        ops = {"AND", "OR", "XOR", "NOT", "AND-NOT", "&", "|", "^"}
+        for rule in tbl["rule"].astype(str):
+            toks = [t for t in rule.split() if t.upper() not in ops]
+            pts = [resolve(t) for t in toks]
+            pts = [p for p in pts if p is not None]
+            for (c1, p1), (c2, p2) in zip(pts[:-1], pts[1:]):
+                chords.append((c1, p1, c2, p2))
+        return chords
+    g1, g2 = cols[4], cols[5]
+    if g1 not in tbl.columns or g2 not in tbl.columns:
+        raise SystemExit(
+            f"-interact: {path} has neither a 'rule' column nor the "
+            f"'{g1}'/'{g2}' pair columns of the spec")
+    c_snp, c_chr, c_pos = cols[0], cols[1], cols[2]
+    if c_snp in tbl.columns and c_chr in tbl.columns and c_pos in tbl.columns:
+        for _, r in tbl.iterrows():
+            by_snp[str(r[c_snp])] = (str(r[c_chr]), float(r[c_pos]))
+    for _, r in tbl.iterrows():
+        a, b = resolve(r[g1]), resolve(r[g2])
+        if a is not None and b is not None:
+            chords.append((a[0], a[1], b[0], b[1]))
+    return chords
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     prefix = common.out_prefix(args)
@@ -352,9 +417,15 @@ def main(argv=None) -> int:
         if args.circle:
             from janusx_tpu.plots.gwasplots import circular_manhattan
 
+            chords = None
+            if args.interact:
+                chords = _interact_chords(args.interact,
+                                          _read_cached(paths[0]))
             out = f"{prefix}.circle.{args.format}"
             circular_manhattan(panels, out, sig_line=args.sig,
-                               direction=args.circle_dir)
+                               direction=args.circle_dir, chords=chords,
+                               gap_ratio=args.circle_interval,
+                               lw=args.circle_lw)
             print(out)
     if args.ldclump:
         from janusx_tpu.models.ldprune import ld_clump

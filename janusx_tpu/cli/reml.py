@@ -59,6 +59,12 @@ def build_parser(prog="jx reml") -> argparse.ArgumentParser:
                    help="dense GRM .npy (+ .id sidecar): corrected narrow-sense h2 + GBLUP")
     g.add_argument("-spk", "--grm-sparse", type=str, default=None, metavar="FILE",
                    help="sparse GRM .jxgrm (+ .id sidecar): narrow-sense h2 + GBLUP")
+    p.add_argument("--spk-mode", dest="spk_mode", choices=("raw", "fastgwa"),
+                   default="raw",
+                   help="sparse REML objective for -spk/-k: raw = profile "
+                        "REML over (va, vline); fastgwa = fixed-Vp "
+                        "1-D search matched to GCTA fastGWA-REML "
+                        "(reference --spk-mode)")
     p.add_argument("-maxiter", "--maxiter", "--max-iter", type=int, default=100,
                    dest="maxiter")
     p.add_argument("--tol", type=float, default=1e-6)
@@ -551,7 +557,8 @@ def _run_trait(df_all, id_col, trait, fixed_specs, random_specs, gxe_specs,
                     else K_full[np.ix_(sel, sel)])
             noise = se_by_line[kept] ** 2
             jf = fit_joint_kernel(blue_by_line[kept], Ksub, noise,
-                                  max_iter=args.maxiter)
+                                  max_iter=args.maxiter,
+                                  mode=args.spk_mode)
             row["h2_narrow"] = jf.h2
             row["narrow_method"] = ("joint_dense" if args.grm else "joint_sparse")
             gmap = {str(line_levels[i]): float(g)

@@ -281,6 +281,7 @@ def fit_joint_kernel(
     noise_diag,
     x_fixed=None,
     max_iter: int = 200,
+    mode: str = "raw",
 ) -> JointKernelFit:
     """Joint additive (va·K) + line (vline·I) REML on line-level BLUEs.
 
@@ -364,20 +365,52 @@ def fit_joint_kernel(
         except np.linalg.LinAlgError:
             return np.inf
 
-    # The (va, vline) surface often has a flat ridge (va·K vs vline·I are
-    # weakly separated when K is close to I), where a single-start simplex
-    # lands wherever rounding pushes it. Seed from a coarse deterministic
-    # grid over (heritable share, total), then polish.
-    best = None
-    for share in np.linspace(0.05, 0.95, 10):
-        for tot in (0.5 * vy, vy, 2.0 * vy):
-            theta = np.log([max(share * tot, 1e-12),
-                            max((1 - share) * tot, 1e-12)])
-            f = obj(theta)
-            if best is None or f < best[0]:
-                best = (f, theta)
-    res = _nm_restarts(minimize, obj, best[1], max_iter * 10, 1e-9)
-    nll, va, vline, beta, Vir = state(res.x)
+    if mode == "fastgwa":
+        # fastGWA-REML-style fixed-Vp objective (reference --spk-mode
+        # fastgwa / GCTA fastGWA-REML): the total va+vline is pinned to
+        # the phenotypic variance (net of the stage-1 noise mean) and
+        # only the heritable SHARE is searched — 1-D golden section on
+        # the same sparse/dense likelihood
+        vp = max(vy - d_mean, vy * 1e-4)
+
+        def obj1(s):
+            s = min(max(float(s), 1e-6), 1.0 - 1e-6)
+            return obj(np.log([vp * s, vp * (1.0 - s)]))
+
+        import math
+
+        gr = (math.sqrt(5.0) - 1.0) / 2.0
+        a, b = 1e-4, 1.0 - 1e-4
+        c1, c2 = b - gr * (b - a), a + gr * (b - a)
+        f1, f2 = obj1(c1), obj1(c2)
+        for _ in range(60):
+            if f1 <= f2:
+                b, c2, f2 = c2, c1, f1
+                c1 = b - gr * (b - a)
+                f1 = obj1(c1)
+            else:
+                a, c1, f1 = c1, c2, f2
+                c2 = a + gr * (b - a)
+                f2 = obj1(c2)
+        s_opt = 0.5 * (a + b)
+        nll, va, vline, beta, Vir = state(
+            np.log([vp * s_opt, vp * (1.0 - s_opt)]))
+    else:
+        # The (va, vline) surface often has a flat ridge (va·K vs
+        # vline·I are weakly separated when K is close to I), where a
+        # single-start simplex lands wherever rounding pushes it. Seed
+        # from a coarse deterministic grid over (heritable share,
+        # total), then polish.
+        best = None
+        for share in np.linspace(0.05, 0.95, 10):
+            for tot in (0.5 * vy, vy, 2.0 * vy):
+                theta = np.log([max(share * tot, 1e-12),
+                                max((1 - share) * tot, 1e-12)])
+                f = obj(theta)
+                if best is None or f < best[0]:
+                    best = (f, theta)
+        res = _nm_restarts(minimize, obj, best[1], max_iter * 10, 1e-9)
+        nll, va, vline, beta, Vir = state(res.x)
     denom = va + vline + d_mean
     return JointKernelFit(
         va=float(va),

@@ -274,11 +274,18 @@ def circular_manhattan(
     sig_line: float | None = None,
     direction: str = "out",
     dpi: int = 170,
+    chords: list | None = None,
+    gap_ratio: float | None = None,
+    lw: float | None = None,
 ) -> None:
     """Circular (Circos-style) Manhattan: one concentric ring per GWAS
     file, chromosomes as arcs (reference `-circle` with -circle-in/-out
     direction control). ``rings`` is a list of (tag, chrom, pos, pvals),
-    outermost first."""
+    outermost first. ``chords`` = [(chrom1, pos1, chrom2, pos2, [label])]
+    interaction pairs drawn as bezier chords through the center
+    (reference -interact); ``gap_ratio`` scales the inter-chromosome gap
+    (-circle-interval); ``lw`` sets ring/threshold line width
+    (-circle-lw)."""
     union: list = []
     spans: dict = {}
     for _, chrom, pos, _ in rings:
@@ -289,7 +296,8 @@ def circular_manhattan(
             if c not in union:
                 union.append(c)
     total = sum(spans.values())
-    gap_rad = 2.0 * np.pi * 0.01
+    gap_rad = 2.0 * np.pi * 0.01 * (1.0 if gap_ratio is None
+                                    else 2.0 * float(gap_ratio))
     arc = 2.0 * np.pi - gap_rad * len(union)
     theta0, starts = 0.0, {}
     for c in union:
@@ -328,12 +336,28 @@ def circular_manhattan(
         sfrac = min(-np.log10(sig) / top, 1.0)
         rs = r_lo + w * (1.0 - sfrac if direction == "in" else sfrac)
         ax.plot(np.linspace(0, 2 * np.pi, 256), np.full(256, rs),
-                color="red", ls="--", lw=0.6)
+                color="red", ls="--", lw=lw or 0.6)
         ax.text(0.0, r_lo + w + 0.01, tag, fontsize=6, ha="center")
     for c in union:
         mid = starts[c] + arc * spans[c] / total / 2.0
         ax.text(mid, r_lo0 + n_rings * band_w + 0.05, c, fontsize=8,
                 ha="center", va="center")
+    if chords:
+        for ch in chords:
+            c1, p1, c2, p2 = str(ch[0]), float(ch[1]), str(ch[2]), float(ch[3])
+            if c1 not in starts or c2 not in starts:
+                continue
+            t1 = starts[c1] + arc * (p1 / total)
+            t2 = starts[c2] + arc * (p2 / total)
+            r0 = r_lo0 - 0.02
+            # quadratic bezier through the center in cartesian space
+            x1, y1 = r0 * np.cos(t1), r0 * np.sin(t1)
+            x2, y2 = r0 * np.cos(t2), r0 * np.sin(t2)
+            t = np.linspace(0, 1, 60)
+            bx = (1 - t) ** 2 * x1 + t ** 2 * x2
+            by = (1 - t) ** 2 * y1 + t ** 2 * y2
+            ax.plot(np.arctan2(by, bx), np.hypot(bx, by),
+                    color="#C44E52", lw=lw or 0.9, alpha=0.8)
     ax.set_ylim(0, r_lo0 + n_rings * band_w + 0.12)
     ax.axis("off")
     fig.savefig(out_path, dpi=dpi)

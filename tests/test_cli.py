@@ -562,6 +562,24 @@ def test_cli_postgwas_merge_circle_clump(sim_dataset, tmp_path):
     assert os.path.exists(str(tmp_path / "pg2.qq.merge.pdf"))
     assert os.path.exists(str(tmp_path / "pg2.circle.pdf"))
 
+    # -interact chords on the circular panel (GARFIELD rules shape:
+    # endpoints resolve through the assoc snp column), plus the circle
+    # cosmetics and the -gwasfile input alias
+    import pandas as pd
+
+    snps = pd.read_csv(t1, sep="\t")["snp"].astype(str)
+    rules = tmp_path / "rules.tsv"
+    rules.write_text("rule\tscore\n"
+                     f"{snps.iloc[3]} AND {snps.iloc[100]}\t0.5\n"
+                     f"{snps.iloc[10]} XOR {snps.iloc[400]}\t0.4\n")
+    rc = jx_main([
+        "postgwas", "-gwasfile", t1, "-o", str(tmp_path), "-prefix", "pgi",
+        "-circle", "-interact", str(rules), "-circle-interval", "0.8",
+        "-circle-lw", "1.2",
+    ])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "pgi.circle.png"))
+
     # LD clump with genotypes + loose threshold so clumps exist
     rc = jx_main([
         "postgwas", "-i", t1, "-bfile", sim_dataset,

@@ -286,3 +286,17 @@ def test_reml_narrow_sense_sparse_spk(tmp_path):
     assert summ["narrow_method"] == "joint_sparse"
     expect = va / (va + vline + ve / 4)
     assert summ["h2_narrow"] == pytest.approx(expect, abs=0.25)
+
+    # --spk-mode fastgwa: fixed-Vp 1-D objective lands near the raw fit
+    # (the raw optimum's total sits close to var(y) on this design)
+    jf = fit_joint_kernel(y_line, sp.csr_matrix(Kt), noise, mode="fastgwa")
+    assert np.isfinite(jf.h2) and 0.0 <= jf.h2 <= 1.0
+    assert jf.h2 == pytest.approx(js.h2, abs=0.12)
+    assert jf.va + jf.vline == pytest.approx(
+        np.var(y_line) - noise.mean(), rel=1e-3)
+    rc = jx_main(["reml", "-p", pheno, "-n", "tr", "-spk", spk,
+                  "--spk-mode", "fastgwa",
+                  "-o", str(tmp_path), "-prefix", "sf"])
+    assert rc == 0
+    summ2 = pd.read_csv(tmp_path / "sf.reml.summary.tsv", sep="\t").iloc[0]
+    assert summ2["h2_narrow"] == pytest.approx(summ["h2_narrow"], abs=0.15)
