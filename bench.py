@@ -5,14 +5,18 @@ decode + eigenbasis rotate + shared λ-grid search + beta/se/Wald) end to
 end on the available accelerator, excluding one-time compile.
 
 Workload: mouse_hs1940 trait test0 (n=1410 analysis samples, m~=8.9k QC'd
-SNPs), with the QC'd SNP set tiled 32x to m~=287k (human chromosome 1-2
-scale) so the measurement is steady-state rather than dominated by the
-~35 ms fixed per-call cost (host sync + relay round-trip latency; at
-m=72k that fixed cost was still ~30% of wall time — measured slope is
-~0.77 us/SNP). Every SNP
-column scanned is real genotype data and runs the identical production
-code path (`janusx_tpu.models.lmm.lmm_scan`); only the scan length is
-extended.
+SNPs), with the QC'd SNP set tiled to m~=144k and m~=287k (human
+chromosome 1-2 scale). Every SNP column scanned is real genotype data and
+runs the identical production code path
+(`janusx_tpu.models.lmm.lmm_scan`); only the scan length is extended.
+
+Weather-proofing (round-4): the headline number is the per-SNP SLOPE fit
+across the two m values — (t2 - t1) / (m2 - m1) — which cancels the fixed
+per-call cost (host sync + axon relay round-trip, ~35 ms/call but
+30-200 ms under relay weather; round-3 same-session raw quotients at
+m=287k swung 0.79-1.32M SNPs/s purely from that term). The raw m2
+quotient is reported alongside as `value_raw`, and the fixed cost as
+`fixed_ms_per_call`.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
@@ -33,7 +37,8 @@ import time
 import numpy as np
 
 ANALYTIC_BASELINE_SNPS_PER_SEC = 20_000.0  # retained cross-check only
-TILE = 32  # extend the scan to chromosome-scale m (~287k SNPs)
+TILE_SMALL = 16  # ~144k SNPs
+TILE_BIG = 32  # ~287k SNPs
 
 
 def measure_baseline(basis, y, Gc: np.ndarray, lg_init: float):
@@ -45,7 +50,7 @@ def measure_baseline(basis, y, Gc: np.ndarray, lg_init: float):
     if not baseline_cpu.available():
         return None
     Gc32 = np.ascontiguousarray(Gc, np.float32)
-    big = np.concatenate([Gc32] * TILE, axis=0)
+    big = np.concatenate([Gc32] * TILE_BIG, axis=0)
     # warm-up on a slice (thread spawn, page-in, BLAS init)
     baseline_cpu.baseline_scan(basis, y, Gc32[:2048], lg_init=lg_init)
     times = []
@@ -78,19 +83,36 @@ def main() -> None:
     pg = raw.prepare(qc, sample_idx=keep)
     basis = eigh_grm(K[np.ix_(keep, keep)], diag_ridge=1e-6)
 
-    big = PackedGenotypes.concat([pg] * TILE)
+    small = PackedGenotypes.concat([pg] * TILE_SMALL)
+    big = PackedGenotypes.concat([pg] * TILE_BIG)
 
-    # warm-up (compile + null fit + device-resident state cache)
+    # warm-up (compile + null fit + device-resident state cache); both m
+    # values hit the same compiled superblock kernel
     res, null = lmm_scan(pg, basis, y[keep], block=4608)
     lmm_scan(big, basis, y[keep], block=4608, null=null)
-    # timed runs
-    times = []
-    for _ in range(5):
-        t0 = time.monotonic()
-        lmm_scan(big, basis, y[keep], block=4608, null=null)
-        times.append(time.monotonic() - t0)
-    best = min(times)
-    snps_per_sec = big.m / best
+    lmm_scan(small, basis, y[keep], block=4608, null=null)
+
+    def timed(pgx, reps):
+        ts = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            lmm_scan(pgx, basis, y[keep], block=4608, null=null)
+            ts.append(time.monotonic() - t0)
+        return min(ts)
+
+    t_small = timed(small, 4)
+    t_big = timed(big, 5)
+    raw_snps_per_sec = big.m / t_big
+    # two-m fit: slope cancels the fixed per-call (relay) cost
+    slope = (t_big - t_small) / (big.m - small.m)  # seconds per SNP
+    if slope > 0:
+        slope_snps_per_sec = 1.0 / slope
+        fixed_ms = max((t_big - slope * big.m) * 1e3, 0.0)
+    else:
+        # relay noise swamped the m delta this session; fall back to the
+        # raw quotient rather than report a negative slope
+        slope_snps_per_sec = raw_snps_per_sec
+        fixed_ms = 0.0
 
     base = measure_baseline(basis, y[keep], pg.centered(), null.log10_lbd)
     denom = base if base else ANALYTIC_BASELINE_SNPS_PER_SEC
@@ -98,9 +120,14 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "lmm_scan_snps_per_sec_steady_state",
-                "value": round(snps_per_sec, 1),
+                "value": round(slope_snps_per_sec, 1),
                 "unit": "SNPs/s",
-                "vs_baseline": round(snps_per_sec / denom, 3),
+                "vs_baseline": round(slope_snps_per_sec / denom, 3),
+                "value_slope": round(slope_snps_per_sec, 1),
+                "value_raw": round(raw_snps_per_sec, 1),
+                "fixed_ms_per_call": round(fixed_ms, 1),
+                "m_small": small.m,
+                "m_big": big.m,
                 "baseline_snps_per_sec": None if base is None else round(base, 1),
                 "baseline_kind": "measured_cpu_reference_loop" if base else "analytic_fallback",
                 "baseline_analytic_snps_per_sec": ANALYTIC_BASELINE_SNPS_PER_SEC,

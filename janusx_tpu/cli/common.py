@@ -83,10 +83,56 @@ def add_compat_thread_arg(p: argparse.ArgumentParser):
     XLA and the host BLAS manage their own pools here (sized at import),
     so the only job of these flags is keeping reference command lines
     from erroring on an unknown option."""
-    p.add_argument("-t", "-thread", "--thread", "--threads",
+    p.add_argument("-t", "-thread", "--thread", "-threads", "--threads",
                    dest="threads", type=int, default=None,
                    help=argparse.SUPPRESS)
     return p
+
+
+def add_compat_flags(p: argparse.ArgumentParser, specs, group=None):
+    """Register reference flags whose mechanism has no analog here.
+
+    They are accepted so drop-in reference command lines never error,
+    and loudly warn-logged when explicitly set (see warn_ignored_compat).
+    `specs` is an iterable of (options, kwargs, reason) where `options`
+    is one option string or a tuple of spellings. The registered default
+    is the "not explicitly set" sentinel (None unless given; False for
+    store_true).
+    """
+    target = group if group is not None else p
+    reg = getattr(p, "_jx_compat_flags", None)
+    if reg is None:
+        reg = p._jx_compat_flags = []
+    for options, kwargs, reason in specs:
+        if isinstance(options, str):
+            options = (options,)
+        kw = dict(kwargs)
+        kw.setdefault("help", argparse.SUPPRESS)
+        if kw.get("action") == "store_true":
+            kw.setdefault("default", False)
+        else:
+            kw.setdefault("default", None)
+        action = target.add_argument(*options, **kw)
+        reg.append((action.dest, kw["default"], options[0], reason))
+    return p
+
+
+def warn_ignored_compat(p: argparse.ArgumentParser, args, logger=None) -> int:
+    """Warn-log every compat flag the user explicitly set; returns count.
+
+    The reference pattern this replaces: silent SUPPRESS'd no-ops. Every
+    accepted-but-unwired flag must go through here so no flag is ever
+    swallowed without a log line."""
+    log = logger or logging.getLogger("janusx_tpu.cli")
+    n = 0
+    for dest, default, opt, reason in getattr(p, "_jx_compat_flags", ()):
+        val = getattr(args, dest, default)
+        if val != default:
+            log.warning(
+                "flag %s=%r accepted for reference drop-in compatibility "
+                "but IGNORED here: %s", opt, val, reason)
+            n += 1
+    return n
 
 
 def add_out_args(p: argparse.ArgumentParser, default_prefix: str):

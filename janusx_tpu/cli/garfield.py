@@ -65,28 +65,41 @@ def build_parser(prog="jx garfield") -> argparse.ArgumentParser:
                        dest="compat_" + names[-1].strip("-").replace("-", "_"))
     o.add_argument("-gain", "--gain-layer", dest="gain_layer", type=int,
                    default=None, help=argparse.SUPPRESS)
-    # further hidden reference dev/compat shims (garfield.py:2510-2708):
-    # --max-pick is the reference's own -layer compat alias; the rest are
-    # accepted so dev command lines keep running
+    # --max-pick is the reference's own -layer compat alias (functional)
     o.add_argument("--max-pick", dest="layer_compat", type=int,
                    default=None, help=argparse.SUPPRESS)
-    o.add_argument("--scan-mode", type=str, default=None,
-                   choices=("window", "gene", "genepair", "geneset",
-                            "wholegenome"), help=argparse.SUPPRESS)
-    o.add_argument("--fold", type=int, default=0, help=argparse.SUPPRESS)
-    o.add_argument("--prior-not", dest="prior_not", type=float,
-                   default=None, help=argparse.SUPPRESS)
-    o.add_argument("--feature-source", dest="feature_source", type=str,
-                   choices=("bin", "mbin"), default=None,
-                   help=argparse.SUPPRESS)
-    o.add_argument("--raw-design", dest="raw_design", action="store_true",
-                   default=False, help=argparse.SUPPRESS)
-    o.add_argument("-simbench", "--simbench", type=str, default=None,
-                   help=argparse.SUPPRESS)
+    # reference dev shims whose mechanism has no analog here — accepted
+    # and warn-logged (never silently swallowed)
+    common.add_compat_flags(p, [
+        ("--scan-mode",
+         {"choices": ("window", "gene", "genepair", "geneset",
+                      "wholegenome")},
+         "the scan mode is selected directly by -w (window), -g (gene/"
+         "gene-set) or -bin; whole-genome is the default"),
+        ("--fold", {"type": int},
+         "no CV-fold stage exists in this search; permutation maxT is "
+         "the calibration"),
+        ("--prior-not", {"type": float},
+         "NOT literals carry no prior reweighting here; the beam scores "
+         "them on equal footing"),
+        ("--feature-source", {"choices": ("bin", "mbin")},
+         "features come from the packed hom-alt bitplanes (use -bin for "
+         "a BIN01 matrix input)"),
+        ("--raw-design", {"action": "store_true"},
+         "the design matrix is always the raw 0/1 indicators here"),
+        (("-simbench", "--simbench"), {"type": str},
+         "use `jx garfieldbench` for the planted-gate benchmark"),
+    ], group=o)
     o.add_argument("-pm", "--permutation", dest="perm_quantile", type=str,
-                   default=None, help=argparse.SUPPRESS)
+                   default=None,
+                   help="permutation-null significance threshold: gev "
+                        "(Gumbel fit at q=0.99), gNN/gNN.N (GEV at NN%%), "
+                        "qNN (empirical quantile), or a float in (0,1); "
+                        "adds a `sig` column to the rule TSVs")
     o.add_argument("-m", "--meff", type=int, default=None,
-                   help=argparse.SUPPRESS)
+                   help="effective test count for FDR correction of the "
+                        "rule p-values (adds a `pfdr` column; default "
+                        "uses the rule count)")
     o.add_argument("-bimrange", "--bimrange", action="append", default=None,
                    help="restrict the scan to chr:start-end ranges "
                    "(repeatable)")
@@ -95,14 +108,17 @@ def build_parser(prog="jx garfield") -> argparse.ArgumentParser:
     return p
 
 
-def _main_bin(args, prefix: str) -> int:
+def _main_bin(args, prefix: str, pm=None) -> int:
     """Rule search over a BIN01 0/1 feature matrix (k-mer presence bits —
     reference garfield window/bin scans, src/lib.rs:751-767)."""
     import numpy as np
 
     from janusx_tpu.io import bin01
     from janusx_tpu.io.pheno import load_phenotype
-    from janusx_tpu.models.garfield import garfield_scan_features
+    from janusx_tpu.models.garfield import (
+        garfield_scan_features,
+        rule_null_threshold,
+    )
     from janusx_tpu.models.scan_common import analysis_sample_index
 
     bm = bin01.read_bin01(args.bin)
@@ -128,13 +144,18 @@ def _main_bin(args, prefix: str) -> int:
             B, y[keep], depth=args.depth, beam=args.beam, n_perm=args.perm,
             seed=args.seed, trait_type=ttype, preselect=args.preselect,
         )
+        thr = (rule_null_threshold(res.perm_max_scores, *pm)
+               if pm is not None else None)
         path = f"{prefix}.{trait}.garfield.bin.tsv"
         with open(path, "wt") as fh:
-            fh.write("rule\tdepth\tsupport\tscore\tpperm\n")
+            fh.write("rule\tdepth\tsupport\tscore\tpperm"
+                     + ("\tsig" if thr is not None else "") + "\n")
             for ru, pv in zip(res.rules, res.pvalues):
                 fh.write(
                     f"{ru.describe(names)}\t{len(ru.snps)}\t{ru.support}"
-                    f"\t{ru.score:.6g}\t{pv:.4g}\n"
+                    f"\t{ru.score:.6g}\t{pv:.4g}"
+                    + (f"\t{int(ru.score >= thr)}" if thr is not None else "")
+                    + "\n"
                 )
         best = res.rules[0] if res.rules else None
         if best:
@@ -232,21 +253,30 @@ def _main_genes(args, prefix, trait, pg, y, K, ttype, depth, beam,
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "garfield")
+    common.warn_ignored_compat(parser, args)
 
     import numpy as np
 
     from janusx_tpu.io.gfreader import load_raw_packed
     from janusx_tpu.io.packed import QcParams
     from janusx_tpu.io.pheno import load_phenotype
-    from janusx_tpu.models.garfield import garfield_scan, write_garfield_tsv
+    from janusx_tpu.models.garfield import (
+        garfield_scan,
+        parse_pm_spec,
+        rule_null_threshold,
+        write_garfield_tsv,
+    )
     from janusx_tpu.models.grm import grm_from_packed
     from janusx_tpu.models.scan_common import analysis_sample_index
 
+    pm = (parse_pm_spec(args.perm_quantile)
+          if args.perm_quantile is not None else None)
     if args.bin:
-        return _main_bin(args, prefix)
+        return _main_bin(args, prefix, pm)
     raw = load_raw_packed(common.resolve_genotype(args))
     ph = load_phenotype(args.pheno).select(common.parse_traits(args.ncol))
     y_all, _ = ph.align(raw.samples)
@@ -297,12 +327,21 @@ def main(argv=None) -> int:
             )
             path = f"{prefix}.{trait}.garfield.windows.tsv"
             with open(path, "wt") as fh:
-                fh.write("chrom\tstart\tend\trule\tdepth\tsupport\tscore\tpperm\n")
+                fh.write("chrom\tstart\tend\trule\tdepth\tsupport\tscore"
+                         "\tpperm" + ("\tsig" if pm is not None else "")
+                         + "\n")
                 for c, s, e, r in wins:
+                    # -pm: per-window permutation-null threshold (each
+                    # window is its own calibrated scan unit)
+                    wthr = (rule_null_threshold(r.perm_max_scores, *pm)
+                            if pm is not None else None)
                     for ru, pv in zip(r.rules, r.pvalues):
                         fh.write(
                             f"{c}\t{s}\t{e}\t{ru.describe(pg.sites.snp)}\t"
-                            f"{len(ru.snps)}\t{ru.support}\t{ru.score:.6g}\t{pv:.4g}\n"
+                            f"{len(ru.snps)}\t{ru.support}\t{ru.score:.6g}"
+                            f"\t{pv:.4g}"
+                            + (f"\t{int(ru.score >= wthr)}"
+                               if wthr is not None else "") + "\n"
                         )
             outputs.append(path)
             print(f"{trait}\t{len(wins)} windows\t{path}")
@@ -321,8 +360,15 @@ def main(argv=None) -> int:
             preselect=preselect, min_support=min_support,
             top_rules=(args.topk or 50), snp_subset=snp_subset,
         )
+        thr = None
+        if pm is not None:
+            thr = rule_null_threshold(res.perm_max_scores, *pm)
+            n_sig = sum(1 for ru in res.rules if ru.score >= thr)
+            print(f"{trait}\t-pm {args.perm_quantile}: {pm[0]} threshold "
+                  f"= {thr:.6g} ({n_sig}/{len(res.rules)} rules significant)")
         path = f"{prefix}.{trait}.garfield.tsv"
-        write_garfield_tsv(path, res, pg.sites)
+        write_garfield_tsv(path, res, pg.sites, score_threshold=thr,
+                           meff=args.meff)
         outputs.append(path)
         best = res.rules[0] if res.rules else None
         if best:

@@ -35,6 +35,32 @@ def build_parser(prog="jx ggval") -> argparse.ArgumentParser:
     p.add_argument("-nsnp", "--nsnp", type=int, default=600)
     p.add_argument("-keep", "--keep", type=str, default=None,
                    help="keep work dir at this path (default: temp, removed)")
+    p.add_argument("--mode", choices=("smoke", "full"), default=None,
+                   help="smoke = {gwas, gs}; full = all suites "
+                        "(reference --mode; positional suites win)")
+    p.add_argument("--only", type=str, default=None,
+                   help="run only the named suites (comma separated)")
+    p.add_argument("--skip", type=str, default=None,
+                   help="skip the named suites (comma separated)")
+    p.add_argument("--outdir", type=str, default=None,
+                   help="work/output directory (same as -keep)")
+    p.add_argument("--cv", type=int, default=2,
+                   help="CV folds used by the gs suites")
+    p.add_argument("--no-postgs", action="store_true",
+                   help="skip the post-analysis suite")
+    common.add_compat_flags(p, [
+        ("--threads", {"type": int},
+         "XLA and the host BLAS size their own pools"),
+        ("--logdir", {"type": str},
+         "per-run logs land next to the outputs ({prefix}.ggval.log)"),
+        ("--no-backend-thread-checks", {"action": "store_true"},
+         "no BLAS backend/thread probing exists here"),
+        ("--multicore", {"action": "store_true"},
+         "use `jx benchmark -modules grm` for the multicore GRM/EIGH "
+         "benchmark"),
+        (("-tgarfield-avx2", "--garfield-avx2"), {"action": "store_true"},
+         "no AVX2-specific GARFIELD path: the search runs on XLA"),
+    ])
     common.add_out_args(p, default_prefix="ggval")
     return p
 
@@ -216,16 +242,27 @@ def main(argv=None) -> int:
     common.setup_logging(args.verbose, prefix, "ggval")
 
     suites = list(args.suites)
-    if "all" in suites:
+    if "all" in suites or args.mode == "full":
         suites = list(SUITES)
+    if args.only:
+        suites = [t.strip() for t in args.only.replace(",", " ").split()
+                  if t.strip()]
     if not suites:
         suites = ["gwas", "gs"]  # smoke default (reference ggval.py:40)
+    if args.skip:
+        drop = {t.strip() for t in args.skip.replace(",", " ").split()}
+        suites = [s_ for s_ in suites if s_ not in drop]
+    if args.no_postgs:
+        suites = [s_ for s_ in suites if s_ != "post"]
     bad = [s for s in suites if s not in SUITES]
     if bad:
         raise SystemExit(f"unknown suites: {bad} (choose from {SUITES})")
 
+    common.warn_ignored_compat(build_parser(), args)
     chk = _Check()
     tmp = None
+    if args.outdir and not args.keep:
+        args.keep = args.outdir
     if args.keep:
         work = args.keep
         os.makedirs(work, exist_ok=True)

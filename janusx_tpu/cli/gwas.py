@@ -91,6 +91,9 @@ def build_parser(prog="jx gwas", dev: bool = False) -> argparse.ArgumentParser:
                    help=_dev("FarmCPU stage1 threshold (default 1/m)"))
     o.add_argument("--farmcpu-qtn-bound", type=int, default=None,
                    help=_dev("FarmCPU QTN count cap"))
+    o.add_argument("--farmcpu-nbin", type=int, default=5,
+                   help=_dev("FarmCPU nbin denominator for the candidate "
+                             "grid (default 5)"))
     o.add_argument("--farmcpu-bin-size", type=str,
                    default="500000,5000000,50000000",
                    help=_dev("FarmCPU bin-size CSV ladder"))
@@ -122,6 +125,8 @@ def main(argv=None) -> int:
         raise SystemExit(
             "-fast has been removed (reference parse_args): use "
             "model-specific routes (-fvlmm, -splmm, -lowrank)")
+    if args.farmcpu_nbin < 1:
+        raise SystemExit("--farmcpu-nbin must be >= 1.")
     if getattr(args, "strict_train", False):
         # strict per-trait re-preparation is the default here; the flag
         # just forces -global off for reference drop-in command lines
@@ -191,6 +196,7 @@ def main(argv=None) -> int:
         farmcpu_iter=args.farmcpu_iter,
         farmcpu_threshold=args.farmcpu_threshold,
         farmcpu_qtn_bound=args.farmcpu_qtn_bound,
+        farmcpu_nbin=args.farmcpu_nbin,
         farmcpu_bin_sizes=tuple(
             int(float(x)) for x in args.farmcpu_bin_size.split(",") if x.strip()
         ),

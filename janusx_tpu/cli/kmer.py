@@ -134,21 +134,56 @@ def _sample_id(path: str) -> str:
 def kmerge_main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jx kmerge",
                                 description="merge per-sample k-mer counts to a presence matrix")
-    p.add_argument("-i", "--inputs", type=str, nargs="+", required=True,
-                   help="per-sample .npz count files from `jx kmer`")
+    p.add_argument("-i", "-db", "--db", "--inputs", dest="inputs", type=str,
+                   nargs="+", required=True,
+                   help="per-sample .npz count files from `jx kmer` "
+                        "(reference spelling: -db)")
+    p.add_argument("-sid", "--sample-id", nargs="+", default=None,
+                   help="sample IDs in the same order as the inputs")
     p.add_argument("-min-samples", "--min-samples", type=int, default=2)
-    common.add_out_args(p, default_prefix="kmerged")
+    p.add_argument("-freq", "--freq", type=float, default=None,
+                   help="keep k-mers with presence rate in [freq, 1-freq] "
+                        "(reference default 0.02); overrides -min-samples")
+    p.add_argument("--min-count", type=int, default=1,
+                   help="minimum within-sample count to call presence "
+                        "(reference --min-count)")
+    common.add_compat_flags(p, [
+        ("--tmp-dir", {"type": str},
+         "the merge runs in RAM on npz count tables; external-memory "
+         "spill lives in `jx kmer -mem/-spill-dir`"),
+        ("--max-run-size", {"type": int},
+         "no sorted-run stage here (npz tables are pre-sorted)"),
+        ("--bucket-bits", {"type": int},
+         "no KMC bucket stage here (npz tables are pre-sorted)"),
+        ("--batch-size", {"type": int},
+         "no KMC streaming read stage here"),
+        ("--resume", {"action": "store_true"},
+         "the in-RAM merge has no tmp-dir stages to resume"),
+        ("--keep-tmp", {"action": "store_true"},
+         "the in-RAM merge writes no temporaries"),
+        ("--force", {"action": "store_true"},
+         "outputs are always overwritten here"),
+    ])
     args = p.parse_args(argv)
     prefix = common.out_prefix(args)
+    common.warn_ignored_compat(p, args)
 
     from janusx_tpu.io import plink
     from janusx_tpu.models import kmer
 
     per_sample = {}
     k = None
-    for path in args.inputs:
+    sids = (list(args.sample_id) if args.sample_id
+            else [_sample_id(p_) for p_ in args.inputs])
+    if len(sids) != len(args.inputs):
+        raise SystemExit("-sid count must match the number of inputs")
+    for sid, path in zip(sids, args.inputs):
         z = np.load(path)
-        per_sample[_sample_id(path)] = (z["codes"], z["counts"])
+        codes, counts = z["codes"], z["counts"]
+        if args.min_count > 1:
+            keep = counts >= args.min_count
+            codes, counts = codes[keep], counts[keep]
+        per_sample[sid] = (codes, counts)
         kf = int(z["k"])
         if k is not None and kf != k:
             # codes from different k live in different integer spaces;
@@ -158,9 +193,16 @@ def kmerge_main(argv=None) -> int:
                 f"k={k}; re-run jx kmer with one k for all samples"
             )
         k = kf
-    codes, mat, samples = kmer.merge_to_matrix(
-        per_sample, min_samples=args.min_samples
-    )
+    if args.freq is not None:
+        # reference -freq: presence-rate band filter [freq, 1-freq]
+        codes, mat, samples = kmer.merge_to_matrix(per_sample, min_samples=1)
+        rate = (mat > 0).mean(axis=1)
+        keep = (rate >= args.freq) & (rate <= 1.0 - args.freq)
+        codes, mat = codes[keep], mat[keep]
+    else:
+        codes, mat, samples = kmer.merge_to_matrix(
+            per_sample, min_samples=args.min_samples
+        )
     gd = kmer.kmer_matrix_to_genotypes(codes, mat, samples, k)
     plink.write_plink_genotypes(prefix, gd)
     # BIN01 interchange matrix (presence bits + 2-bit k-mer sidecar —
@@ -176,10 +218,69 @@ def kmerge_main(argv=None) -> int:
     return 0
 
 
+def _kstats_kbin(args, prefix: str) -> int:
+    """-kbin mode: per-sample presence stats (and -compare group tables)
+    from a `jx kmerge` bitmatrix (reference kstats -kbin/-compare)."""
+    from janusx_tpu.io import bin01
+
+    path = args.kbin
+    if not path.endswith(".bin"):
+        path = (path[: -len(".meta.json")] + ".bin"
+                if path.endswith(".meta.json") else path + ".bin")
+    mat = bin01.read_bin01(path)
+    samples = list(bin01.read_samples(path, mat.n_samples))
+    dense = mat.dense() > 0  # (m, n)
+    print("sample\tn_kmers\tpresence_rate")
+    for j, sid in enumerate(samples):
+        nk = int(dense[:, j].sum())
+        print(f"{sid}\t{nk}\t{nk / max(mat.m, 1):.4f}")
+    if not args.compare:
+        return 0
+    if len(args.compare) < 2:
+        raise SystemExit("-compare needs at least 2 groups")
+    idx = {s: i for i, s in enumerate(samples)}
+    groups = []
+    for gi, spec in enumerate(args.compare):
+        name, _, members = spec.partition("=")
+        if not members:
+            name, members = f"group{gi + 1}", spec
+        cols = []
+        for s in members.split(","):
+            if s.strip() not in idx:
+                raise SystemExit(f"-compare: unknown sample {s.strip()!r}")
+            cols.append(idx[s.strip()])
+        groups.append((name, dense[:, cols].any(axis=1)))
+    out = f"{prefix}.compare.tsv"
+    with open(out, "wt") as fh:
+        fh.write("group_a\tgroup_b\tonly_a\tonly_b\tshared\tjaccard\n")
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                na, pa = groups[i]
+                nb, pb = groups[j]
+                shared = int((pa & pb).sum())
+                union = int((pa | pb).sum())
+                fh.write(f"{na}\t{nb}\t{int((pa & ~pb).sum())}\t"
+                         f"{int((pb & ~pa).sum())}\t{shared}\t"
+                         f"{shared / max(union, 1):.4f}\n")
+    print(out)
+    return 0
+
+
 def kstats_main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jx kstats", description="k-mer count statistics")
-    p.add_argument("-i", "-db", "--inputs", dest="inputs", type=str, nargs="+",
-                   required=True, help="per-sample k-mer DBs (.npz from `jx kmer`)")
+    p.add_argument("-i", "-db", "--db", "--inputs", dest="inputs", type=str,
+                   nargs="+", default=None,
+                   help="per-sample k-mer DBs (.npz from `jx kmer`)")
+    p.add_argument("-kbin", "--kbin", type=str, default=None,
+                   help="`jx kmerge` bitmatrix prefix (or its .bin path) — "
+                        "per-sample presence stats from the merged matrix")
+    p.add_argument("-compare", "--compare", nargs="+", default=None,
+                   help="bitmatrix compare groups for -kbin mode: "
+                        "NAME=sample1,sample2 or sample1,sample2 "
+                        "(>= 2 groups)")
+    p.add_argument("--min-count", type=int, default=1,
+                   help="minimum within-sample count to keep "
+                        "(reference --min-count)")
     p.add_argument("-sid", "--sample-id", nargs="+", default=None,
                    help="sample IDs in the same order as the inputs")
     p.add_argument("-pair", "--pair", choices=("union", "intersection", "both"),
@@ -188,9 +289,24 @@ def kstats_main(argv=None) -> int:
     p.add_argument("-venn", "--venn", action="store_true",
                    help="presence-pattern counts (classic 2-sample row; one "
                         "row per observed pattern for >2 samples)")
+    common.add_compat_flags(p, [
+        ("--tmp-dir", {"type": str},
+         "stats run in RAM on pre-counted tables"),
+        ("--max-run-size", {"type": int}, "no sorted-run stage here"),
+        ("--bucket-bits", {"type": int}, "no KMC bucket stage here"),
+        ("--batch-size", {"type": int}, "no KMC streaming read stage here"),
+        ("--keep-tmp", {"action": "store_true"}, "no temporaries written"),
+        ("--force", {"action": "store_true"},
+         "outputs are always overwritten here"),
+    ])
     common.add_out_args(p, default_prefix="kstats")
     args = p.parse_args(argv)
     prefix = common.out_prefix(args)
+    common.warn_ignored_compat(p, args)
+    if (args.inputs is None) == (args.kbin is None):
+        raise SystemExit("specify exactly one of -db or -kbin")
+    if args.kbin is not None:
+        return _kstats_kbin(args, prefix)
 
     dbs = [np.load(path) for path in args.inputs]
     sids = (list(args.sample_id) if args.sample_id
@@ -200,6 +316,8 @@ def kstats_main(argv=None) -> int:
     print("sample\tn_kmers\ttotal_count\tmean_count\tmax_count")
     for sid, z in zip(sids, dbs):
         c = z["counts"]
+        if args.min_count > 1:
+            c = c[c >= args.min_count]
         print(
             f"{sid}\t{len(c)}\t{int(c.sum())}\t{c.mean():.2f}\t{int(c.max()) if len(c) else 0}"
         )

@@ -37,7 +37,8 @@ log = logging.getLogger("janusx_tpu.postbsa")
 
 def build_parser(prog="jx postbsa") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog=prog, description="BSA thresholds + plots")
-    p.add_argument("-i", "-file", "--input", type=str, required=True,
+    p.add_argument("-i", "-file", "--file", "--input", dest="input",
+                   type=str, required=True,
                    nargs="+",
                    help="jx bsa output TSV, or (with -b1/-b2) caller "
                         "table(s)/glob with {bulk}.DP/.AD[/.GQ] columns")
@@ -49,10 +50,14 @@ def build_parser(prog="jx postbsa") -> argparse.ArgumentParser:
                    help="original depth TSV (chrom pos alt1 ref1 alt2 ref2) "
                         "for exact per-SNP CI simulation; omit to use the "
                         "median depth")
-    p.add_argument("-win", "--window", type=int, default=1_000_000,
-                   help="window for the smoothed tracks (bp)")
-    p.add_argument("-step", "--step", type=int, default=None,
-                   help="window-center step (bp; prefix mode; default win/2)")
+    p.add_argument("-win", "-window", "--window", dest="window",
+                   type=float, default=1_000_000,
+                   help="window for the smoothed tracks: bp when >= 1000, "
+                        "else Mb (the reference -window unit, e.g. "
+                        "`--window 1 --step 0.25` = 1 Mb / 250 kb)")
+    p.add_argument("-step", "--step", type=float, default=None,
+                   help="window-center step (same bp/Mb rule; prefix mode; "
+                        "default win/2)")
     p.add_argument("-ed", "--ed-power", dest="ed_power", type=int, default=4,
                    help="ED exponent for thresholding/smoothing (default 4)")
     p.add_argument("-ci", "--ci", type=float, action="append", default=None,
@@ -388,6 +393,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "postbsa")
+    # window/step unit rule: values < 1000 are Mb (the reference unit,
+    # script/postbsa.py DEFAULT_WINDOW_MB), larger values are bp
+    args.window = int(args.window * 1e6) if args.window < 1000 else int(args.window)
+    if args.step is not None:
+        args.step = int(args.step * 1e6) if args.step < 1000 else int(args.step)
     if (args.bulk1 is None) != (args.bulk2 is None):
         raise SystemExit("-b1 and -b2 must be given together")
     ci_levels = sorted({float(c) for c in (args.ci or [95.0])})

@@ -25,7 +25,8 @@ def build_parser(prog="jx postgarfield") -> argparse.ArgumentParser:
     p.add_argument("-top", "--top", type=int, default=20)
     p.add_argument("-gwasfile", "--gwasfile", nargs="+", default=None,
                    help="background GWAS TSV(s): Manhattan + interaction arcs")
-    p.add_argument("-thr", "--thr", "-threshold", type=float, default=None,
+    p.add_argument("-thr", "--thr", "-threshold", "--threshold",
+                   dest="thr", type=float, default=None,
                    help="background GWAS significance line (raw p)")
     p.add_argument("-chr", "--chr", dest="chr_col", type=str, default="chrom")
     p.add_argument("-pos", "--pos", dest="pos_col", type=str, default="pos")

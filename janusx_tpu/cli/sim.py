@@ -22,7 +22,9 @@ def build_parser(prog="jx sim") -> argparse.ArgumentParser:
                      metavar="MAF", help="causal-site MAF bounds: LO [HI]")
     g2p.add_argument("-bimrange", "--bimrange", action="append", default=[],
                      metavar="CHR:START:END", help="repeatable causal region")
-    g2p.add_argument("-gff", "--gff", type=str, default=None,
+    g2p.add_argument("-gff", "--gff", "--gff3", dest="gff", type=str,
+                     nargs="+", default=None,
+                     metavar=("GFFFILE", "EXT_OR_MODE"),
                      help="restrict causal sites to gene features in this GFF3")
     g = p.add_argument_group("Simulation")
     g.add_argument("-nind", "--nind", type=int, default=1000, help="samples")
@@ -73,6 +75,40 @@ def build_parser(prog="jx sim") -> argparse.ArgumentParser:
     s.add_argument("-gate", "--gate", type=str, default="A",
                    choices=["A", "NA", "AN", "NAN", "X"],
                    help="logic gate over hom-alt indicators")
+    c = p.add_argument_group("Causal-term sampler (g2p)")
+    c.add_argument("-cs-pve", "--cs-pve", type=float, default=None,
+                   help="overall causal variance contribution Var(Qg) in "
+                        "the final phenotype (reference -cs-pve; default "
+                        "min(0.05 * n_terms, h2))")
+    c.add_argument("-logic-gate", "--logic-gate", nargs=2,
+                   metavar=("MODE", "WEIGHTS"), default=None,
+                   help="mixed causal-term sampler: MODE a|na|an|nan|x|r, "
+                        "WEIGHTS comma list of relative probabilities per "
+                        "term size (1=additive, 2=two-site gate, ...); "
+                        "literals beyond the first two are ANDed on "
+                        "(reference -logic-gate)")
+    c.add_argument("-logic-delta", "--logic-delta", type=float, default=1e-6,
+                   help="minimum margin of a simulated gate over its best "
+                        "parent literal; degenerate gates are redrawn "
+                        "(reference -logic-delta)")
+    c.add_argument("--pure-epistasis-only", action="store_true",
+                   help="residualize each gate against intercept + member "
+                        "main effects (pure interaction signal)")
+    c.add_argument("--causal-ldsc", type=str, default=None,
+                   help="LD-score table (chr, pos, ldsc) for LDMS causal "
+                        "sampling")
+    c.add_argument("--causal-freq", type=str, default=None,
+                   help="MAF table (chr, pos, freq/maf) for LDMS causal "
+                        "sampling")
+    c.add_argument("--causal-ldsc-quantile", type=float, default=0.75,
+                   help="keep causal sites at or above this LD-score "
+                        "quantile (default 0.75)")
+    c.add_argument("--causal-maf-quantile", type=float, default=0.75,
+                   help="keep causal sites at or above this MAF quantile "
+                        "(default 0.75)")
+    c.add_argument("--causal-spacing-bp", type=int, default=1_000_000,
+                   help="minimum distance between LDMS-sampled causal sites "
+                        "on one chromosome (default 1e6)")
     s.add_argument("-bg-pve", "--bg-pve", type=float, default=0.0,
                    help="polygenic-background share of h2")
     p.add_argument("--chunk-size", dest="chunk_size", type=int, default=None,
@@ -80,6 +116,59 @@ def build_parser(prog="jx sim") -> argparse.ArgumentParser:
     # generation here is blocked internally
     common.add_out_args(p, default_prefix="sim")
     return p
+
+
+def _ldms_causal_mask(args, gd):
+    """LDMS causal-site filters (reference --causal-ldsc/--causal-freq +
+    quantile/spacing knobs, script/simulation.py:1756-1796): keep sites at
+    or above the given LD-score/MAF quantile, then enforce a minimum
+    per-chromosome spacing between eligible sites."""
+    import numpy as np
+
+    mask = np.ones(gd.m, bool)
+    if args.causal_ldsc is None and args.causal_freq is None:
+        return mask
+    import pandas as pd
+
+    chrom = np.asarray(gd.sites.chrom, dtype=object).astype(str)
+    pos = np.asarray(gd.sites.pos, np.int64)
+    key = pd.MultiIndex.from_arrays([chrom, pos])
+
+    def _table_mask(path, value_cols, quantile):
+        df = pd.read_csv(path, sep=None, engine="python")
+        df.columns = [c.lower() for c in df.columns]
+        ccol = next((c for c in ("chr", "chrom") if c in df.columns), None)
+        vcol = next((c for c in value_cols if c in df.columns), None)
+        if ccol is None or "pos" not in df.columns or vcol is None:
+            raise SystemExit(
+                f"{path}: need chr/chrom, pos and one of {value_cols} columns")
+        ser = pd.Series(
+            df[vcol].to_numpy(float),
+            index=pd.MultiIndex.from_arrays(
+                [df[ccol].astype(str), df["pos"].astype(np.int64)]),
+        )
+        vals = ser.reindex(key).to_numpy(float)
+        thr = np.nanquantile(vals, quantile)
+        return np.isfinite(vals) & (vals >= thr)
+
+    if args.causal_ldsc is not None:
+        mask &= _table_mask(args.causal_ldsc, ("ldsc", "ldscore"),
+                            args.causal_ldsc_quantile)
+    if args.causal_freq is not None:
+        mask &= _table_mask(args.causal_freq, ("freq", "maf"),
+                            args.causal_maf_quantile)
+    if args.causal_spacing_bp > 0:
+        keep = np.zeros(gd.m, bool)
+        for c in np.unique(chrom):
+            idx = np.nonzero(mask & (chrom == c))[0]
+            idx = idx[np.argsort(pos[idx])]
+            last = -np.inf
+            for i in idx:
+                if pos[i] - last >= args.causal_spacing_bp:
+                    keep[i] = True
+                    last = pos[i]
+        mask = keep
+    return mask
 
 
 def main(argv=None) -> int:
@@ -125,12 +214,28 @@ def main(argv=None) -> int:
         if args.gff:
             from janusx_tpu.utils.gff import GffIndex
 
-            gi = GffIndex.from_file(args.gff)
+            gff_file, ext = args.gff[0], 0
+            for tok in args.gff[1:]:
+                if tok.lower() in ("g1", "g2", "g3"):
+                    # reference gene-unit grouping modes: causal sites are
+                    # sampled within gene intervals here either way
+                    import logging
+
+                    logging.getLogger("janusx_tpu.cli").info(
+                        "-gff %s: gene-unit mode noted; causal sites are "
+                        "sampled within (extended) gene intervals", tok)
+                else:
+                    ext = int(float(tok))
+            gi = GffIndex.from_file(gff_file)
             chrom = np.asarray(gd.sites.chrom, dtype=object).astype(str)
             pos = np.asarray(gd.sites.pos, np.int64)
             elig &= np.fromiter(
-                (bool(gi.query(c, int(p))) for c, p in zip(chrom, pos)),
+                (bool(gi.query(c, int(p_))) or
+                 (ext > 0 and (bool(gi.query(c, int(p_) - ext)) or
+                               bool(gi.query(c, int(p_) + ext))))
+                 for c, p_ in zip(chrom, pos)),
                 bool, count=gd.m)
+        elig &= _ldms_causal_mask(args, gd)
         causal_pool = np.nonzero(elig)[0]
     else:
         gd = simulate_genotypes(
@@ -151,6 +256,12 @@ def main(argv=None) -> int:
         dominance_pve=args.dom_pve, epistasis_pairs=args.epi_pairs,
         epistasis_pve=args.epi_pve, epistasis_gate=args.gate,
         bg_pve=args.bg_pve, causal_pool=causal_pool,
+        logic_terms=((args.logic_gate[0],
+                      [t for t in args.logic_gate[1].split(",") if t])
+                     if args.logic_gate else None),
+        logic_delta=args.logic_delta,
+        pure_epistasis=args.pure_epistasis_only,
+        cs_pve=args.cs_pve,
     )
     phenos = sim.phenotypes
     if args.ve is not None:

@@ -10,10 +10,15 @@ def build_parser(prog="jx webui") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog=prog, description="Run-history dashboard + job manager"
     )
-    p.add_argument("-d", "--dir", type=str, default=".",
-                   help="working directory for submitted jobs")
+    p.add_argument("-d", "--dir", "--root", type=str, default=".",
+                   help="working directory for submitted jobs "
+                        "(reference --root runtime dir)")
     p.add_argument("-port", "--port", type=int, default=8080)
-    p.add_argument("-bind", "--bind", type=str, default="127.0.0.1")
+    p.add_argument("-bind", "--bind", "--host", type=str, default="127.0.0.1",
+                   help="bind address (reference --host)")
+    p.add_argument("--no-browser", action="store_true",
+                   help="accepted for reference drop-in compatibility; this "
+                        "UI never auto-opens a browser")
     return p
 
 

@@ -113,7 +113,8 @@ def _gibbs(
         return (r, var_e, var_slab, pi), (b_new, vb_new, delta)
 
     def iter_body(it, state):
-        mu, r, beta, var_b, var_e, var_slab, pi, key, acc_b, acc_mu, n_acc = state
+        (mu, r, beta, var_b, var_e, var_slab, pi, key, acc_b, acc_mu,
+         n_acc, tr) = state
         key, km, kn, ku, kca, kci, ke, kp, kc = jax.random.split(key, 9)
         # vectorized randoms for the whole sweep
         rn = jax.random.normal(kn, (n_blocks, C), f)
@@ -152,19 +153,23 @@ def _gibbs(
         acc_b = acc_b + jnp.where(take, beta, 0.0)
         acc_mu = acc_mu + jnp.where(take, mu_new, 0.0)
         n_acc = n_acc + jnp.where(take, 1, 0)
+        # global-parameter trace (mu, var_e) for multi-chain R-hat
+        # convergence diagnostics (reference bayesbench trace mode)
+        tr = tr.at[it, 0].set(mu_new)
+        tr = tr.at[it, 1].set(var_e)
         return (mu_new, r, beta, var_b, var_e, var_slab, pi, key,
-                acc_b, acc_mu, n_acc)
+                acc_b, acc_mu, n_acc, tr)
 
     state0 = (
         mu0, r0, beta0, var_b0, jnp.asarray(var_e0, f),
         jnp.asarray(s0_b / (df0_b + 2.0), f), jnp.asarray(prob_in, f), key,
         jnp.zeros((n_blocks, C), f), jnp.asarray(0.0, f),
-        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32), jnp.zeros((n_iter, 2), f),
     )
     out = jax.lax.fori_loop(0, n_iter, iter_body, state0)
-    acc_b, acc_mu, n_acc = out[8], out[9], out[10]
+    acc_b, acc_mu, n_acc, tr = out[8], out[9], out[10], out[11]
     denom = jnp.maximum(n_acc, 1).astype(f)
-    return acc_b / denom, acc_mu / denom
+    return acc_b / denom, acc_mu / denom, tr
 
 
 @partial(
@@ -220,7 +225,7 @@ def _gibbs_blocked_a(
         return (r, var_e), (b_new, vb_new)
 
     def iter_body(it, state):
-        mu, r, beta, var_b, var_e, key, acc_b, acc_mu, n_acc = state
+        mu, r, beta, var_b, var_e, key, acc_b, acc_mu, n_acc, tr = state
         key, km, kn, kca, ke = jax.random.split(key, 5)
         zdraws = jax.random.normal(kn, (n_blocks, C), f)
         rchis = 2.0 * jax.random.gamma(kca, (df0_b + 1.0) / 2.0, (n_blocks, C), f)
@@ -238,15 +243,17 @@ def _gibbs_blocked_a(
         acc_b = acc_b + jnp.where(take, beta, 0.0)
         acc_mu = acc_mu + jnp.where(take, mu_new, 0.0)
         n_acc = n_acc + jnp.where(take, 1, 0)
-        return (mu_new, r, beta, var_b, var_e, key, acc_b, acc_mu, n_acc)
+        tr = tr.at[it, 0].set(mu_new)
+        tr = tr.at[it, 1].set(var_e)
+        return (mu_new, r, beta, var_b, var_e, key, acc_b, acc_mu, n_acc, tr)
 
     state0 = (mu0, r0, beta0, var_b0, jnp.asarray(var_e0, f), key,
               jnp.zeros((n_blocks, C), f), jnp.asarray(0.0, f),
-              jnp.asarray(0, jnp.int32))
+              jnp.asarray(0, jnp.int32), jnp.zeros((n_iter, 2), f))
     out = jax.lax.fori_loop(0, n_iter, iter_body, state0)
-    acc_b, acc_mu, n_acc = out[6], out[7], out[8]
+    acc_b, acc_mu, n_acc, tr = out[6], out[7], out[8], out[9]
     denom = jnp.maximum(n_acc, 1).astype(f)
-    return acc_b / denom, acc_mu / denom
+    return acc_b / denom, acc_mu / denom, tr
 
 
 def bayes_fit(
@@ -258,8 +265,16 @@ def bayes_fit(
     thin: int = 1,
     seed: int = 0,
     block: int = 128,
+    r2: float = 0.5,
+    df0_b: float = 5.0,
+    df0_e: float = 5.0,
+    prob_in: float = 0.5,
+    counts: float = 10.0,
+    return_trace: bool = False,
 ):
-    """Returns (marker_effects (m,), mu)."""
+    """Returns (marker_effects (m,), mu); with ``return_trace`` also the
+    (n_iter, 2) per-iteration (mu, var_e) global-parameter trace used for
+    multi-chain R-hat diagnostics (reference bayesbench trace mode)."""
     tag = {"BayesA": "A", "BayesB": "B", "BayesCpi": "Cpi"}[method]
     if burnin >= n_iter:
         raise ValueError(
@@ -279,13 +294,14 @@ def bayes_fit(
     x2 = (Zb * Zb).sum(axis=2).astype(np.float32)
     if tag == "A":
         # joint block-MVN sampler (same posterior, ~C x fewer serial steps)
-        beta, mu = _gibbs_blocked_a(
+        beta, mu, tr = _gibbs_blocked_a(
             jnp.asarray(Zb), jnp.asarray(Gb), jnp.asarray(x2),
             jnp.asarray(y, jnp.float64), jax.random.PRNGKey(seed),
             n_iter, burnin, thin, n_blocks, n,
+            r2=r2, df0_b=df0_b, df0_e=df0_e,
         )
     else:
-        beta, mu = _gibbs(
+        beta, mu, tr = _gibbs(
             jnp.asarray(Zb),
             jnp.asarray(Gb),
             jnp.asarray(x2),
@@ -298,8 +314,16 @@ def bayes_fit(
             n_blocks,
             n,
             m,
+            r2=r2,
+            df0_b=df0_b,
+            df0_e=df0_e,
+            prob_in=prob_in,
+            counts=counts,
         )
-    return np.asarray(beta, np.float64).reshape(-1)[:m], float(mu)
+    beta = np.asarray(beta, np.float64).reshape(-1)[:m]
+    if return_trace:
+        return beta, float(mu), np.asarray(tr, np.float64)
+    return beta, float(mu)
 
 
 def bayes_fit_predict(cfg, method, Xml, y, train, test, folds):

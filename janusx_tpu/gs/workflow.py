@@ -74,6 +74,11 @@ class GsConfig:
     pcd: bool = False
     # cross-method selection metric (reference --model-select-metric)
     select_metric: str = "pearson"
+    # selection scope (reference --model-select): best method per trait,
+    # or one globally best method across all traits
+    model_select: str = "per-trait"
+    # TOP Newton convergence tolerance (reference --top-tol)
+    top_tol: float = 1e-6
     # LD-prune markers before GS (reference -ldprune WIN STEP R2)
     ldprune: tuple | None = None
     # rrBLUP solver knobs (the applicable subset of the reference's
@@ -81,8 +86,14 @@ class GsConfig:
     # the exact/PCG solvers have no learning rate or epochs)
     rrblup_solver: str = "auto"  # auto | exact | pcg (BLUP auto-dispatch)
     rrblup_lambda: float | None = None  # fixed λ for the PCG route
+    # reference --rrblup-lambda-auto: when False, rrblup_lambda (default
+    # 1.0) is used verbatim instead of the HE pre-fit λ
+    rrblup_lambda_auto: bool = True
     rrblup_lambda_scale: float = 1.0  # scales the HE pre-fit λ
     rrblup_exact_max_markers: int | None = None  # exact-route m cutoff
+    # reference --rrblup-auto-pcg-min-n: train-sample count at or above
+    # which auto dispatch picks the PCG route
+    rrblup_auto_pcg_min_n: int | None = None
     rrblup_pcg_tol: float | None = None
     rrblup_pcg_maxiter: int | None = None
 
@@ -105,6 +116,9 @@ def _dispatch_blup_route(n_train: int, m: int, cfg=None) -> str:
     if solver == "exact":
         return "rrBLUP(exact)"
     if solver == "pcg":
+        return "rrBLUP(PCG)"
+    min_n = getattr(cfg, "rrblup_auto_pcg_min_n", None) if cfg is not None else None
+    if min_n is not None and n_train >= min_n:
         return "rrBLUP(PCG)"
     if n_train <= config.knob("JX_TPU_GBLUP_MAX_N"):
         return "GBLUP(add)"
@@ -255,6 +269,7 @@ def run_gs(cfg: GsConfig):
     top_pred_cols: list[np.ndarray] = []
     top_true_cols: list[np.ndarray] = []
     top_sel_methods: list[str] = []
+    trait_ctx: dict[str, tuple] = {}  # trait -> (train, test, y)
     for ti, trait in enumerate(ph.traits):
         y = y_all[:, ti]
         train = np.nonzero(np.isfinite(y))[0]
@@ -321,30 +336,7 @@ def run_gs(cfg: GsConfig):
                         for mm in trait_res
                     )
                     fh.write(f"{pg.samples[sidx]}\t{y[sidx]:.6g}\t{row}\n")
-        # TOP-style method selection: best CV pearson (reference
-        # _select_top_method_for_trait, gs/workflow.py:935)
-        best_method = None
-        metric = cfg.select_metric
-        if metric not in ("pearson", "spearman", "r2", "mse", "mae"):
-            raise ValueError(f"unknown select_metric {metric!r}")
-        sign = -1.0 if metric in ("mse", "mae") else 1.0
-        best_r = -np.inf
-        for mm, r in trait_res.items():
-            rv = sign * r.cv_mean.get(metric, float("nan"))
-            if np.isfinite(rv) and rv > best_r:
-                best_r, best_method = rv, mm
-        summary.setdefault("selected_method", {})[str(trait)] = best_method
-        if best_method is not None:
-            res = trait_res[best_method]
-            col = np.full(pg.n, np.nan)
-            if res.oof_pred is not None:
-                col[train] = res.oof_pred
-            if len(test) and res.test_pred.size == len(test):
-                col[test] = res.test_pred
-            top_traits.append(str(trait))
-            top_pred_cols.append(col)
-            top_true_cols.append(y.copy())
-            top_sel_methods.append(best_method)
+        trait_ctx[str(trait)] = (train, test, y.copy())
         summary["traits"][str(trait)] = {
             mm: {
                 "route": r.route,
@@ -356,6 +348,57 @@ def run_gs(cfg: GsConfig):
             }
             for mm, r in trait_res.items()
         }
+    # cross-method selection (reference --model-select{,-metric} /
+    # _select_top_method_for_trait, gs/workflow.py:935): best CV metric
+    # per trait, or — model_select="global" — the one method with the
+    # best mean metric across all traits applied everywhere
+    metric = cfg.select_metric
+    if metric not in ("pearson", "spearman", "r2", "mse", "mae", "rmse",
+                      "nrmse"):
+        raise ValueError(f"unknown select_metric {metric!r}")
+    sign = -1.0 if metric in ("mse", "mae", "rmse", "nrmse") else 1.0
+
+    def _sel_score(r: MethodRunResult) -> float:
+        return sign * r.cv_mean.get(metric, float("nan"))
+
+    sel_by_trait: dict[str, str | None] = {}
+    if getattr(cfg, "model_select", "per-trait") == "global":
+        agg: dict[str, float] = {}
+        for mm in cfg.methods:
+            vals = [_sel_score(tr[mm]) for tr in all_results.values()
+                    if mm in tr and np.isfinite(_sel_score(tr[mm]))]
+            if vals:
+                agg[mm] = float(np.mean(vals))
+        best_global = max(agg, key=agg.get) if agg else None
+        sel_by_trait = {t: best_global for t in all_results}
+        if best_global is not None:
+            log.info("--model-select global: %s (mean %s=%.4f across %d "
+                     "traits)", best_global, metric,
+                     sign * agg[best_global], len(all_results))
+    else:
+        for t, tr in all_results.items():
+            best_method, best_r = None, -np.inf
+            for mm, r in tr.items():
+                rv = _sel_score(r)
+                if np.isfinite(rv) and rv > best_r:
+                    best_r, best_method = rv, mm
+            sel_by_trait[t] = best_method
+    for t in all_results:
+        best_method = sel_by_trait.get(t)
+        summary.setdefault("selected_method", {})[t] = best_method
+        if best_method is None or best_method not in all_results[t]:
+            continue
+        res = all_results[t][best_method]
+        train, test, yv = trait_ctx[t]
+        col = np.full(pg.n, np.nan)
+        if res.oof_pred is not None:
+            col[train] = res.oof_pred
+        if len(test) and res.test_pred.size == len(test):
+            col[test] = res.test_pred
+        top_traits.append(t)
+        top_pred_cols.append(col)
+        top_true_cols.append(yv)
+        top_sel_methods.append(best_method)
     if cfg.select is not None and len(top_traits) >= 2:
         _run_top_bundle(
             cfg, pg.samples, top_traits, np.column_stack(top_true_cols),
@@ -379,7 +422,7 @@ def run_gs(cfg: GsConfig):
 def _cv_mean(fold_metrics: list) -> dict:
     out = {}
     if fold_metrics:
-        for k in ("pearson", "spearman", "r2", "mse", "mae"):
+        for k in ("pearson", "spearman", "r2", "mse", "mae", "rmse", "nrmse"):
             vals = [fm[k] for fm in fold_metrics if np.isfinite(fm.get(k, np.nan))]
             out[k] = float(np.mean(vals)) if vals else float("nan")
     return out
@@ -425,6 +468,10 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait,
         # λ for the PCG route: explicit --rrblup-lambda wins, else the HE
         # pre-fit scaled by --rrblup-lambda-scale (reference knob ladder)
         lbd_fixed = getattr(cfg, "rrblup_lambda", None)
+        if not getattr(cfg, "rrblup_lambda_auto", True) and lbd_fixed is None:
+            # --rrblup-lambda-auto off: use the reference's default fixed
+            # λ=1.0 instead of the HE pre-fit
+            lbd_fixed = 1.0
         pcg_lbd = (
             lbd_fixed if lbd_fixed is not None
             else None if he_lbd is None
@@ -587,6 +634,7 @@ def _run_top_bundle(cfg, samples, traits, y_true, y_pred, sel_methods, summary):
     model = top_fit(
         y_true[fit_rows], y_pred[fit_rows], traits=traits,
         l2=cfg.top_l2, max_iter=cfg.top_max_iter,
+        tol=getattr(cfg, "top_tol", 1e-6),
     )
     log.info("TOP weights: %s (loss=%.4f, %d iters%s)",
              ", ".join(f"{t}={w:.3f}" for t, w in zip(traits, model.weights)),

@@ -37,8 +37,23 @@ from janusx_tpu.models.scan_common import ScanResult
 log = logging.getLogger("janusx_tpu.farmcpu")
 
 WINDOW_SIZES = (500_000, 5_000_000, 50_000_000)  # rMVP bin.size ladder
-LEAD_COUNTS = (10, 20, 30, 40, 50)
+DEFAULT_QB = 50  # default candidate-count ceiling of the REM grid
+DEFAULT_NBIN = 5  # reference --farmcpu-nbin default (workflow.py:6842)
+LEAD_COUNTS = (10, 20, 30, 40, 50)  # == _lead_count_grid(50, 5)
 MAX_LOOPS = 10
+
+
+def _lead_count_grid(qb: int, nbin: int) -> tuple[int, ...]:
+    """Candidate lead-count grid for the REM selection stage.
+
+    Reference semantics (src/stats/farmcpu.rs:4354-4358): ``nbin`` is the
+    grid denominator — the grid is the nbin evenly spaced counts
+    step=qb//nbin up to qb. The default (qb=50, nbin=5) gives
+    (10, 20, 30, 40, 50)."""
+    qb = max(int(qb), 1)
+    step = max(qb // max(int(nbin), 1), 1)
+    vals = tuple(range(step, qb + 1, step))
+    return vals or (qb,)
 LD_REDUNDANCY_R = 0.7
 
 
@@ -117,8 +132,9 @@ def farmcpu_scan(
     max_loops: int = MAX_LOOPS,
     block: int = config.DEFAULT_SNP_BLOCK,
     window_sizes=WINDOW_SIZES,
-    lead_counts=LEAD_COUNTS,
+    lead_counts=None,
     qtn_bound: int | None = None,
+    nbin: int = DEFAULT_NBIN,
     pg_qtn: PackedGenotypes | None = None,
     mesh=None,
 ) -> FarmcpuResult:
@@ -131,13 +147,20 @@ def farmcpu_scan(
     like the flagship `-lmm` route; the reference runs these under its
     full rayon/BLAS thread plan (src/stats/farmcpu.rs:1-68)."""
     y = np.asarray(y, np.float64).reshape(-1)
+    if nbin < 1:
+        raise ValueError("--farmcpu-nbin must be >= 1")
+    if lead_counts is None:
+        # reference --farmcpu-nbin: candidate-grid denominator over the
+        # qtn-bound ceiling (farmcpu.rs:4354-4358)
+        lead_counts = _lead_count_grid(qtn_bound or DEFAULT_QB, nbin)
     pgq = pg if pg_qtn is None else pg_qtn
     if pgq.n != pg.n:
         raise ValueError("QTN-search panel sample count differs from the main panel")
     n = pg.n
     m = pgq.m
     if p_threshold is None:
-        p_threshold = 0.01 / m  # rMVP default when unset
+        p_threshold = 1.0 / m  # reference default when unset
+        # (workflow_model_farmcpu.py:1184: 1 / tested_SNP_count)
 
     # composite position key: chromosome-major ordering
     chrom_ids = {c: i for i, c in enumerate(dict.fromkeys(pgq.sites.chrom))}
@@ -166,13 +189,17 @@ def farmcpu_scan(
                 res = lm_scan(pg, y, covariates, block=block, mesh=mesh)
             return FarmcpuResult(result=res, qtns=qtns, loops=loop + 1)
 
-        # REM bin-size/lead-count selection
+        # REM bin-size/lead-count selection: the grid is scored on the
+        # UNFILTERED per-window lead sets; the qtn-threshold rule applies
+        # to the winning set afterwards, with carried QTNs kept
+        # (farmcpu.rs:832 select_lead_indices has no p cut;
+        # farmcpu_raw_prepare_seq_qtn:899-911 filters the union with
+        # keep_saved=true)
         best_score = np.inf
         best_leads = np.array([], dtype=np.int64)
         for win in window_sizes:
             for nb in lead_counts:
                 leads = _bin_leads(pos_key, pvals, win, nb)
-                leads = leads[pvals[leads] < qtn_threshold]
                 if len(leads) == 0:
                     continue
                 Zq = _decode_rows(pgq, leads)
@@ -180,6 +207,7 @@ def farmcpu_scan(
                 if score < best_score:
                     best_score = score
                     best_leads = leads
+        best_leads = best_leads[pvals[best_leads] < qtn_threshold]
         cand = np.unique(np.concatenate([qtns, best_leads]))
         # redundancy removal: |r| > 0.7 keeps the more significant marker
         cand = _prune_correlated(pgq, cand, pvals, LD_REDUNDANCY_R)
@@ -337,6 +365,8 @@ def farmcpu_unified_scan(
     max_loops: int = MAX_LOOPS,
     qtn_cap: int = 150,
     block: int = config.DEFAULT_SNP_BLOCK,
+    qtn_bound: int | None = None,
+    nbin: int = DEFAULT_NBIN,
     mesh=None,
 ) -> FarmcpuResult:
     """The `-frgwas` unified FarmCPU route (farmcpu.rs:44-68):
@@ -351,9 +381,13 @@ def farmcpu_unified_scan(
     QTNs dropped from the background — window rows (incl. the pseudo-QTNs
     inside) report the local refit statistics."""
     y = np.asarray(y, np.float64).reshape(-1)
+    if nbin < 1:
+        raise ValueError("--farmcpu-nbin must be >= 1")
+    lead_counts = _lead_count_grid(qtn_bound or DEFAULT_QB, nbin)
     m = pg.m
     if p_threshold is None:
-        p_threshold = 0.01 / m
+        p_threshold = 1.0 / m  # reference default: 1 / tested_SNP_count
+        # (workflow_model_farmcpu.py:1184) — tau gates loop continuation
 
     chrom_ids = {c: i for i, c in enumerate(dict.fromkeys(pg.sites.chrom))}
     pos_key = np.array(
@@ -385,9 +419,11 @@ def farmcpu_unified_scan(
         best_rem = np.inf
         opt_lead = np.array([], dtype=np.int64)
         for win in WINDOW_SIZES:
-            for nb in LEAD_COUNTS:
+            for nb in lead_counts:
+                # reference select_lead_indices (farmcpu.rs:832) applies
+                # NO p cut: the REM likelihood alone picks the lead set;
+                # tau only gates loop continuation (checked above)
                 leads = _bin_leads(pos_key, masked, win, nb)
-                leads = leads[masked[leads] < qtn_threshold]
                 if len(leads) == 0:
                     continue
                 score = _rem_score(_decode_rows(pg, leads), y)

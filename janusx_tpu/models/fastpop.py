@@ -57,8 +57,10 @@ def _block_loglik(params, pk, n: int):
     return -jnp.sum(ll)
 
 
-@partial(jax.jit, static_argnames=("n", "block", "n_iter", "lr"))
-def _train(qlogit0, plogit0, packed, n: int, block: int, n_iter: int, lr: float):
+@partial(jax.jit, static_argnames=("n", "block", "n_iter", "lr", "tol",
+                                   "check_every"))
+def _train(qlogit0, plogit0, packed, n: int, block: int, n_iter: int,
+           lr: float, tol: float = 0.0, check_every: int = 0):
     nblk = packed.shape[0] // block
     pk = packed.reshape(nblk, block, packed.shape[1])
 
@@ -80,8 +82,8 @@ def _train(qlogit0, plogit0, packed, n: int, block: int, n_iter: int, lr: float)
         vhat = v_ / (1 - b2**t)
         return mhat / (jnp.sqrt(vhat) + eps), m_, v_
 
-    def step(i, state):
-        ql, pl, mq, vq, mp, vp, lls = state
+    def step(state):
+        i, ql, pl, mq, vq, mp, vp, lls, last_ll, done = state
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(ql, pl)
         gq, gp = grads
         t = (i + 1).astype(jnp.float32)
@@ -89,16 +91,31 @@ def _train(qlogit0, plogit0, packed, n: int, block: int, n_iter: int, lr: float)
         dp, mp, vp = adam_update(gp, mp, vp, t)
         ql = ql - lr * dq
         pl = pl - lr * dp
-        lls = lls.at[i].set(-loss)
-        return ql, pl, mq, vq, mp, vp, lls
+        ll = -loss
+        lls = lls.at[i].set(ll)
+        if check_every > 0:
+            # reference -check/-tol: test relative log-likelihood
+            # improvement every check_every iterations, stop when < tol
+            do_check = ((i + 1) % check_every) == 0
+            rel = jnp.abs(ll - last_ll) / (jnp.abs(last_ll) + 1.0)
+            done = do_check & (i + 1 >= 2 * check_every) & (rel < tol)
+            last_ll = jnp.where(do_check, ll, last_ll)
+        return i + 1, ql, pl, mq, vq, mp, vp, lls, last_ll, done
+
+    def cond(state):
+        i, *_, done = state
+        return (i < n_iter) & (~done)
 
     z = lambda x: jnp.zeros_like(x)
     state0 = (
+        jnp.asarray(0, jnp.int32),
         qlogit0, plogit0, z(qlogit0), z(qlogit0), z(plogit0), z(plogit0),
         jnp.zeros((n_iter,), jnp.float32),
+        jnp.asarray(-jnp.inf, jnp.float32), jnp.asarray(False),
     )
-    ql, pl, *_, lls = jax.lax.fori_loop(0, n_iter, step, state0)
-    return ql, pl, lls
+    n_done, ql, pl, *_, lls, _last, _done = jax.lax.while_loop(
+        cond, step, state0)
+    return ql, pl, lls, n_done
 
 
 def train_admixture(
@@ -109,6 +126,8 @@ def train_admixture(
     block: int = config.DEFAULT_SNP_BLOCK,
     seed: int = 0,
     rsvd_init: bool = True,
+    tol: float = 0.0,
+    check_every: int = 0,
 ) -> AdmixtureFit:
     n, m, K = pg.n, pg.m, int(n_pops)
     if K < 2:
@@ -141,14 +160,17 @@ def train_admixture(
         [plogit0, np.zeros((m_pad - m, K), np.float32)], axis=0
     )
 
-    ql, pl, lls = _train(
-        jnp.asarray(qlogit0), jnp.asarray(plogit0), pk, n, block, n_iter, lr
+    ql, pl, lls, n_done = _train(
+        jnp.asarray(qlogit0), jnp.asarray(plogit0), pk, n, block, n_iter, lr,
+        tol=float(tol), check_every=int(check_every),
     )
     Q = np.asarray(jax.nn.softmax(ql, axis=1), np.float64)
     P = np.asarray(jax.nn.sigmoid(pl), np.float64)[:m].T
-    lls = np.asarray(lls, np.float64)
+    n_done = int(n_done)
+    lls = np.asarray(lls, np.float64)[:n_done]
     return AdmixtureFit(
-        Q=Q, P=P, loglik=float(lls[-1]), loglik_path=lls, n_iter=n_iter
+        Q=Q, P=P, loglik=float(lls[-1]) if n_done else float("nan"),
+        loglik_path=lls, n_iter=n_done,
     )
 
 

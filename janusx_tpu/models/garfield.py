@@ -392,11 +392,103 @@ def garfield_window_scan(
     return out
 
 
-def write_garfield_tsv(path: str, res: GarfieldResult, sites) -> None:
+def parse_pm_spec(spec) -> tuple[str, float]:
+    """Parse the reference `-pm/--permutation` threshold spec
+    (script/garfield.py:2010-2051 _parse_rule_null_penalty_spec):
+    None/'gev'/'gumbel'/'auto' -> GEV at q=0.99; 'gNN[.N]' -> GEV at
+    NN/100; 'qNN[.N]' -> empirical quantile; a float in (0,1) ->
+    empirical quantile. Returns (method, quantile)."""
+    if spec is None:
+        return "gev", 0.99
+    text = str(spec).strip().lower()
+    if text in ("gev", "gumbel", "auto"):
+        return "gev", 0.99
+    if text and text[0] in ("g", "q"):
+        try:
+            q = float(text[1:]) / 100.0
+        except ValueError:
+            raise ValueError(
+                f"-pm: bad spec {spec!r} (want gev, g99, g99.9, q99, or a "
+                f"float in (0,1))")
+        method = "gev" if text[0] == "g" else "quantile"
+    else:
+        try:
+            q = float(text)
+        except ValueError:
+            raise ValueError(
+                f"-pm: bad spec {spec!r} (want gev, g99, g99.9, q99, or a "
+                f"float in (0,1))")
+        method = "quantile"
+    if not (0.0 < q < 1.0):
+        raise ValueError(f"-pm: quantile must be in (0,1), got {q}")
+    return method, q
+
+
+def rule_null_threshold(perm_max_scores: np.ndarray, method: str = "gev",
+                        quantile: float = 0.99) -> float:
+    """Permutation-null score threshold for rule significance.
+
+    'gev': Gumbel (GEV type-I) method-of-moments fit to the permutation
+    max scores — scale = std*sqrt(6)/pi, loc = mean - gamma*scale,
+    threshold = loc - scale*ln(-ln(q)) (reference
+    src/garfield/permutation.rs:468 gumbel_penalty_from_maxima).
+    'quantile': nearest-rank empirical quantile of the max scores."""
+    s = np.asarray(perm_max_scores, np.float64)
+    s = s[np.isfinite(s)]
+    if s.size == 0:
+        return float("inf")
+    if method == "quantile":
+        k = min(max(int(np.ceil(quantile * s.size)), 1), s.size)
+        return float(np.sort(s)[k - 1])
+    mean = float(s.mean())
+    std = float(s.std(ddof=1)) if s.size > 1 else 0.0
+    if not std > 0:
+        return mean
+    euler_gamma = 0.5772156649015329
+    scale = std * np.sqrt(6.0) / np.pi
+    loc = mean - euler_gamma * scale
+    log_term = -np.log(quantile)
+    if not (np.isfinite(log_term) and log_term > 0):
+        return loc
+    thr = loc - scale * np.log(log_term)
+    return float(thr) if np.isfinite(thr) else loc
+
+
+def bh_fdr(pvalues: np.ndarray, n_tests: int | None = None) -> np.ndarray:
+    """Benjamini-Hochberg adjusted p-values; ``n_tests`` overrides the
+    test count (the reference `-m/--meff` effective-test correction,
+    script/garfield.py:2674)."""
+    p = np.asarray(pvalues, np.float64)
+    m = int(n_tests) if n_tests else p.size
+    order = np.argsort(p)
+    adj = np.empty_like(p)
+    running = 1.0
+    for rank_from_end, i in enumerate(order[::-1]):
+        rank = p.size - rank_from_end
+        running = min(running, p[i] * m / rank)
+        adj[i] = min(running, 1.0)
+    return adj
+
+
+def write_garfield_tsv(path: str, res: GarfieldResult, sites,
+                       score_threshold: float | None = None,
+                       meff: int | None = None) -> None:
+    """``score_threshold`` (from -pm) adds a `sig` column; ``meff`` adds a
+    `pfdr` column (BH over pperm with meff as the test count)."""
+    extra = ""
+    if score_threshold is not None:
+        extra += "\tsig"
+    pfdr = None
+    if meff is not None:
+        pfdr = bh_fdr(np.asarray(res.pvalues), n_tests=meff)
+        extra += "\tpfdr"
     with open(path, "wt") as fh:
-        fh.write("rule\tdepth\tsupport\tscore\tpperm\n")
-        for ru, p in zip(res.rules, res.pvalues):
-            fh.write(
-                f"{ru.describe(sites.snp)}\t{len(ru.snps)}\t{ru.support}"
-                f"\t{ru.score:.6g}\t{p:.4g}\n"
-            )
+        fh.write("rule\tdepth\tsupport\tscore\tpperm" + extra + "\n")
+        for k, (ru, p) in enumerate(zip(res.rules, res.pvalues)):
+            row = (f"{ru.describe(sites.snp)}\t{len(ru.snps)}\t{ru.support}"
+                   f"\t{ru.score:.6g}\t{p:.4g}")
+            if score_threshold is not None:
+                row += f"\t{int(ru.score >= score_threshold)}"
+            if pfdr is not None:
+                row += f"\t{pfdr[k]:.4g}"
+            fh.write(row + "\n")

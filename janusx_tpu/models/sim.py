@@ -165,6 +165,10 @@ def simulate_phenotype(
     bg_pve: float = 0.0,
     seed: int = 0,
     causal_pool: np.ndarray | None = None,
+    logic_terms: tuple | None = None,
+    logic_delta: float = 1e-6,
+    pure_epistasis: bool = False,
+    cs_pve: float | None = None,
 ) -> SimResult:
     """Phenotype = additive QTL + dominance deviations + epistatic logic
     gates + polygenic background + noise; ``h2`` is the total genetic PVE
@@ -172,7 +176,20 @@ def simulate_phenotype(
 
     Mirrors the reference g2p composition (src/sim/g2p.rs: causal sets
     with Equal/Geometric effect models, LogicGateMode epistasis terms,
-    BackgroundDist polygenic term, PVE mixing)."""
+    BackgroundDist polygenic term, PVE mixing).
+
+    ``logic_terms=(mode, size_weights)`` activates the reference
+    `-logic-gate` mixed causal-term sampler (script/simulation.py:1798):
+    the n_qtl causal terms get sizes 1..len(size_weights) in proportion
+    to the weights; size-1 terms are additive sites, size>=2 terms are
+    logic gates over hom-alt indicators (mode a|na|an|nan|x, or r =
+    random per term; literals beyond the first two are ANDed on).
+    ``logic_delta``: degenerate gates (constant, or indistinguishable
+    from a parent literal — margin < delta) are redrawn.
+    ``pure_epistasis`` (reference --pure-epistasis-only): residualize
+    each gate against intercept + member dosages so members carry no
+    fitted marginal effect. ``cs_pve`` (reference -cs-pve): PVE of the
+    whole causal-term block; default min(0.05 * n_terms, available)."""
     if dominance_pve + epistasis_pve + bg_pve > h2 + 1e-12:
         raise ValueError("component PVEs exceed total h2")
     rng = np.random.default_rng(seed + 1)
@@ -188,6 +205,13 @@ def simulate_phenotype(
             else np.asarray(causal_pool, np.int64))
     if pool.size == 0:
         raise ValueError("empty causal pool after eligibility filters")
+    if logic_terms is not None:
+        return _simulate_logic_phenotype(
+            gdata, g, gc, pool, n_qtl=n_qtl, h2=h2, n_traits=n_traits,
+            logic_terms=logic_terms, logic_delta=logic_delta,
+            pure_epistasis=pure_epistasis, cs_pve=cs_pve, bg_pve=bg_pve,
+            effect_dist=effect_dist, rng=rng,
+        )
     qtl_idx = np.sort(rng.choice(pool, size=min(n_qtl, pool.size), replace=False))
     q = len(qtl_idx)
     if effect_model == "equal":
@@ -245,6 +269,99 @@ def simulate_phenotype(
     return SimResult(
         genotypes=gdata, phenotypes=phenos, qtl_idx=qtl_idx, qtl_effects=eff,
         dom_effects=dom_eff, epi_pairs=epi_pairs, components=comp,
+    )
+
+
+def _simulate_logic_phenotype(gdata, g, gc, pool, *, n_qtl, h2, n_traits,
+                              logic_terms, logic_delta, pure_epistasis,
+                              cs_pve, bg_pve, effect_dist, rng) -> SimResult:
+    """Mixed causal-term sampler (reference `-logic-gate MODE WEIGHTS`,
+    script/simulation.py:1798-1836 / src/sim/g2p.rs logic-gate units)."""
+    mode, weights = logic_terms
+    mode = str(mode).upper()
+    if mode not in _GATES + ("R",):
+        raise ValueError(f"logic-gate mode {mode!r} (want a|na|an|nan|x|r)")
+    w = np.asarray([float(x) for x in weights], np.float64)
+    if w.size == 0 or (w < 0).any() or w.sum() <= 0:
+        raise ValueError("logic-gate size weights must be non-negative, not all zero")
+    sizes = rng.choice(np.arange(1, w.size + 1), size=n_qtl, p=w / w.sum())
+    hom = np.nan_to_num((g == 2).astype(np.int8))
+    n = gdata.n
+
+    def _draw_effect():
+        if effect_dist == "gamma":
+            return float(rng.gamma(0.4, 1.0) * rng.choice([-1, 1]))
+        if effect_dist == "laplace":
+            return float(rng.laplace())
+        return float(rng.normal())
+
+    qtl_idx, qtl_eff, epi_pairs, term_log = [], [], [], []
+    block = np.zeros(n)
+    for size in sizes:
+        size = int(min(size, pool.size))
+        if size == 1:
+            i = int(rng.choice(pool))
+            e = _draw_effect()
+            block = block + gc[i] * e
+            qtl_idx.append(i)
+            qtl_eff.append(e)
+            term_log.append({"members": [int(i)], "gate": "ADD", "effect": e})
+            continue
+        term = None
+        members: list[int] = []
+        gate = mode
+        for _ in range(32):  # redraw degenerate gates (reference -logic-delta)
+            members = [int(x) for x in
+                       rng.choice(pool, size=size, replace=False)]
+            gate = mode if mode != "R" else str(rng.choice(_GATES))
+            t = _gate_value(gate, hom[members[0]], hom[members[1]])
+            for extra in members[2:]:  # literals beyond 2 are ANDed on
+                t = t & hom[extra]
+            t = t.astype(np.float64)
+            if t.std() <= 0:
+                continue
+            # margin over the best parent literal: 1 - max |corr|
+            margin = 1.0 - max(
+                abs(float(np.corrcoef(t, hom[mi])[0, 1]))
+                if hom[mi].std() > 0 else 1.0
+                for mi in members
+            )
+            if margin >= logic_delta:
+                term = t
+                break
+        if term is None:
+            continue
+        if pure_epistasis:
+            # residualize against intercept + member dosages
+            X = np.column_stack([np.ones(n)] + [gc[mi] for mi in members])
+            beta, *_ = np.linalg.lstsq(X, term, rcond=None)
+            term = term - X @ beta
+        e = _draw_effect()
+        block = block + (term - term.mean()) * e
+        epi_pairs.append((members[0], members[1], gate, e))
+        term_log.append({"members": members, "gate": gate, "effect": e})
+    n_terms = len(term_log)
+    avail = h2 - bg_pve
+    block_pve = (min(float(cs_pve), avail) if cs_pve is not None
+                 else min(0.05 * max(n_terms, 1), avail))
+    gv = _scaled(block, block_pve)
+    if bg_pve > 0:
+        beff = rng.normal(size=gdata.m)
+        gv = gv + _scaled(gc.T @ beff, bg_pve)
+    vg = np.var(gv)
+    ve = vg * (1.0 - h2) / max(h2, 1e-9) if vg > 0 else 1.0
+    phenos = np.empty((n, n_traits))
+    for t_ in range(n_traits):
+        phenos[:, t_] = gv + rng.normal(size=n) * np.sqrt(ve)
+    comp = {"causal_terms": block_pve, "background": bg_pve, "h2": h2,
+            "n_terms": n_terms, "logic_terms": term_log,
+            "pure_epistasis": bool(pure_epistasis)}
+    return SimResult(
+        genotypes=gdata, phenotypes=phenos,
+        qtl_idx=np.asarray(sorted(qtl_idx), np.int64),
+        qtl_effects=np.asarray([e for _, e in
+                                sorted(zip(qtl_idx, qtl_eff))], np.float64),
+        dom_effects=None, epi_pairs=epi_pairs, components=comp,
     )
 
 

@@ -79,6 +79,9 @@ class GwasConfig:
     farmcpu_iter: int = 10
     farmcpu_threshold: float | None = None
     farmcpu_qtn_bound: int | None = None
+    # reference --farmcpu-nbin: candidate-grid denominator (default 5,
+    # validated >= 1 — assoc/workflow.py:6842,6988)
+    farmcpu_nbin: int = 5
     farmcpu_bin_sizes: tuple = (500_000, 5_000_000, 50_000_000)
     # -trait-level: single combined multi-trait TSV in addition to the
     # per-trait files (reference trait-level fast path; our subset/basis
@@ -531,6 +534,7 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                     max_loops=cfg.farmcpu_iter,
                     window_sizes=tuple(cfg.farmcpu_bin_sizes),
                     qtn_bound=cfg.farmcpu_qtn_bound,
+                    nbin=cfg.farmcpu_nbin,
                     pg_qtn=pg_qtn_t,
                     mesh=mesh,
                 )
@@ -542,6 +546,8 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 out_f = farmcpu_unified_scan(
                     pg_t, y_t, cov_t, block=cfg.block,
                     max_loops=cfg.farmcpu_iter,
+                    qtn_bound=cfg.farmcpu_qtn_bound,
+                    nbin=cfg.farmcpu_nbin,
                     mesh=mesh,
                 )
                 res = out_f.result

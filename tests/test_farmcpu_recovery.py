@@ -9,10 +9,22 @@ bin window while keeping final-scan false positives bounded — the
 in-repo analog of the reference's 49/49 QTN parity claim vs rMVP
 (/root/reference/doc/release/v1.0.26.md:49).
 
-Thresholds carry a wide margin under the observed behavior (probed over
-seeds 0-2, h2 in {0.3, 0.6}: farmcpu recall 14-15/15 with 3-5 false
-Bonferroni hits; frgwas recall 8-11/15 with 0 false hits at n=500,
-m=5000). The full VERDICT grid lives in scripts/farmcpu_recovery.py.
+Recall budget (round-4, measured over seeds 0-2 x h2 {0.3, 0.6} at
+n=500, m=5000 with the reference tau=1/m default):
+
+- raw `-farmcpu` recall 14-15/15 planted with 3-5 false Bonferroni hits
+  and LARGE pseudo-QTN sets (96-131 markers — rMVP-semantics threshold
+  0.01 accumulation). Most of that "recall" is blanket coverage: the
+  QTN windows tile much of the 5k-marker panel.
+- unified `-frgwas` recall 6-12/15 planted with 0 false hits and compact
+  QTN sets (9-22 markers). The planted markers it misses have NO
+  detectable signal at this n (marginal p 0.37-0.95); measured on the
+  DETECTABLE subset (marginal p < 1e-4) the unified route recovers
+  26/27 across the grid. The raw-vs-unified recall gap is therefore an
+  artifact of the blanket metric, not lost power — conservative merging
+  (r^2 >= 0.8/0.5, farmcpu.rs:44-68) is the route's design.
+
+The grid script lives in scripts/farmcpu_recovery.py.
 """
 
 import numpy as np
@@ -71,6 +83,22 @@ def test_frgwas_recovers_planted_qtns(h2, seed):
     out = farmcpu_unified_scan(pg, y)
     recall, fp_sig = _recovery(pg, planted, out)
     assert recall >= 6, f"recall {recall}/{len(planted)} (h2={h2} seed={seed})"
+    # conservative-by-design: the unified route must stay clean and compact
+    assert fp_sig == 0, f"frgwas false hits {fp_sig} (h2={h2} seed={seed})"
+    assert len(out.qtns) <= 30, f"frgwas QTN set blew up: {len(out.qtns)}"
+    # ... and must not miss DETECTABLE signals: every planted marker with
+    # marginal p < 1e-4 is recovered (one 3/4 case tolerated, h2=.3 seed 0)
+    from janusx_tpu.models.lm import lm_scan
+
+    marg = lm_scan(pg, np.asarray(y, np.float64).reshape(-1)).pwald
+    detectable = [int(i) for i in planted if marg[i] < 1e-4]
+    qtns = set(int(q) for q in out.qtns)
+    sig = set(np.nonzero(out.result.pwald < 0.01 / pg.m)[0].tolist())
+    found = qtns | sig
+    rec_det = sum(1 for i in detectable if _near(pg, i, found))
+    assert rec_det >= len(detectable) - 1, (
+        f"frgwas missed detectable QTNs: {rec_det}/{len(detectable)} "
+        f"(h2={h2} seed={seed})")
     assert fp_sig <= 6, f"{fp_sig} false Bonferroni hits"
 
 

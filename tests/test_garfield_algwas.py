@@ -291,3 +291,117 @@ def test_garfield_cli_reference_surface(tmp_path):
     ])
     assert rc == 0
     assert (tmp_path / "rf.trait0.garfield.tsv").exists()
+
+
+def test_pm_spec_parsing():
+    from janusx_tpu.models.garfield import parse_pm_spec
+
+    assert parse_pm_spec(None) == ("gev", 0.99)
+    assert parse_pm_spec("gev") == ("gev", 0.99)
+    assert parse_pm_spec("gumbel") == ("gev", 0.99)
+    assert parse_pm_spec("g99") == ("gev", 0.99)
+    m_, q_ = parse_pm_spec("g99.9")
+    assert m_ == "gev" and abs(q_ - 0.999) < 1e-12
+    assert parse_pm_spec("q99") == ("quantile", 0.99)
+    assert parse_pm_spec("0.95") == ("quantile", 0.95)
+    for bad in ("", "gxx", "q0", "1.5", "zzz"):
+        with pytest.raises(ValueError):
+            parse_pm_spec(bad)
+
+
+def test_rule_null_threshold_gev_and_quantile():
+    from janusx_tpu.models.garfield import rule_null_threshold
+
+    rng = np.random.default_rng(0)
+    s = rng.gumbel(loc=0.2, scale=0.05, size=4000)
+    # empirical quantile: nearest-rank
+    q99 = rule_null_threshold(s, "quantile", 0.99)
+    assert abs(q99 - np.sort(s)[int(np.ceil(0.99 * s.size)) - 1]) < 1e-12
+    # Gumbel MoM fit recovers the true 99% quantile of the null
+    g99 = rule_null_threshold(s, "gev", 0.99)
+    true_q99 = 0.2 - 0.05 * np.log(-np.log(0.99))
+    assert abs(g99 - true_q99) < 0.02
+    # reference formula verbatim: scale=std*sqrt(6)/pi, loc=mean-gamma*scale
+    scale = s.std(ddof=1) * np.sqrt(6) / np.pi
+    loc = s.mean() - 0.5772156649015329 * scale
+    assert abs(g99 - (loc - scale * np.log(-np.log(0.99)))) < 1e-12
+    # the GEV threshold extrapolates beyond the empirical support at
+    # extreme quantiles (the reason the reference fits it)
+    g9999 = rule_null_threshold(s[:200], "gev", 0.9999)
+    assert g9999 > np.max(s[:200]) * 0.9
+
+
+def test_meff_bh_fdr():
+    from janusx_tpu.models.garfield import bh_fdr
+
+    p = np.array([0.001, 0.01, 0.04, 0.5])
+    adj = bh_fdr(p)  # m = 4
+    expect = [0.004, 0.02, 0.0533333, 0.5]
+    assert np.allclose(adj, expect, atol=1e-4)
+    # meff scales the test count (reference -m/--meff)
+    adj100 = bh_fdr(p, n_tests=100)
+    assert np.allclose(adj100, np.minimum([0.1, 0.5, 1.0, 1.0], 1.0), atol=1e-6)
+    assert (adj100 >= adj - 1e-12).all()
+
+
+def test_garfield_pm_changes_significant_set(epi_problem, tmp_path):
+    """-pm g99 vs -pm q50 must change which rules are flagged significant
+    (VERDICT r3 'done' criterion), and -m adds the pfdr column."""
+    from janusx_tpu.models.garfield import (
+        garfield_scan,
+        rule_null_threshold,
+        write_garfield_tsv,
+    )
+
+    pg, y, rule = epi_problem
+    res = garfield_scan(pg, y, depth=2, beam=48, n_perm=40, seed=2,
+                        top_rules=50)
+    thr_strict = rule_null_threshold(res.perm_max_scores, "gev", 0.99)
+    thr_loose = rule_null_threshold(res.perm_max_scores, "quantile", 0.50)
+    sig_strict = [ru.score >= thr_strict for ru in res.rules]
+    sig_loose = [ru.score >= thr_loose for ru in res.rules]
+    assert thr_strict > thr_loose
+    assert sum(sig_loose) > sum(sig_strict)  # the set actually changes
+    assert sig_strict[0]  # the planted rule survives the strict threshold
+    p1 = str(tmp_path / "pm.tsv")
+    write_garfield_tsv(p1, res, pg.sites, score_threshold=thr_strict,
+                       meff=5000)
+    header = open(p1).readline().split()
+    assert header == ["rule", "depth", "support", "score", "pperm", "sig",
+                      "pfdr"]
+    rows = [ln.split("\t") for ln in open(p1).read().splitlines()[1:]]
+    assert [r[5] for r in rows] == [str(int(s)) for s in sig_strict]
+
+
+def test_garfield_cli_pm_meff_end_to_end(tmp_path):
+    from janusx_tpu.cli.main import main as jx_main
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.models.sim import write_pheno
+
+    rng = np.random.default_rng(7)
+    m, n = 100, 200
+    g = rng.binomial(2, 0.4, size=(m, n)).astype(np.int8)
+    b = (g[10] == 2) & (g[40] == 2)
+    y = rng.normal(size=n) * 0.5 + 2.0 * b
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=(np.arange(m, dtype=np.int64) + 1) * 100,
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    prefix = str(tmp_path / "pm")
+    plink.write_plink_genotypes(
+        prefix,
+        GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object)))
+    write_pheno(prefix + ".pheno", [f"i{j}" for j in range(n)], y[:, None])
+    rc = jx_main(["garfield", "-bfile", prefix, "-p", prefix + ".pheno",
+                  "-perm", "25", "-pm", "g99", "-m", "5000",
+                  "-maf", "0.0", "-geno", "1.0",
+                  "-o", str(tmp_path), "-prefix", "out"])
+    assert rc == 0
+    lines = open(str(tmp_path / "out.trait0.garfield.tsv")).read().splitlines()
+    assert lines[0].split("\t") == ["rule", "depth", "support", "score",
+                                    "pperm", "sig", "pfdr"]
+    assert any(ln.split("\t")[5] == "1" for ln in lines[1:])

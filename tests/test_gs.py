@@ -273,3 +273,37 @@ def test_gs_cli_reference_flag_surface(tmp_path):
 
     a = build_parser().parse_args(["-bfile", "x", "-p", "y", "-adBLUP"])
     assert a.m_GBLUPad
+
+
+def test_gs_model_select_global_and_lambda_auto(tmp_path, gs_problem):
+    """--model-select global picks one method for every trait;
+    --rrblup-lambda-auto off uses the fixed reference default lambda=1."""
+    import json
+
+    from janusx_tpu.cli.main import main as jx_main
+
+    pg, K, y = gs_problem
+    prefix = str(tmp_path / "ms")
+    gd = GenotypeData(pg.dosages(), pg.sites, pg.samples)
+    plink.write_plink_genotypes(prefix, gd)
+    rng = np.random.default_rng(3)
+    y2 = y + rng.normal(scale=0.5, size=len(y))
+    with open(prefix + ".pheno", "wt") as fh:
+        fh.write("\tt1\tt2\n")
+        for s_, a, b in zip(pg.samples, y, y2):
+            fh.write(f"{s_}\t{a:.6f}\t{b:.6f}\n")
+    assert jx_main(["gs", "-bfile", prefix, "-p", prefix + ".pheno",
+                    "-BLUP", "-ENET", "-cv", "3", "-maf", "0.0", "-geno",
+                    "1.0", "--model-select", "global",
+                    "-o", str(tmp_path), "-prefix", "g"]) == 0
+    summ = json.load(open(tmp_path / "g.gs.summary.json"))
+    sel = summ["selected_method"]
+    assert len(set(sel.values())) == 1  # one global winner for all traits
+    # lambda-auto off -> PCG route runs at the fixed reference lambda=1.0
+    assert jx_main(["gs", "-bfile", prefix, "-p", prefix + ".pheno",
+                    "-BLUP", "-cv", "0", "-n", "0", "-maf", "0.0", "-geno",
+                    "1.0", "--rrblup-solver", "pcg",
+                    "--rrblup-lambda-auto", "off",
+                    "-o", str(tmp_path), "-prefix", "la"]) == 0
+    s2 = json.load(open(tmp_path / "la.gs.summary.json"))
+    assert s2["traits"]["t1"]["BLUP"]["lambda_pcg"] == 1.0

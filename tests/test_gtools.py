@@ -87,3 +87,37 @@ def test_wgcna_modules():
 
     labs3 = cluster(D, min_cluster_size=10, num_modules=3)
     assert labs3.max() == 3
+
+
+def test_wgcna_fallback_stamped_in_output(tmp_path):
+    """When dynamicTreeCut is absent the flat-fcluster fallback must be
+    recorded in the OUTPUT, not just the log (VERDICT r3 weak #8)."""
+    import numpy as np
+
+    from janusx_tpu.gtools import cluster, write_modules_tsv
+
+    rng = np.random.default_rng(0)
+    # two clean blocks -> two modules
+    n = 40
+    D = np.ones((n, n))
+    D[:20, :20] = 0.1
+    D[20:, 20:] = 0.1
+    np.fill_diagonal(D, 0.0)
+    D += rng.uniform(0, 0.02, size=(n, n))
+    D = (D + D.T) / 2
+    np.fill_diagonal(D, 0.0)
+    labels, info = cluster(D, min_cluster_size=5, num_modules=2,
+                           return_info=True)
+    assert info["module_method"] in ("dynamicTreeCut", "fcluster-fallback")
+    try:
+        import dynamicTreeCut  # noqa: F401
+
+        assert info["module_method"] == "dynamicTreeCut"
+    except ImportError:
+        assert info["module_method"] == "fcluster-fallback"
+        assert info["pam_stage"] is False
+    path = write_modules_tsv(str(tmp_path / "mod.tsv"),
+                             [f"g{i}" for i in range(n)], labels, info)
+    text = open(path).read()
+    assert f"# module_method: {info['module_method']}" in text
+    assert text.splitlines()[-1].startswith("g39\t")

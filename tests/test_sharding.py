@@ -423,3 +423,55 @@ def test_distributed_recipe_single_process():
 
         with _pytest.raises(ValueError):
             dist.make_global_snp_array(mesh, block[:-1], m_total)
+
+
+def test_run_gwas_trait_level_sharded_matches_single(tmp_path):
+    """The -trait-level batched multi-trait scan through the 8-device mesh
+    (_lmm_scan_sharded_multi, models/lmm.py:607) vs single device —
+    multiple same-mask traits, uneven m (VERDICT r3 weak #3)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from janusx_tpu.io.plink import write_plink
+    from janusx_tpu.workflows.gwas import GwasConfig, run_gwas
+
+    rng = np.random.default_rng(11)
+    pg = _toy_pg(rng, m=301, n=90)  # m not divisible by 8
+    geno = str(tmp_path / "tl")
+    write_plink(geno, pg.packed, pg.n_samples, pg.sites, pg.samples)
+    gc = pg.centered()
+    Y = np.column_stack([
+        rng.normal(size=pg.n) + gc[7] * 0.6,
+        rng.normal(size=pg.n) + gc[40] * 0.8,
+        rng.normal(size=pg.n) - gc[120] * 0.7,
+    ])
+    with open(tmp_path / "tl.pheno", "wt") as fh:
+        fh.write("id\tt1\tt2\tt3\n")
+        for i, s in enumerate(pg.samples):
+            fh.write(f"{s}\t" + "\t".join(f"{v:.6f}" for v in Y[i]) + "\n")
+
+    common = dict(
+        genotype=geno + ".bed", phenotype=str(tmp_path / "tl.pheno"),
+        models=("lmm",), force_model=True, block=64, use_cache=False,
+        trait_level=True,
+    )
+    res1 = run_gwas(GwasConfig(out_prefix=str(tmp_path / "t1"),
+                               n_devices=1, **common))
+    res8 = run_gwas(GwasConfig(out_prefix=str(tmp_path / "t8"),
+                               n_devices=8, **common))
+    assert len(res1) == len(res8) == 3
+    by1 = {r.trait: r.result for r in res1}
+    by8 = {r.trait: r.result for r in res8}
+    assert set(by1) == set(by8)
+    for trait in by1:
+        a, b = by1[trait], by8[trait]
+        np.testing.assert_allclose(b.beta, a.beta, rtol=2e-3, atol=1e-5,
+                                   equal_nan=True)
+        dlogp = np.abs(np.log10(b.pwald) - np.log10(a.pwald))
+        assert np.nanmax(dlogp) < 5e-3, trait
+    # the combined trait-level TSV exists for both runs with equal row sets
+    tsv1 = str(tmp_path / "t1") + ".traitlevel.assoc.tsv"
+    tsv8 = str(tmp_path / "t8") + ".traitlevel.assoc.tsv"
+    import os
+
+    assert os.path.exists(tsv1) and os.path.exists(tsv8)
+    assert sum(1 for _ in open(tsv1)) == sum(1 for _ in open(tsv8))
