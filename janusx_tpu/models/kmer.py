@@ -61,6 +61,13 @@ def _load():
             lib.jx_kmt_spilling.argtypes = [ctypes.c_void_p]
             lib.jx_kmt_part_load.restype = ctypes.c_long
             lib.jx_kmt_part_load.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.jx_kmt_spill_finalize.restype = ctypes.c_long
+            lib.jx_kmt_spill_finalize.argtypes = [ctypes.c_void_p,
+                                                  ctypes.c_uint32]
+            lib.jx_kmt_spill_collect.restype = ctypes.c_long
+            lib.jx_kmt_spill_collect.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_long]
             lib.jx_kmt_part_export.restype = ctypes.c_long
             lib.jx_kmt_part_export.argtypes = [
                 ctypes.c_void_p, ctypes.c_int,
@@ -182,7 +189,10 @@ def count_kmers(
         elif spill_dir:
             os.makedirs(spill_dir, exist_ok=True)
         # bound the per-chunk worst-case distinct load (18 B/code) to
-        # half the budget so the native pre-check has room to convert
+        # half the budget so the native pre-check has room to convert;
+        # once spilling starts, chunks append straight to the on-disk
+        # buckets (tables no longer grow) and the full chunk size returns
+        full_chunk = chunk_bytes
         chunk_bytes = max(1 << 20, min(chunk_bytes, mem_budget_bytes // 36))
         h = lib.jx_kmt_new2(
             k, 0 if threads is None else threads, int(mem_budget_bytes),
@@ -200,7 +210,7 @@ def count_kmers(
                 data = fh.read(chunk_bytes)
                 if not data:
                     break
-                buf = carry + data
+                buf = carry + data if carry else data
                 if fastq is None:
                     fastq = buf[:1] == b"@"
                 if len(data) == chunk_bytes:  # maybe more coming: hold the tail record
@@ -221,6 +231,9 @@ def count_kmers(
                     feed, carry = buf, b""
                 if feed:
                     _check_add(lib, h, feed, mem_budget_bytes)
+                    if (mem_budget_bytes and chunk_bytes < full_chunk
+                            and lib.jx_kmt_spilling(h)):
+                        chunk_bytes = full_chunk
         if carry:
             _check_add(lib, h, carry, mem_budget_bytes)
         wide = k > 32
@@ -234,34 +247,27 @@ def count_kmers(
             return codes, cnts
 
         if mem_budget_bytes and lib.jx_kmt_spilling(h):
-            # spilled finalize: count + export ONE partition at a time
-            # (each ~1/64 of the distinct set — bounded memory)
-            parts_k, parts_c = [], []
-            for p in range(64):
-                n = lib.jx_kmt_part_load(h, p)
-                if n < 0:
-                    raise RuntimeError(f"k-mer spill bucket {p} unreadable")
-                if n == 0:
-                    continue
-                keys = _alloc(n)
-                cnts = np.empty(n, np.uint32)
-                w = lib.jx_kmt_part_export(
-                    h, p,
-                    keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-                    cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-                    n, min_count,
-                )
-                ck, cc = _finish(keys, cnts, w)
-                parts_k.append(ck)
-                parts_c.append(cc)
-            empty = np.empty(0, WIDE_DTYPE if wide else np.uint64)
-            keys = np.concatenate(parts_k) if parts_k else empty
-            cnts = np.concatenate(parts_c) if parts_c else np.empty(0, np.uint32)
-            order = np.argsort(keys)
-            return keys[order], cnts[order]
+            # spilled finalize: T workers count buckets in parallel (<= T
+            # partition tables in flight — bounded memory) and park the
+            # sorted, filtered results; partitions are key ranges, so the
+            # one collect pass below is globally key-sorted already
+            total = lib.jx_kmt_spill_finalize(h, min_count)
+            if total < 0:
+                raise RuntimeError("k-mer spill bucket unreadable")
+            keys = _alloc(total)
+            cnts = np.empty(total, np.uint32)
+            w = lib.jx_kmt_spill_collect(
+                h,
+                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                total,
+            )
+            return _finish(keys, cnts, w)
         n = lib.jx_kmt_size(h)
         keys = _alloc(n)
         cnts = np.empty(n, np.uint32)
+        # the native export is key-range partitioned + per-partition
+        # sorted -> arrives globally sorted (no host argsort)
         w = lib.jx_kmt_export(
             h,
             keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
@@ -274,8 +280,7 @@ def count_kmers(
         lib.jx_kmt_free(h)
         if tmp_ctx is not None:
             tmp_ctx.cleanup()
-    order = np.argsort(keys)
-    return keys[order], cnts[order]
+    return keys, cnts
 
 
 def _check_add(lib, h, feed: bytes, mem_budget_bytes) -> None:

@@ -40,6 +40,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -51,6 +52,21 @@
 namespace {
 
 constexpr int kPartitions = 64;
+
+// JX_KMER_TIMING=1: print per-phase wall times to stderr (perf triage)
+inline bool timing_enabled() {
+  static int v = -1;
+  if (v < 0) {
+    const char* e = getenv("JX_KMER_TIMING");
+    v = (e && e[0] == '1') ? 1 : 0;
+  }
+  return v == 1;
+}
+inline double now_s() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
 
 typedef unsigned __int128 u128;
 
@@ -68,26 +84,31 @@ inline uint64_t hash_of(u128 x) {
   return hash64((uint64_t)(x >> 64) ^ hash64((uint64_t)x));
 }
 
+// Interleaved slot: key and count share a cache line, so each probe and
+// each count bump touches ONE line (the split keys[]/counts[] layout
+// cost two misses per insert on the DRAM-bound phase-2 path).
+template <class KT>
+struct SlotT {
+  KT key;  // k-mer code + 1 (0 = empty)
+  uint32_t count;
+};
+
 template <class KT>
 struct TableT {
-  KT* keys = nullptr;  // k-mer code + 1 (0 = empty)
-  uint32_t* counts = nullptr;
+  SlotT<KT>* slots = nullptr;
   uint64_t cap = 0;  // power of two
   uint64_t size = 0;
 
-  static constexpr long slot_bytes = (long)sizeof(KT) + 4;
+  static constexpr long slot_bytes = (long)sizeof(SlotT<KT>);
 
   void init(uint64_t c) {
     cap = c;
     size = 0;
-    keys = (KT*)calloc(cap, sizeof(KT));
-    counts = (uint32_t*)calloc(cap, sizeof(uint32_t));
+    slots = (SlotT<KT>*)calloc(cap, sizeof(SlotT<KT>));
   }
   void destroy() {
-    free(keys);
-    free(counts);
-    keys = nullptr;
-    counts = nullptr;
+    free(slots);
+    slots = nullptr;
     cap = size = 0;
   }
 };
@@ -104,41 +125,65 @@ bool grow(TableT<KT>* t, std::atomic<long>* bytes = nullptr,
       return false;  // budget breach: caller converts to spill or errors
     }
   }
-  KT* nk = (KT*)calloc(ncap, sizeof(KT));
-  uint32_t* nc = (uint32_t*)calloc(ncap, sizeof(uint32_t));
-  if (!nk || !nc) return false;
+  SlotT<KT>* ns = (SlotT<KT>*)calloc(ncap, sizeof(SlotT<KT>));
+  if (!ns) return false;
   for (uint64_t i = 0; i < t->cap; ++i) {
-    if (!t->keys[i]) continue;
-    uint64_t h = hash_of(t->keys[i]) & (ncap - 1);
-    while (nk[h]) h = (h + 1) & (ncap - 1);
-    nk[h] = t->keys[i];
-    nc[h] = t->counts[i];
+    if (!t->slots[i].key) continue;
+    uint64_t h = hash_of(t->slots[i].key) & (ncap - 1);
+    while (ns[h].key) h = (h + 1) & (ncap - 1);
+    ns[h] = t->slots[i];
   }
-  free(t->keys);
-  free(t->counts);
-  t->keys = nk;
-  t->counts = nc;
+  free(t->slots);
+  t->slots = ns;
   t->cap = ncap;
+  return true;
+}
+
+template <class KT>
+inline bool add_count_h(TableT<KT>* t, KT key, uint64_t hash, uint32_t add,
+                        std::atomic<long>* bytes = nullptr, long cap = 0) {
+  if ((t->size + 1) * 10 > t->cap * 7) {
+    if (!grow(t, bytes, cap)) return false;
+  }
+  uint64_t h = hash & (t->cap - 1);
+  while (t->slots[h].key) {
+    if (t->slots[h].key == key) {
+      t->slots[h].count += add;
+      return true;
+    }
+    h = (h + 1) & (t->cap - 1);
+  }
+  t->slots[h].key = key;
+  t->slots[h].count = add;
+  ++t->size;
   return true;
 }
 
 template <class KT>
 inline bool add_count(TableT<KT>* t, KT key, uint32_t add,
                       std::atomic<long>* bytes = nullptr, long cap = 0) {
-  if ((t->size + 1) * 10 > t->cap * 7) {
-    if (!grow(t, bytes, cap)) return false;
-  }
-  uint64_t h = hash_of(key) & (t->cap - 1);
-  while (t->keys[h]) {
-    if (t->keys[h] == key) {
-      t->counts[h] += add;
-      return true;
+  return add_count_h(t, key, hash_of(key), add, bytes, cap);
+}
+
+// Batched insert with software prefetch: hash a window of keys ahead and
+// prefetch their home slots, hiding the DRAM latency of the random table
+// access that dominates phase 2.
+template <class KT>
+inline bool add_batch(TableT<KT>* t, const KT* keys, size_t n,
+                      std::atomic<long>* bytes, long cap) {
+  constexpr size_t W = 16;
+  uint64_t hs[W];
+  size_t i = 0;
+  while (i < n) {
+    size_t b = n - i < W ? n - i : W;
+    for (size_t j = 0; j < b; ++j) {
+      hs[j] = hash_of(keys[i + j]);
+      __builtin_prefetch(&t->slots[hs[j] & (t->cap - 1)], 1, 1);
     }
-    h = (h + 1) & (t->cap - 1);
+    for (size_t j = 0; j < b; ++j)
+      if (!add_count_h(t, keys[i + j], hs[j], 1u, bytes, cap)) return false;
+    i += b;
   }
-  t->keys[h] = key;
-  t->counts[h] = add;
-  ++t->size;
   return true;
 }
 
@@ -167,6 +212,7 @@ template <class KT>
 struct HandleT {
   int k;
   int threads;
+  int part_shift;  // key-range partitioning: partition = key >> shift
   TableT<KT> parts[kPartitions];
   std::atomic<bool> failed{false};
   // spill state (jx_kmt_new2)
@@ -180,19 +226,34 @@ struct HandleT {
   std::string spill_path(int p) const {
     return spill_dir + "/jxkmer_part" + std::to_string(p) + ".bin";
   }
+  // parallel spill-finalize results (sorted, filtered, per partition)
+  std::vector<std::vector<SpillRecT<KT>>> fin;
 };
 
+// Partitions are KEY RANGES (top 6 bits of the 2k-bit code), not hash
+// buckets: per-partition sorted exports concatenate to a globally sorted
+// table, so the Python side never re-sorts. Canonical codes are biased
+// toward small values (canon = min(fwd, rev) has density 2(1-x)), so the
+// low partitions carry up to 2x the mean load — the atomic work-stealing
+// counter in phase 2 absorbs that imbalance.
 template <class KT>
-inline int partition_of(KT key) {
-  return (int)(hash_of(key) >> 58) & (kPartitions - 1);
+inline int partition_of(KT key, int shift) {
+  return (int)(key >> shift) & (kPartitions - 1);
 }
 
 template <class KT>
 bool spill_append(FILE* f, const KT* keys, const uint32_t* counts, size_t n) {
-  std::vector<SpillRecT<KT>> recs(n);
-  for (size_t i = 0; i < n; ++i)
-    recs[i] = {keys[i], counts ? counts[i] : 1u};
-  return fwrite(recs.data(), sizeof(SpillRecT<KT>), n, f) == n;
+  // fixed staging window: no O(n) allocation per append
+  SpillRecT<KT> recs[4096];
+  size_t i = 0;
+  while (i < n) {
+    size_t b = n - i < 4096 ? n - i : 4096;
+    for (size_t j = 0; j < b; ++j)
+      recs[j] = {keys[i + j], counts ? counts[i + j] : 1u};
+    if (fwrite(recs, sizeof(SpillRecT<KT>), b, f) != b) return false;
+    i += b;
+  }
+  return true;
 }
 
 // Convert the handle to spill mode: dump every partition table to its
@@ -207,7 +268,7 @@ bool enter_spill(HandleT<KT>* h) {
     std::vector<SpillRecT<KT>> recs;
     recs.reserve(t.size);
     for (uint64_t i = 0; i < t.cap; ++i)
-      if (t.keys[i]) recs.push_back({t.keys[i], t.counts[i]});
+      if (t.slots[i].key) recs.push_back({t.slots[i].key, t.slots[i].count});
     if (!recs.empty() &&
         fwrite(recs.data(), sizeof(SpillRecT<KT>), recs.size(), f) !=
             recs.size())
@@ -221,9 +282,15 @@ bool enter_spill(HandleT<KT>* h) {
 
 // Emit canonical k-mer codes of one sequence stretch [s, e) into the
 // per-partition append buffers; rolling state carries across newlines.
-template <class KT>
+struct VecEmit {
+  template <class KT>
+  static inline void emit(std::vector<KT>* out, int p, KT key) {
+    out[p].push_back(key);
+  }
+};
+template <class KT, class E, class OUT>
 inline bool count_seq(const char* buf, long s, long e, int k, KT mask,
-                      std::vector<KT>* out) {
+                      int shift, OUT* out) {
   KT fwd = 0, rev = 0;
   int have = 0;
   for (long i = s; i < e; ++i) {
@@ -239,7 +306,9 @@ inline bool count_seq(const char* buf, long s, long e, int k, KT mask,
     rev = (rev >> 2) | (((KT)(unsigned)(3 - b)) << (2 * (k - 1)));
     if (++have >= k) {
       KT canon = fwd < rev ? fwd : rev;
-      out[partition_of<KT>(canon + 1)].push_back(canon + 1);
+      // partition on the raw code so the +1 storage sentinel cannot
+      // carry across a range boundary
+      E::emit(out, partition_of<KT>(canon, shift), canon + 1);
     }
   }
   return true;
@@ -251,9 +320,9 @@ inline long line_end(const char* buf, long i, long len) {
 }
 
 // Parse records in [s, e): FASTA (multi-line seq) or FASTQ (4-line).
-template <class KT>
-bool count_range(const char* buf, long s, long e, int k,
-                 std::vector<KT>* parts) {
+template <class KT, class E = VecEmit, class OUT = std::vector<KT>>
+bool count_range(const char* buf, long s, long e, int k, int shift,
+                 OUT* parts) {
   const KT one = 1;
   const KT mask = (2 * k == (int)sizeof(KT) * 8)
                       ? (KT)~(KT)0
@@ -265,13 +334,15 @@ bool count_range(const char* buf, long s, long e, int k,
       i = line_end(buf, i, e) + 1;  // header
       long seq_start = i;
       while (i < e && buf[i] != '>') i = line_end(buf, i, e) + 1;
-      if (!count_seq(buf, seq_start, i < e ? i : e, k, mask, parts))
+      if (!count_seq<KT, E>(buf, seq_start, i < e ? i : e, k, mask, shift,
+                            parts))
         return false;
     } else if (c0 == '@') {
       i = line_end(buf, i, e) + 1;  // header
       long seq_s = i;
       long seq_e = line_end(buf, i, e);
-      if (!count_seq(buf, seq_s, seq_e, k, mask, parts)) return false;
+      if (!count_seq<KT, E>(buf, seq_s, seq_e, k, mask, shift, parts))
+        return false;
       i = line_end(buf, seq_e + 1, e) + 1;  // skip '+' line
       i = line_end(buf, i, e) + 1;          // skip quality line
     } else {
@@ -279,7 +350,8 @@ bool count_range(const char* buf, long s, long e, int k,
       long seq_start = i;
       while (i < e && buf[i] != '>' && buf[i] != '@')
         i = line_end(buf, i, e) + 1;
-      if (!count_seq(buf, seq_start, i < e ? i : e, k, mask, parts))
+      if (!count_seq<KT, E>(buf, seq_start, i < e ? i : e, k, mask, shift,
+                            parts))
         return false;
     }
   }
@@ -309,6 +381,7 @@ template <class KT>
 HandleT<KT>* make_handle(int k, int threads) {
   HandleT<KT>* h = new HandleT<KT>();
   h->k = k;
+  h->part_shift = 2 * k > 6 ? 2 * k - 6 : 0;
   int hw = (int)std::thread::hardware_concurrency();
   if (threads <= 0) threads = hw > 0 ? hw : 4;
   if (threads > 32) threads = 32;
@@ -339,11 +412,17 @@ int handle_add(HandleT<KT>* h, const char* buf, long len) {
   for (int t = 1; t < T; ++t)
     split[t] = next_record_start(buf, len / T * t, len, fastq);
 
+  double t_p1 = now_s();
+  std::atomic<bool> ok{true};
+  std::vector<std::thread> workers;
+  // NOTE: a streaming variant (parse threads flushing 4K-code staging
+  // buffers into the partition tables under per-partition mutexes — one
+  // DRAM pass instead of two) was measured 2-4x SLOWER here: concurrent
+  // threads thrash the same table cache lines and serialize on the hot
+  // low partitions. Exclusive partition ownership in phase 2 wins.
   // phase 1: threads append canonical codes into per-(thread, partition)
   // buffers — sequential writes, no locks
   std::vector<std::vector<std::vector<KT>>> local(T);
-  std::atomic<bool> ok{true};
-  std::vector<std::thread> workers;
   for (int t = 0; t < T; ++t) {
     workers.emplace_back([&, t]() {
       local[t].resize(kPartitions);
@@ -351,11 +430,16 @@ int handle_add(HandleT<KT>* h, const char* buf, long len) {
       if (span <= 0) return;
       for (int p = 0; p < kPartitions; ++p)
         local[t][p].reserve((size_t)(span / kPartitions + 16));
-      if (!count_range<KT>(buf, split[t], split[t + 1], k, local[t].data()))
+      if (!count_range<KT>(buf, split[t], split[t + 1], k, h->part_shift,
+                           local[t].data()))
         ok.store(false);
     });
   }
   for (auto& w : workers) w.join();
+  workers.clear();
+  if (timing_enabled())
+    fprintf(stderr, "[jxkmer] phase1 parse+append: %.3fs (len=%ld T=%d)\n",
+            now_s() - t_p1, len, T);
   if (!ok.load()) {
     h->failed.store(true);
     return 1;
@@ -416,32 +500,35 @@ int handle_add(HandleT<KT>* h, const char* buf, long len) {
   // run-collapse variant was measured slower on both high- and low-
   // duplication inputs: the sort's sequential bandwidth costs more than
   // the duplicate inserts it saves.)
+  double t_p2 = now_s();
   std::atomic<int> next{0};
   std::atomic<bool> oom{false};
   workers.clear();
   std::atomic<long>* bytes = h->budget > 0 ? &h->table_bytes : nullptr;
   long cap = h->hard_cap();
-  for (int t = 0; t < T; ++t) {
+  // 2x workers: the canonical-min bias skews range-partition loads up to
+  // 2x, and the extra threads both smooth the work-stealing tail and
+  // hide L2/DRAM latency behind SMT
+  int T2 = T * 2 > kPartitions ? kPartitions : T * 2;
+  for (int t = 0; t < T2; ++t) {
     workers.emplace_back([&]() {
       for (;;) {
         int p = next.fetch_add(1);
         if (p >= kPartitions) return;
         TableT<KT>* dst = &h->parts[p];
-        for (KT key : local[0][p])
-          if (!add_count(dst, key, 1u, bytes, cap)) {
+        for (int s = 0; s < T; ++s) {
+          auto& v = local[s][p];
+          if (!v.empty() && !add_batch(dst, v.data(), v.size(), bytes, cap)) {
             oom.store(true);
             return;
           }
-        for (int s = 1; s < T; ++s)
-          for (KT key : local[s][p])
-            if (!add_count(dst, key, 1u, bytes, cap)) {
-              oom.store(true);
-              return;
-            }
+        }
       }
     });
   }
   for (auto& w : workers) w.join();
+  if (timing_enabled())
+    fprintf(stderr, "[jxkmer] phase2 hash-count: %.3fs\n", now_s() - t_p2);
   if (oom.load()) {
     // fail FAST with a clean error: the table crossed 2x the budget and
     // no spill directory was configured (or allocation failed)
@@ -474,55 +561,204 @@ template <class KT>
 long table_export(TableT<KT>& t, uint64_t* out_keys, uint32_t* out_counts,
                   long w, long max_out, uint32_t min_count) {
   for (uint64_t i = 0; i < t.cap && w < max_out; ++i) {
-    if (t.keys[i] && t.counts[i] >= min_count) {
-      put_key(out_keys, w, t.keys[i]);
-      out_counts[w] = t.counts[i];
+    if (t.slots[i].key && t.slots[i].count >= min_count) {
+      put_key(out_keys, w, t.slots[i].key);
+      out_counts[w] = t.slots[i].count;
       ++w;
     }
   }
   return w;
 }
 
+// Sorted parallel export: each partition is a key range, so sorting
+// partitions independently (T threads) and writing them at prefix
+// offsets yields a GLOBALLY key-sorted table — the Python side's
+// argsort over the full distinct set (1.3 s at 5M k-mers) disappears.
 template <class KT>
 long handle_export(HandleT<KT>* h, uint64_t* out_keys, uint32_t* out_counts,
                    long max_out, uint32_t min_count) {
-  long w = 0;
-  for (int p = 0; p < kPartitions && w < max_out; ++p)
-    w = table_export(h->parts[p], out_keys, out_counts, w, max_out,
-                     min_count);
-  return w;
+  long kept[kPartitions];
+  std::vector<std::vector<SpillRecT<KT>>> recs(kPartitions);
+  std::atomic<int> next{0};
+  int T = h->threads * 2 > kPartitions ? kPartitions : h->threads * 2;
+  std::vector<std::thread> workers;
+  for (int t = 0; t < T; ++t) {
+    workers.emplace_back([&]() {
+      for (;;) {
+        int p = next.fetch_add(1);
+        if (p >= kPartitions) return;
+        TableT<KT>& tb = h->parts[p];
+        auto& r = recs[p];
+        r.reserve(tb.size);
+        for (uint64_t i = 0; i < tb.cap; ++i)
+          if (tb.slots[i].key && tb.slots[i].count >= min_count)
+            r.push_back({tb.slots[i].key, tb.slots[i].count});
+        std::sort(r.begin(), r.end(),
+                  [](const SpillRecT<KT>& a, const SpillRecT<KT>& b) {
+                    return a.key < b.key;
+                  });
+        kept[p] = (long)r.size();
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  long total = 0;
+  for (int p = 0; p < kPartitions; ++p) total += kept[p];
+  if (total > max_out) {
+    // caller under-allocated: truncating sequential fallback
+    long w = 0;
+    for (int p = 0; p < kPartitions && w < max_out; ++p)
+      for (auto& rec : recs[p]) {
+        if (w >= max_out) break;
+        put_key(out_keys, w, rec.key);
+        out_counts[w] = rec.count;
+        ++w;
+      }
+    return w;
+  }
+  long off[kPartitions];
+  long acc = 0;
+  for (int p = 0; p < kPartitions; ++p) {
+    off[p] = acc;
+    acc += kept[p];
+  }
+  next.store(0);
+  workers.clear();
+  for (int t = 0; t < T; ++t) {
+    workers.emplace_back([&]() {
+      for (;;) {
+        int p = next.fetch_add(1);
+        if (p >= kPartitions) return;
+        long w = off[p];
+        for (auto& rec : recs[p]) {
+          put_key(out_keys, w, rec.key);
+          out_counts[w] = rec.count;
+          ++w;
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return total;
 }
 
+// Stream one bucket file into a hash table (batched-prefetch inserts
+// for the pure (key,1) run segments are not worth it here: bucket files
+// carry explicit counts after an enter_spill dump).
 template <class KT>
-long part_load(HandleT<KT>* h, int p) {
-  if (!h || !h->spilling || p < 0 || p >= kPartitions) return -1;
+long bucket_count_into(HandleT<KT>* h, int p, TableT<KT>* t) {
   FILE* f = h->spill_files[p];
   if (!f) return -1;
   fflush(f);
   rewind(f);
-  TableT<KT>& t = h->parts[p];
-  t.destroy();
-  t.init(1 << 12);
   std::vector<SpillRecT<KT>> buf(1 << 20);  // streaming window
   for (;;) {
     size_t got = fread(buf.data(), sizeof(SpillRecT<KT>), buf.size(), f);
     if (got == 0) break;
     for (size_t i = 0; i < got; ++i)
-      if (!add_count(&t, buf[i].key, buf[i].count)) return -1;
+      if (!add_count(t, buf[i].key, buf[i].count)) return -1;
   }
   fclose(f);
   remove(h->spill_path(p).c_str());
   h->spill_files[p] = nullptr;
-  return (long)t.size;
+  return (long)t->size;
+}
+
+template <class KT>
+long part_load(HandleT<KT>* h, int p) {
+  if (!h || !h->spilling || p < 0 || p >= kPartitions) return -1;
+  TableT<KT>& t = h->parts[p];
+  t.destroy();
+  t.init(1 << 12);
+  return bucket_count_into(h, p, &t);
+}
+
+// Parallel spill finalize: T workers pull partitions, each loads its
+// bucket into a PRIVATE table (<= T tables in flight, each ~1/64 of the
+// distinct set — memory stays bounded), filters by min_count, sorts by
+// key, and parks the result on the handle. Partitions are key ranges,
+// so collecting them in order yields the globally sorted table.
+// Returns the total kept record count, or -1 on error.
+template <class KT>
+long spill_finalize_all(HandleT<KT>* h, uint32_t min_count) {
+  if (!h || !h->spilling) return -1;
+  h->fin.assign(kPartitions, {});
+  std::atomic<int> next{0};
+  std::atomic<bool> bad{false};
+  int T = h->threads;
+  std::vector<std::thread> workers;
+  for (int t = 0; t < T; ++t) {
+    workers.emplace_back([&]() {
+      for (;;) {
+        int p = next.fetch_add(1);
+        if (p >= kPartitions) return;
+        TableT<KT> tb;
+        tb.init(1 << 12);
+        if (bucket_count_into(h, p, &tb) < 0) {
+          bad.store(true);
+          tb.destroy();
+          return;
+        }
+        auto& r = h->fin[p];
+        r.reserve(tb.size);
+        for (uint64_t i = 0; i < tb.cap; ++i)
+          if (tb.slots[i].key && tb.slots[i].count >= min_count)
+            r.push_back({tb.slots[i].key, tb.slots[i].count});
+        tb.destroy();
+        std::sort(r.begin(), r.end(),
+                  [](const SpillRecT<KT>& a, const SpillRecT<KT>& b) {
+                    return a.key < b.key;
+                  });
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  if (bad.load()) return -1;
+  long total = 0;
+  for (auto& r : h->fin) total += (long)r.size();
+  return total;
+}
+
+template <class KT>
+long spill_collect(HandleT<KT>* h, uint64_t* out_keys, uint32_t* out_counts,
+                   long max_out) {
+  long w = 0;
+  for (auto& r : h->fin) {
+    for (auto& rec : r) {
+      if (w >= max_out) break;
+      put_key(out_keys, w, rec.key);
+      out_counts[w] = rec.count;
+      ++w;
+    }
+    r.clear();
+    r.shrink_to_fit();
+  }
+  h->fin.clear();
+  return w;
 }
 
 template <class KT>
 long part_export(HandleT<KT>* h, int p, uint64_t* out_keys,
                  uint32_t* out_counts, long max_out, uint32_t min_count) {
-  long w = table_export(h->parts[p], out_keys, out_counts, 0L, max_out,
-                        min_count);
-  h->parts[p].destroy();
-  h->parts[p].init(1);
+  TableT<KT>& tb = h->parts[p];
+  std::vector<SpillRecT<KT>> recs;
+  recs.reserve(tb.size);
+  for (uint64_t i = 0; i < tb.cap; ++i)
+    if (tb.slots[i].key && tb.slots[i].count >= min_count)
+      recs.push_back({tb.slots[i].key, tb.slots[i].count});
+  std::sort(recs.begin(), recs.end(),
+            [](const SpillRecT<KT>& a, const SpillRecT<KT>& b) {
+              return a.key < b.key;
+            });
+  long w = 0;
+  for (auto& rec : recs) {
+    if (w >= max_out) break;
+    put_key(out_keys, w, rec.key);
+    out_counts[w] = rec.count;
+    ++w;
+  }
+  tb.destroy();
+  tb.init(1);
   return w;
 }
 
@@ -605,6 +841,19 @@ long jx_kmt_export(void* handle, uint64_t* out_keys, uint32_t* out_counts,
   return a->wide
              ? handle_export(a->h128, out_keys, out_counts, max_out, min_count)
              : handle_export(a->h64, out_keys, out_counts, max_out, min_count);
+}
+
+long jx_kmt_spill_finalize(void* handle, uint32_t min_count) {
+  AnyHandle* a = (AnyHandle*)handle;
+  return a->wide ? spill_finalize_all(a->h128, min_count)
+                 : spill_finalize_all(a->h64, min_count);
+}
+
+long jx_kmt_spill_collect(void* handle, uint64_t* out_keys,
+                          uint32_t* out_counts, long max_out) {
+  AnyHandle* a = (AnyHandle*)handle;
+  return a->wide ? spill_collect(a->h128, out_keys, out_counts, max_out)
+                 : spill_collect(a->h64, out_keys, out_counts, max_out);
 }
 
 long jx_kmt_part_load(void* handle, int p) {

@@ -606,3 +606,40 @@ def test_cli_postgwas_merge_circle_clump(sim_dataset, tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(str(tmp_path / "pg4.m.trait0.LM.manhattan.png"))
+
+
+def test_bench_round4_extensions(tmp_path):
+    """Round-4 bench-harness surfaces: benchmark farmcpu module with the
+    raw-vs-unified --check, gblupbench --engines/--run-folds/--check,
+    bayesbench multi-chain R-hat convergence."""
+    import json
+    import os
+
+    from janusx_tpu.cli.benchmark import bayesbench_main, gblupbench_main
+    from janusx_tpu.cli.benchmark import main as bench_main
+
+    out = str(tmp_path / "r4")
+    # farmcpu timing + internal parity check (reference script/benchmark.py)
+    assert bench_main(["-nind", "200", "-nsnp", "600", "-modules", "farmcpu",
+                       "--check", "--farmcpu-iter", "3", "--topk", "20",
+                       "-o", out + "f"]) == 0
+    d = json.load(open(os.path.join(out + "f", "bench.benchmark.json")))
+    mods = {r["module"] for r in d["results"]}
+    assert {"farmcpu", "farmcpu_check"} <= mods
+    chk = next(r for r in d["results"] if r["module"] == "farmcpu_check")
+    assert "overlap" in chk and chk["match"] == "exact"
+    assert os.path.exists(os.path.join(out + "f", "bench.farmcpu.top20.tsv"))
+    # gblupbench single engine + fold cap + cross-route check
+    assert gblupbench_main(["-nind", "150", "-nsnp", "400", "-cv", "3",
+                            "--run-folds", "1", "--engines",
+                            "gblup,rrblup_pcg", "--check",
+                            "-o", out + "g"]) == 0
+    # bayesbench convergence: 2 chains, rhat present
+    assert bayesbench_main(["-nind", "120", "-nsnp", "300", "-iters", "200",
+                            "-burnin", "50", "--methods", "BayesA",
+                            "--chains", "2", "-o", out + "b"]) == 0
+    b = json.load(open(os.path.join(out + "b", "bayesbench.bayesbench.json")))
+    row = next(r for r in b["methods"] if r["method"] == "BayesA")
+    assert "rhat_mu" in row and "rhat_ve" in row
+    assert row["rhat_mu"] == row["rhat_mu"]  # finite-ish (not NaN for 75 kept)
+    assert "topk_concordance" in row

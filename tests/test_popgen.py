@@ -188,3 +188,32 @@ def test_ld_prune_sparse_bp_window_keeps_isolated_pairs(rng):
     pg2 = pack_genotypes(GenotypeData(g, sites2, pg.samples), QcParams(maf=0.0, geno=1.0))
     keep2 = ld_prune(pg2, step=1, r2_threshold=0.2, window_bp=100_000)
     assert len(keep2) == 1
+
+
+def test_fastpop_early_stop_and_kspec(tmp_path):
+    """-tol/-check early stopping (reference adamixture -check/-tol) and
+    the multi-K -k spec parser."""
+    import numpy as np
+
+    from janusx_tpu.cli.fastpop import parse_k_spec
+    from janusx_tpu.io.gdata import GenotypeData
+    from janusx_tpu.io.packed import QcParams, pack_genotypes
+    from janusx_tpu.models.fastpop import train_admixture
+    from janusx_tpu.models.sim import simulate_genotypes
+
+    assert parse_k_spec("8") == [8]
+    assert parse_k_spec("1..5") == [1, 2, 3, 4, 5]
+    assert parse_k_spec("1:5") == [1, 2, 3, 4, 5]
+    assert parse_k_spec("1..10..3") == [1, 4, 7, 10]
+    assert parse_k_spec("1:10:3") == [1, 4, 7, 10]
+    assert parse_k_spec("2,5,8") == [2, 5, 8]
+
+    gd = simulate_genotypes(120, 400, seed=5, structure="mixed")
+    pg = pack_genotypes(gd, QcParams(maf=0.05, geno=0.1))
+    full = train_admixture(pg, 2, n_iter=300, seed=1)
+    early = train_admixture(pg, 2, n_iter=300, seed=1, tol=1e-3,
+                            check_every=10)
+    assert early.n_iter < full.n_iter  # converged before the cap
+    assert len(early.loglik_path) == early.n_iter
+    # early-stopped fit still lands near the full fit's likelihood
+    assert early.loglik > full.loglik - abs(full.loglik) * 0.01

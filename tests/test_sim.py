@@ -142,3 +142,74 @@ def test_sim_g2p_from_existing_genotypes(tmp_path):
     assert all(r[1] == "1" and lo <= int(r[2]) <= hi for r in rows)
     ph = open(tmp_path / "g2p.pheno").readlines()
     assert len(ph) == 1 + 60
+
+
+def test_logic_gate_mixed_sampler():
+    """-logic-gate MODE WEIGHTS (reference simulation.py:1798): term sizes
+    follow the weights, gates are real logic terms, -cs-pve controls the
+    causal-block PVE, --pure-epistasis-only residualizes members."""
+    from janusx_tpu.models.sim import simulate_genotypes, simulate_phenotype
+
+    gd = simulate_genotypes(400, 600, seed=3, maf_low=0.25)
+    sim = simulate_phenotype(
+        gd, n_qtl=30, h2=0.6, seed=3,
+        logic_terms=("r", [2.0, 1.0]), cs_pve=0.5,
+    )
+    terms = sim.components["logic_terms"]
+    assert len(terms) >= 25  # a few degenerate gates may be dropped
+    sizes = {len(t["members"]) for t in terms}
+    assert sizes == {1, 2}
+    assert sim.components["causal_terms"] == 0.5
+    # additive size-1 members land in qtl_idx; gates in epi_pairs
+    assert len(sim.qtl_idx) == sum(1 for t in terms if t["gate"] == "ADD")
+    assert len(sim.epi_pairs) == sum(1 for t in terms if t["gate"] != "ADD")
+    gates = {t["gate"] for t in terms if t["gate"] != "ADD"}
+    assert gates <= {"A", "NA", "AN", "NAN", "X"}
+    assert np.isfinite(sim.phenotypes).all()
+
+    # pure epistasis: gate terms residualized against member dosages ->
+    # members carry ~zero fitted marginal effect of the gate block
+    sim2 = simulate_phenotype(
+        gd, n_qtl=10, h2=0.6, seed=4,
+        logic_terms=("a", [0.0, 1.0]), cs_pve=0.5, pure_epistasis=True,
+    )
+    assert len(sim2.qtl_idx) == 0  # no size-1 terms with weight 0
+    assert all(len(t["members"]) == 2 for t in sim2.components["logic_terms"])
+
+
+def test_sim_cli_logic_and_ldms_flags(tmp_path):
+    import pandas as pd
+
+    from janusx_tpu.cli.main import main as jx_main
+
+    # base genotypes to drive g2p mode
+    rc = jx_main(["sim", "-nind", "120", "-nsnp", "400", "-o", str(tmp_path),
+                  "-prefix", "base"])
+    assert rc == 0
+    base = str(tmp_path / "base")
+    # g2p with the logic-gate sampler
+    rc = jx_main(["sim", "-bfile", base, "-causal", "12", "-h2", "0.5",
+                  "-logic-gate", "r", "2,1", "-cs-pve", "0.4",
+                  "--pure-epistasis-only", "-o", str(tmp_path),
+                  "-prefix", "g2p"])
+    assert rc == 0
+    assert (tmp_path / "g2p.pheno").exists()
+    qtl = pd.read_csv(tmp_path / "g2p.qtl.tsv", sep="\t")
+    assert len(qtl) >= 1
+    # LDMS causal filters: freq table keeps only high-MAF sites
+    bim = pd.read_csv(base + ".bim", sep="\t", header=None,
+                      names=["chr", "snp", "cm", "pos", "a1", "a0"])
+    freq = pd.DataFrame({"chr": bim["chr"], "pos": bim["pos"],
+                         "maf": np.linspace(0.01, 0.5, len(bim))})
+    fpath = tmp_path / "freq.tsv"
+    freq.to_csv(fpath, sep="\t", index=False)
+    rc = jx_main(["sim", "-bfile", base, "-causal", "5", "-h2", "0.5",
+                  "--causal-freq", str(fpath), "--causal-maf-quantile",
+                  "0.8", "--causal-spacing-bp", "1",
+                  "-o", str(tmp_path), "-prefix", "ldms"])
+    assert rc == 0
+    qtl2 = pd.read_csv(tmp_path / "ldms.qtl.tsv", sep="\t")
+    # causal sites restricted to the top-20% MAF rows of the table
+    thr = np.quantile(freq["maf"], 0.8)
+    eligible = set(bim.loc[freq["maf"] >= thr, "snp"])
+    assert set(qtl2["snp"]) <= eligible
