@@ -203,10 +203,12 @@ def build_parser(prog="jx gs") -> argparse.ArgumentParser:
         ("--top-lr", _FLT,
          "the TOP fit always runs the exact damped-Newton solver"),
         ("--top-seed", _INT, "the exact TOP fit is deterministic"),
-        ("--top-calibration", {"choices": ("linear", "none", "addmean")},
-         "TOP ranking standardizes predictions by the observed trait "
-         "mean/sd (the fixed analog of the reference's 'linear' mode)"),
     ], group=o)
+    o.add_argument("--top-calibration", choices=("linear", "none", "addmean"),
+                   default="linear",
+                   help="per-trait prediction calibration before TOP "
+                        "ranking: OLS of observed on predicted (linear, "
+                        "default), mean shift (addmean), or raw (none)")
     common.add_compat_thread_arg(p)
     common.add_mem_arg(p)
     common.add_out_args(p, default_prefix="jxgs")
@@ -324,6 +326,7 @@ def main(argv=None) -> int:
         select_metric=args.model_select_metric,
         model_select=args.model_select,
         top_tol=args.top_tol,
+        top_calibration=args.top_calibration,
         rrblup_solver=rr_solver,
         rrblup_lambda=args.rrblup_lambda,
         rrblup_lambda_auto=(args.rrblup_lambda_auto != "off"),

@@ -72,6 +72,50 @@ class TopModel:
     converged: bool
     true_mean: np.ndarray
     true_sd: np.ndarray
+    # per-trait prediction calibration applied before standardization
+    # (reference --top-calibration, src/stats/top.rs LinearCalibration):
+    # pred_cal = cal_intercept + cal_slope * pred
+    cal_intercept: np.ndarray | None = None
+    cal_slope: np.ndarray | None = None
+
+    def calibrate(self, y_pred: np.ndarray) -> np.ndarray:
+        P = np.asarray(y_pred, np.float64)
+        if self.cal_intercept is None:
+            return P
+        return self.cal_intercept[None, :] + self.cal_slope[None, :] * P
+
+
+def fit_calibrations(y_true, y_pred, mode: str):
+    """Per-trait prediction calibration (reference top.rs:700-776):
+    'linear' = OLS of true on pred over observed rows (< 3 observed
+    falls back to addmean); 'addmean' = shift by the observed trait
+    mean; 'none' = identity. Returns (intercept (k,), slope (k,))."""
+    Y = np.asarray(y_true, np.float64)
+    P = np.asarray(y_pred, np.float64)
+    k = Y.shape[1]
+    icpt = np.zeros(k)
+    slope = np.ones(k)
+    if mode == "none":
+        return icpt, slope
+    mu = np.nanmean(np.where(np.isfinite(Y), Y, np.nan), axis=0)
+    mu = np.where(np.isfinite(mu), mu, 0.0)
+    if mode == "addmean":
+        return mu.copy(), slope
+    if mode != "linear":
+        raise ValueError("calibration must be linear|none|addmean")
+    for t in range(k):
+        m = np.isfinite(Y[:, t]) & np.isfinite(P[:, t])
+        if m.sum() < 3:
+            icpt[t] = mu[t]
+            continue
+        x, y = P[m, t], Y[m, t]
+        vx = x.var()
+        if not vx > 0:
+            icpt[t] = mu[t]
+            continue
+        slope[t] = float(((x - x.mean()) * (y - y.mean())).mean() / vx)
+        icpt[t] = float(y.mean() - slope[t] * x.mean())
+    return icpt, slope
 
 
 def top_fit(
@@ -83,12 +127,17 @@ def top_fit(
     tol: float = 1e-8,
     damping: float = 1e-6,
     normalize: bool = True,
+    calibration: str = "linear",
 ) -> TopModel:
     """Damped-Newton fit of the TOP weights (reference exact-Newton mode).
 
-    y_true/y_pred: (n, k) multi-trait observed / predicted matrices."""
+    y_true/y_pred: (n, k) multi-trait observed / predicted matrices.
+    ``calibration`` (reference --top-calibration, default linear): map
+    predictions onto the observed scale per trait before standardizing."""
+    cal_i, cal_s = fit_calibrations(y_true, y_pred, calibration)
     T, mu, sd = standardize_columns(y_true)
-    P = (np.asarray(y_pred, np.float64) - mu) / sd
+    P_cal = cal_i[None, :] + cal_s[None, :] * np.asarray(y_pred, np.float64)
+    P = (P_cal - mu) / sd
     P = np.where(np.isfinite(P), P, 0.0)
     n, k = T.shape
     if traits is None:
@@ -128,6 +177,7 @@ def top_fit(
     return TopModel(
         traits=list(traits), weights=w, loss=float(loss), n_iter=it,
         converged=converged, true_mean=mu, true_sd=sd,
+        cal_intercept=cal_i, cal_slope=cal_s,
     )
 
 
@@ -138,7 +188,7 @@ def top_rank(
     standardized predicted profile to a target profile (reference
     top_rank_to_target_*). ``target="max"`` ranks toward the best
     observed value per trait. Higher = better; returns (n,) scores."""
-    P = (np.asarray(y_pred, np.float64) - model.true_mean) / model.true_sd
+    P = (model.calibrate(y_pred) - model.true_mean) / model.true_sd
     P = np.where(np.isfinite(P), P, 0.0)
     if isinstance(target, str):
         if target != "max":

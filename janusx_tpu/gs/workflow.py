@@ -79,6 +79,8 @@ class GsConfig:
     model_select: str = "per-trait"
     # TOP Newton convergence tolerance (reference --top-tol)
     top_tol: float = 1e-6
+    # TOP prediction calibration (reference --top-calibration)
+    top_calibration: str = "linear"
     # LD-prune markers before GS (reference -ldprune WIN STEP R2)
     ldprune: tuple | None = None
     # rrBLUP solver knobs (the applicable subset of the reference's
@@ -635,6 +637,7 @@ def _run_top_bundle(cfg, samples, traits, y_true, y_pred, sel_methods, summary):
         y_true[fit_rows], y_pred[fit_rows], traits=traits,
         l2=cfg.top_l2, max_iter=cfg.top_max_iter,
         tol=getattr(cfg, "top_tol", 1e-6),
+        calibration=getattr(cfg, "top_calibration", "linear"),
     )
     log.info("TOP weights: %s (loss=%.4f, %d iters%s)",
              ", ".join(f"{t}={w:.3f}" for t, w in zip(traits, model.weights)),

@@ -115,3 +115,46 @@ def test_gs_workflow_top_bundle(tmp_path):
     bundle = np.load(out + ".gs.TOP.jxmodel.npz", allow_pickle=True)
     assert str(bundle["method"]) == "GS_TOP_BUNDLE"
     assert list(bundle["traits"]) == ["ta", "tb"]
+
+
+def test_top_calibration_modes(top_problem):
+    """--top-calibration (reference top.rs LinearCalibration): linear
+    maps predictions onto the observed scale; addmean shifts by the
+    trait mean; none is identity; rank-time predictions go through the
+    same calibration."""
+    import numpy as np
+
+    y_true, y_pred = top_problem
+    # distort predictions with a known affine map per trait
+    a = np.array([2.0, -1.0, 0.5])
+    b = np.array([3.0, 0.25, -2.0])
+    y_warp = (y_pred - a[None, :]) / b[None, :]
+    m_lin = top_fit(y_true, y_warp, calibration="linear")
+    # the fitted calibration undoes the warp: cal(y_warp) ~ y_pred scale
+    rec = m_lin.calibrate(y_warp)
+    resid0 = np.abs(np.corrcoef(rec[:, 0], y_true[:, 0])[0, 1])
+    raw0 = np.abs(np.corrcoef(y_warp[:, 0], y_true[:, 0])[0, 1])
+    assert resid0 >= raw0 - 1e-12  # linear cal never hurts correlation
+    # the fitted slope is b x the attenuation slope of true-on-pred
+    # (OLS regression dilution), so compare against that product
+    att = np.array([
+        ((y_true[:, t] - y_true[:, t].mean())
+         * (y_pred[:, t] - y_pred[:, t].mean())).mean()
+        / y_pred[:, t].var()
+        for t in range(3)
+    ])
+    assert np.allclose(m_lin.cal_slope, b * att, rtol=1e-6)
+    m_none = top_fit(y_true, y_warp, calibration="none")
+    assert np.allclose(m_none.cal_slope, 1.0)
+    assert np.allclose(m_none.cal_intercept, 0.0)
+    m_add = top_fit(y_true, y_warp, calibration="addmean")
+    assert np.allclose(m_add.cal_slope, 1.0)
+    mu = y_true.mean(axis=0)
+    assert np.allclose(m_add.cal_intercept, mu, atol=0.2)
+    # ranking is affine-invariant under linear calibration: warped and
+    # unwarped predictions give the same candidate ordering
+    m_ref = top_fit(y_true, y_pred, calibration="linear")
+    s1 = top_rank(m_lin, y_warp)
+    s2 = top_rank(m_ref, y_pred)
+    assert np.corrcoef(np.argsort(np.argsort(s1)),
+                       np.argsort(np.argsort(s2)))[0, 1] > 0.99
