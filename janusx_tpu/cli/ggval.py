@@ -108,7 +108,8 @@ def _sim(work: str, nind: int, nsnp: int) -> str:
     return os.path.join(work, "sim")
 
 
-def run_suites(suites, work: str, nind: int, nsnp: int, chk: _Check) -> None:
+def run_suites(suites, work: str, nind: int, nsnp: int,
+               chk: _Check, cv: int = 2) -> None:
     base = _sim(work, nind, nsnp)
     m = _count_bim(base)
     pheno = base + ".pheno"
@@ -150,7 +151,7 @@ def run_suites(suites, work: str, nind: int, nsnp: int, chk: _Check) -> None:
         with open(pheno_gs, "wt") as fh:
             fh.write("\n".join([lines[0]] + body) + "\n")
         out = os.path.join(work, "gs")
-        rc = gs_main(["-bfile", base, "-p", pheno_gs, "-BLUP", "-cv", "3",
+        rc = gs_main(["-bfile", base, "-p", pheno_gs, "-BLUP", "-cv", str(cv),
                       "-o", out])
         chk.ok("gs: exit 0", rc == 0)
         chk.file("gs: gebv.tsv", os.path.join(out, "jxgs.trait0.gebv.tsv"))
@@ -172,7 +173,7 @@ def run_suites(suites, work: str, nind: int, nsnp: int, chk: _Check) -> None:
             src = os.path.join(conv, "c.vcf.gz" if fmt == "vcf" else "c.hmp.txt")
             out = os.path.join(work, suite)
             flag = "-vcf" if fmt == "vcf" else "-hmp"
-            rc = gs_main([flag, src, "-p", pheno, "-BLUP", "-cv", "3",
+            rc = gs_main([flag, src, "-p", pheno, "-BLUP", "-cv", str(cv),
                           "-o", out])
             chk.ok(f"{suite}: exit 0", rc == 0)
             chk.file(f"{suite}: summary.json",
@@ -180,7 +181,7 @@ def run_suites(suites, work: str, nind: int, nsnp: int, chk: _Check) -> None:
         if "gs-ml" in suites:
             out = os.path.join(work, "gs_ml")
             rc = gs_main(["-bfile", base, "-p", pheno, "-RF", "-ENET",
-                          "-cv", "3", "-o", out])
+                          "-cv", str(cv), "-o", out])
             chk.ok("gs-ml: exit 0", rc == 0)
             import json as _json
 
@@ -270,7 +271,7 @@ def main(argv=None) -> int:
         tmp = tempfile.TemporaryDirectory(prefix="jx_ggval_")
         work = tmp.name
     try:
-        run_suites(suites, work, args.nind, args.nsnp, chk)
+        run_suites(suites, work, args.nind, args.nsnp, chk, cv=args.cv)
     except Exception:
         traceback.print_exc()
         chk.ok("suite execution", False, "exception (see traceback)")

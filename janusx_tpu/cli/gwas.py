@@ -192,6 +192,7 @@ def main(argv=None) -> int:
         lowrank_ld_prune=args.lowrank_prune,
         sparse_grm=args.grm_sparse,
         scan_ranges=tuple(args.bimrange or ()),
+        scan_method=args.scan_method,
         trait_level=args.trait_level,
         farmcpu_iter=args.farmcpu_iter,
         farmcpu_threshold=args.farmcpu_threshold,

@@ -44,8 +44,11 @@ def build_parser(prog="jx hybrid") -> argparse.ArgumentParser:
                    help="TSV of p1<TAB>p2 crosses (default: all pairs)")
     d.add_argument("-top", "--top", type=int, default=50,
                    help="write only the top N crosses (0 = all)")
-    p.add_argument("-chunksize", "--chunksize", type=int, default=None,
-                   help=argparse.SUPPRESS)  # reference streaming knob
+    common.add_compat_flags(p, [
+        (("-chunksize", "--chunksize"), {"type": int},
+         "genotypes are packed 2-bit resident here; no chunked decode "
+         "stage to size"),
+    ])
     common.add_out_args(p, default_prefix="hybrid")
     return p
 
@@ -77,7 +80,9 @@ def _hybrid_ids(p1_ids, p2_ids) -> list:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    common.warn_ignored_compat(parser, args)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "hybrid")
     if (args.p1 is None) != (args.p2 is None):

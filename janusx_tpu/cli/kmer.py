@@ -46,17 +46,20 @@ def build_parser(prog="jx kmer") -> argparse.ArgumentParser:
     # counted samples on top of it
     p.add_argument("-count", "--count", action="store_true",
                    help=argparse.SUPPRESS)
-    # remaining reference hidden WASTER tuning knobs (kmer.py:597-640):
-    # the -tree analog here is presence-Jaccard NJ, so the read-sampling
-    # parameters have no effect — accepted for dev command lines
-    p.add_argument("--waster-mode", type=int, choices=(1, 2, 3, 4),
-                   default=4, help=argparse.SUPPRESS)
-    for flag, dv in (("--waster-sampled", 16), ("--waster-qcs", 30),
-                     ("--waster-qcn", 20), ("--waster-pattern", 500_000_000),
-                     ("--waster-consensus", 25_000_000)):
-        p.add_argument(flag, type=int, default=dv, help=argparse.SUPPRESS)
-    p.add_argument("--waster-continue-file", type=str, default=None,
-                   help=argparse.SUPPRESS)
+    # reference hidden WASTER tuning knobs (kmer.py:597-640): the -tree
+    # analog here is presence-Jaccard NJ, so the read-sampling parameters
+    # have no effect — accepted and warn-logged when explicitly set
+    _W = ("the -tree analog here is presence-Jaccard NJ over counted "
+          "k-mers; WASTER read-sampling has no stage to tune")
+    common.add_compat_flags(p, [
+        ("--waster-mode", {"type": int, "choices": (1, 2, 3, 4)}, _W),
+        ("--waster-sampled", {"type": int}, _W),
+        ("--waster-qcs", {"type": int}, _W),
+        ("--waster-qcn", {"type": int}, _W),
+        ("--waster-pattern", {"type": int}, _W),
+        ("--waster-consensus", {"type": int}, _W),
+        ("--waster-continue-file", {"type": str}, _W),
+    ])
     p.add_argument("-tree", "--tree", action="store_true",
                    help="also build an NJ tree of the samples from "
                    "shared-k-mer (Jaccard) distances of the presence "
@@ -67,9 +70,11 @@ def build_parser(prog="jx kmer") -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "kmer")
+    common.warn_ignored_compat(parser, args)
 
     from janusx_tpu.models import kmer
 

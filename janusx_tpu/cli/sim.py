@@ -52,9 +52,11 @@ def build_parser(prog="jx sim") -> argparse.ArgumentParser:
     g.add_argument("-na-rate", "--na-rate", type=float, default=None,
                    help="also write {prefix}.pheno.NA.txt with this "
                    "missing rate injected (reference -na-rate)")
-    g.add_argument("-chunksize", "--chunksize", type=int, default=None,
-                   help=argparse.SUPPRESS)  # reference streaming knob;
-    # generation here is vectorized in RAM at supported sizes
+    common.add_compat_flags(p, [
+        (("-chunksize", "--chunksize"), {"type": int},
+         "genotypes are packed 2-bit resident here; no chunked decode "
+         "stage to size"),
+    ])
     s = p.add_argument_group("Structure & architecture (g2p)")
     s.add_argument("-structure", "--structure", type=str, default="unrelated",
                    choices=["unrelated", "family", "mixed"],
@@ -111,9 +113,10 @@ def build_parser(prog="jx sim") -> argparse.ArgumentParser:
                         "on one chromosome (default 1e6)")
     s.add_argument("-bg-pve", "--bg-pve", type=float, default=0.0,
                    help="polygenic-background share of h2")
-    p.add_argument("--chunk-size", dest="chunk_size", type=int, default=None,
-                   help=argparse.SUPPRESS)  # reference streaming knob;
-    # generation here is blocked internally
+    common.add_compat_flags(p, [
+        ("--chunk-size", {"dest": "chunk_size", "type": int},
+         "generation runs blocked internally; no streaming chunk to size"),
+    ])
     common.add_out_args(p, default_prefix="sim")
     return p
 
@@ -172,9 +175,11 @@ def _ldms_causal_mask(args, gd):
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "sim")
+    common.warn_ignored_compat(parser, args)
 
     from janusx_tpu.io import plink
     from janusx_tpu.models.sim import (

@@ -50,9 +50,11 @@ def build_parser(prog="jx tree") -> argparse.ArgumentParser:
                    "-ml: k pseudo-constant sites per state enter the "
                    "likelihood as site WEIGHTS (k from "
                    "JANUSX_ASC_PSEUDO_CONST, default 1 — reference -asc)")
-    o.add_argument("-chunksize", "--chunksize", type=int, default=None,
-                   help=argparse.SUPPRESS)  # reference streaming knob;
-    # the IBS kernel streams packed blocks on device already
+    common.add_compat_flags(p, [
+        (("-chunksize", "--chunksize"), {"type": int},
+         "genotypes are packed 2-bit resident here; no chunked decode "
+         "stage to size"),
+    ])
     o.add_argument("-ml", "--ml", action="store_true",
                    help="refine the NJ tree by approximate maximum "
                    "likelihood (CFN model, NNI search — reference "
@@ -81,7 +83,9 @@ def _write_phylip(path: str, D, labels) -> None:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    common.warn_ignored_compat(parser, args)
     prefix = common.out_prefix(args)
     common.setup_logging(args.verbose, prefix, "tree")
 
