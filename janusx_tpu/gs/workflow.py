@@ -686,6 +686,13 @@ def _run_top_bundle(cfg, samples, traits, y_true, y_pred, sel_methods, summary):
         "target": ("max" if isinstance(target, str) else
                    [float(v) for v in target]),
         "n_fit": int(fit_rows.sum()),
+        # prediction calibration actually applied (reference
+        # --top-calibration; recorded so the ranking is reproducible)
+        "calibration": {
+            "mode": getattr(cfg, "top_calibration", "linear"),
+            "intercept": [float(v) for v in model.cal_intercept],
+            "slope": [float(v) for v in model.cal_slope],
+        },
     }
     if not cfg.write_outputs:
         return

@@ -170,7 +170,7 @@ def count_kmers(
     ``mem_budget_bytes`` bounds the in-RAM tables (KMC-lite capability,
     reference vendored KMC3): when the next chunk could cross the budget
     the counter converts to on-disk partition buckets under ``spill_dir``
-    (a temp dir by default) and finalizes one bucket (~1/64 of the
+    (a temp dir by default) and finalizes buckets in parallel (~1/256 of the
     distinct set) at a time — all-distinct inputs larger than RAM
     complete instead of swapping. With ``spill_dir=""`` the counter
     instead FAILS FAST with a clear error at 2x the budget.
