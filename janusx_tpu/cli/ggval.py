@@ -48,6 +48,9 @@ def build_parser(prog="jx ggval") -> argparse.ArgumentParser:
                    help="CV folds used by the gs suites")
     p.add_argument("--no-postgs", action="store_true",
                    help="skip the post-analysis suite")
+    p.add_argument("--multicore", action="store_true",
+                   help="run only the GRM/EIGH benchmark suite on a larger "
+                        "dataset (reference --multicore)")
     common.add_compat_flags(p, [
         ("--threads", {"type": int},
          "XLA and the host BLAS size their own pools"),
@@ -55,9 +58,6 @@ def build_parser(prog="jx ggval") -> argparse.ArgumentParser:
          "per-run logs land next to the outputs ({prefix}.ggval.log)"),
         ("--no-backend-thread-checks", {"action": "store_true"},
          "no BLAS backend/thread probing exists here"),
-        ("--multicore", {"action": "store_true"},
-         "use `jx benchmark -modules grm` for the multicore GRM/EIGH "
-         "benchmark"),
         (("-tgarfield-avx2", "--garfield-avx2"), {"action": "store_true"},
          "no AVX2-specific GARFIELD path: the search runs on XLA"),
     ])
@@ -260,6 +260,17 @@ def main(argv=None) -> int:
         raise SystemExit(f"unknown suites: {bad} (choose from {SUITES})")
 
     common.warn_ignored_compat(build_parser(), args)
+    if args.multicore:
+        # reference --multicore: only the GRM/EIGH benchmark, bigger data
+        from janusx_tpu.cli.benchmark import main as bench_main
+
+        out = args.keep or args.outdir or tempfile.mkdtemp(prefix="jx_ggval_")
+        rc = bench_main(["-nind", str(max(args.nind, 1000)),
+                         "-nsnp", str(max(args.nsnp, 20000)),
+                         "-modules", "grm,pca", "-o", out])
+        print(f"multicore GRM/EIGH benchmark: "
+              f"{'PASS' if rc == 0 else 'FAIL'} ({out})")
+        return rc
     chk = _Check()
     tmp = None
     if args.outdir and not args.keep:
