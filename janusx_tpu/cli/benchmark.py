@@ -39,7 +39,8 @@ def build_parser(prog="jx benchmark") -> argparse.ArgumentParser:
                         "LD r^2 >= --pseudo-qtn-ld-r2")
     f.add_argument("--pseudo-qtn-ld-r2", type=float, default=0.7)
     f.add_argument("--force-pseudo-qtn-cap", type=int, default=None,
-                   help="override the pseudo-QTN count cap in both routes")
+                   help="override the pseudo-QTN cap in both routes (raw: "
+                        "the QTN bound; unified: the merge cap)")
     f.add_argument("--topk", type=int, default=100,
                    help="top-k SNP table size written per scan")
     f.add_argument("-q", "--qcov", type=int, default=0,
@@ -167,8 +168,10 @@ def main(argv=None) -> int:
         bins = tuple(int(float(x)) for x in args.farmcpu_bin_size.split(",")
                      if x.strip())
         t0 = time.monotonic()
+        raw_bound = (args.force_pseudo_qtn_cap
+                     if args.force_pseudo_qtn_cap else args.farmcpu_bound)
         raw = farmcpu_scan(pg, y, window_sizes=bins,
-                           qtn_bound=args.farmcpu_bound, **fc_kw)
+                           qtn_bound=raw_bound, **fc_kw)
         sec = time.monotonic() - t0
         results.append({"module": "farmcpu", "seconds": round(sec, 4),
                         "qtns": [int(i) for i in raw.qtns],

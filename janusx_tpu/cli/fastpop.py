@@ -78,7 +78,12 @@ def main(argv=None) -> int:
     if (args.npop is None) == (args.kspec is None):
         raise SystemExit("specify exactly one of -K/--npop or -k/--k")
     ks = [args.npop] if args.npop is not None else parse_k_spec(args.kspec)
-    ks = [k for k in ks if k >= 2] or ks
+    dropped = [k for k in ks if k < 2]
+    ks = [k for k in ks if k >= 2]
+    if dropped:
+        print(f"K < 2 has no ancestry decomposition; skipping K={dropped}")
+    if not ks:
+        raise SystemExit("-k/-K: need at least one K >= 2")
     if args.tag:
         prefix = f"{prefix}.{args.tag}"
     pg = prepare_packed(

@@ -318,11 +318,17 @@ def kstats_main(argv=None) -> int:
             else [_sample_id(p_) for p_ in args.inputs])
     if len(sids) != len(dbs):
         raise SystemExit("-sid count must match the number of inputs")
+    # --min-count applies to EVERY view below (per-sample stats, -pair
+    # matrices, -venn patterns), not just the stats table
+    dbs = [
+        {"codes": z["codes"][z["counts"] >= args.min_count],
+         "counts": z["counts"][z["counts"] >= args.min_count]}
+        if args.min_count > 1 else z
+        for z in dbs
+    ]
     print("sample\tn_kmers\ttotal_count\tmean_count\tmax_count")
     for sid, z in zip(sids, dbs):
         c = z["counts"]
-        if args.min_count > 1:
-            c = c[c >= args.min_count]
         print(
             f"{sid}\t{len(c)}\t{int(c.sum())}\t{c.mean():.2f}\t{int(c.max()) if len(c) else 0}"
         )

@@ -235,9 +235,7 @@ def main(argv=None) -> int:
             chrom = np.asarray(gd.sites.chrom, dtype=object).astype(str)
             pos = np.asarray(gd.sites.pos, np.int64)
             elig &= np.fromiter(
-                (bool(gi.query(c, int(p_))) or
-                 (ext > 0 and (bool(gi.query(c, int(p_) - ext)) or
-                               bool(gi.query(c, int(p_) + ext))))
+                (bool(gi.query(c, int(p_), window=ext))
                  for c, p_ in zip(chrom, pos)),
                 bool, count=gd.m)
         elig &= _ldms_causal_mask(args, gd)

@@ -37,10 +37,20 @@ from janusx_tpu.models.scan_common import ScanResult
 log = logging.getLogger("janusx_tpu.farmcpu")
 
 WINDOW_SIZES = (500_000, 5_000_000, 50_000_000)  # rMVP bin.size ladder
-DEFAULT_QB = 50  # default candidate-count ceiling of the REM grid
 DEFAULT_NBIN = 5  # reference --farmcpu-nbin default (workflow.py:6842)
-LEAD_COUNTS = (10, 20, 30, 40, 50)  # == _lead_count_grid(50, 5)
+LEAD_COUNTS = (10, 20, 30, 40, 50)  # legacy fixed ladder (tests/bench refs)
 MAX_LOOPS = 10
+
+
+def _default_qb(n: int) -> int:
+    """Reference QTNbound default when --farmcpu-qtn-bound is unset
+    (farmcpu.rs:4340-4352): max(1, floor(sqrt(n / log10 n)))."""
+    if n <= 2:
+        return 1
+    den = np.log10(n)
+    if not np.isfinite(den) or den <= 0:
+        return 1
+    return max(int(np.floor(np.sqrt(n / den))), 1)
 
 
 def _lead_count_grid(qb: int, nbin: int) -> tuple[int, ...]:
@@ -151,8 +161,9 @@ def farmcpu_scan(
         raise ValueError("--farmcpu-nbin must be >= 1")
     if lead_counts is None:
         # reference --farmcpu-nbin: candidate-grid denominator over the
-        # qtn-bound ceiling (farmcpu.rs:4354-4358)
-        lead_counts = _lead_count_grid(qtn_bound or DEFAULT_QB, nbin)
+        # qtn-bound ceiling; the ceiling defaults to sqrt(n / log10 n)
+        # like the reference (farmcpu.rs:4340-4358)
+        lead_counts = _lead_count_grid(qtn_bound or _default_qb(len(y)), nbin)
     pgq = pg if pg_qtn is None else pg_qtn
     if pgq.n != pg.n:
         raise ValueError("QTN-search panel sample count differs from the main panel")
@@ -383,7 +394,7 @@ def farmcpu_unified_scan(
     y = np.asarray(y, np.float64).reshape(-1)
     if nbin < 1:
         raise ValueError("--farmcpu-nbin must be >= 1")
-    lead_counts = _lead_count_grid(qtn_bound or DEFAULT_QB, nbin)
+    lead_counts = _lead_count_grid(qtn_bound or _default_qb(len(y)), nbin)
     m = pg.m
     if p_threshold is None:
         p_threshold = 1.0 / m  # reference default: 1 / tested_SNP_count

@@ -233,7 +233,14 @@ def count_kmers(
                     _check_add(lib, h, feed, mem_budget_bytes)
                     if (mem_budget_bytes and chunk_bytes < full_chunk
                             and lib.jx_kmt_spilling(h)):
-                        chunk_bytes = full_chunk
+                        # buckets absorb appends, but phase-1 staging still
+                        # holds ~one code per base of the chunk (8 B, 16 B
+                        # for k > 32) — cap the restored chunk so staging
+                        # stays inside the budget
+                        per_base = 17 if k > 32 else 9
+                        chunk_bytes = max(
+                            1 << 20,
+                            min(full_chunk, mem_budget_bytes // per_base))
         if carry:
             _check_add(lib, h, carry, mem_budget_bytes)
         wide = k > 32

@@ -341,15 +341,19 @@ def _simulate_logic_phenotype(gdata, g, gc, pool, *, n_qtl, h2, n_traits,
         epi_pairs.append((members[0], members[1], gate, e))
         term_log.append({"members": members, "gate": gate, "effect": e})
     n_terms = len(term_log)
-    avail = h2 - bg_pve
+    avail = min(h2 - bg_pve, 1.0 - bg_pve)
     block_pve = (min(float(cs_pve), avail) if cs_pve is not None
                  else min(0.05 * max(n_terms, 1), avail))
+    # reference variance ledger (script/simulation.py:1716): the residual
+    # share is 1 - bg_pve - cs_pve, so the realized causal PVE equals
+    # block_pve exactly (total variance 1) — deriving ve from vg*(1-h2)/h2
+    # here would rescale noise to whatever the block realized and make
+    # -cs-pve a no-op
     gv = _scaled(block, block_pve)
     if bg_pve > 0:
         beff = rng.normal(size=gdata.m)
         gv = gv + _scaled(gc.T @ beff, bg_pve)
-    vg = np.var(gv)
-    ve = vg * (1.0 - h2) / max(h2, 1e-9) if vg > 0 else 1.0
+    ve = max(1.0 - block_pve - bg_pve, 1e-9)
     phenos = np.empty((n, n_traits))
     for t_ in range(n_traits):
         phenos[:, t_] = gv + rng.normal(size=n) * np.sqrt(ve)

@@ -10,19 +10,19 @@ in-repo analog of the reference's 49/49 QTN parity claim vs rMVP
 (/root/reference/doc/release/v1.0.26.md:49).
 
 Recall budget (round-4, measured over seeds 0-2 x h2 {0.3, 0.6} at
-n=500, m=5000 with the reference tau=1/m default):
+n=500, m=5000 with the reference defaults: tau = 1/m, REM-grid ceiling
+qb = floor(sqrt(n / log10 n)) = 13, no p cut on REM lead sets):
 
-- raw `-farmcpu` recall 14-15/15 planted with 3-5 false Bonferroni hits
-  and LARGE pseudo-QTN sets (96-131 markers — rMVP-semantics threshold
-  0.01 accumulation). Most of that "recall" is blanket coverage: the
-  QTN windows tile much of the 5k-marker panel.
-- unified `-frgwas` recall 6-12/15 planted with 0 false hits and compact
-  QTN sets (9-22 markers). The planted markers it misses have NO
-  detectable signal at this n (marginal p 0.37-0.95); measured on the
-  DETECTABLE subset (marginal p < 1e-4) the unified route recovers
-  26/27 across the grid. The raw-vs-unified recall gap is therefore an
-  artifact of the blanket metric, not lost power — conservative merging
-  (r^2 >= 0.8/0.5, farmcpu.rs:44-68) is the route's design.
+- raw `-farmcpu`: blanket recall 8-11/15 planted, 0 false Bonferroni
+  hits, compact 18-26-marker pseudo-QTN sets, and 27/27 recall of the
+  DETECTABLE planted subset (marginal p < 1e-4). (An earlier qb=50
+  variant blanketed 96-131 markers, inflating blanket recall to 14-15
+  while adding 3-5 false hits — the reference qb formula is both more
+  faithful and better behaved.)
+- unified `-frgwas`: blanket recall 5-11/15, 0 false hits, 9-18-marker
+  sets, and the same 27/27 detectable recall. Planted markers either
+  route misses have NO detectable signal at this n (marginal p
+  0.37-0.95) — unrecoverable by any conditional scan.
 
 The grid script lives in scripts/farmcpu_recovery.py.
 """
@@ -73,8 +73,19 @@ def test_farmcpu_recovers_planted_qtns(h2, seed):
     pg, y, planted = _problem(500, 5000, h2, seed)
     out = farmcpu_scan(pg, y)
     recall, fp_sig = _recovery(pg, planted, out)
-    assert recall >= 12, f"recall {recall}/{len(planted)} (h2={h2} seed={seed})"
-    assert fp_sig <= 12, f"{fp_sig} false Bonferroni hits"
+    assert recall >= 7, f"recall {recall}/{len(planted)} (h2={h2} seed={seed})"
+    assert fp_sig <= 2, f"{fp_sig} false Bonferroni hits"
+    assert len(out.qtns) <= 40, f"raw QTN set blew up: {len(out.qtns)}"
+    # every DETECTABLE planted marker (marginal p < 1e-4) is recovered
+    from janusx_tpu.models.lm import lm_scan
+
+    marg = lm_scan(pg, np.asarray(y, np.float64).reshape(-1)).pwald
+    detectable = [int(i) for i in planted if marg[i] < 1e-4]
+    qtns = set(int(q) for q in out.qtns)
+    sig = set(np.nonzero(out.result.pwald < 0.01 / pg.m)[0].tolist())
+    found = qtns | sig
+    assert all(_near(pg, i, found) for i in detectable), (
+        f"farmcpu missed detectable QTNs (h2={h2} seed={seed})")
 
 
 @pytest.mark.parametrize("h2,seed", [(0.3, 2), (0.6, 1)])
@@ -82,7 +93,7 @@ def test_frgwas_recovers_planted_qtns(h2, seed):
     pg, y, planted = _problem(500, 5000, h2, seed)
     out = farmcpu_unified_scan(pg, y)
     recall, fp_sig = _recovery(pg, planted, out)
-    assert recall >= 6, f"recall {recall}/{len(planted)} (h2={h2} seed={seed})"
+    assert recall >= 5, f"recall {recall}/{len(planted)} (h2={h2} seed={seed})"
     # conservative-by-design: the unified route must stay clean and compact
     assert fp_sig == 0, f"frgwas false hits {fp_sig} (h2={h2} seed={seed})"
     assert len(out.qtns) <= 30, f"frgwas QTN set blew up: {len(out.qtns)}"

@@ -142,9 +142,11 @@ def test_farmcpu_qtn_sets_golden(ml_problem):
     for t in qtn:
         assert any(abs(int(q) - t) <= 2 for q in raw.qtns)
         assert any(abs(int(q) - t) <= 2 for q in uni.qtns)
-    # freeze: exact selections for this seed (update deliberately only)
-    assert raw.qtns.tolist() == [20, 65, 84, 286, 300, 350, 448]
-    assert uni.qtns.tolist() == [20, 300]
+    # freeze: exact selections for this seed (update deliberately only —
+    # round-4 re-freeze: reference REM-grid semantics landed, qb =
+    # sqrt(n/log10 n) default, no p cut on lead sets, tau = 1/m)
+    assert raw.qtns.tolist() == [20, 65, 84, 152, 238, 286, 300, 448]
+    assert uni.qtns.tolist() == [20, 65, 152, 300]
 
 
 def test_decode_rows_batched(ml_problem):
