@@ -66,3 +66,37 @@ def test_mouse_top_hits_frozen(mouse_lmm):
     # the chr17 region tops the scan
     top5 = set(pg.sites.snp[np.argsort(res.pwald)[:5]])
     assert top5 == set(EXPECTED_TOP)
+
+
+def test_mouse_gs_blup_accuracy(mouse_vcf, mouse_pheno, tmp_path):
+    """GS accuracy anchor vs the reference's published number: BLUP
+    5-fold CV on mouse_hs1940 trait test0 gives Pearson r = 0.704 in the
+    reference README (README.md:127); this pipeline lands at 0.705.
+    Band [0.68, 0.73] tolerates fold-shuffle differences only."""
+    from janusx_tpu.gs.workflow import GsConfig, run_gs
+
+    cfg = GsConfig(
+        genotype=mouse_vcf, phenotype=mouse_pheno,
+        out_prefix=str(tmp_path / "gs"), methods=("BLUP",), traits=["test0"],
+        cv=5,
+    )
+    results, summary = run_gs(cfg)
+    res = results["test0"]["BLUP"]
+    assert res.route == "GBLUP(add)"
+    r = summary["traits"]["test0"]["BLUP"]["cv"]["pearson"]
+    assert 0.68 <= r <= 0.73, f"mouse BLUP CV pearson {r} left the band"
+
+
+def test_mouse_bayesa_accuracy(mouse_vcf, mouse_pheno, tmp_path):
+    """BayesA accuracy anchor: reference README reports r = 0.709 on
+    mouse_hs1940 test0 (README.md:128). Band tolerates MCMC seed noise."""
+    from janusx_tpu.gs.workflow import GsConfig, run_gs
+
+    cfg = GsConfig(
+        genotype=mouse_vcf, phenotype=mouse_pheno,
+        out_prefix=str(tmp_path / "gsb"), methods=("BayesA",),
+        traits=["test0"], cv=5, write_outputs=False,
+    )
+    results, summary = run_gs(cfg)
+    r = summary["traits"]["test0"]["BayesA"]["cv"]["pearson"]
+    assert 0.67 <= r <= 0.74, f"mouse BayesA CV pearson {r} left the band"
