@@ -169,6 +169,7 @@ def kmerge_main(argv=None) -> int:
         ("--force", {"action": "store_true"},
          "outputs are always overwritten here"),
     ])
+    common.add_out_args(p, default_prefix="kmerged")
     args = p.parse_args(argv)
     prefix = common.out_prefix(args)
     common.warn_ignored_compat(p, args)

@@ -382,3 +382,62 @@ def test_kmer_cli_reference_flags_and_tree(tmp_path):
     d_cx = np.load(tmp_path / "kx.s1.k15.npz")
     assert (d_cx["counts"] <= 1).all()
     assert len(d_cx["codes"]) <= len(d_all["codes"])
+
+
+def test_kstats_kbin_compare_and_min_count(tmp_path):
+    """-kbin mode reads a kmerge bitmatrix for per-sample presence stats
+    and -compare group tables; --min-count filters every view."""
+    import numpy as np
+
+    from janusx_tpu.cli.kmer import kmerge_main, kstats_main
+
+    sets = {
+        "A": ([1, 2, 3, 10], [5, 1, 3, 2]),
+        "B": ([2, 3, 7], [2, 2, 9]),
+        "C": ([3, 10, 20], [1, 4, 4]),
+    }
+    paths = []
+    for sid, (codes, counts) in sets.items():
+        p = tmp_path / f"x.{sid}.k21.npz"
+        np.savez_compressed(p, codes=np.array(codes, np.uint64),
+                            counts=np.array(counts, np.uint32), k=21)
+        paths.append(str(p))
+    rc = kmerge_main(["-db", *paths, "-min-samples", "1",
+                      "-o", str(tmp_path), "-prefix", "km"])
+    assert rc == 0
+    rc = kstats_main(["-kbin", str(tmp_path / "km"),
+                      "-compare", "AB=A,B", "C",
+                      "-o", str(tmp_path), "-prefix", "kb"])
+    assert rc == 0
+    rows = [l.split("\t") for l in
+            open(tmp_path / "kb.compare.tsv").read().splitlines()]
+    assert rows[0] == ["group_a", "group_b", "only_a", "only_b", "shared",
+                       "jaccard"]
+    ga, gb, only_a, only_b, shared, _ = rows[1]
+    # kmerge keeps SEGREGATING k-mers only, so k-mer 3 (present in every
+    # sample) is absent from the matrix: group AB = {1,2,7,10}, C = {10,20}
+    assert (ga, gb) == ("AB", "group2")
+    assert (int(only_a), int(only_b), int(shared)) == (3, 1, 1)
+    # --min-count drops low-count k-mers from -pair/-venn too
+    rc = kstats_main(["-db", *paths, "--min-count", "3", "-pair",
+                      "intersection", "-venn",
+                      "-o", str(tmp_path), "-prefix", "mc"])
+    assert rc == 0
+    # after count >= 3: A={1,3}, B={7}, C={10,20} -> all intersections 0
+    inter = [l.split("\t") for l in
+             open(tmp_path / "mc.pair.intersection.tsv").read().splitlines()]
+    assert inter[2][1] == "0" and inter[3][1] == "0" and inter[3][2] == "0"
+
+
+def test_bench_two_point_fit():
+    """bench.py slope fit: the headline cancels a fixed per-call cost."""
+    import bench
+
+    # synthetic: 35 ms fixed + 0.8 us/SNP
+    m1, m2 = 144_000, 287_000
+    t1 = 0.035 + m1 * 0.8e-6
+    t2 = 0.035 + m2 * 0.8e-6
+    slope = (t2 - t1) / (m2 - m1)
+    assert abs(1.0 / slope - 1.25e6) < 1e3  # 1/0.8us = 1.25M SNPs/s
+    fixed_ms = (t2 - slope * m2) * 1e3
+    assert abs(fixed_ms - 35.0) < 1e-6
