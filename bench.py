@@ -32,9 +32,41 @@ cross-check. The driver target is >=10x per chip.
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
 
 import numpy as np
+
+# Honest relay watchdog: the axon tunnel sometimes goes down for hours
+# (jax.devices() then blocks forever). If the benchmark makes no progress
+# for WATCHDOG_S, print ONE diagnostic JSON line saying so and exit —
+# a recorded outage beats a driver-side timeout with no output.
+WATCHDOG_S = 480.0
+_progress = {"t": time.monotonic(), "stage": "init"}
+
+
+def _tick(stage: str) -> None:
+    _progress["t"] = time.monotonic()
+    _progress["stage"] = stage
+
+
+def _watchdog() -> None:
+    while True:
+        time.sleep(10)
+        idle = time.monotonic() - _progress["t"]
+        if idle > WATCHDOG_S:
+            print(json.dumps({
+                "metric": "lmm_scan_snps_per_sec_steady_state",
+                "value": None,
+                "unit": "SNPs/s",
+                "vs_baseline": None,
+                "error": "tpu_relay_unreachable",
+                "stalled_stage": _progress["stage"],
+                "stalled_seconds": round(idle, 1),
+            }), flush=True)
+            os._exit(3)
+
 
 ANALYTIC_BASELINE_SNPS_PER_SEC = 20_000.0  # retained cross-check only
 TILE_SMALL = 16  # ~144k SNPs
@@ -62,6 +94,10 @@ def measure_baseline(basis, y, Gc: np.ndarray, lg_init: float):
 
 
 def main() -> None:
+    # start the watchdog ONLY when run as a benchmark (importing bench
+    # from tests must not spawn a thread that can exit the process)
+    threading.Thread(target=_watchdog, daemon=True).start()
+    _tick("jax import")
     import jax
 
     from janusx_tpu.core.spectral import eigh_grm
@@ -72,6 +108,7 @@ def main() -> None:
     from janusx_tpu.models.lmm import lmm_scan
     from janusx_tpu.models.scan_common import analysis_sample_index
 
+    _tick("load vcf")
     raw = load_raw_packed("/root/reference/example/mouse_hs1940.vcf.gz")
     ph = load_phenotype("/root/reference/example/mouse_hs1940.pheno")
     y_all, _ = ph.align(raw.samples)
@@ -79,6 +116,7 @@ def main() -> None:
     keep = analysis_sample_index(y)
     qc = QcParams()
     pg_full = raw.prepare(qc)
+    _tick("grm (first device work)")
     K = grm_from_packed(pg_full)
     pg = raw.prepare(qc, sample_idx=keep)
     basis = eigh_grm(K[np.ix_(keep, keep)], diag_ridge=1e-6)
@@ -88,6 +126,7 @@ def main() -> None:
 
     # warm-up (compile + null fit + device-resident state cache); both m
     # values hit the same compiled superblock kernel
+    _tick("scan compile + warmup")
     res, null = lmm_scan(pg, basis, y[keep], block=4608)
     lmm_scan(big, basis, y[keep], block=4608, null=null)
     lmm_scan(small, basis, y[keep], block=4608, null=null)
@@ -95,6 +134,7 @@ def main() -> None:
     def timed(pgx, reps):
         ts = []
         for _ in range(reps):
+            _tick("timed scan")
             t0 = time.monotonic()
             lmm_scan(pgx, basis, y[keep], block=4608, null=null)
             ts.append(time.monotonic() - t0)
@@ -114,6 +154,7 @@ def main() -> None:
         slope_snps_per_sec = raw_snps_per_sec
         fixed_ms = 0.0
 
+    _tick("cpu baseline")
     base = measure_baseline(basis, y[keep], pg.centered(), null.log10_lbd)
     denom = base if base else ANALYTIC_BASELINE_SNPS_PER_SEC
     print(
