@@ -84,11 +84,23 @@ def iter_hapmap_chunks(path: str, chunk_snps: int = 4096) -> Iterator[GenotypeDa
             a1 = np.empty(m, object)
             for i, line in enumerate(buf):
                 f = line.rstrip("\n").split("\t") if "\t" in line else line.split()
+                if len(f) < N_META + n:
+                    raise ValueError(
+                        f"malformed HapMap row in {path}: expected "
+                        f"{N_META + n} columns ({n} samples), got {len(f)} "
+                        f"(row starts {line[:60]!r})"
+                    )
                 snp[i] = f[0]
                 ref, alt = _site_alleles(f[1])
                 a0[i], a1[i] = ref, alt
                 chrom[i] = f[2]
-                pos[i] = int(f[3])
+                try:
+                    pos[i] = int(f[3])
+                except ValueError:
+                    raise ValueError(
+                        f"malformed HapMap row in {path}: non-integer pos "
+                        f"{f[3]!r} at variant {f[0]!r}"
+                    ) from None
                 row = geno[i]
                 for j in range(n):
                     row[j] = _parse_cell(f[N_META + j], ref, alt)

@@ -112,6 +112,19 @@ def read_jxgrm(
     ).astype(np.float64)
     if col_ptr[-1] != nnz:
         raise ValueError(f"{path}: col_ptr[-1]={col_ptr[-1]} != nnz={nnz}")
+    # scipy.sparse.csc_matrix does NOT validate indices on construction —
+    # a corrupted file with out-of-range row indices or a non-monotonic
+    # col_ptr would segfault inside scipy's C kernels on first use
+    # (fuzz-found). Validate the CSC structure explicitly first.
+    if col_ptr[0] != 0:
+        raise ValueError(f"{path}: corrupt col_ptr (col_ptr[0]={col_ptr[0]})")
+    if (np.diff(col_ptr) < 0).any():
+        raise ValueError(f"{path}: corrupt col_ptr (non-monotonic)")
+    if nnz and (row_idx.min() < 0 or row_idx.max() >= n):
+        raise ValueError(
+            f"{path}: corrupt row indices (range "
+            f"[{row_idx.min()}, {row_idx.max()}] outside [0, {n}))"
+        )
     L = scipy.sparse.csc_matrix((values, row_idx, col_ptr), shape=(n, n))
     if not symmetrize:
         return L

@@ -1,0 +1,161 @@
+"""Seeded fuzz regression tests for the IO layer.
+
+Contract: every reader confronted with truncated, byte-corrupted, or junk
+input must either parse it or raise a clean, catchable error (ValueError /
+OSError / EOF-style) — never an internal exception (IndexError, KeyError,
+TypeError, ...) and never a hard crash. Two fuzz-found round-4 bugs are
+pinned explicitly:
+
+- HapMap rows with fewer columns than the header raised a bare IndexError
+  (io/hapmap.py row-width validation).
+- `.jxgrm` files with corrupted CSC structure (out-of-range row indices /
+  non-monotonic col_ptr) were handed to scipy.sparse.csc_matrix, which
+  does not validate — the first symmetrize then SEGFAULTED inside
+  scipy's C kernels (io/jxgrm.py structure validation).
+
+The reference's analogous surface is the mmap validation in
+/root/reference/src/math/cholesky.rs:283-345 and the malformed-input
+errors of src/io/gfcore.rs.
+"""
+
+import gzip
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from janusx_tpu.io.bin01 import Bin01Writer, read_bin01
+from janusx_tpu.io.gfreader import inspect_genotype_file, load_raw_packed
+from janusx_tpu.io.hapmap import read_hapmap
+from janusx_tpu.io.jxgrm import read_jxgrm, write_jxgrm
+from janusx_tpu.io.pheno import load_phenotype
+
+# exception types that count as "clean": deliberate validation or IO errors
+CLEAN = (ValueError, OSError, EOFError, RuntimeError, gzip.BadGzipFile)
+# internal exceptions = bugs
+BAD = (IndexError, KeyError, UnboundLocalError, AttributeError, TypeError,
+       ZeroDivisionError, RecursionError, StopIteration, SystemError,
+       MemoryError)
+
+VCF = (b"##fileformat=VCFv4.2\n"
+       b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\ts3\n"
+       b"1\t100\tv1\tA\tG\t.\t.\t.\tGT\t0/0\t0/1\t1/1\n"
+       b"1\t200\tv2\tT\tC\t.\t.\t.\tGT\t0/1\t./.\t1|1\n")
+HMP = (b"rs#\talleles\tchrom\tpos\tstrand\tassembly#\tcenter\tprotLSID\t"
+       b"assayLSID\tpanelLSID\tQCcode\ts1\ts2\ts3\n"
+       b"v1\tA/G\t1\t100\t+\tNA\tNA\tNA\tNA\tNA\tNA\tAA\tAG\tGG\n"
+       b"v2\tT/C\t1\t200\t+\tNA\tNA\tNA\tNA\tNA\tNA\tTC\tNN\tCC\n")
+TXT = b"id\ts1\ts2\ts3\nv1\t0\t1\t2\nv2\t1\tNA\t2\n"
+PHE = b"id\tt1\tt2\ns1\t1.0\t2.0\ns2\tNA\t0.5\ns3\t0.1\t-9\n"
+
+
+def _attempt(fn, *args):
+    try:
+        fn(*args)
+    except CLEAN:
+        pass
+    except BAD as e:  # pragma: no cover - only on regression
+        raise AssertionError(f"internal exception escaped a reader: {e!r}") from e
+
+
+def _mutations(data: bytes, rng, n_corrupt: int):
+    for cut in range(0, min(len(data), 48)):
+        yield data[:cut]
+    yield data[: len(data) // 2]
+    yield data[:-1]
+    for _ in range(n_corrupt):
+        buf = bytearray(data)
+        for _ in range(rng.integers(1, 6)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        yield bytes(buf)
+    for _ in range(8):
+        yield rng.integers(0, 256, size=rng.integers(0, 300),
+                           dtype=np.uint8).tobytes()
+
+
+@pytest.mark.parametrize("ext,data,gz", [
+    (".vcf", VCF, False),
+    (".vcf.gz", VCF, True),
+    (".hmp.txt", HMP, False),
+    (".txt", TXT, False),
+])
+def test_genotype_readers_survive_mutation(tmp_path, ext, data, gz):
+    rng = np.random.default_rng(20260820)
+    p = str(tmp_path / f"f{ext}")
+    for i, mut in enumerate(_mutations(data, rng, n_corrupt=40)):
+        payload = gzip.compress(mut) if gz else mut
+        with open(p, "wb") as fh:
+            fh.write(payload)
+        _attempt(inspect_genotype_file, p)
+        _attempt(load_raw_packed, p)
+
+
+def test_hapmap_short_row_is_clean_error(tmp_path):
+    """Fuzz-found: a data row narrower than the header must raise
+    ValueError naming the row, not IndexError."""
+    p = str(tmp_path / "x.hmp.txt")
+    with open(p, "wb") as fh:
+        fh.write(HMP.splitlines()[0] + b"\n")
+        fh.write(b"v1\tA/G\t1\t100\t+\tNA\tNA\tNA\tNA\tNA\tNA\tAA\n")  # 1 of 3
+    with pytest.raises(ValueError, match="malformed HapMap row"):
+        read_hapmap(p)
+    with open(p, "ab") as fh:
+        fh.write(b"v2\tT/C\t1\txx\t+\tNA\tNA\tNA\tNA\tNA\tNA\tTC\tNN\tCC\n")
+    with pytest.raises(ValueError, match="malformed HapMap row"):
+        read_hapmap(p)
+
+
+def test_jxgrm_corrupt_structure_is_clean_error(tmp_path):
+    """Fuzz-found segfault: corrupted row indices / col_ptr must be
+    rejected BEFORE scipy.sparse sees them."""
+    K = sp.random(6, 6, density=0.5, random_state=0, format="csc")
+    K = (K + K.T).tocsc()
+    p = str(tmp_path / "k.jxgrm")
+    write_jxgrm(p, K)
+    data = bytearray(open(p, "rb").read())
+
+    nnz = int(np.frombuffer(bytes(data[8:16]), "<u8")[0])
+    row_off = 16 + 7 * 8
+    # out-of-range row index
+    bad = bytearray(data)
+    bad[row_off:row_off + 4] = np.array([999], "<u4").tobytes()
+    with open(p, "wb") as fh:
+        fh.write(bytes(bad))
+    with pytest.raises(ValueError, match="corrupt row indices"):
+        read_jxgrm(p)
+    # non-monotonic col_ptr (keep col_ptr[-1] == nnz so we reach the check)
+    bad = bytearray(data)
+    bad[16 + 8:16 + 16] = np.array([nnz], "<u8").tobytes()  # col_ptr[1]=nnz
+    with open(p, "wb") as fh:
+        fh.write(bytes(bad))
+    with pytest.raises(ValueError, match="col_ptr"):
+        read_jxgrm(p)
+    # random corruption sweep: parse or clean error, never a crash
+    rng = np.random.default_rng(7)
+    for _ in range(120):
+        buf = bytearray(data)
+        for _ in range(rng.integers(1, 5)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        with open(p, "wb") as fh:
+            fh.write(bytes(buf))
+        _attempt(read_jxgrm, p)
+
+
+def test_bin01_and_pheno_survive_mutation(tmp_path):
+    rng = np.random.default_rng(3)
+    p = str(tmp_path / "a.bin")
+    w = Bin01Writer(p, 5, site_mode="tsv")
+    G = (rng.random((8, 5)) < 0.4).astype(np.uint8)
+    w.write_rows(G, [("1", i + 1, "A", "G") for i in range(8)])
+    (w.finish() if hasattr(w, "finish") else w.close())
+    data = open(p, "rb").read()
+    for mut in _mutations(data, rng, n_corrupt=60):
+        with open(p, "wb") as fh:
+            fh.write(mut)
+        _attempt(read_bin01, p)
+
+    q = str(tmp_path / "p.tsv")
+    for mut in _mutations(PHE, rng, n_corrupt=40):
+        with open(q, "wb") as fh:
+            fh.write(mut)
+        _attempt(load_phenotype, q)
