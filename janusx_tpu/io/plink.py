@@ -35,13 +35,23 @@ def read_fam(path: str) -> np.ndarray:
 def read_bim(path: str) -> SiteInfo:
     chrom, snp, pos, a1, a2 = [], [], [], [], []
     with open(path, "rt") as fh:
-        for line in fh:
+        for lineno, line in enumerate(fh, 1):
             f = line.split()
             if not f:
                 continue
+            if len(f) < 6:
+                raise ValueError(
+                    f"{path}:{lineno}: malformed .bim row (need 6 columns, "
+                    f"got {len(f)}: {line.rstrip()[:60]!r})"
+                )
             chrom.append(f[0])
             snp.append(f[1])
-            pos.append(int(f[3]))
+            try:
+                pos.append(int(f[3]))
+            except ValueError:
+                raise ValueError(
+                    f"{path}:{lineno}: non-integer bp position {f[3]!r}"
+                ) from None
             a1.append(f[4])
             a2.append(f[5])
     return SiteInfo(

@@ -141,6 +141,62 @@ def test_jxgrm_corrupt_structure_is_clean_error(tmp_path):
         _attempt(read_jxgrm, p)
 
 
+def test_bim_short_row_is_clean_error(tmp_path):
+    """Fuzz-found: .bim rows with <6 columns raised bare IndexError."""
+    from janusx_tpu.io.plink import read_bim
+
+    p = str(tmp_path / "a.bim")
+    with open(p, "wt") as fh:
+        fh.write("1\tv1\t0\t100\tA\tG\n1\tv2\t0\t200\n")
+    with pytest.raises(ValueError, match="malformed .bim row"):
+        read_bim(p)
+    with open(p, "wt") as fh:
+        fh.write("1\tv1\t0\tzz\tA\tG\n")
+    with pytest.raises(ValueError, match="non-integer bp"):
+        read_bim(p)
+
+
+def test_windowed_plink_triple_survives_mutation(tmp_path):
+    """WindowedBed over corrupted/truncated .bed/.bim/.fam members."""
+    from janusx_tpu.io import plink
+    from janusx_tpu.io.packed import QcParams
+    from janusx_tpu.io.windowed import WindowedBed
+
+    rng = np.random.default_rng(11)
+    bed = plink.BED_MAGIC + bytes(rng.integers(0, 256, size=2, dtype=np.uint8))
+    bim = b"1\tv1\t0\t100\tA\tG\n1\tv2\t0\t200\tT\tC\n"
+    fam = b"s1 s1 0 0 0 -9\ns2 s2 0 0 0 -9\ns3 s3 0 0 0 -9\n"
+    prefix = str(tmp_path / "a")
+
+    def write(b, bi, fa):
+        for ext, data in ((".bed", b), (".bim", bi), (".fam", fa)):
+            with open(prefix + ext, "wb") as fh:
+                fh.write(data)
+
+    def attempt():
+        try:
+            wp = WindowedBed(prefix).prepare(QcParams())
+            wp.take_snps(np.arange(wp.m))
+        except CLEAN:
+            pass
+        except BAD as e:  # pragma: no cover
+            raise AssertionError(f"internal exception: {e!r}") from e
+
+    for _ in range(120):
+        b2, bi, fa = bytearray(bed), bytearray(bim), bytearray(fam)
+        arr = (b2, bi, fa)[rng.integers(0, 3)]
+        for _ in range(rng.integers(1, 4)):
+            arr[rng.integers(0, len(arr))] = rng.integers(0, 256)
+        write(bytes(b2), bytes(bi), bytes(fa))
+        attempt()
+    for cut in range(len(bim)):
+        write(bed, bim[:cut], fam)
+        attempt()
+    for cut in range(len(bed)):
+        write(bed[:cut], bim, fam)
+        attempt()
+
+
 def test_bin01_and_pheno_survive_mutation(tmp_path):
     rng = np.random.default_rng(3)
     p = str(tmp_path / "a.bin")
