@@ -69,8 +69,20 @@ def make_rotated(
     n = basis.n
     ones = np.ones((n, 1), dtype=np.float64)
     X = ones if X_cov is None else np.concatenate([ones, np.asarray(X_cov, np.float64)], axis=1)
+    y = np.asarray(y, np.float64).reshape(-1)
+    # Exact reparameterization: subtract the (f64) OLS projection of y
+    # onto span(X) BEFORE rotating. REML is the likelihood of error
+    # contrasts and GLS SNP effects are translation-invariant in span(X),
+    # so every reported statistic (λ, vg/ve, REML/ML values, per-SNP
+    # beta/se/p, LRTs) is mathematically unchanged — but the downstream
+    # f32 G-side grams (fused decode+rotate scans) no longer lose
+    # precision to a large phenotype mean. Without this, a constant
+    # offset of ~10σ on y corrupted -log10 p by >1 unit (fuzz-found;
+    # tests/test_metamorphic.py::test_phenotype_affine_equivariance).
+    c, *_ = np.linalg.lstsq(X, y, rcond=None)
+    y = y - X @ c
     Xr = basis.U.T @ X
-    yr = basis.U.T @ np.asarray(y, np.float64).reshape(-1)
+    yr = basis.U.T @ y
     PXX = (Xr[:, :, None] * Xr[:, None, :]).reshape(n, -1)
     PXy = Xr * yr[:, None]
     Pyy = yr * yr

@@ -70,7 +70,14 @@ def spectral_problem(rng):
     rot = make_rotated(basis, y, cov)
     Gr = jnp.asarray(Gsnp @ basis.U, jnp.float64)
     X_design = np.concatenate([np.ones((n, 1)), cov], axis=1)
-    return basis, rot, Gr, X_design, y, Gsnp
+    # make_rotated residualizes y against span(X) (exact REML/GLS
+    # reparameterization; see core/reml.py). The independent numpy checks
+    # must compare on the same parameterization: the reference-parity
+    # 1e-6 ridge on X'V^-1 X makes the estimator translation-invariant
+    # only to O(ridge), which a rel=1e-8/1e-9 cross-check can see.
+    c, *_ = np.linalg.lstsq(X_design, y, rcond=None)
+    y_res = y - X_design @ c
+    return basis, rot, Gr, X_design, y_res, Gsnp
 
 
 def test_reml_matches_numpy(spectral_problem):
