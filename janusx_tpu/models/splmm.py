@@ -386,7 +386,9 @@ def splmm_exact_scan(
     XVX = X.T @ A_X
     Cv = np.linalg.inv(XVX)  # (X'V^-1X)^-1
     Xa = X.T @ a_y  # (p,)
-    yPy = float(y @ a_y) - float(Xa @ (Cv @ Xa))
+    CvXa = Cv @ Xa
+    Py_host = a_y - A_X @ CvXa  # f64, mean-free: P y
+    yPy = float(y @ a_y) - float(Xa @ CvXa)
     df = n - p - 1
     sigma2 = yPy / max(df, 1)
 
@@ -398,19 +400,24 @@ def splmm_exact_scan(
         _block = None
     else:
         quad_fn = bs.device_quad_fn(lbd)
-        Ayd = jnp.asarray(a_y, jnp.float32)
+        # Form Py = V^-1 y - V^-1 X (X'V^-1X)^-1 X'V^-1 y in f64 ON HOST
+        # before the f32 cast: a_y carries the full phenotype mean in its
+        # span(X) component, and computing g'Py on device as the small
+        # difference t1 - T2.CvXa of two large f32 dots leaked that mean
+        # (metamorphic-found: |dlogp| scaled linearly with a y offset).
+        # Py is mean-free, so one f32 dot per block is now exact-class —
+        # and one device op cheaper.
+        Pyd = jnp.asarray(Py_host, jnp.float32)
         AXd = jnp.asarray(A_X, jnp.float32)
-        CvXa_d = jnp.asarray(Cv @ Xa, jnp.float32)
         Cvd = jnp.asarray(Cv, jnp.float32)
 
         def _block_core(pk, mn):
             G = decode.decode_centered(pk, mn, dtype=jnp.float32)[:, :n]
             hp = jax.lax.Precision.HIGHEST
-            t1 = jnp.dot(G, Ayd, precision=hp)  # g'V^-1 y
             T2 = jnp.dot(G, AXd, precision=hp)  # g'V^-1 X  (B, p)
             gVg = quad_fn(G)
             gPg = gVg - jnp.einsum("bp,pq,bq->b", T2, Cvd, T2, precision=hp)
-            gPy = t1 - jnp.dot(T2, CvXa_d, precision=hp)
+            gPy = jnp.dot(G, Pyd, precision=hp)  # g'Py directly
             return gPy.astype(jnp.float64), gPg.astype(jnp.float64)
 
         if mesh is not None:
@@ -426,7 +433,6 @@ def splmm_exact_scan(
         else:
             _block = jax.jit(_block_core)
 
-    CvXa = Cv @ Xa
     m = pg.m
     block = min(block, m)
     if mesh is not None and _block is not None:
@@ -445,11 +451,10 @@ def splmm_exact_scan(
         if _block is None:
             for s0, e0 in iter_blocks(c1 - c0, block):
                 G = sub.take_snps(np.arange(s0, e0)).centered()  # (b, n)
-                t1 = G @ a_y
                 T2 = G @ A_X  # (b, p)
                 gVg = bs.quad(lbd, G.T)
                 gPgb = gVg - np.einsum("bp,pq,bq->b", T2, Cv, T2)
-                gPy = t1 - T2 @ CvXa
+                gPy = G @ Py_host
                 with np.errstate(divide="ignore", invalid="ignore"):
                     beta[c0 + s0:c0 + e0] = gPy / gPgb
                     se[c0 + s0:c0 + e0] = np.sqrt(sigma2 / gPgb)

@@ -188,6 +188,30 @@ def test_allele_flip_consistency(problem):
         np.testing.assert_allclose(r.pwald[m + k], r.pwald[src], rtol=1e-10)
 
 
+def test_splmm_affine_equivariance(problem):
+    """Sparse routes: y -> a*y + b leaves p-values unchanged and scales
+    beta by a. Regression for the exact scan's device g'Py path, which
+    used to compute t1 - T2.CvXa in f32 with the unprojected V^-1 y —
+    a phenotype offset leaked linearly into -log10 p (fixed by forming
+    the mean-free Py = a_y - A_X CvXa in f64 on host)."""
+    from janusx_tpu.models.splmm import splmm_exact_scan, splmm_grammar_scan
+
+    g, y, gd, pg, K = problem
+    a, b = 3.7, -11.0
+    for scan in (splmm_grammar_scan, splmm_exact_scan):
+        r0, _ = scan(pg, K, y)
+        r1, _ = scan(pg, K, a * y + b)
+        lp0 = -np.log10(np.maximum(r0.pwald, 1e-300))
+        lp1 = -np.log10(np.maximum(r1.pwald, 1e-300))
+        assert np.max(np.abs(lp1 - lp0)) < 1e-3, scan.__name__
+        np.testing.assert_allclose(r1.beta, a * r0.beta, rtol=5e-2,
+                                   atol=1e-4)
+        # an extreme pure shift must stay in the f64-projection class
+        r2, _ = scan(pg, K, y + 1e5)
+        lp2 = -np.log10(np.maximum(r2.pwald, 1e-300))
+        assert np.max(np.abs(lp2 - lp0)) < 2e-3, scan.__name__
+
+
 def test_assoc_api_flip_sign():
     """Raw-dosage API: recoding a column as 2-g must flip the sign of
     beta and preserve |beta|, se, p (reference LinearModel semantics)."""
