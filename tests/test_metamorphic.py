@@ -212,6 +212,59 @@ def test_splmm_affine_equivariance(problem):
         assert np.max(np.abs(lp2 - lp0)) < 2e-3, scan.__name__
 
 
+def test_gblup_affine_and_permutation(problem):
+    """GS: y -> a*y + b maps GEBV predictions to a*pred + b exactly
+    (lambda is affine-invariant); relabeling samples permutes
+    predictions with no numeric change."""
+    from janusx_tpu.gs.blup import fit_gblup, predict_gblup
+
+    g, y, gd, pg, K = problem
+    n = len(y)
+    rng = np.random.default_rng(2)
+    tr = np.arange(0, 160)
+    te = np.arange(160, n)
+    a, b = 2.5, 40.0
+    m0 = fit_gblup(K, y, tr)
+    m1 = fit_gblup(K, a * y + b, tr)
+    p0 = predict_gblup(m0, K, te)
+    p1 = predict_gblup(m1, K, te)
+    # residual is Brent-tolerance class (~1e-6), not f32
+    np.testing.assert_allclose(p1, a * p0 + b, rtol=0, atol=1e-4)
+    assert abs(m1.lbd - m0.lbd) < 1e-5
+
+    perm = rng.permutation(n)
+    inv = np.empty(n, int)
+    inv[perm] = np.arange(n)
+    Kp = K[np.ix_(perm, perm)]
+    mp = fit_gblup(Kp, y[perm], inv[tr])
+    pp = predict_gblup(mp, Kp, inv[te])
+    np.testing.assert_allclose(pp, p0, rtol=0, atol=1e-10)
+
+
+def test_bayes_affine_equivariance():
+    """Seeded Gibbs chains are affine-equivariant: with the same PRNG
+    stream, y -> a*y + b scales marker effects by a and maps mu to
+    a*mu + b. Exact for BayesA/Cpi (the chain is driven by standard
+    normals scaled by posterior sd); BayesB admits indicator flips on
+    borderline markers (MC discreteness), hence the looser bound."""
+    from janusx_tpu.gs.bayes import bayes_fit
+
+    rng = np.random.default_rng(3)
+    n, m = 150, 200
+    Z = rng.normal(size=(n, m))
+    Z = (Z - Z.mean(0)) / Z.std(0)
+    bt = np.zeros(m)
+    bt[rng.choice(m, 8, False)] = rng.normal(0, 0.5, 8)
+    y = Z @ bt + rng.normal(size=n)
+    a, b = 2.5, 40.0
+    for meth, tol in (("BayesA", 1e-4), ("BayesB", 5e-2), ("BayesCpi", 1e-4)):
+        b0, mu0 = bayes_fit(Z, y, meth, n_iter=120, burnin=60, seed=0)
+        b1, mu1 = bayes_fit(Z, a * y + b, meth, n_iter=120, burnin=60, seed=0)
+        scale = max(np.abs(a * b0).max(), 1e-12)
+        assert np.max(np.abs(b1 - a * b0)) / scale < tol, meth
+        assert abs(mu1 - (a * mu0 + b)) < 5e-3 * max(abs(a * mu0 + b), 1), meth
+
+
 def test_assoc_api_flip_sign():
     """Raw-dosage API: recoding a column as 2-g must flip the sign of
     beta and preserve |beta|, se, p (reference LinearModel semantics)."""
