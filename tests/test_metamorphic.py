@@ -265,6 +265,61 @@ def test_bayes_affine_equivariance():
         assert abs(mu1 - (a * mu0 + b)) < 5e-3 * max(abs(a * mu0 + b), 1), meth
 
 
+def test_workflow_subset_consistency(tmp_path):
+    """Samples with missing phenotype must not change results for the
+    phenotyped rest. LM is EXACT (the design only sees masked samples).
+    LMM agrees to GRM-semantics tolerance: the kinship is built once on
+    the full panel and trait-subset (reference load_or_build_grm
+    semantics, assoc/workflow.py:3123), so its allele frequencies see
+    the unphenotyped samples — a panel with those samples physically
+    absent has a slightly different K by construction."""
+    import pandas as pd
+
+    from janusx_tpu.io.plink import write_plink_genotypes
+    from janusx_tpu.workflows.gwas import GwasConfig, run_gwas
+
+    rng = np.random.default_rng(21)
+    m, n, drop = 400, 220, 40
+    g, y, gd = _panel(rng, m=m, n=n)
+    td = str(tmp_path)
+    pa = f"{td}/a"
+    write_plink_genotypes(pa, gd)
+    with open(f"{td}/a.pheno", "w") as fh:
+        fh.write("id\ttrait\n")
+        for j in range(n):
+            v = f"{y[j]:.10g}" if j < n - drop else "NA"
+            fh.write(f"i{j}\t{v}\n")
+    gd_b = GenotypeData(g[:, : n - drop], gd.sites, gd.samples[: n - drop])
+    pb = f"{td}/b"
+    write_plink_genotypes(pb, gd_b)
+    with open(f"{td}/b.pheno", "w") as fh:
+        fh.write("id\ttrait\n")
+        for j in range(n - drop):
+            fh.write(f"i{j}\t{y[j]:.10g}\n")
+
+    def run(prefix, models, tag):
+        cfg = GwasConfig(
+            genotype=f"{prefix}.bed", phenotype=f"{prefix}.pheno",
+            models=models, out_prefix=f"{td}/out_{tag}",
+            force_model=True, maf=0.0, geno=1.0, het=1.0,
+        )
+        return pd.read_csv(run_gwas(cfg)[0].tsv_path, sep="\t")
+
+    for models, tol in ((("lm",), 0.0), (("lmm",), 2e-2)):
+        da = run(pa, models, f"a{models[0]}")
+        db = run(pb, models, f"b{models[0]}")
+        assert len(da) == len(db) == m
+        assert (da.snp.values == db.snp.values).all()
+        lpa = -np.log10(np.maximum(da.pwald.values, 1e-300))
+        lpb = -np.log10(np.maximum(db.pwald.values, 1e-300))
+        d = np.max(np.abs(lpa - lpb))
+        if tol == 0.0:
+            assert d == 0.0, models
+            np.testing.assert_array_equal(da.beta.values, db.beta.values)
+        else:
+            assert d < tol, (models, d)
+
+
 def test_assoc_api_flip_sign():
     """Raw-dosage API: recoding a column as 2-g must flip the sign of
     beta and preserve |beta|, se, p (reference LinearModel semantics)."""
