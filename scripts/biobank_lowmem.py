@@ -78,6 +78,17 @@ def main():
     ap.add_argument("--n", type=int, default=10_000)
     ap.add_argument("--dir", default="/tmp/jx_biobank")
     ap.add_argument("--keep", action="store_true", help="keep the BED files")
+    ap.add_argument("--route", default="lm", choices=("lm", "splmm", "both"),
+                    help="lm = windowed OLS scan; splmm = the reference's "
+                         "headline workflow (band-streamed sparse GRM -> "
+                         "sparse null -> GRAMMAR-gamma scan)")
+    ap.add_argument("--window", type=int, default=1 << 14,
+                    help="QC/streaming window in SNPs (host packed bytes "
+                         "per window = window * n/4)")
+    ap.add_argument("--max-resident", type=int, default=1 << 15,
+                    help="scan superblock residency in SNPs")
+    ap.add_argument("--row-band", type=int, default=4096,
+                    help="sparse-GRM row-band height (host band = band*n*4 B)")
     args = ap.parse_args()
 
     os.makedirs(args.dir, exist_ok=True)
@@ -91,23 +102,49 @@ def main():
     from janusx_tpu.models.lm import lm_scan
 
     t0 = time.time()
-    wb = WindowedBed(prefix)
+    wb = WindowedBed(prefix, window=args.window)
     wp = wb.prepare(QcParams())
-    wp.max_resident_snps = 1 << 17
+    wp.max_resident_snps = args.max_resident
     t_qc = time.time() - t0
     print(f"QC pass: m_kept={wp.m} in {t_qc:.0f}s, "
           f"peak RSS {peak_rss_mb():.0f} MB", flush=True)
 
     rng = np.random.default_rng(1)
     y = rng.normal(size=wp.n)
-    t0 = time.time()
-    res = lm_scan(wp, y)
-    t_scan = time.time() - t0
-    assert np.isfinite(res.pwald).all()
+    stages = {"qc_s": round(t_qc)}
+    if args.route in ("lm", "both"):
+        t0 = time.time()
+        res = lm_scan(wp, y)
+        t_scan = time.time() - t0
+        assert np.isfinite(res.pwald).all()
+        stages["lm_scan_s"] = round(t_scan)
+        print(f"lm_scan: {wp.m} SNPs in {t_scan:.0f}s "
+              f"({wp.m/t_scan:.0f} SNPs/s), peak RSS {peak_rss_mb():.0f} MB",
+              flush=True)
+    if args.route in ("splmm", "both"):
+        from janusx_tpu.models.splmm import (
+            build_sparse_grm, splmm_grammar_scan,
+        )
+
+        t0 = time.time()
+        Ks = build_sparse_grm(wp, row_band=args.row_band)
+        t_grm = time.time() - t0
+        stages["spgrm_s"] = round(t_grm)
+        nnz_off = Ks.nnz - args.n
+        print(f"sparse GRM: n={Ks.shape[0]} nnz={Ks.nnz} "
+              f"(off-diag kept {nnz_off}) in {t_grm:.0f}s, "
+              f"peak RSS {peak_rss_mb():.0f} MB", flush=True)
+        t0 = time.time()
+        res, info = splmm_grammar_scan(wp, Ks, y)
+        t_scan = time.time() - t0
+        assert np.isfinite(res.pwald).all()
+        stages["splmm_scan_s"] = round(t_scan)
+        print(f"splmm grammar scan: {wp.m} SNPs in {t_scan:.0f}s "
+              f"({wp.m/t_scan:.0f} SNPs/s), lambda={info.get("lambda_null", "?")}, "
+              f"peak RSS {peak_rss_mb():.0f} MB", flush=True)
     peak = peak_rss_mb()
-    print(f"lm_scan: {wp.m} SNPs in {t_scan:.0f}s "
-          f"({wp.m/t_scan:.0f} SNPs/s), peak RSS {peak:.0f} MB", flush=True)
-    print(f"RESULT peak_rss_mb={peak:.0f} qc_s={t_qc:.0f} scan_s={t_scan:.0f} "
+    stage_txt = " ".join(f"{k}={v}" for k, v in stages.items())
+    print(f"RESULT route={args.route} peak_rss_mb={peak:.0f} {stage_txt} "
           f"m={wp.m} n={wp.n}", flush=True)
     if not args.keep:
         for ext in (".bed", ".bim", ".fam"):
