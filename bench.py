@@ -18,6 +18,25 @@ m=287k swung 0.79-1.32M SNPs/s purely from that term). The raw m2
 quotient is reported alongside as `value_raw`, and the fixed cost as
 `fixed_ms_per_call`.
 
+Outage-proofing (round-5): `python bench.py` is now an ORCHESTRATOR that
+never emits `value: null`. It probes device availability in a killable
+subprocess (the axon tunnel can make `jax.devices()` block forever —
+only a subprocess can be reclaimed from that), retries with backoff for
+up to JX_BENCH_OUTAGE_BUDGET_S (default 2100 s), runs the actual
+measurement (`bench.py --measure`) as a bounded subprocess, and on final
+failure emits a LABELED CPU-backend fallback measurement
+(`"backend": "cpu_fallback"`) with the outage diagnostics attached —
+a judged number exists under any relay weather.
+
+MFU (round-5): the measurement reports model-FLOPs utilization computed
+from an analytic per-SNP FLOPs model (see `flops_per_snp()`: eigenbasis
+rotate 2·n·n_eig + three λ-lattice selection grams 6·n_eig·G + stacked
+final grams) divided by the v5e-chip bf16 peak (197 TFLOP/s). The rotate
+executes in f32-HIGHEST (≈6 bf16 MXU passes per f32 matmul), so the
+*hardware* FLOPs are higher than the model FLOPs counted here — the MFU
+reported is the honest "useful work / peak" number, not an
+achieved-TFLOPs ratio. See BENCH_NOTES.md for the derivation.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 vs_baseline divides by a MEASUREMENT: the reference's scan loop
@@ -33,15 +52,153 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import threading
 import time
 
 import numpy as np
 
-# Honest relay watchdog: the axon tunnel sometimes goes down for hours
-# (jax.devices() then blocks forever). If the benchmark makes no progress
-# for WATCHDOG_S, print ONE diagnostic JSON line saying so and exit —
-# a recorded outage beats a driver-side timeout with no output.
+ANALYTIC_BASELINE_SNPS_PER_SEC = 20_000.0  # retained cross-check only
+TILE_SMALL = 16  # ~144k SNPs
+TILE_BIG = 32  # ~287k SNPs
+
+# v5e single-chip peak dense-matmul throughput (bf16 MXU), FLOP/s.
+V5E_PEAK_BF16_FLOPS = 197e12
+
+# ---------------------------------------------------------------------------
+# Orchestrator (default entry): probe -> measure -> labeled fallback.
+# ---------------------------------------------------------------------------
+
+PROBE_TIMEOUT_S = 120.0
+PROBE_RETRY_SLEEP_S = 60.0
+# Total wall budget spent waiting for the relay before falling back to the
+# labeled CPU measurement. 2100 s ~= the "retry for up to ~40 min" ask,
+# leaving headroom for the CPU fallback run inside a 1 h driver window.
+OUTAGE_BUDGET_S = float(os.environ.get("JX_BENCH_OUTAGE_BUDGET_S", "2100"))
+MEASURE_TIMEOUT_S = float(os.environ.get("JX_BENCH_MEASURE_TIMEOUT_S", "1500"))
+CPU_MEASURE_TIMEOUT_S = float(os.environ.get("JX_BENCH_CPU_TIMEOUT_S", "3000"))
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "d = jax.devices();"
+    "x = jnp.zeros((128, 128), jnp.float32);"
+    "v = float((x @ x).sum());"
+    "print('PROBE_OK', d[0].platform, len(d))"
+)
+
+
+def _run_child(argv, timeout_s, extra_env=None):
+    """Run a child process; return (rc, stdout, stderr). rc=-1 on timeout
+    (the child is killed — the only way to reclaim a hung relay call)."""
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    try:
+        cp = subprocess.run(
+            argv, capture_output=True, text=True, timeout=timeout_s, env=env
+        )
+        return cp.returncode, cp.stdout, cp.stderr
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or ""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        return -1, out, "timeout"
+
+
+def _probe_device() -> tuple[bool, str]:
+    rc, out, err = _run_child(
+        [sys.executable, "-c", _PROBE_SRC], PROBE_TIMEOUT_S
+    )
+    if rc == 0 and "PROBE_OK" in out:
+        plat = out.split("PROBE_OK", 1)[1].split()
+        return True, plat[0] if plat else "unknown"
+    return False, (err or out).strip()[-200:]
+
+
+def _run_measure(timeout_s, extra_env=None):
+    """Run `bench.py --measure`; return the parsed result dict or None."""
+    rc, out, err = _run_child(
+        [sys.executable, os.path.abspath(__file__), "--measure"],
+        timeout_s,
+        extra_env,
+    )
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if d.get("value") is not None:
+                return d
+            return None  # child's own watchdog fired mid-run
+    return None
+
+
+def orchestrate() -> None:
+    t_start = time.monotonic()
+    attempts: list[dict] = []
+    measure_failures = 0
+    while time.monotonic() - t_start < OUTAGE_BUDGET_S:
+        ok, info = _probe_device()
+        attempts.append({"probe_ok": ok, "info": info,
+                         "t": round(time.monotonic() - t_start, 1)})
+        if ok:
+            res = _run_measure(MEASURE_TIMEOUT_S)
+            if res is not None:
+                res["backend"] = info
+                res["probe_attempts"] = len(attempts)
+                res["outage_wait_s"] = round(
+                    time.monotonic() - t_start
+                    - (res.get("measure_wall_s") or 0), 1)
+                print(json.dumps(res), flush=True)
+                return
+            # probe passed but the measurement stalled/died: relay dropped
+            # mid-run, or a real bug. Retry a bounded number of times.
+            measure_failures += 1
+            attempts.append({"probe_ok": True, "info": "measure_failed",
+                             "t": round(time.monotonic() - t_start, 1)})
+            if measure_failures >= 3:
+                break  # persistent: not weather — take the labeled fallback
+        time.sleep(PROBE_RETRY_SLEEP_S)
+
+    # Final fallback: measure on the CPU backend (local, no relay) and
+    # LABEL it. The vs_baseline denominator (the measured native CPU
+    # reference loop) is backend-independent, so the ratio stays honest.
+    # NOTE: JAX_PLATFORMS env is frozen by the environment's sitecustomize
+    # (it imports jax at interpreter start); JX_TPU_PLATFORM goes through
+    # janusx_tpu.__init__'s jax.config.update, which still works.
+    res = _run_measure(CPU_MEASURE_TIMEOUT_S, {"JX_TPU_PLATFORM": "cpu"})
+    diag = {
+        "backend": "cpu_fallback",
+        "fallback_reason": "tpu_relay_unreachable"
+        if measure_failures < 3 else "tpu_measure_failed_repeatedly",
+        "probe_attempts": len(attempts),
+        "probe_log_tail": attempts[-4:],
+        "outage_wait_s": round(time.monotonic() - t_start, 1),
+    }
+    if res is not None:
+        res.update(diag)
+        print(json.dumps(res), flush=True)
+        return
+    # Should be unreachable (the CPU backend needs no relay); emit the
+    # diagnostics rather than nothing at all.
+    diag.update({
+        "metric": "lmm_scan_snps_per_sec_steady_state",
+        "value": None, "unit": "SNPs/s", "vs_baseline": None,
+        "error": "cpu_fallback_measure_failed",
+    })
+    print(json.dumps(diag), flush=True)
+    sys.exit(3)
+
+
+# ---------------------------------------------------------------------------
+# Measurement child (`--measure`).
+# ---------------------------------------------------------------------------
+
+# Honest in-child watchdog: if the relay dies mid-measurement the child
+# prints ONE diagnostic line and exits; the orchestrator then retries.
 WATCHDOG_S = 480.0
 _progress = {"t": time.monotonic(), "stage": "init"}
 
@@ -68,9 +225,18 @@ def _watchdog() -> None:
             os._exit(3)
 
 
-ANALYTIC_BASELINE_SNPS_PER_SEC = 20_000.0  # retained cross-check only
-TILE_SMALL = 16  # ~144k SNPs
-TILE_BIG = 32  # ~287k SNPs
+def flops_per_snp(n: int, n_eig: int, grid_points: int, p: int = 1) -> float:
+    """Analytic model FLOPs per scanned SNP (useful work, not hardware
+    passes): eigenbasis rotate (one (m,n)@(n,n_eig) matmul), the three
+    λ-lattice selection grams ((m,n_eig)@(n_eig,G) each), and the two
+    stacked final gram products ((m,n_eig)@(n_eig,p²+p+1) and @(n_eig,p+1)).
+    Decode/elementwise/argmin are O(n) or O(G) adds — negligible and
+    excluded. Matches the stage ablation in BENCH_NOTES.md (lattice grams
+    ~50% of rotate FLOPs at G=256, n_eig≈1410)."""
+    rotate = 2.0 * n * n_eig
+    lattice = 3 * 2.0 * n_eig * grid_points
+    finals = 2.0 * n_eig * ((p * p + p + 1) + (p + 1))
+    return rotate + lattice + finals
 
 
 def measure_baseline(basis, y, Gc: np.ndarray, lg_init: float):
@@ -93,13 +259,15 @@ def measure_baseline(basis, y, Gc: np.ndarray, lg_init: float):
     return big.shape[0] / min(times)
 
 
-def main() -> None:
+def run_measure() -> None:
+    t_measure0 = time.monotonic()
     # start the watchdog ONLY when run as a benchmark (importing bench
     # from tests must not spawn a thread that can exit the process)
     threading.Thread(target=_watchdog, daemon=True).start()
     _tick("jax import")
     import jax
 
+    from janusx_tpu import config
     from janusx_tpu.core.spectral import eigh_grm
     from janusx_tpu.io.gfreader import load_raw_packed
     from janusx_tpu.io.packed import PackedGenotypes, QcParams
@@ -108,6 +276,7 @@ def main() -> None:
     from janusx_tpu.models.lmm import lmm_scan
     from janusx_tpu.models.scan_common import analysis_sample_index
 
+    platform = jax.devices()[0].platform
     _tick("load vcf")
     raw = load_raw_packed("/root/reference/example/mouse_hs1940.vcf.gz")
     ph = load_phenotype("/root/reference/example/mouse_hs1940.pheno")
@@ -154,6 +323,14 @@ def main() -> None:
         slope_snps_per_sec = raw_snps_per_sec
         fixed_ms = 0.0
 
+    # MFU: analytic model FLOPs per SNP x measured SNPs/s / chip peak.
+    n_keep = int(keep.shape[0])
+    grid_points = config.knob("JX_TPU_GRID_POINTS")
+    fps = flops_per_snp(n_keep, n_keep, grid_points)
+    on_tpu = platform not in ("cpu",)
+    mfu = (fps * slope_snps_per_sec / V5E_PEAK_BF16_FLOPS) if on_tpu else None
+    mfu_raw = (fps * raw_snps_per_sec / V5E_PEAK_BF16_FLOPS) if on_tpu else None
+
     _tick("cpu baseline")
     base = measure_baseline(basis, y[keep], pg.centered(), null.log10_lbd)
     denom = base if base else ANALYTIC_BASELINE_SNPS_PER_SEC
@@ -169,12 +346,27 @@ def main() -> None:
                 "fixed_ms_per_call": round(fixed_ms, 1),
                 "m_small": small.m,
                 "m_big": big.m,
+                "platform": platform,
+                "mfu": None if mfu is None else round(mfu, 4),
+                "mfu_raw": None if mfu_raw is None else round(mfu_raw, 4),
+                "flops_per_snp": round(fps, 0),
+                "mfu_peak_flops": V5E_PEAK_BF16_FLOPS,
+                "mfu_peak_kind": "v5e_bf16_dense",
+                "measure_wall_s": round(time.monotonic() - t_measure0, 1),
                 "baseline_snps_per_sec": None if base is None else round(base, 1),
                 "baseline_kind": "measured_cpu_reference_loop" if base else "analytic_fallback",
                 "baseline_analytic_snps_per_sec": ANALYTIC_BASELINE_SNPS_PER_SEC,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main() -> None:
+    if "--measure" in sys.argv[1:]:
+        run_measure()
+    else:
+        orchestrate()
 
 
 if __name__ == "__main__":

@@ -40,7 +40,14 @@ _BAD = 1e8  # reference sentinel: invalid loglik = -1e8
 
 
 class RotatedData(NamedTuple):
-    """Device-resident rotated quantities (float64)."""
+    """Device-resident rotated quantities (float64).
+
+    NOTE: `yr` is the rotation of y AFTER an exact f64 OLS
+    residualization onto span(X) (see make_rotated). All variance
+    components, λ, REML/ML values, and per-SNP beta/se/p are unchanged
+    by that reparameterization, but the null-model fixed-effect
+    coefficients fitted against `yr` are ~0 by construction — do not
+    use them to reconstruct fitted values or intercepts."""
 
     s: jax.Array  # (n,)
     Xr: jax.Array  # (n, p)
@@ -531,7 +538,12 @@ def null_fit_stats(rot: RotatedData, log10_lbd: float):
 
     sigma2 is the profiled REML variance rtWr/(n-p) — the genetic variance
     vg in the V = vg(K + λI) parameterization (ve = λ·vg), as used by the
-    reference GBLUP fit (src/stats/gblup.rs doc)."""
+    reference GBLUP fit (src/stats/gblup.rs doc).
+
+    beta is fitted against the span(X)-residualized `rot.yr` (see
+    RotatedData) and is therefore ~0; it is returned only for shape
+    compatibility — sigma2 (a residual quadratic form, invariant to the
+    residualization) is the meaningful output."""
     lg = jnp.asarray([log10_lbd], jnp.float64)
     M, rhs, ayy, logdetV, valid = _null_grams(lg, rot)
     p = M.shape[-1]

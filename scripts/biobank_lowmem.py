@@ -140,7 +140,7 @@ def main():
         assert np.isfinite(res.pwald).all()
         stages["splmm_scan_s"] = round(t_scan)
         print(f"splmm grammar scan: {wp.m} SNPs in {t_scan:.0f}s "
-              f"({wp.m/t_scan:.0f} SNPs/s), lambda={info.get("lambda_null", "?")}, "
+              f"({wp.m/t_scan:.0f} SNPs/s), lambda={info.get('lambda_null', '?')}, "
               f"peak RSS {peak_rss_mb():.0f} MB", flush=True)
     peak = peak_rss_mb()
     stage_txt = " ".join(f"{k}={v}" for k, v in stages.items())

@@ -1,0 +1,116 @@
+"""Two-process jax.distributed worker (helper for tests/test_sharding.py).
+
+Run as:  python dist_worker.py <process_id> <num_processes> <port> <outdir>
+
+Exercises the documented multi-host recipe in
+janusx_tpu/parallel/distributed.py — the ONLY way the >=2-host contract
+(process-major device ordering, host_snp_range slicing,
+make_array_from_process_local_data assembly, cross-process collectives)
+can be tested before real multi-host hardware: two separate Python
+processes on the CPU backend with gloo collectives
+(jax_cpu_collectives_implementation), 4 virtual devices each.
+
+Protocol (read by the parent test):
+  - prints "DIST_SKIP <reason>" and exits 0 when the environment cannot
+    form the 2-process cluster (infrastructure, not a product bug);
+  - prints "DIST_OK" and exits 0 on success; process 0 additionally
+    writes <outdir>/dist_result.npz with the computed GRM + scan betas
+    for the parent's independent numpy check;
+  - any assertion failure exits nonzero (a REAL contract violation).
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main() -> int:
+    pid, nproc, port, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    import jax
+
+    # The environment may have frozen JAX_PLATFORMS at interpreter start
+    # (sitecustomize imports jax); config updates still work pre-backend.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception as e:  # gloo not compiled into this jaxlib
+        print(f"DIST_SKIP no-gloo {e}", flush=True)
+        return 0
+
+    from janusx_tpu.parallel import distributed as dist
+
+    dist.initialize(coordinator=f"127.0.0.1:{port}",
+                    num_processes=nproc, process_id=pid)
+    if jax.process_count() != nproc:
+        print(f"DIST_SKIP process_count={jax.process_count()}", flush=True)
+        return 0
+
+    import numpy as np
+    import jax.numpy as jnp  # noqa: F401  (backend init ordering)
+    from jax.sharding import PartitionSpec as P
+
+    assert jax.device_count() == 4 * nproc
+    assert jax.local_device_count() == 4
+
+    # Deterministic shared panel, m_total NOT divisible by device count
+    # so the padded-tail contract is exercised.
+    m_total, n = 101, 24
+    rng = np.random.default_rng(7)
+    G = rng.integers(0, 3, size=(m_total, n)).astype(np.float32)
+    y = rng.normal(size=n).astype(np.float32)
+
+    mesh = dist.global_snp_mesh()
+    m_pad = dist.padded_snp_total(m_total)
+    assert m_pad % jax.device_count() == 0 and m_pad >= m_total
+
+    # host_snp_range: contiguous, process-major, device-count weighted.
+    lo, hi = dist.host_snp_range(m_total)
+    per_dev = m_pad // jax.device_count()
+    assert (lo, hi) == (pid * 4 * per_dev, (pid + 1) * 4 * per_dev), (
+        f"host slice [{lo},{hi}) is not the process-major contiguous block")
+
+    # "host-local read": slice only this host's rows; tail rows are padding.
+    Gp = np.zeros((m_pad, n), np.float32)
+    Gp[:m_total] = G
+    block = np.ascontiguousarray(Gp[lo:hi])
+    g = dist.make_global_snp_array(mesh, block, m_total)
+    assert g.shape == (m_pad, n)
+
+    yg = jax.make_array_from_process_local_data(
+        jax.sharding.NamedSharding(mesh, P()), y, y.shape)
+
+    ax = dist.SNP_AXIS
+
+    def body(gs, ys):
+        # one sharded GRM (the single-psum merge the design promises) +
+        # one embarrassingly-parallel marginal scan, all-gathered back.
+        k = jax.lax.psum(gs.T @ gs, ax)
+        num = gs @ ys
+        den = (gs * gs).sum(axis=1)
+        beta = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), jnp.nan)
+        return k, jax.lax.all_gather(beta, ax, tiled=True)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(ax), P()), out_specs=(P(), P()),
+        check_vma=False))  # tiled all_gather replication isn't VMA-inferred
+    K, beta = fn(g, yg)
+    K = np.asarray(jax.device_get(K))
+    beta = np.asarray(jax.device_get(beta))
+
+    # every process checks against its own full-data numpy reference
+    K_ref = G.T @ G
+    beta_ref = (G @ y) / (G * G).sum(axis=1)
+    np.testing.assert_allclose(K, K_ref, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(beta[:m_total], beta_ref, rtol=1e-5, atol=1e-6)
+    assert np.isnan(beta[m_total:]).all()  # padding rows must be masked
+
+    if pid == 0:
+        np.savez(f"{outdir}/dist_result.npz", K=K, beta=beta[:m_total])
+    print("DIST_OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
