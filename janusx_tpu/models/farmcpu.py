@@ -131,6 +131,10 @@ class FarmcpuResult:
     result: ScanResult
     qtns: np.ndarray  # indices of final pseudo-QTNs
     loops: int
+    # per-loop selected QTN sets (after threshold/prune/bound, in loop
+    # order, including the converged repeat) — selection-dynamics trace
+    # for the independent cross-check suite (tests/test_farmcpu_independent.py)
+    loop_sets: list = None
 
 
 def farmcpu_scan(
@@ -182,6 +186,7 @@ def farmcpu_scan(
 
     qtns = np.array([], dtype=np.int64)
     history = []
+    loop_sets: list = []
     pvals = None
     loop = -1  # max_loops=0 -> final scan only
     for loop in range(max_loops):
@@ -198,7 +203,8 @@ def farmcpu_scan(
             log.info("farmcpu: no marker passes threshold %.3g", p_threshold)
             if pg_qtn is not None:
                 res = lm_scan(pg, y, covariates, block=block, mesh=mesh)
-            return FarmcpuResult(result=res, qtns=qtns, loops=loop + 1)
+            return FarmcpuResult(result=res, qtns=qtns, loops=loop + 1,
+                                 loop_sets=loop_sets)
 
         # REM bin-size/lead-count selection: the grid is scored on the
         # UNFILTERED per-window lead sets; the qtn-threshold rule applies
@@ -228,6 +234,7 @@ def farmcpu_scan(
             cand = cand[np.argsort(pvals[cand])[:qtn_bound]]
             cand = np.sort(cand)
         key = tuple(cand.tolist())
+        loop_sets.append(key)
         if np.array_equal(cand, qtns) or key in history:
             qtns = cand  # fixed point or 2-cycle -> converged
             break
@@ -244,7 +251,8 @@ def farmcpu_scan(
     if len(qtns) and pg_qtn is None:
         qp = _qtn_pvalues(pg, y, covariates, qtns)
         final.pwald[qtns] = qp
-    return FarmcpuResult(result=final, qtns=qtns, loops=loop + 1)
+    return FarmcpuResult(result=final, qtns=qtns, loops=loop + 1,
+                         loop_sets=loop_sets)
 
 
 def _decode_rows(pg: PackedGenotypes, idx: np.ndarray) -> np.ndarray:
