@@ -20,7 +20,9 @@ def build_parser(prog="jx fastpop") -> argparse.ArgumentParser:
                         "1:10), stepped (1..10..3, 1:10:3), or list (1,5,8)")
     o.add_argument("-iter", "--iter", "-max-iter", "--max-iter", dest="iter",
                    type=int, default=300, help="max Adam iterations")
-    o.add_argument("-lr", "--lr", type=float, default=0.05)
+    o.add_argument("-lr", "--lr", type=float, default=None,
+                   help="learning rate (default: 0.005 for adam-em per the "
+                        "reference ADAMixtureConfig, 0.05 for adam)")
     o.add_argument("-tol", "--tol", type=float, default=1e-5,
                    help="convergence tolerance on the relative log-likelihood "
                         "improvement (reference -tol; 0 disables)")
@@ -29,9 +31,9 @@ def build_parser(prog="jx fastpop") -> argparse.ArgumentParser:
                         "iterations (reference -check; 0 disables)")
     o.add_argument("-solver", "--solver", type=str, default="adam-em",
                    choices=("auto", "adam", "adam-em"),
-                   help="accepted reference spellings; every choice runs the "
-                        "full-likelihood Adam optimizer here (the EM sweep "
-                        "is subsumed by the joint P/Q gradient step)")
+                   help="adam-em (default, reference semantics): per-iteration "
+                        "EM targets fed through Adam moments as deltas; "
+                        "adam: full-likelihood Adam on softmax/sigmoid logits")
     o.add_argument("-tag", "--tag", type=str, default=None,
                    help="extra tag inserted into output file names")
     o.add_argument("-cv", "--cv", action="store_true", help="also report CV deviance")
@@ -93,7 +95,7 @@ def main(argv=None) -> int:
     for k in ks:
         fit = train_admixture(
             pg, k, n_iter=args.iter, lr=args.lr, seed=args.seed,
-            tol=args.tol, check_every=args.check,
+            tol=args.tol, check_every=args.check, solver=args.solver,
         )
         write_admixture_outputs(prefix, pg.samples, fit)
         if args.plot and not args.no_plot:
@@ -103,7 +105,8 @@ def main(argv=None) -> int:
         line = (f"K={k}\tloglik={fit.loglik:.2f}\titers={fit.n_iter}"
                 f"\t{prefix}.{k}.Q")
         if args.cv:
-            dev = cv_error(pg, k, seed=args.seed, n_iter=args.iter, lr=args.lr)
+            dev = cv_error(pg, k, seed=args.seed, n_iter=args.iter,
+                           lr=args.lr, solver=args.solver)
             line += f"\tcv_deviance={dev:.5f}"
         print(line)
     return 0

@@ -217,3 +217,121 @@ def test_fastpop_early_stop_and_kspec(tmp_path):
     assert len(early.loglik_path) == early.n_iter
     # early-stopped fit still lands near the full fit's likelihood
     assert early.loglik > full.loglik - abs(full.loglik) * 0.01
+
+
+# -- adam-em solver (reference default; VERDICT r4 item 4) ------------------
+
+GOLDEN_ADAM_EM_CV = 0.9291844625567625  # CPU backend, jax 0.9, seed 0
+
+
+@pytest.fixture(scope="module")
+def planted_admixture():
+    """Planted 3-way admixture: P ~ U(0.05,0.95), Q ~ Dirichlet(0.4),
+    g ~ Binomial(2, QP)."""
+    rng = np.random.default_rng(5)
+    m, n, K = 800, 150, 3
+    P = rng.uniform(0.05, 0.95, (K, m))
+    Q = rng.dirichlet(np.full(K, 0.4), size=n)
+    g = rng.binomial(2, Q @ P).T.astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    return pack_genotypes(gd, QcParams(maf=0.0, geno=1.0)), Q, K
+
+
+def _q_rmse(Qh, Q, K):
+    import itertools
+
+    return min(
+        float(np.sqrt(((Qh[:, perm] - Q) ** 2).mean()))
+        for perm in itertools.permutations(range(K))
+    )
+
+
+def test_adam_em_recovers_planted_admixture(planted_admixture):
+    pg, Q, K = planted_admixture
+    fit = train_admixture(pg, K, n_iter=600, seed=2, solver="adam-em",
+                          tol=1e-6, check_every=5)
+    assert fit.solver == "adam-em"
+    np.testing.assert_allclose(fit.Q.sum(axis=1), 1.0, atol=1e-5)
+    assert _q_rmse(fit.Q, Q, K) < 0.06
+    # loglik improves over the run and the early-stop engaged
+    assert fit.loglik_path[-1] > fit.loglik_path[2]
+    assert fit.n_iter < 600
+
+
+def test_adam_em_at_least_matches_adam(planted_admixture):
+    """The reference makes adam-em the default because the EM direction
+    converges harder; from the same init it must reach at least the
+    Adam-only loglik on the planted panel, in fewer iterations."""
+    pg, Q, K = planted_admixture
+    em = train_admixture(pg, K, n_iter=600, seed=2, solver="adam-em",
+                         tol=1e-6, check_every=5)
+    ad = train_admixture(pg, K, n_iter=600, seed=2, solver="adam",
+                         tol=1e-6, check_every=5)
+    assert em.loglik >= ad.loglik - 1.0
+    assert em.n_iter <= ad.n_iter
+
+
+def test_em_targets_match_dense_numpy(planted_admixture):
+    """The blocked/packed device EM sweep (scan over 2-bit blocks, pad
+    rows, masked cells) equals a direct dense-numpy EM step."""
+    import jax
+    import jax.numpy as jnp
+
+    from janusx_tpu.models.fastpop import _em_targets_and_loglik
+    from janusx_tpu.utils import devcache
+
+    pg, _, K = planted_admixture
+    rng = np.random.default_rng(11)
+    m, n = pg.m, pg.n
+    block = 256
+    m_pad = -(-m // block) * block
+    P0 = rng.uniform(0.1, 0.9, (m_pad, K)).astype(np.float32)
+    Q0 = rng.dirichlet(np.ones(K), size=n).astype(np.float32)
+    pk = devcache.device_packed(pg, m_pad)
+    nblk = m_pad // block
+    p_em, t, ll = jax.jit(_em_targets_and_loglik, static_argnames=("n",))(
+        jnp.asarray(P0).reshape(nblk, block, K), jnp.asarray(Q0),
+        jnp.asarray(pk).reshape(nblk, block, -1), n)
+    p_em = np.asarray(p_em).reshape(m_pad, K)
+
+    # dense reference
+    g = pg.dosages().astype(np.float64)  # (m, n), -1 missing
+    mask = g >= 0
+    F = np.clip(P0[:m].astype(np.float64) @ Q0.T.astype(np.float64),
+                1e-6, 1 - 1e-6)
+    AA = np.where(mask, np.where(mask, g, 0) / F, 0.0)
+    BB = np.where(mask, (2 - np.where(mask, g, 0)) / (1 - F), 0.0)
+    a = AA @ Q0
+    b = BB @ Q0
+    denom = P0[:m] * (a - b) + b
+    p_ref = np.where(np.abs(denom) < 1e-8, P0[:m], a * P0[:m] / denom)
+    t_ref = (AA - BB).T @ P0[:m] + BB.sum(axis=0)[:, None]
+    ll_ref = np.sum(np.where(mask, np.where(mask, g, 0) * np.log(F)
+                             + (2 - np.where(mask, g, 0)) * np.log1p(-F), 0.0))
+
+    np.testing.assert_allclose(p_em[:m], p_ref, rtol=2e-4, atol=2e-5)
+    # padding rows are EM fixed points (all-missing => p_em == p)
+    np.testing.assert_allclose(p_em[m:], P0[m:], rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(t), t_ref, rtol=2e-3, atol=2e-2)
+    assert abs(float(ll) - ll_ref) / abs(ll_ref) < 1e-4
+
+
+def test_adam_em_cv_error_frozen_seed(structured_pops):
+    """Frozen-seed CV-deviance golden for the adam-em route (the model-
+    selection statistic `jx fastpop -cv` reports)."""
+    from janusx_tpu.models.fastpop import cv_error
+
+    pg, _ = structured_pops
+    dev = cv_error(pg, 2, seed=0, n_iter=200, solver="adam-em",
+                   tol=1e-5, check_every=5)
+    assert np.isfinite(dev) and 0 < dev < 10
+    # frozen golden (CPU backend, jax 0.9): re-freeze only with a
+    # documented semantics change
+    assert abs(dev - GOLDEN_ADAM_EM_CV) / GOLDEN_ADAM_EM_CV < 5e-3, dev
