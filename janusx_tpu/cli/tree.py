@@ -66,6 +66,14 @@ def build_parser(prog="jx tree") -> argparse.ArgumentParser:
                    "style; 1 = uniform rates)")
     o.add_argument("-ml-no-spr", "--ml-no-spr", action="store_true",
                    help="disable SPR moves in the -ml search (NNI only)")
+    o.add_argument("-ml-gamma", "--ml-gamma", action="store_true",
+                   help="after the CAT search, rescale branch lengths to "
+                        "the ML discrete-Gamma(20) likelihood and report "
+                        "it (FastTree -gamma)")
+    o.add_argument("-ml-no-me", "--ml-no-me", action="store_true",
+                   help="start -ml from the raw NJ topology instead of "
+                        "the minimum-evolution-NNI-improved one "
+                        "(FastTree starts from an ME tree; this opts out)")
     o.add_argument("--approx", dest="approx_legacy", action="store_true",
                    default=False, help=argparse.SUPPRESS)  # reference
     # hidden legacy spelling of `-nj approx`
@@ -200,12 +208,30 @@ def main(argv=None) -> int:
                 parts = [np.vstack([P, tail]) for P in parts]
         # start from the user-selected (unannotated) NJ/BIONJ/approx
         # topology — recomputing exact NJ here would both ignore -nj and
-        # redo the O(n^3) work -nj approx exists to avoid
-        t = ml_refine_tree(base_nwk, parts, samples, k=k_states,
+        # redo the O(n^3) work -nj approx exists to avoid. Like FastTree,
+        # the ML default start is that topology improved by
+        # minimum-evolution NNIs on the distance matrix (-ml-no-me opts out)
+        ml_start = base_nwk
+        if not args.ml_no_me:
+            from janusx_tpu.models.mltree import me_nni_start
+
+            ml_start = me_nni_start(base_nwk, D, samples)
+            _mark("me-start")
+        t = ml_refine_tree(ml_start, parts, samples, k=k_states,
                            rate_categories=args.ml_cat,
                            spr=not args.ml_no_spr)
         ml_nwk = to_newick(t)
         _mark("ml-refine")
+        gamma_note = ""
+        if args.ml_gamma:
+            from janusx_tpu.models.mltree import gamma20_rescale
+
+            gll, g_alpha, g_scale = gamma20_rescale(
+                t, t.partials, k=k_states)
+            ml_nwk = to_newick(t)  # rescaled branch lengths
+            gamma_note = (f"\tGamma20LogLk={gll:.2f}\talpha={g_alpha:.3f}"
+                          f"\trescale={g_scale:.4f}")
+            _mark("ml-gamma")
         if args.bootstrap:
             if args.support == "shlike":
                 # SH-like/RELL local supports on the fitted ML tree
@@ -229,7 +255,7 @@ def main(argv=None) -> int:
             _mark(f"ml-support-{args.support}")
         with open(prefix + ".ml.nwk", "wt") as fh:
             fh.write(ml_nwk + "\n")
-        print(f"{prefix}.ml.nwk\tlogL={t.loglik:.2f}")
+        print(f"{prefix}.ml.nwk\tlogL={t.loglik:.2f}{gamma_note}")
     if args.write_dist:
         np.savetxt(prefix + f".{distance}.dist", D, fmt="%.6g", delimiter="\t")
         with open(prefix + f".{distance}.id", "wt") as fh:

@@ -549,6 +549,159 @@ def genotype_leaf_partials(codes: np.ndarray, site_budget: int = 2000,
     return parts
 
 
+def me_nni_start(newick: str, D: np.ndarray, labels: list,
+                 max_rounds: int | None = None) -> str:
+    """Minimum-evolution NNI improvement of a starting topology.
+
+    FastTree builds its -ml start tree by minimum evolution rather than
+    plain NJ (/root/reference/src/FastTree.c ME NNIs/SPRs before ML);
+    this is the in-process equivalent: repeated NNI sweeps over the NJ
+    topology, each internal edge tested with the four-point condition on
+    subtree-average distances (the OLS-ME selection rule of Desper &
+    Gascuel's FastNNI) until no swap improves. Branch lengths are left
+    alone — the ML stage re-optimizes them anyway.
+
+    O(n^2) per sweep via per-node distance-row sums; topology-only."""
+    t = parse_newick(newick)
+    n = t.n_leaves
+    if max_rounds is None:
+        max_rounds = 2 * n
+    lab_to_row = {lab: i for i, lab in enumerate(labels)}
+    leaf_row = {}
+    for v in range(len(t.children)):
+        if not t.children[v]:
+            leaf_row[v] = lab_to_row[t.labels[v]]
+
+    nL = D.shape[0]
+
+    def node_state():
+        """per-node: bool mask over D rows + distance-row sum + count."""
+        mask = {}
+        S = {}
+        for v in _postorder(t):
+            if not t.children[v]:
+                m = np.zeros(nL, bool)
+                m[leaf_row[v]] = True
+                mask[v] = m
+                S[v] = D[leaf_row[v]].astype(np.float64)
+            else:
+                m = np.zeros(nL, bool)
+                s = np.zeros(nL)
+                for c in t.children[v]:
+                    m |= mask[c]
+                    s += S[c]
+                mask[v], S[v] = m, s
+        return mask, S
+
+    def avg(Sx, cx, my):
+        cy = int(my.sum())
+        if cx == 0 or cy == 0:
+            return 0.0
+        return float(Sx[my].sum()) / (cx * cy)
+
+    for _ in range(max_rounds):
+        mask, S = node_state()
+        swapped = 0
+        for v in range(len(t.children)):
+            if len(t.children[v]) != 2 or t.parent[v] < 0:
+                continue
+            u = t.parent[v]
+            a, b = t.children[v]
+            for c in list(t.children[u]):
+                if c == v:
+                    continue
+                ma, mb, mc = mask[a], mask[b], mask[c]
+                mr = ~(ma | mb | mc)
+                if not mr.any():
+                    continue
+                ca, cb, cc = int(ma.sum()), int(mb.sum()), int(mc.sum())
+                # current (A,B | C,R) vs the two NNI alternatives
+                s_ab = avg(S[a], ca, mb) + avg(S[c], cc, mr)
+                s_ac = avg(S[a], ca, mc) + avg(S[b], cb, mr)
+                s_bc = avg(S[b], cb, mc) + avg(S[a], ca, mr)
+                best = min(s_ab, s_ac, s_bc)
+                if best >= s_ab - 1e-12:
+                    continue
+                # swap C with B (s_ac wins) or with A (s_bc wins)
+                out = b if best == s_ac else a
+                t.children[v].remove(out)
+                t.children[v].append(c)
+                t.children[u].remove(c)
+                t.children[u].append(out)
+                t.parent[out], t.parent[c] = u, v
+                t.blen[out], t.blen[c] = t.blen[c], t.blen[out]
+                mask, S = node_state()
+                swapped += 1
+                break  # children lists changed: move to the next edge
+        if swapped == 0:
+            break
+    return to_newick(t)
+
+
+def gamma20_rescale(t: MlTree, leaf_part: dict, k: int, weights=None,
+                    ncat: int = 20):
+    """FastTree ``-gamma`` semantics: after the CAT-approximation search,
+    rescale the tree and report the discrete-Gamma(20) log-likelihood
+    (/root/reference/src/FastTree.c Gamma20LogLk / RescaleGammaLogLk).
+
+    Site likelihoods are evaluated once on a geometric ladder of uniform
+    rate multipliers (each is one Felsenstein down-pass); the Gamma
+    mixture loglik for any (alpha, scale) then interpolates the ladder in
+    log-rate — so the 2-D (alpha, scale) ML grid + refinement costs no
+    further tree passes. Mutates ``t.blen`` by the ML scale and returns
+    (gamma_loglik, alpha, scale)."""
+    from scipy.special import gammainc, logsumexp
+    from scipy.stats import gamma as _sgamma
+
+    n_sites = next(iter(leaf_part.values())).shape[0]
+    ladder = np.geomspace(2.0 ** -6, 2.0 ** 6, 49)
+    site_ll = np.empty((len(ladder), n_sites))
+    for i, e in enumerate(ladder):
+        down, scal = _down_pass(t, leaf_part, k, np.full(n_sites, e))
+        site = (down[t.root] / k).sum(axis=1)
+        site_ll[i] = np.log(np.maximum(site, 1e-300)) + scal[t.root]
+    loge = np.log(ladder)
+    wv = (np.ones(n_sites) if weights is None
+          else np.asarray(weights, np.float64))
+
+    def interp(eff):
+        x = np.clip(np.log(eff), loge[0], loge[-1])
+        j = np.clip(np.searchsorted(loge, x) - 1, 0, len(loge) - 2)
+        w = (x - loge[j]) / (loge[j + 1] - loge[j])
+        return site_ll[j] * (1 - w[:, None]) + site_ll[j + 1] * w[:, None]
+
+    def cat_means(alpha):
+        """Yang-1994 mean rates of the ncat equal-probability Gamma
+        categories (shape alpha, mean 1): K * (P(a+1, a b_{i+1}) -
+        P(a+1, a b_i)) with b the quantile boundaries."""
+        b = _sgamma.ppf(np.arange(1, ncat) / ncat, alpha, scale=1.0 / alpha)
+        Pb = np.concatenate([[0.0], gammainc(alpha + 1.0, alpha * b), [1.0]])
+        return np.maximum(ncat * np.diff(Pb), 1e-6)
+
+    def ll_of(alpha, c):
+        L = interp(cat_means(alpha) * c)
+        return float((logsumexp(L, axis=0) - np.log(ncat)) @ wv)
+
+    alphas = np.geomspace(0.15, 20.0, 21)
+    scales = np.geomspace(0.3, 3.0, 21)
+    best = (-np.inf, 1.0, 1.0)
+    for a in alphas:
+        for c in scales:
+            ll = ll_of(a, c)
+            if ll > best[0]:
+                best = (ll, float(a), float(c))
+    # one local refinement at half the grid spacing
+    ll0, a0, c0 = best
+    for a in a0 * np.array([0.85, 0.93, 1.0, 1.08, 1.18]):
+        for c in c0 * np.array([0.9, 0.95, 1.0, 1.05, 1.11]):
+            ll = ll_of(a, c)
+            if ll > best[0]:
+                best = (ll, float(a), float(c))
+    gamma_ll, alpha, scale = best
+    t.blen = np.clip(t.blen * scale, MIN_BLEN, MAX_BLEN)
+    return gamma_ll, alpha, scale
+
+
 def ml_refine_tree(
     newick: str,
     leaf_partials: list,
@@ -718,18 +871,29 @@ def to_newick_with_support(t: MlTree, support: dict) -> str:
 
 def ml_tree(pg, site_budget: int | None = None, seed: int = 0,
             nni_rounds: int | None = None, rate_categories: int = 1,
-            spr: bool = True) -> tuple[str, float]:
-    """Approximate-ML tree from packed genotypes: IBS-NJ start + CFN
-    NNI/SPR/branch-length refinement (optionally with CAT per-site
-    rates). Returns (newick, loglik)."""
+            spr: bool = True, me_start: bool = True,
+            gamma: bool = False) -> tuple[str, float]:
+    """Approximate-ML tree from packed genotypes: IBS-NJ start improved
+    by minimum-evolution NNIs (FastTree's start-tree recipe; disable
+    with me_start=False) + CFN NNI/SPR/branch-length refinement
+    (optionally with CAT per-site rates). With ``gamma``, the fitted
+    tree is rescaled to the ML discrete-Gamma(20) likelihood and that
+    loglik is returned (FastTree -gamma). Returns (newick, loglik)."""
     from janusx_tpu import config
-    from janusx_tpu.models.tree import nj_tree
+    from janusx_tpu.models.tree import ibs_distance, neighbor_joining
 
     if site_budget is None:
         site_budget = config.knob("JX_TPU_ML_SITE_BUDGET")
-    nwk = nj_tree(pg)
+    samples = [str(s) for s in pg.samples]
+    D = ibs_distance(pg)
+    nwk = neighbor_joining(D, samples)
+    if me_start:
+        nwk = me_nni_start(nwk, D, samples)
     parts = genotype_leaf_partials(pg.dosages(), site_budget, seed)
-    t = ml_refine_tree(nwk, parts, [str(s) for s in pg.samples], k=2,
+    t = ml_refine_tree(nwk, parts, samples, k=2,
                        nni_rounds=nni_rounds,
                        rate_categories=rate_categories, spr=spr)
+    if gamma:
+        gll, _alpha, _scale = gamma20_rescale(t, t.partials, k=2)
+        return to_newick(t), gll
     return to_newick(t), t.loglik

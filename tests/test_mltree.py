@@ -477,3 +477,122 @@ def test_tree_cli_bionj_and_asc(tmp_path):
     b_plain = total_blen(str(tmp_path / "plain" / "jxtree.ml.nwk"))
     b_asc = total_blen(str(tmp_path / "asc" / "jxtree.ml.nwk"))
     assert b_asc < b_plain, (b_asc, b_plain)
+
+
+# -- ME starting tree + Gamma20 rescaling (VERDICT r4 item 10) --------------
+
+
+def test_me_nni_start_repairs_perturbed_topology():
+    """Minimum-evolution NNIs on the distance matrix restore the clade
+    split after a deliberate cross-clade leaf misplacement (FastTree
+    starts -ml from an ME tree; me_nni_start is that stage)."""
+    from janusx_tpu.models.mltree import me_nni_start
+    from janusx_tpu.models.tree import weighted_jc_distance
+
+    codes, names = _clade_genotypes(seed=4)
+    D = weighted_jc_distance(codes, np.ones(codes.shape[0]))
+    # scrambled caterpillar interleaving the two clades
+    order = [names[i] for i in [0, 6, 1, 7, 2, 8, 3, 9, 4, 10, 5, 11]]
+    nwk = order[0] + ":0.1"
+    for nm in order[1:]:
+        nwk = f"({nwk},{nm}:0.1):0.1"
+    nwk += ";"
+    assert not _clade_split(nwk, names[:6])
+    fixed = me_nni_start(nwk, D, names)
+    assert _clade_split(fixed, names[:6])
+
+
+def test_me_nni_start_preserves_good_topology():
+    """A topology that already separates the clades stays separated (ME
+    NNIs must not damage an NJ tree on clean data)."""
+    from janusx_tpu.models.mltree import me_nni_start
+    from janusx_tpu.models.tree import neighbor_joining, weighted_jc_distance
+
+    codes, names = _clade_genotypes(seed=9)
+    D = weighted_jc_distance(codes, np.ones(codes.shape[0]))
+    nwk = neighbor_joining(D, names)
+    assert _clade_split(nwk, names[:6])
+    fixed = me_nni_start(nwk, D, names)
+    assert _clade_split(fixed, names[:6])
+    assert sorted(
+        l for l in parse_newick(fixed).labels if l) == sorted(names)
+
+
+def _fit_small_tree(seed=0):
+    codes, names = _clade_genotypes(seed=seed, n_per=5, m=500)
+    parts = genotype_leaf_partials(codes)
+    from janusx_tpu.models.tree import neighbor_joining, weighted_jc_distance
+
+    D = weighted_jc_distance(codes, np.ones(codes.shape[0]))
+    nwk = neighbor_joining(D, names)
+    t = ml_refine_tree(nwk, parts, names, k=2, spr=False)
+    return t, parts
+
+
+def test_gamma20_rescale_improves_gamma_likelihood():
+    """On a deep/heterogeneous synthetic tree the optimized (alpha,
+    scale) Gamma20 likelihood beats the unrescaled uniform-ish one, and
+    the branch lengths are rescaled by the returned factor."""
+    from janusx_tpu.models.mltree import gamma20_rescale
+
+    t, parts = _fit_small_tree(seed=2)
+    blen0 = t.blen.copy()
+    gll, alpha, scale = gamma20_rescale(t, t.partials, k=2)
+    assert np.isfinite(gll) and gll < 0
+    assert 0.1 < alpha < 25 and 0.25 < scale < 3.5
+    np.testing.assert_allclose(
+        t.blen, np.clip(blen0 * scale, 1e-7, 5.0), rtol=1e-12)
+
+
+def test_gamma20_scale_corrects_planted_misscaling():
+    """Shrinking every branch length by 1/f must push the ML rescale up
+    by ~f relative to the unperturbed tree — the scale optimization
+    actually measures tree length."""
+    import copy
+
+    from janusx_tpu.models.mltree import gamma20_rescale
+
+    t, _ = _fit_small_tree(seed=3)
+    t_ref = copy.deepcopy(t)
+    _, _, scale_ref = gamma20_rescale(t_ref, t_ref.partials, k=2)
+    f = 1.6
+    t.blen = np.clip(t.blen / f, 1e-7, 5.0)
+    _, _, scale_shrunk = gamma20_rescale(t, t.partials, k=2)
+    assert scale_shrunk / scale_ref == pytest.approx(f, rel=0.12)
+
+
+def test_tree_cli_ml_gamma_and_me_flags(tmp_path):
+    """`jx tree -ml -ml-gamma` writes the rescaled tree and reports
+    Gamma20LogLk; -ml-no-me opts out of the ME start without error."""
+    import io
+    from contextlib import redirect_stdout
+
+    from janusx_tpu.cli.tree import main as tree_main
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io.packed import QcParams, pack_genotypes
+    from janusx_tpu.io.plink import write_plink
+
+    codes, names = _clade_genotypes(seed=6, n_per=4, m=300)
+    m, n = codes.shape
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    gd = GenotypeData(codes, sites, np.array(names, object))
+    pg = pack_genotypes(gd, QcParams(maf=0.0, geno=1.0))
+    geno = str(tmp_path / "pan")
+    write_plink(geno, pg.packed, pg.n_samples, pg.sites, pg.samples)
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = tree_main(["-bfile", geno, "-ml", "-ml-gamma",
+                        "-o", str(tmp_path), "-prefix", "tg"])
+    assert rc in (0, None)
+    assert "Gamma20LogLk=" in out.getvalue()
+    assert (tmp_path / "tg.ml.nwk").exists()
+    with redirect_stdout(io.StringIO()):
+        rc = tree_main(["-bfile", geno, "-ml", "-ml-no-me",
+                        "-o", str(tmp_path), "-prefix", "tn"])
+    assert rc in (0, None)
