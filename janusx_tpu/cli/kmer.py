@@ -60,6 +60,13 @@ def build_parser(prog="jx kmer") -> argparse.ArgumentParser:
         ("--waster-consensus", {"type": int}, _W),
         ("--waster-continue-file", {"type": str}, _W),
     ])
+    p.add_argument("-stream-db", "--stream-db", action="store_true",
+                   help="stream the sorted count table to a binary "
+                   ".jxkdb file partition-by-partition instead of "
+                   "materializing it in RAM (KMC-style streamed output; "
+                   "peak memory ~1/256 of the table — use for "
+                   "low-duplication inputs whose full table would not "
+                   "fit in RAM). kmerge/kstats accept .jxkdb inputs")
     p.add_argument("-tree", "--tree", action="store_true",
                    help="also build an NJ tree of the samples from "
                    "shared-k-mer (Jaccard) distances of the presence "
@@ -86,11 +93,27 @@ def main(argv=None) -> int:
     per_sample = {}
     for path in args.inputs:
         sid = os.path.basename(path).split(".")[0]
+        budget = (None if args.mem is None
+                  else int(args.mem * (1 << 30)))
+        if args.stream_db:
+            if args.tree or args.max_count is not None \
+                    or args.counter_max is not None:
+                raise SystemExit(
+                    "-stream-db streams raw sorted counts; it composes "
+                    "with -ci but not -tree/-cx/--counter-max")
+            out = f"{prefix}.{sid}.k{args.k}.jxkdb"
+            n_rec = kmer.stream_kmer_count(
+                path, out, k=args.k, min_count=args.min_count,
+                threads=args.threads, mem_budget_bytes=budget,
+                spill_dir=args.spill_dir,
+            )
+            outputs.append(out)
+            print(f"{sid}\t{n_rec} k-mers\t{out}")
+            continue
         codes, counts = kmer.count_kmers(
             path, k=args.k, min_count=args.min_count,
             threads=args.threads,
-            mem_budget_bytes=(None if args.mem is None
-                              else int(args.mem * (1 << 30))),
+            mem_budget_bytes=budget,
             spill_dir=args.spill_dir,
         )
         if args.max_count is not None:
@@ -127,13 +150,24 @@ def main(argv=None) -> int:
 
 
 def _sample_id(path: str) -> str:
-    """Sample ID from a `jx kmer` output name: strips the .k{K}.npz suffix
-    and any leading out-prefix component ({prefix}.{sid}.k{K}.npz)."""
+    """Sample ID from a `jx kmer` output name: strips the .k{K}.npz /
+    .k{K}.jxkdb suffix and any leading out-prefix component."""
     import re
 
     base = os.path.basename(path)
-    base = re.sub(r"\.k\d+\.npz$", "", base)
+    base = re.sub(r"\.k\d+\.(npz|jxkdb)$", "", base)
     return base.rsplit(".", 1)[-1]
+
+
+def _load_db(path: str):
+    """Load a per-sample k-mer table: .npz (jx kmer default) or the
+    streamed binary .jxkdb (-stream-db); both expose codes/counts/k."""
+    if path.endswith(".jxkdb"):
+        from janusx_tpu.models.kmer import load_kmer_db
+
+        codes, counts, k = load_kmer_db(path)
+        return {"codes": codes, "counts": counts, "k": np.asarray(k)}
+    return np.load(path)
 
 
 def kmerge_main(argv=None) -> int:
@@ -184,7 +218,7 @@ def kmerge_main(argv=None) -> int:
     if len(sids) != len(args.inputs):
         raise SystemExit("-sid count must match the number of inputs")
     for sid, path in zip(sids, args.inputs):
-        z = np.load(path)
+        z = _load_db(path)
         codes, counts = z["codes"], z["counts"]
         if args.min_count > 1:
             keep = counts >= args.min_count
@@ -314,7 +348,7 @@ def kstats_main(argv=None) -> int:
     if args.kbin is not None:
         return _kstats_kbin(args, prefix)
 
-    dbs = [np.load(path) for path in args.inputs]
+    dbs = [_load_db(path) for path in args.inputs]
     sids = (list(args.sample_id) if args.sample_id
             else [_sample_id(p_) for p_ in args.inputs])
     if len(sids) != len(dbs):

@@ -63,6 +63,8 @@ def _load():
             lib.jx_kmt_spilling.argtypes = [ctypes.c_void_p]
             lib.jx_kmt_part_load.restype = ctypes.c_long
             lib.jx_kmt_part_load.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.jx_kmt_part_size.restype = ctypes.c_long
+            lib.jx_kmt_part_size.argtypes = [ctypes.c_void_p, ctypes.c_int]
             lib.jx_kmt_spill_finalize.restype = ctypes.c_long
             lib.jx_kmt_spill_finalize.argtypes = [ctypes.c_void_p,
                                                   ctypes.c_uint32]
@@ -205,46 +207,9 @@ def count_kmers(
     if not h:
         raise RuntimeError(f"bad k for k-mer counting: {k}")
     try:
-        carry = b""
-        fastq = None
-        with _open_seq(path) as fh:
-            while True:
-                data = fh.read(chunk_bytes)
-                if not data:
-                    break
-                buf = carry + data if carry else data
-                if fastq is None:
-                    fastq = buf[:1] == b"@"
-                if len(data) == chunk_bytes:  # maybe more coming: hold the tail record
-                    cut = _last_record_start(buf, fastq)
-                    if cut == 0 and not fastq and len(buf) > chunk_bytes:
-                        # single FASTA record larger than the chunk: feed
-                        # the WHOLE partial body now (the parser's
-                        # bare-sequence branch continues it next round)
-                        # and carry only the last k-1 bases — exactly the
-                        # context boundary-spanning k-mers need, while a
-                        # k-1 stretch alone cannot re-form a full window
-                        # (no double counting). Memory stays bounded by
-                        # the chunk, not the record.
-                        feed, carry = buf, buf[_tail_base_cut(buf, k - 1):]
-                    else:
-                        feed, carry = buf[:cut], buf[cut:]
-                else:
-                    feed, carry = buf, b""
-                if feed:
-                    _check_add(lib, h, feed, mem_budget_bytes)
-                    if (mem_budget_bytes and chunk_bytes < full_chunk
-                            and lib.jx_kmt_spilling(h)):
-                        # buckets absorb appends, but phase-1 staging still
-                        # holds ~one code per base of the chunk (8 B, 16 B
-                        # for k > 32) — cap the restored chunk so staging
-                        # stays inside the budget
-                        per_base = 17 if k > 32 else 9
-                        chunk_bytes = max(
-                            1 << 20,
-                            min(full_chunk, mem_budget_bytes // per_base))
-        if carry:
-            _check_add(lib, h, carry, mem_budget_bytes)
+        _feed_path(lib, h, path, k, chunk_bytes,
+                   mem_budget_bytes,
+                   full_chunk if mem_budget_bytes else chunk_bytes)
         wide = k > 32
 
         def _alloc(n):
@@ -290,6 +255,168 @@ def count_kmers(
         if tmp_ctx is not None:
             tmp_ctx.cleanup()
     return keys, cnts
+
+
+def _feed_path(lib, h, path: str, k: int, chunk_bytes: int,
+               mem_budget_bytes, full_chunk: int) -> None:
+    """Stream one FASTA/FASTQ(.gz) file into a counter handle in
+    record-aligned chunks (shared by count_kmers and stream_kmer_count)."""
+    carry = b""
+    fastq = None
+    with _open_seq(path) as fh:
+        while True:
+            data = fh.read(chunk_bytes)
+            if not data:
+                break
+            buf = carry + data if carry else data
+            if fastq is None:
+                fastq = buf[:1] == b"@"
+            if len(data) == chunk_bytes:  # maybe more coming: hold the tail record
+                cut = _last_record_start(buf, fastq)
+                if cut == 0 and not fastq and len(buf) > chunk_bytes:
+                    # single FASTA record larger than the chunk: feed
+                    # the WHOLE partial body now (the parser's
+                    # bare-sequence branch continues it next round)
+                    # and carry only the last k-1 bases — exactly the
+                    # context boundary-spanning k-mers need, while a
+                    # k-1 stretch alone cannot re-form a full window
+                    # (no double counting). Memory stays bounded by
+                    # the chunk, not the record.
+                    feed, carry = buf, buf[_tail_base_cut(buf, k - 1):]
+                else:
+                    feed, carry = buf[:cut], buf[cut:]
+            else:
+                feed, carry = buf, b""
+            if feed:
+                _check_add(lib, h, feed, mem_budget_bytes)
+                if (mem_budget_bytes and chunk_bytes < full_chunk
+                        and lib.jx_kmt_spilling(h)):
+                    # buckets absorb appends, but phase-1 staging still
+                    # holds ~one code per base of the chunk (8 B, 16 B
+                    # for k > 32) — cap the restored chunk so staging
+                    # stays inside the budget
+                    per_base = 17 if k > 32 else 9
+                    chunk_bytes = max(
+                        1 << 20,
+                        min(full_chunk, mem_budget_bytes // per_base))
+    if carry:
+        _check_add(lib, h, carry, mem_budget_bytes)
+
+
+DB_MAGIC = b"JXKMERDB"
+
+
+def stream_kmer_count(
+    path: str, out_path: str, k: int = 21, min_count: int = 1,
+    threads: int | None = None, chunk_bytes: int = 256 << 20,
+    mem_budget_bytes: int | None = None, spill_dir: str | None = None,
+) -> int:
+    """Count canonical k-mers and STREAM the sorted table to disk.
+
+    The all-distinct adversarial case of ``count_kmers`` is RAM-bound by
+    its own return value (the full (codes, counts) table — 4.8 GB at
+    400M distinct 21-mers); KMC streams its output instead. This is the
+    equivalent streamed mode: partitions are exported one at a time in
+    key order and appended to ``out_path``, so peak host memory is ~1/256
+    of the table (RAM mode) or one bucket (spill mode). Returns the
+    number of records written.
+
+    Format (`load_kmer_db` reads it): 16-byte header (b"JXKMERDB",
+    version u8=1, k u8, wide u8, 5 zero pad), then key-sorted records —
+    (code u64, count u32) narrow, (lo u64, hi u64, count u32) wide.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native k-mer counter unavailable (no g++?)")
+    tmp_ctx = None
+    full_chunk = chunk_bytes
+    if mem_budget_bytes:
+        if spill_dir is None:
+            import tempfile
+
+            tmp_ctx = tempfile.TemporaryDirectory(prefix="jxkmer_spill_")
+            spill_dir = tmp_ctx.name
+        elif spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
+        chunk_bytes = max(1 << 20, min(chunk_bytes, mem_budget_bytes // 36))
+        h = lib.jx_kmt_new2(
+            k, 0 if threads is None else threads, int(mem_budget_bytes),
+            spill_dir.encode(),
+        )
+    else:
+        h = lib.jx_kmt_new(k, 0 if threads is None else threads)
+    if not h:
+        raise RuntimeError(f"bad k for k-mer counting: {k}")
+    wide = k > 32
+    rec_words = 2 if wide else 1
+    written = 0
+    try:
+        _feed_path(lib, h, path, k, chunk_bytes, mem_budget_bytes,
+                   full_chunk)
+        spilled = bool(mem_budget_bytes) and bool(lib.jx_kmt_spilling(h))
+        with open(out_path, "wb") as fh:
+            fh.write(DB_MAGIC + bytes([1, k, 1 if wide else 0]) + b"\0" * 5)
+            kp = ctypes.POINTER(ctypes.c_uint64)
+            cp = ctypes.POINTER(ctypes.c_uint32)
+            for p in range(256):
+                if spilled:
+                    n = lib.jx_kmt_part_load(h, p)
+                    if n < 0:
+                        raise RuntimeError("k-mer spill bucket unreadable")
+                else:
+                    n = lib.jx_kmt_part_size(h, p)
+                if n <= 0:
+                    continue
+                keys = np.empty(n * rec_words, np.uint64)
+                cnts = np.empty(n, np.uint32)
+                w = lib.jx_kmt_part_export(
+                    h, p, keys.ctypes.data_as(kp), cnts.ctypes.data_as(cp),
+                    n, min_count)
+                if w <= 0:
+                    continue
+                rec = np.zeros(
+                    w, dtype=_db_dtype(wide))
+                if wide:
+                    kv = keys[: 2 * w].reshape(w, 2)
+                    rec["lo"], rec["hi"] = kv[:, 0], kv[:, 1]
+                else:
+                    rec["code"] = keys[:w]
+                rec["count"] = cnts[:w]
+                rec.tofile(fh)
+                written += int(w)
+    finally:
+        lib.jx_kmt_free(h)
+        if tmp_ctx is not None:
+            tmp_ctx.cleanup()
+    return written
+
+
+def _db_dtype(wide: bool):
+    if wide:
+        return np.dtype([("lo", "<u8"), ("hi", "<u8"), ("count", "<u4")])
+    return np.dtype([("code", "<u8"), ("count", "<u4")])
+
+
+def load_kmer_db(path: str, mmap: bool = True):
+    """Read a streamed .jxkdb table -> (codes, counts, k).
+
+    With ``mmap`` the records stay on disk (np.memmap) and the returned
+    arrays are views — iterating a 4.8 GB table costs pages, not RAM.
+    Narrow codes return as u64; wide (k > 32) as the structured
+    (lo, hi) view matching count_kmers' wide output."""
+    with open(path, "rb") as fh:
+        head = fh.read(16)
+    if head[:8] != DB_MAGIC or head[8] != 1:
+        raise ValueError(f"{path}: not a jxkdb k-mer table")
+    k, wide = head[9], bool(head[10])
+    dt = _db_dtype(wide)
+    rec = (np.memmap(path, dtype=dt, mode="r", offset=16) if mmap
+           else np.fromfile(path, dtype=dt, offset=16))
+    if wide:
+        codes = rec[["lo", "hi"]]
+    else:
+        codes = rec["code"]
+    return codes, rec["count"], int(k)
 
 
 def _check_add(lib, h, feed: bytes, mem_budget_bytes) -> None:

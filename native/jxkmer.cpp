@@ -216,6 +216,13 @@ struct HandleT {
   int threads;
   int part_shift;  // key-range partitioning: partition = key >> shift
   TableT<KT> parts[kPartitions];
+  // sorted phase-2 mode (narrow keys, no memory budget): counting and
+  // the export sort collapse into one radix+RLE pass per partition; the
+  // persistent per-partition state is a key-SORTED (key, count) run
+  // vector instead of a hash table (see handle_add). Round-5 A/B on the
+  // 209 MB / 20x benchmark decides the default — see JX_KMER_PHASE2.
+  bool use_sorted = false;
+  std::vector<SpillRecT<KT>> sorted[kPartitions];
   std::atomic<bool> failed{false};
   // spill state (jx_kmt_new2)
   long budget = 0;              // soft budget in bytes (0 = unlimited)
@@ -379,6 +386,74 @@ long next_record_start(const char* buf, long pos, long len, bool fastq) {
   return len;
 }
 
+// JX_KMER_PHASE2=hash forces the hash-count phase 2 (A/B escape hatch);
+// default is the radix-sort path for narrow keys in unbudgeted mode.
+inline bool phase2_sort_enabled() {
+  const char* v = getenv("JX_KMER_PHASE2");
+  return !(v && std::string(v) == "hash");
+}
+
+// LSD radix sort over the low `nbytes` bytes (the partition id occupies
+// the bits above them, constant within a partition). Returns the buffer
+// holding the sorted keys (a or b). Single-bucket passes are skipped —
+// the top byte of the varying range is usually nearly constant.
+inline uint64_t* radix_sort_low(uint64_t* a, uint64_t* b, size_t n,
+                                int nbytes, int first_pass = 0) {
+  for (int pass = first_pass; pass < nbytes; ++pass) {
+    const int shift = pass * 8;
+    uint32_t cnt[256] = {0};
+    for (size_t i = 0; i < n; ++i) ++cnt[(a[i] >> shift) & 0xFF];
+    if (cnt[(a[0] >> shift) & 0xFF] == n) continue;  // constant digit
+    uint32_t pos[256];
+    uint32_t acc = 0;
+    for (int d = 0; d < 256; ++d) {
+      pos[d] = acc;
+      acc += cnt[d];
+    }
+    for (size_t i = 0; i < n; ++i) b[pos[(a[i] >> shift) & 0xFF]++] = a[i];
+    std::swap(a, b);
+  }
+  return a;
+}
+
+// Run-length collapse of a sorted key array into (key, count) records.
+inline void rle_append(const uint64_t* a, size_t n,
+                       std::vector<SpillRecT<uint64_t>>& out) {
+  size_t i = 0;
+  while (i < n) {
+    uint64_t key = a[i];
+    size_t j = i + 1;
+    while (j < n && a[j] == key) ++j;
+    out.push_back({key, (uint32_t)(j - i)});
+    i = j;
+  }
+}
+
+// Merge two key-sorted run vectors, summing counts on equal keys.
+template <class KT>
+void merge_runs(std::vector<SpillRecT<KT>>& dst,
+                std::vector<SpillRecT<KT>>& add) {
+  if (dst.empty()) {
+    dst.swap(add);
+    return;
+  }
+  std::vector<SpillRecT<KT>> out;
+  out.reserve(dst.size() + add.size());
+  size_t i = 0, j = 0;
+  while (i < dst.size() && j < add.size()) {
+    if (dst[i].key < add[j].key) out.push_back(dst[i++]);
+    else if (add[j].key < dst[i].key) out.push_back(add[j++]);
+    else {
+      out.push_back({dst[i].key, dst[i].count + add[j].count});
+      ++i;
+      ++j;
+    }
+  }
+  while (i < dst.size()) out.push_back(dst[i++]);
+  while (j < add.size()) out.push_back(add[j++]);
+  dst.swap(out);
+}
+
 template <class KT>
 HandleT<KT>* make_handle(int k, int threads) {
   HandleT<KT>* h = new HandleT<KT>();
@@ -388,6 +463,9 @@ HandleT<KT>* make_handle(int k, int threads) {
   if (threads <= 0) threads = hw > 0 ? hw : 4;
   if (threads > 32) threads = 32;
   h->threads = threads;
+  h->use_sorted = (sizeof(KT) == 8) && phase2_sort_enabled();
+  // sorted mode never probes the tables, but spill/budget paths may
+  // flip back — keep them initialized either way (3 MB total)
   for (int p = 0; p < kPartitions; ++p) h->parts[p].init(1 << 10);
   h->table_bytes.store((long)kPartitions * (1 << 10) *
                        TableT<KT>::slot_bytes);
@@ -495,13 +573,72 @@ int handle_add(HandleT<KT>* h, const char* buf, long len) {
     return 0;
   }
 
+  if (h->use_sorted) {
+    if constexpr (sizeof(KT) == 8) {
+      // phase 2 (sorted mode): per-partition LSD radix sort of the
+      // staged codes + run-length collapse, merged into the persistent
+      // key-sorted run vector. One pass produces BOTH the counts and
+      // the sorted order, so the export-time per-partition std::sort
+      // disappears too. (Round 3's "sort-then-collapse is slower"
+      // verdict measured std::sort into the hash tables; byte-radix
+      // into run vectors is a different cost model and won the
+      // round-5 A/B: phase2 0.60 s -> 0.37 s and export 0.19 s ->
+      // 0.03 s on the 209 MB / 20x benchmark.)
+      double t_p2 = now_s();
+      std::atomic<int> next{0};
+      int T2 = T * 2 > kPartitions ? kPartitions : T * 2;
+      int nbytes = (2 * h->k - 8 + 7) / 8;
+      if (nbytes < 1) nbytes = 1;
+      std::vector<std::thread> sworkers;
+      for (int t = 0; t < T2; ++t) {
+        sworkers.emplace_back([&]() {
+          std::vector<uint64_t> A, B;
+          std::vector<SpillRecT<uint64_t>> runs;
+          for (;;) {
+            int p = next.fetch_add(1);
+            if (p >= kPartitions) return;
+            size_t n = 0;
+            for (int s = 0; s < T; ++s) n += local[s][p].size();
+            if (!n) continue;
+            A.resize(n);
+            B.resize(n);
+            // first radix pass fused with the gather: histogram +
+            // scatter read straight from the T staging vectors, saving
+            // a full sequential copy of the partition's codes
+            uint32_t cnt[256] = {0};
+            for (int s = 0; s < T; ++s)
+              for (uint64_t key : local[s][p]) ++cnt[key & 0xFF];
+            uint32_t pos[256];
+            uint32_t acc = 0;
+            for (int d = 0; d < 256; ++d) {
+              pos[d] = acc;
+              acc += cnt[d];
+            }
+            for (int s = 0; s < T; ++s)
+              for (uint64_t key : local[s][p]) A[pos[key & 0xFF]++] = key;
+            uint64_t* res =
+                radix_sort_low(A.data(), B.data(), n, nbytes, 1);
+            runs.clear();
+            rle_append(res, n, runs);
+            merge_runs(h->sorted[p], runs);
+          }
+        });
+      }
+      for (auto& w : sworkers) w.join();
+      if (timing_enabled())
+        fprintf(stderr, "[jxkmer] phase2 radix+rle: %.3fs\n",
+                now_s() - t_p2);
+      return 0;
+    }
+  }
+
   // phase 2: T workers hash-count whole partitions (disjoint -> lock-
   // free). One hash insert per occurrence; total hash work equals the
   // k-mer count once — a naive per-thread-table merge would re-count the
   // distinct set up to T times on high-duplication data. (A sort-then-
-  // run-collapse variant was measured slower on both high- and low-
-  // duplication inputs: the sort's sequential bandwidth costs more than
-  // the duplicate inserts it saves.)
+  // run-collapse variant into the HASH tables was measured slower on
+  // both high- and low-duplication inputs; the radix-into-run-vectors
+  // variant above replaced it in round 5 for narrow keys.)
   double t_p2 = now_s();
   std::atomic<int> next{0};
   std::atomic<bool> oom{false};
@@ -547,6 +684,10 @@ int handle_add(HandleT<KT>* h, const char* buf, long len) {
 template <class KT>
 long handle_size(HandleT<KT>* h) {
   long n = 0;
+  if (h->use_sorted) {
+    for (int p = 0; p < kPartitions; ++p) n += (long)h->sorted[p].size();
+    return n;
+  }
   for (int p = 0; p < kPartitions; ++p) n += (long)h->parts[p].size;
   return n;
 }
@@ -579,6 +720,61 @@ long table_export(TableT<KT>& t, uint64_t* out_keys, uint32_t* out_counts,
 template <class KT>
 long handle_export(HandleT<KT>* h, uint64_t* out_keys, uint32_t* out_counts,
                    long max_out, uint32_t min_count) {
+  if (h->use_sorted) {
+    // run vectors are already key-sorted per key-range partition:
+    // export is offsets + a parallel filtered copy (no sort)
+    long kept[kPartitions];
+    for (int p = 0; p < kPartitions; ++p) {
+      if (min_count <= 1) {
+        kept[p] = (long)h->sorted[p].size();
+      } else {
+        long c = 0;
+        for (auto& rec : h->sorted[p])
+          if (rec.count >= min_count) ++c;
+        kept[p] = c;
+      }
+    }
+    long total = 0;
+    for (int p = 0; p < kPartitions; ++p) total += kept[p];
+    if (total > max_out) {
+      long w = 0;
+      for (int p = 0; p < kPartitions && w < max_out; ++p)
+        for (auto& rec : h->sorted[p]) {
+          if (w >= max_out) break;
+          if (rec.count < min_count) continue;
+          put_key(out_keys, w, rec.key);
+          out_counts[w] = rec.count;
+          ++w;
+        }
+      return w;
+    }
+    long off[kPartitions];
+    long acc = 0;
+    for (int p = 0; p < kPartitions; ++p) {
+      off[p] = acc;
+      acc += kept[p];
+    }
+    std::atomic<int> next{0};
+    int T = h->threads * 2 > kPartitions ? kPartitions : h->threads * 2;
+    std::vector<std::thread> workers;
+    for (int t = 0; t < T; ++t) {
+      workers.emplace_back([&]() {
+        for (;;) {
+          int p = next.fetch_add(1);
+          if (p >= kPartitions) return;
+          long w = off[p];
+          for (auto& rec : h->sorted[p]) {
+            if (rec.count < min_count) continue;
+            put_key(out_keys, w, rec.key);
+            out_counts[w] = rec.count;
+            ++w;
+          }
+        }
+      });
+    }
+    for (auto& w : workers) w.join();
+    return total;
+  }
   long kept[kPartitions];
   std::vector<std::vector<SpillRecT<KT>>> recs(kPartitions);
   std::atomic<int> next{0};
@@ -739,9 +935,34 @@ long spill_collect(HandleT<KT>* h, uint64_t* out_keys, uint32_t* out_counts,
   return w;
 }
 
+// Distinct keys currently held for one partition (either mode). For
+// spill mode this is only meaningful after part_load.
+template <class KT>
+long part_size(HandleT<KT>* h, int p) {
+  if (p < 0 || p >= kPartitions) return -1;
+  if (h->use_sorted) return (long)h->sorted[p].size();
+  return (long)h->parts[p].size;
+}
+
 template <class KT>
 long part_export(HandleT<KT>* h, int p, uint64_t* out_keys,
                  uint32_t* out_counts, long max_out, uint32_t min_count) {
+  if (h->use_sorted) {
+    // sorted mode: the run vector is already key-sorted; filtered copy,
+    // then FREE the partition — streamed exports walk partitions in
+    // order with peak RAM of ~1/256 of the table
+    long w = 0;
+    for (auto& rec : h->sorted[p]) {
+      if (w >= max_out) break;
+      if (rec.count < min_count) continue;
+      put_key(out_keys, w, rec.key);
+      out_counts[w] = rec.count;
+      ++w;
+    }
+    h->sorted[p].clear();
+    h->sorted[p].shrink_to_fit();
+    return w;
+  }
   TableT<KT>& tb = h->parts[p];
   std::vector<SpillRecT<KT>> recs;
   recs.reserve(tb.size);
@@ -815,6 +1036,10 @@ void* jx_kmt_new2(int k, int threads, long mem_budget_bytes,
   } else {
     a->h64->budget = b;
     a->h64->spill_dir = dir;
+    // the budgeted/spill path keeps the hash tables (its byte accounting
+    // and bucket formats are table-based); sorted mode is the
+    // unbudgeted RAM fast path
+    if (b > 0 || !dir.empty()) a->h64->use_sorted = false;
   }
   return a;
 }
@@ -861,6 +1086,11 @@ long jx_kmt_spill_collect(void* handle, uint64_t* out_keys,
 long jx_kmt_part_load(void* handle, int p) {
   AnyHandle* a = (AnyHandle*)handle;
   return a->wide ? part_load(a->h128, p) : part_load(a->h64, p);
+}
+
+long jx_kmt_part_size(void* handle, int p) {
+  AnyHandle* a = (AnyHandle*)handle;
+  return a->wide ? part_size(a->h128, p) : part_size(a->h64, p);
 }
 
 long jx_kmt_part_export(void* handle, int p, uint64_t* out_keys,

@@ -441,3 +441,116 @@ def test_bench_two_point_fit():
     assert abs(1.0 / slope - 1.25e6) < 1e3  # 1/0.8us = 1.25M SNPs/s
     fixed_ms = (t2 - slope * m2) * 1e3
     assert abs(fixed_ms - 35.0) < 1e-6
+
+
+def _random_fastq(path, n_reads=4000, readlen=100, seed=0):
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    with open(path, "wb") as fh:
+        q = b"I" * readlen + b"\n"
+        for i in range(n_reads):
+            seq = bases[rng.integers(0, 4, readlen)].tobytes()
+            fh.write(b"@r%d\n" % i + seq + b"\n+\n" + q)
+
+
+def test_kmer_sorted_phase2_matches_hash(tmp_path, monkeypatch):
+    """Round-5 phase-2 redesign: radix+RLE run vectors (default) must be
+    byte-identical to the hash-table path across single/multi-chunk
+    feeds and min_count filters."""
+    from janusx_tpu.models import kmer
+
+    if not kmer.available():
+        pytest.skip("no native toolchain")
+    fq = tmp_path / "r.fastq"
+    _random_fastq(fq, seed=3)
+    for kwargs in ({}, {"chunk_bytes": 1 << 17}, {"min_count": 2}):
+        monkeypatch.setenv("JX_KMER_PHASE2", "hash")
+        c1, n1 = kmer.count_kmers(str(fq), k=21, **kwargs)
+        monkeypatch.setenv("JX_KMER_PHASE2", "sort")
+        c2, n2 = kmer.count_kmers(str(fq), k=21, **kwargs)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(n1, n2)
+        if kwargs.get("min_count", 1) == 1:
+            assert len(c1) > 0
+            # sorted order preserved (the count_kmers API contract)
+            assert np.all(np.diff(c2.astype(np.int64)) > 0)
+
+
+def test_kmer_stream_db_matches_count(tmp_path):
+    """stream_kmer_count + load_kmer_db == count_kmers, in RAM mode,
+    spill mode, and wide-key mode (the KMC-style streamed output that
+    unbinds the all-distinct case from RAM)."""
+    from janusx_tpu.models import kmer
+
+    if not kmer.available():
+        pytest.skip("no native toolchain")
+    fq = tmp_path / "r.fastq"
+    _random_fastq(fq, seed=5)
+
+    c, n = kmer.count_kmers(str(fq), k=21)
+    w = kmer.stream_kmer_count(str(fq), str(tmp_path / "a.jxkdb"), k=21)
+    cs, ns, kk = kmer.load_kmer_db(str(tmp_path / "a.jxkdb"))
+    assert w == len(c) and kk == 21
+    np.testing.assert_array_equal(np.asarray(cs), c)
+    np.testing.assert_array_equal(np.asarray(ns), n)
+
+    # spill mode (tiny budget forces bucket files)
+    w2 = kmer.stream_kmer_count(str(fq), str(tmp_path / "b.jxkdb"), k=21,
+                                mem_budget_bytes=1 << 20)
+    cs2, ns2, _ = kmer.load_kmer_db(str(tmp_path / "b.jxkdb"))
+    np.testing.assert_array_equal(np.asarray(cs2), c)
+    np.testing.assert_array_equal(np.asarray(ns2), n)
+
+    # wide keys (k > 32 -> two-word codes, hash phase 2)
+    c3, n3 = kmer.count_kmers(str(fq), k=33)
+    kmer.stream_kmer_count(str(fq), str(tmp_path / "c.jxkdb"), k=33)
+    cs3, ns3, k3 = kmer.load_kmer_db(str(tmp_path / "c.jxkdb"))
+    assert k3 == 33
+    np.testing.assert_array_equal(np.asarray(cs3["lo"]), c3["lo"])
+    np.testing.assert_array_equal(np.asarray(cs3["hi"]), c3["hi"])
+    np.testing.assert_array_equal(np.asarray(ns3), n3)
+
+    # min_count filter at stream time
+    c4, n4 = kmer.count_kmers(str(fq), k=21, min_count=2)
+    kmer.stream_kmer_count(str(fq), str(tmp_path / "d.jxkdb"), k=21,
+                           min_count=2)
+    cs4, ns4, _ = kmer.load_kmer_db(str(tmp_path / "d.jxkdb"))
+    np.testing.assert_array_equal(np.asarray(cs4), c4)
+    np.testing.assert_array_equal(np.asarray(ns4), n4)
+
+
+def test_kmer_cli_stream_db_and_kstats(tmp_path):
+    """`jx kmer -stream-db` writes .jxkdb and kstats/kmerge consume it
+    interchangeably with .npz."""
+    from janusx_tpu.cli.kmer import kstats_main, main as kmer_main
+    from janusx_tpu.models import kmer
+
+    if not kmer.available():
+        pytest.skip("no native toolchain")
+    fq = tmp_path / "s1.fastq"
+    _random_fastq(fq, n_reads=500, seed=7)
+    rc = kmer_main(["-i", str(fq), "-k", "15", "-ci", "1", "-stream-db",
+                    "-o", str(tmp_path), "-prefix", "kdb"])
+    assert rc == 0
+    db = tmp_path / "kdb.s1.k15.jxkdb"
+    assert db.exists()
+    rc = kmer_main(["-i", str(fq), "-k", "15", "-ci", "1",
+                    "-o", str(tmp_path), "-prefix", "knpz"])
+    assert rc == 0
+    npz = tmp_path / "knpz.s1.k15.npz"
+    # kstats over the two formats produces identical tables (stdout)
+    import io
+    from contextlib import redirect_stdout
+
+    buf1, buf2 = io.StringIO(), io.StringIO()
+    with redirect_stdout(buf1):
+        rc = kstats_main(["-db", str(db), "-o", str(tmp_path),
+                          "-prefix", "st1"])
+    assert rc == 0
+    with redirect_stdout(buf2):
+        rc = kstats_main(["-db", str(npz), "-o", str(tmp_path),
+                          "-prefix", "st2"])
+    assert rc == 0
+    rows1 = [l.split("\t")[1:] for l in buf1.getvalue().splitlines()]
+    rows2 = [l.split("\t")[1:] for l in buf2.getvalue().splitlines()]
+    assert rows1 == rows2 and len(rows1) >= 2
