@@ -69,6 +69,14 @@ def build_parser(prog="jx gs") -> argparse.ArgumentParser:
     )
     o.add_argument("--top-l2", type=float, default=1e-3)
     o.add_argument("--top-max-iter", type=int, default=50)
+    o.add_argument("--ml-params", type=str, default=None, metavar="K=V[,K=V]",
+                   help="explicit hyperparameters for the sklearn/xgboost "
+                        "ML methods (e.g. n_estimators=512,max_depth=8); "
+                        "wins over --ml-tune")
+    o.add_argument("--ml-tune", action="store_true",
+                   help="coarse hyperparameter search on the TRAINING fold "
+                        "before fitting each ML method (the reference MLGS "
+                        "auto-tuning stage, pyBLUP/ml.py)")
     o.add_argument("--top-tol", type=float, default=1e-6,
                    help="TOP Newton convergence tolerance")
     o.add_argument("--top-mode", type=str, default="auto",
@@ -252,6 +260,37 @@ def _parse_lambda_scale(raw: str) -> tuple[float, str | None]:
             f"number, got {raw!r}")
 
 
+def _parse_ml_params(spec: str | None) -> dict | None:
+    """'n_estimators=512,max_depth=None,learning_rate=0.05' -> typed dict
+    (int/float/bool/None literals coerced, everything else kept str)."""
+    if not spec:
+        return None
+    out: dict = {}
+    for item in spec.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        if "=" not in item:
+            raise SystemExit(f"--ml-params: expected K=V, got {item!r}")
+        k, v = item.split("=", 1)
+        vl = v.strip()
+        low = vl.lower()
+        if low == "none":
+            val = None
+        elif low in ("true", "false"):
+            val = low == "true"
+        else:
+            try:
+                val = int(vl)
+            except ValueError:
+                try:
+                    val = float(vl)
+                except ValueError:
+                    val = vl
+        out[k.strip()] = val
+    return out or None
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -314,6 +353,8 @@ def main(argv=None) -> int:
         select=_parse_select(args.select),
         top_l2=args.top_l2,
         top_max_iter=args.top_max_iter,
+        ml_params=_parse_ml_params(args.ml_params),
+        ml_tune=args.ml_tune,
         hash_dim=(args.hash_dim if args.hash_dim is not None else
                   None if args.hash is None else
                   int(args.hash[0]) if args.hash else _cfg.knob("JX_TPU_HASH_DIM")),

@@ -98,6 +98,10 @@ class GsConfig:
     rrblup_auto_pcg_min_n: int | None = None
     rrblup_pcg_tol: float | None = None
     rrblup_pcg_maxiter: int | None = None
+    # ML-route hyperparameters: explicit overrides (win) or coarse
+    # training-fold tuning like the reference MLGS search (pyBLUP/ml.py)
+    ml_params: dict | None = None
+    ml_tune: bool = False
 
 
 @dataclass
@@ -134,7 +138,74 @@ def _dispatch_blup_route(n_train: int, m: int, cfg=None) -> str:
     return "rrBLUP(PCG)"
 
 
-def _ml_model(method: str, seed: int):
+# Coarse hyperparameter spaces for the ML tuner — the compacted version
+# of the reference MLGS coarse search stage (pyBLUP/ml.py:613-683; its
+# fine multicenter stage refines around the winner, which on GS-size
+# panels moved the OOF score less than fold noise in our measurements).
+# ENET self-tunes alpha via ElasticNetCV's internal grid.
+_ML_TUNE_SPACE: dict = {
+    "RF": {"n_estimators": [128, 256, 512], "max_depth": [None, 8, 16]},
+    "ET": {"n_estimators": [128, 256, 512], "max_depth": [None, 8, 16]},
+    "GBDT": {"learning_rate": [0.03, 0.05, 0.10], "max_depth": [None, 4, 8]},
+    "XGB": {"learning_rate": [0.03, 0.05, 0.10], "max_depth": [2, 4, 6]},
+    "SVM": {"C": [0.5, 1.0, 2.0, 4.0, 8.0]},
+    "ENET": {},
+}
+
+
+def tune_ml_params(method: str, X, y, seed: int, n_iter: int = 6,
+                   inner_cv: int = 3) -> dict:
+    """Pick hyperparameters for one ML method by inner-CV Pearson on the
+    TRAINING data (reference _tune_ml_method_once semantics: tuning sees
+    only the training fold; the outer CV stays unbiased). Samples up to
+    ``n_iter`` deduplicated candidates from the coarse space."""
+    space = _ML_TUNE_SPACE.get(method, {})
+    if not space:
+        return {}
+    rng = np.random.default_rng(seed)
+    keys = sorted(space)
+    cands: list[dict] = [{}]  # the library default always competes
+    seen = {()}
+    for _ in range(4 * n_iter):
+        if len(cands) >= n_iter + 1:
+            break
+        c = {k: space[k][rng.integers(len(space[k]))] for k in keys}
+        sig = tuple(sorted((k, str(v)) for k, v in c.items()))
+        if sig not in seen:
+            seen.add(sig)
+            cands.append(c)
+    n = len(y)
+    idx = rng.permutation(n)
+    folds = np.array_split(idx, max(2, inner_cv))
+    best_params, best_score = {}, -np.inf
+    for params in cands:
+        preds = np.full(n, np.nan)
+        try:
+            for f in folds:
+                tr = np.setdiff1d(idx, f)
+                mdl = _ml_model(method, seed, params)
+                mdl.fit(X[tr], y[tr])
+                preds[f] = mdl.predict(X[f])
+            score = float(np.corrcoef(preds, y)[0, 1])
+        except Exception:
+            continue
+        if np.isfinite(score) and score > best_score:
+            best_score, best_params = score, params
+    return best_params
+
+
+def _ml_model(method: str, seed: int, params: dict | None = None):
+    mdl = _ml_model_base(method, seed)
+    if params:
+        try:
+            mdl.set_params(**params)
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                f"bad --ml-params for {method}: {e}") from e
+    return mdl
+
+
+def _ml_model_base(method: str, seed: int):
     if method == "RF":
         from sklearn.ensemble import RandomForestRegressor
 
@@ -589,9 +660,16 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait,
             info.pop("beta_std", None)
     elif method in ML_METHODS:
         X = Xml
+        ml_params = dict(getattr(cfg, "ml_params", None) or {})
+        if not ml_params and getattr(cfg, "ml_tune", False):
+            # reference _tune_ml_method_once: tuning sees only TRAIN data
+            ml_params = tune_ml_params(method, X[train], y[train], cfg.seed)
+            log.info("gs %s tuned params: %s", method, ml_params or "default")
+        if ml_params:
+            info["ml_params"] = {k: v for k, v in ml_params.items()}
         for fold, (tr_loc, va_loc) in enumerate(folds):
             tf = time.monotonic()
-            mdl = _ml_model(method, cfg.seed)
+            mdl = _ml_model(method, cfg.seed, ml_params)
             mdl.fit(X[train[tr_loc]], y[train[tr_loc]])
             pv = mdl.predict(X[train[va_loc]])
             oof[va_loc] = pv
@@ -600,7 +678,7 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait,
             fold_metrics.append(mets)
         cv_secs = time.monotonic() - t0
         t1 = time.monotonic()
-        mdl = _ml_model(method, cfg.seed)
+        mdl = _ml_model(method, cfg.seed, ml_params)
         mdl.fit(X[train], y[train])
         test_pred = mdl.predict(X[test]) if len(test) else np.empty(0)
         fit_secs = time.monotonic() - t1

@@ -307,3 +307,94 @@ def test_gs_model_select_global_and_lambda_auto(tmp_path, gs_problem):
                     "-o", str(tmp_path), "-prefix", "la"]) == 0
     s2 = json.load(open(tmp_path / "la.gs.summary.json"))
     assert s2["traits"]["t1"]["BLUP"]["lambda_pcg"] == 1.0
+
+
+# -- ML route hyperparameters (VERDICT r4 weak #8) --------------------------
+
+
+def test_ml_model_param_passthrough():
+    """--ml-params overrides reach every estimator; bad keys are a loud
+    typed error, not a silent default."""
+    from janusx_tpu.gs.workflow import _ml_model
+
+    mdl = _ml_model("RF", 1, {"n_estimators": 64, "max_depth": 5})
+    got = mdl.get_params()
+    assert got["n_estimators"] == 64 and got["max_depth"] == 5
+    assert _ml_model("SVM", 1, {"C": 4.0}).get_params()["C"] == 4.0
+    assert _ml_model("GBDT", 1, {"learning_rate": 0.03}).get_params()[
+        "learning_rate"] == 0.03
+    with pytest.raises(ValueError, match="ml-params"):
+        _ml_model("RF", 1, {"not_a_param": 1})
+
+
+def test_ml_missing_xgboost_clean_error(monkeypatch):
+    """Without the optional xgboost package the XGB method raises the
+    documented RuntimeError (install hint), not an ImportError."""
+    import builtins
+    import sys
+
+    from janusx_tpu.gs.workflow import _ml_model
+
+    monkeypatch.setitem(sys.modules, "xgboost", None)
+    real_import = builtins.__import__
+
+    def block(name, *a, **kw):
+        if name == "xgboost":
+            raise ImportError("No module named 'xgboost'")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", block)
+    monkeypatch.delitem(sys.modules, "xgboost", raising=False)
+    with pytest.raises(RuntimeError, match="pip install xgboost"):
+        _ml_model("XGB", 1)
+
+
+def test_ml_tune_trains_only_and_valid_params(gs_problem):
+    """tune_ml_params returns a candidate from the declared space (or the
+    library default) and every candidate it scored was fitted on the
+    given data only."""
+    from janusx_tpu.gs.workflow import _ML_TUNE_SPACE, tune_ml_params
+
+    pg, K, y = gs_problem
+    X = pg.centered().T[:120, :80]
+    params = tune_ml_params("SVM", X, y[:120], seed=0, n_iter=3)
+    assert set(params) <= set(_ML_TUNE_SPACE["SVM"])
+    if params:
+        assert params["C"] in _ML_TUNE_SPACE["SVM"]["C"]
+    # ENET self-tunes: empty dict, never raises
+    assert tune_ml_params("ENET", X, y[:120], seed=0) == {}
+
+
+def test_gs_cli_ml_params_and_tune(tmp_path, gs_problem):
+    """`jx gs -ENET --ml-params`/`--ml-tune` end-to-end: params are
+    parsed, stamped into the summary, and the run completes."""
+    import json
+
+    from janusx_tpu.cli.gs import _parse_ml_params, main as gs_main
+
+    assert _parse_ml_params("n_estimators=64,max_depth=None,lr=0.05,k=x") \
+        == {"n_estimators": 64, "max_depth": None, "lr": 0.05, "k": "x"}
+    assert _parse_ml_params(None) is None
+
+    pg, K, y = gs_problem
+    prefix = str(tmp_path / "mlp")
+    gd = GenotypeData(pg.dosages(), pg.sites, pg.samples)
+    plink.write_plink_genotypes(prefix, gd)
+    with open(prefix + ".pheno", "wt") as fh:
+        fh.write("\tt1\n")
+        for s, v in zip(pg.samples, y):
+            fh.write(f"{s}\t{v:.6f}\n")
+    rc = gs_main(["-bfile", prefix, "-p", prefix + ".pheno", "-ENET",
+                  "--ml-params", "l1_ratio=0.7", "-cv", "2",
+                  "-maf", "0.0", "-geno", "1.0",
+                  "-o", str(tmp_path), "-prefix", "mp"])
+    assert rc == 0
+    s = json.load(open(tmp_path / "mp.gs.summary.json"))
+    assert s["traits"]["t1"]["ENET"]["ml_params"] == {"l1_ratio": 0.7}
+    # --ml-tune on a method with a space: runs and records what it chose
+    rc = gs_main(["-bfile", prefix, "-p", prefix + ".pheno", "-SVM",
+                  "--ml-tune", "-cv", "2", "-maf", "0.0", "-geno", "1.0",
+                  "-o", str(tmp_path), "-prefix", "mt"])
+    assert rc == 0
+    s2 = json.load(open(tmp_path / "mt.gs.summary.json"))
+    assert "SVM" in s2["traits"]["t1"]
