@@ -211,6 +211,28 @@ def grm_from_packed(
         if acc is None or denom <= 0:
             raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
         return _fetch_symmetric(acc, n) / denom
+    K, denom = grm_partial(pg, method=method, block=block, dtype=dtype,
+                           mesh=mesh)
+    if denom <= 0:
+        raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
+    return K / denom
+
+
+def grm_partial(
+    pg: PackedGenotypes,
+    method: int = 1,
+    block: int = config.DEFAULT_SNP_BLOCK,
+    dtype=np.float64,
+    mesh=None,
+) -> tuple:
+    """Numerator/denominator split of the resident GRM build: the
+    UNNORMALIZED (n, n) sum of scaled outer products over pg's SNPs plus
+    this slice's denominator contribution (sum of per-SNP variances for
+    methods 1/3, SNP count for method 2). Both are additive over disjoint
+    SNP slices — the multi-host accumulation contract used by
+    parallel.distributed.distributed_grm (each host contributes its
+    host_snp_range slice; reference analog: the rayon partial-K merge in
+    src/stats/grm.rs, re-expressed as cross-host psum)."""
     mean, inv_sd, var = _snp_scales(pg, method)
     n = pg.n_samples
     packed = decode.pad_packed_cols(pg.packed)
@@ -255,9 +277,7 @@ def grm_from_packed(
             )
     K = _fetch_symmetric(acc, n)
     denom = float(var.sum()) if method in (1, 3) else float(m)
-    if denom <= 0:
-        raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
-    return K / denom
+    return K, denom
 
 
 def grm_denominator(pg: PackedGenotypes, method: int = 1) -> float:

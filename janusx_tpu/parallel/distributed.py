@@ -113,3 +113,53 @@ def make_global_snp_array(mesh: Mesh, local_block: np.ndarray, m_total: int):
     return jax.make_array_from_process_local_data(
         sharding, local_block, global_shape
     )
+
+
+def distributed_grm(source, method: int = 1, block: int | None = None,
+                    dtype=np.float64) -> np.ndarray:
+    """Multi-host dense GRM: the production entry point for the recipe
+    documented above.
+
+    ``source`` is the QC'd genotype source every host can open — a
+    PackedGenotypes or a disk-backed io.windowed.WindowedPacked (then
+    each host's take_snps is a range-limited host-local read: bits move
+    over the filesystem, floats never cross hosts). Each host computes
+    the unnormalized partial GRM of its host_snp_range slice on its own
+    devices (models.grm.grm_partial — the same decode/psum kernels as
+    grm_from_packed), and the (n, n) partials + denominators sum across
+    processes in ONE all-gather over the global mesh. Single-process
+    runs reduce to grm_from_packed exactly (the equivalence is tested in
+    tests/test_sharding.py and exercised cross-process by
+    tests/dist_worker.py).
+
+    Reference analog: src/stats/grm.rs rayon partial-K merge, scaled out
+    host-wise."""
+    from janusx_tpu import config
+    from janusx_tpu.models.grm import grm_partial
+
+    if block is None:
+        block = config.DEFAULT_SNP_BLOCK
+    m_total = int(source.m)
+    n = int(getattr(source, "n_samples", None) or source.n)
+    lo, hi = host_snp_range(m_total)
+    hi = min(hi, m_total)
+    if hi > lo:
+        sub = source.take_snps(np.arange(lo, hi))
+        part, denom = grm_partial(sub, method=method, block=block,
+                                  dtype=dtype)
+    else:  # a host whose slice is pure padding
+        part, denom = np.zeros((n, n), np.float64), 0.0
+    if jax.process_count() == 1:
+        if denom <= 0:
+            raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
+        return part / denom
+    from jax.experimental import multihost_utils
+
+    payload = np.concatenate(
+        [np.asarray(part, np.float64).ravel(), [float(denom)]])
+    gathered = np.asarray(multihost_utils.process_allgather(payload))
+    tot = gathered.sum(axis=0)
+    denom_g = float(tot[-1])
+    if denom_g <= 0:
+        raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
+    return tot[:-1].reshape(n, n) / denom_g

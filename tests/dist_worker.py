@@ -106,8 +106,35 @@ def main() -> int:
     np.testing.assert_allclose(beta[:m_total], beta_ref, rtol=1e-5, atol=1e-6)
     assert np.isnan(beta[m_total:]).all()  # padding rows must be masked
 
+    # production multi-host GRM entry: each process contributes only its
+    # host_snp_range slice; result must equal the local full-data build
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io.packed import QcParams, pack_genotypes
+    from janusx_tpu.models.grm import grm_from_packed
+
+    mg, ng = 97, 18  # not divisible by the 8 global devices
+    rng2 = np.random.default_rng(21)
+    codes = rng2.integers(0, 3, size=(mg, ng)).astype(np.int8)
+    sites = SiteInfo(
+        chrom=np.array(["1"] * mg, object),
+        pos=np.arange(1, mg + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(mg)], object),
+        allele0=np.array(["A"] * mg, object),
+        allele1=np.array(["G"] * mg, object),
+    )
+    gd = GenotypeData(codes, sites,
+                      np.array([f"i{j}" for j in range(ng)], object))
+    pgv = pack_genotypes(gd, QcParams(maf=0.0, geno=1.0))
+    K_dist = dist.distributed_grm(pgv)
+    K_ref = grm_from_packed(pgv)
+    # the host split regroups the f32 partial-gram accumulation (block
+    # padding per slice), so agreement is at f32-gram noise — same
+    # tolerance class as the mesh-vs-single production tests
+    np.testing.assert_allclose(K_dist, K_ref, rtol=1e-4, atol=1e-6)
+
     if pid == 0:
-        np.savez(f"{outdir}/dist_result.npz", K=K, beta=beta[:m_total])
+        np.savez(f"{outdir}/dist_result.npz", K=K, beta=beta[:m_total],
+                 K_grm=K_dist)
     print("DIST_OK", flush=True)
     return 0
 

@@ -537,3 +537,28 @@ def test_distributed_two_process_recipe(tmp_path):
     np.testing.assert_allclose(data["K"], G.T @ G, rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(
         data["beta"], (G @ y) / (G * G).sum(axis=1), rtol=1e-5, atol=1e-6)
+
+
+def test_distributed_grm_single_process_equals_full(rng):
+    """distributed_grm == grm_from_packed in single-process mode (the
+    multi-host driver reduces exactly; cross-process equality is in
+    dist_worker.py)."""
+    from janusx_tpu.models.grm import grm_from_packed
+    from janusx_tpu.parallel import distributed as dist
+
+    pg = _toy_pg(rng, m=301, n=50)
+    np.testing.assert_allclose(
+        dist.distributed_grm(pg), grm_from_packed(pg), rtol=1e-12, atol=1e-12)
+    # windowed disk-backed source path: host-local range reads
+    import tempfile
+
+    from janusx_tpu.io.plink import write_plink
+    from janusx_tpu.io.windowed import WindowedBed
+
+    with tempfile.TemporaryDirectory() as td:
+        prefix = td + "/wp"
+        write_plink(prefix, pg.packed, pg.n_samples, pg.sites, pg.samples)
+        wp = WindowedBed(prefix).prepare()
+        np.testing.assert_allclose(
+            dist.distributed_grm(wp), grm_from_packed(pg),
+            rtol=1e-10, atol=1e-10)
