@@ -163,3 +163,66 @@ def distributed_grm(source, method: int = 1, block: int | None = None,
     if denom_g <= 0:
         raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
     return tot[:-1].reshape(n, n) / denom_g
+
+
+_SCAN_BASE_COLS = ("af", "miss", "beta", "se", "pwald")
+_SCAN_OPT_COLS = ("plrt", "lbd", "ml")
+
+
+def distributed_scan(source, scan):
+    """Multi-host per-SNP scan driver: ``scan(sub)`` runs a production
+    scan (lm_scan / lmm_scan / fvlmm_scan / ...) on this host's
+    host_snp_range slice of ``source`` and returns a ScanResult; the
+    per-SNP numeric columns all-gather across processes and reassemble
+    in SNP order (process-major host slices are contiguous by
+    construction). Padding rows beyond source.m are dropped.
+
+    The per-SNP statistics need no cross-host communication (the same
+    independence the in-host shard_map scans exploit) — only the final
+    result columns cross DCN, as float64 rows. Requires homogeneous
+    local device counts (equal host slice widths).
+
+        res = distributed_scan(wp, lambda sub: lm_scan(sub, y))
+    """
+    from janusx_tpu.models.scan_common import ScanResult
+
+    m_total = int(source.m)
+    lo, hi = host_snp_range(m_total)
+    hi_eff = min(hi, m_total)
+    sub = source.take_snps(np.arange(lo, hi_eff))
+    res = scan(sub)
+    if res.m != hi_eff - lo:
+        raise ValueError(
+            f"scan returned {res.m} rows for a {hi_eff - lo}-row slice — "
+            "distributed_scan needs a scan that keeps all input SNPs")
+    width = hi - lo
+
+    def padto(a):
+        out = np.full(width, np.nan)
+        out[: len(a)] = np.asarray(a, np.float64)
+        return out
+
+    cols = {f: padto(getattr(res, f)) for f in _SCAN_BASE_COLS}
+    have_opt = [f for f in _SCAN_OPT_COLS if getattr(res, f) is not None]
+    cols.update({f: padto(getattr(res, f)) for f in have_opt})
+    names = list(_SCAN_BASE_COLS) + have_opt
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        payload = np.stack([cols[f] for f in names])  # (F, width)
+        g = np.asarray(multihost_utils.process_allgather(payload))
+        concat = np.concatenate(list(g), axis=1)[:, :m_total]
+        cols = {nm: concat[i] for i, nm in enumerate(names)}
+    else:
+        cols = {nm: cols[nm][:m_total] for nm in names}
+
+    sites = source.sites
+    if len(sites) != m_total:
+        sites = sites.take(np.arange(m_total))
+    return ScanResult(
+        sites=sites,
+        af=cols["af"], miss=cols["miss"], beta=cols["beta"],
+        se=cols["se"], pwald=cols["pwald"],
+        plrt=cols.get("plrt"), lbd=cols.get("lbd"), ml=cols.get("ml"),
+    )

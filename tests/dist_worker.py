@@ -132,9 +132,21 @@ def main() -> int:
     # tolerance class as the mesh-vs-single production tests
     np.testing.assert_allclose(K_dist, K_ref, rtol=1e-4, atol=1e-6)
 
+    # production multi-host scan driver on the same panel
+    from janusx_tpu.models.lm import lm_scan
+
+    yv = rng2.normal(size=ng)
+    d_scan = dist.distributed_scan(pgv, lambda sub: lm_scan(sub, yv))
+    ref_scan = lm_scan(pgv, yv)
+    np.testing.assert_allclose(d_scan.beta, ref_scan.beta,
+                               rtol=2e-3, atol=1e-6, equal_nan=True)
+    okp = np.isfinite(ref_scan.pwald) & (ref_scan.pwald > 0)
+    dlogp = np.abs(np.log10(d_scan.pwald[okp]) - np.log10(ref_scan.pwald[okp]))
+    assert np.nanmax(dlogp) < 5e-3
+
     if pid == 0:
         np.savez(f"{outdir}/dist_result.npz", K=K, beta=beta[:m_total],
-                 K_grm=K_dist)
+                 K_grm=K_dist, scan_beta=d_scan.beta)
     print("DIST_OK", flush=True)
     return 0
 

@@ -562,3 +562,32 @@ def test_distributed_grm_single_process_equals_full(rng):
         np.testing.assert_allclose(
             dist.distributed_grm(wp), grm_from_packed(pg),
             rtol=1e-10, atol=1e-10)
+
+
+def test_distributed_scan_single_process_equals_full(rng):
+    """distributed_scan == the direct production scan in single-process
+    mode (lm + lmm routes); cross-process equality runs in
+    dist_worker.py."""
+    from janusx_tpu.core.spectral import eigh_grm
+    from janusx_tpu.models.grm import grm_from_packed
+    from janusx_tpu.models.lm import lm_scan
+    from janusx_tpu.models.lmm import lmm_scan
+    from janusx_tpu.parallel import distributed as dist
+
+    pg = _toy_pg(rng, m=217, n=60)
+    y = rng.normal(size=pg.n) + pg.centered()[5] * 0.5
+
+    d = dist.distributed_scan(pg, lambda sub: lm_scan(sub, y))
+    ref = lm_scan(pg, y)
+    np.testing.assert_allclose(d.beta, ref.beta, rtol=0, atol=0,
+                               equal_nan=True)
+    np.testing.assert_allclose(d.pwald, ref.pwald, rtol=0, atol=0,
+                               equal_nan=True)
+    assert d.m == pg.m and list(d.sites.snp) == list(pg.sites.snp)
+
+    basis = eigh_grm(grm_from_packed(pg), diag_ridge=1e-6)
+    d2 = dist.distributed_scan(
+        pg, lambda sub: lmm_scan(sub, basis, y, use_pallas=False)[0])
+    ref2, _ = lmm_scan(pg, basis, y, use_pallas=False)
+    np.testing.assert_allclose(d2.beta, ref2.beta, rtol=0, atol=0,
+                               equal_nan=True)
