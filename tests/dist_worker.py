@@ -144,9 +144,27 @@ def main() -> int:
     dlogp = np.abs(np.log10(d_scan.pwald[okp]) - np.log10(ref_scan.pwald[okp]))
     assert np.nanmax(dlogp) < 5e-3
 
+    # full multi-host LMM GWAS flow: distributed GRM -> replicated eigh
+    # -> distributed exact-LMM scan (the flagship pipeline, scaled out)
+    from janusx_tpu.core.spectral import eigh_grm
+    from janusx_tpu.models.lmm import lmm_scan
+
+    basis = eigh_grm(K_dist, diag_ridge=1e-6)
+    yl = yv + pgv.centered()[7] * 0.6
+    d_lmm = dist.distributed_scan(
+        pgv, lambda sub: lmm_scan(sub, basis, yl, use_pallas=False)[0])
+    ref_lmm, _ = lmm_scan(pgv, basis, yl, use_pallas=False)
+    np.testing.assert_allclose(d_lmm.beta, ref_lmm.beta,
+                               rtol=2e-3, atol=1e-6, equal_nan=True)
+    okl = np.isfinite(ref_lmm.pwald) & (ref_lmm.pwald > 0)
+    dlogp_l = np.abs(
+        np.log10(d_lmm.pwald[okl]) - np.log10(ref_lmm.pwald[okl]))
+    assert np.nanmax(dlogp_l) < 5e-3
+
     if pid == 0:
         np.savez(f"{outdir}/dist_result.npz", K=K, beta=beta[:m_total],
-                 K_grm=K_dist, scan_beta=d_scan.beta)
+                 K_grm=K_dist, scan_beta=d_scan.beta,
+                 lmm_beta=d_lmm.beta)
     print("DIST_OK", flush=True)
     return 0
 
