@@ -596,3 +596,20 @@ def test_tree_cli_ml_gamma_and_me_flags(tmp_path):
         rc = tree_main(["-bfile", geno, "-ml", "-ml-no-me",
                         "-o", str(tmp_path), "-prefix", "tn"])
     assert rc in (0, None)
+
+
+def test_gamma20_category_means_property():
+    """Yang-1994 discrete-Gamma category means: positive, increasing,
+    averaging to 1 for any shape alpha (the identifiability constraint
+    the rescaling relies on)."""
+    from scipy.special import gammainc
+    from scipy.stats import gamma as sgamma
+
+    for alpha in (0.2, 0.7, 1.0, 3.0, 12.0):
+        K = 20
+        b = sgamma.ppf(np.arange(1, K) / K, alpha, scale=1.0 / alpha)
+        Pb = np.concatenate([[0.0], gammainc(alpha + 1.0, alpha * b), [1.0]])
+        means = K * np.diff(Pb)
+        assert (means > 0).all()
+        assert (np.diff(means) > -1e-12).all()
+        assert abs(means.mean() - 1.0) < 1e-9, alpha

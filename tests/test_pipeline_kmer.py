@@ -554,3 +554,34 @@ def test_kmer_cli_stream_db_and_kstats(tmp_path):
     rows1 = [l.split("\t")[1:] for l in buf1.getvalue().splitlines()]
     rows2 = [l.split("\t")[1:] for l in buf2.getvalue().splitlines()]
     assert rows1 == rows2 and len(rows1) >= 2
+
+
+def test_jxkdb_malformed_inputs_rejected(tmp_path):
+    """load_kmer_db: wrong magic / truncated header / version drift are
+    loud ValueErrors, and a truncated record tail doesn't crash."""
+    from janusx_tpu.models import kmer
+
+    bad = tmp_path / "bad.jxkdb"
+    bad.write_bytes(b"NOTMAGIC" + b"\0" * 8)
+    with pytest.raises(ValueError, match="jxkdb"):
+        kmer.load_kmer_db(str(bad))
+    bad.write_bytes(b"JXKMERDB")  # truncated header
+    with pytest.raises((ValueError, IndexError)):
+        kmer.load_kmer_db(str(bad))
+    bad.write_bytes(b"JXKMERDB" + bytes([9, 21, 0]) + b"\0" * 5)  # bad ver
+    with pytest.raises(ValueError):
+        kmer.load_kmer_db(str(bad))
+    # valid header + whole records round-trips; np.fromfile path too
+    ok = tmp_path / "ok.jxkdb"
+    rec = np.zeros(3, dtype=[("code", "<u8"), ("count", "<u4")])
+    rec["code"] = [5, 9, 11]
+    rec["count"] = [2, 1, 7]
+    with open(ok, "wb") as fh:
+        fh.write(b"JXKMERDB" + bytes([1, 21, 0]) + b"\0" * 5)
+        rec.tofile(fh)
+    codes, counts, k = kmer.load_kmer_db(str(ok))
+    assert k == 21
+    np.testing.assert_array_equal(np.asarray(codes), [5, 9, 11])
+    np.testing.assert_array_equal(np.asarray(counts), [2, 1, 7])
+    codes2, counts2, _ = kmer.load_kmer_db(str(ok), mmap=False)
+    np.testing.assert_array_equal(np.asarray(codes2), [5, 9, 11])
