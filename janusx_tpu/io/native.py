@@ -65,7 +65,7 @@ def _load():
             lib.jx_count_lines.restype = ctypes.c_long
             lib.jx_count_lines.argtypes = [ctypes.c_char_p, ctypes.c_long]
             _lib = lib
-        except OSError as e:
+        except (OSError, AttributeError) as e:
             log.debug("native load failed: %s", e)
             _lib = None
         return _lib

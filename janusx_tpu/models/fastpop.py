@@ -256,11 +256,13 @@ def _train_adam_em(p0, q0, packed, nobs2, n: int, block: int, n_iter: int,
     )
     (n_done, p, q, _mp, _vp, _mq, _vq, _lr, ll_best, p_best, q_best,
      _ni, lls, _done) = jax.lax.while_loop(cond, step, state0)
-    # return the best-seen (p, q) when checks ran, else the last iterate
+    # return the best-seen (p, q) when checks ran, else the last iterate —
+    # and the loglik THAT STATE was evaluated at, so AdmixtureFit.loglik
+    # always describes the returned parameters
     use_best = jnp.isfinite(ll_best)
     p = jnp.where(use_best, p_best, p)
     q = jnp.where(use_best, q_best, q)
-    return p, q, lls, n_done
+    return p, q, lls, n_done, ll_best
 
 
 def train_admixture(
@@ -316,7 +318,7 @@ def train_admixture(
         p0 = jax.nn.sigmoid(jnp.asarray(plogit0))
         nobs2 = 2.0 * (pg.dosages() >= 0).sum(axis=0).astype(np.float32)
         nobs2 = np.maximum(nobs2, 1.0)
-        p_fit, q_fit, lls, n_done = _train_adam_em(
+        p_fit, q_fit, lls, n_done, ll_best = _train_adam_em(
             jnp.clip(p0, _EM_EPS, 1 - _EM_EPS),
             jnp.clip(q0, _EM_EPS, 1 - _EM_EPS),
             pk, jnp.asarray(nobs2), n, block, n_iter, lr_em,
@@ -325,7 +327,9 @@ def train_admixture(
         Q = np.asarray(q_fit, np.float64)
         Q /= Q.sum(axis=1, keepdims=True)
         P = np.asarray(p_fit, np.float64)[:m].T
+        fit_ll = float(ll_best) if np.isfinite(float(ll_best)) else None
     else:
+        fit_ll = None
         ql, pl, lls, n_done = _train(
             jnp.asarray(qlogit0), jnp.asarray(plogit0), pk, n, block, n_iter,
             0.05 if lr is None else lr,
@@ -335,8 +339,10 @@ def train_admixture(
         P = np.asarray(jax.nn.sigmoid(pl), np.float64)[:m].T
     n_done = int(n_done)
     lls = np.asarray(lls, np.float64)[:n_done]
+    if fit_ll is None:
+        fit_ll = float(lls[-1]) if n_done else float("nan")
     return AdmixtureFit(
-        Q=Q, P=P, loglik=float(lls[-1]) if n_done else float("nan"),
+        Q=Q, P=P, loglik=fit_ll,
         loglik_path=lls, n_iter=n_done, solver=solver,
     )
 

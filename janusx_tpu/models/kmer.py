@@ -93,7 +93,7 @@ def _load():
             ]
             lib.jx_kmt_free.argtypes = [ctypes.c_void_p]
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
             _lib = None
         return _lib
 
@@ -402,18 +402,26 @@ def load_kmer_db(path: str, mmap: bool = True):
 
     With ``mmap`` the records stay on disk (np.memmap) and the returned
     arrays are views — iterating a 4.8 GB table costs pages, not RAM.
-    Narrow codes return as u64; wide (k > 32) as the structured
-    (lo, hi) view matching count_kmers' wide output."""
+    Narrow codes return as u64 views; wide (k > 32) codes are COPIED
+    into the package-wide WIDE_DTYPE ("hi","lo") layout so they are
+    dtype-identical to count_kmers' wide output (concatenable/sortable
+    alongside .npz-loaded tables) — wide tables therefore materialize
+    16 B/record on load."""
     with open(path, "rb") as fh:
         head = fh.read(16)
-    if head[:8] != DB_MAGIC or head[8] != 1:
+    if len(head) < 16 or head[:8] != DB_MAGIC:
         raise ValueError(f"{path}: not a jxkdb k-mer table")
+    if head[8] != 1:
+        raise ValueError(
+            f"{path}: unsupported jxkdb version {head[8]} (expected 1)")
     k, wide = head[9], bool(head[10])
     dt = _db_dtype(wide)
     rec = (np.memmap(path, dtype=dt, mode="r", offset=16) if mmap
            else np.fromfile(path, dtype=dt, offset=16))
     if wide:
-        codes = rec[["lo", "hi"]]
+        codes = np.empty(len(rec), WIDE_DTYPE)
+        codes["lo"] = rec["lo"]
+        codes["hi"] = rec["hi"]
     else:
         codes = rec["code"]
     return codes, rec["count"], int(k)

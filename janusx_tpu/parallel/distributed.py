@@ -143,12 +143,17 @@ def distributed_grm(source, method: int = 1, block: int | None = None,
     n = int(getattr(source, "n_samples", None) or source.n)
     lo, hi = host_snp_range(m_total)
     hi = min(hi, m_total)
-    if hi > lo:
-        sub = source.take_snps(np.arange(lo, hi))
-        part, denom = grm_partial(sub, method=method, block=block,
-                                  dtype=dtype)
-    else:  # a host whose slice is pure padding
-        part, denom = np.zeros((n, n), np.float64), 0.0
+    part, denom = np.zeros((n, n), np.float64), 0.0
+    # stream the host slice in bounded windows: a disk-backed
+    # WindowedPacked slice must NEVER materialize whole (grm_partial is
+    # additive, so windowing preserves the result up to f32 regrouping)
+    win = _host_window(source)
+    for s in range(lo, hi, win):
+        e = min(s + win, hi)
+        sub = source.take_snps(np.arange(s, e))
+        p_i, d_i = grm_partial(sub, method=method, block=block, dtype=dtype)
+        part += p_i
+        denom += d_i
     if jax.process_count() == 1:
         if denom <= 0:
             raise ValueError("GRM denominator is zero (no polymorphic SNPs?)")
@@ -167,6 +172,12 @@ def distributed_grm(source, method: int = 1, block: int | None = None,
 
 _SCAN_BASE_COLS = ("af", "miss", "beta", "se", "pwald")
 _SCAN_OPT_COLS = ("plrt", "lbd", "ml")
+_DIST_WINDOW = 1 << 17  # host-local streaming window (SNP rows)
+
+
+def _host_window(source) -> int:
+    cap = getattr(source, "max_resident_snps", None)
+    return max(int(min(_DIST_WINDOW, cap) if cap else _DIST_WINDOW), 1)
 
 
 def distributed_scan(source, scan):
@@ -189,23 +200,37 @@ def distributed_scan(source, scan):
     m_total = int(source.m)
     lo, hi = host_snp_range(m_total)
     hi_eff = min(hi, m_total)
-    sub = source.take_snps(np.arange(lo, hi_eff))
-    res = scan(sub)
-    if res.m != hi_eff - lo:
-        raise ValueError(
-            f"scan returned {res.m} rows for a {hi_eff - lo}-row slice — "
-            "distributed_scan needs a scan that keeps all input SNPs")
+    # stream the host slice in bounded windows (disk-backed sources must
+    # never materialize the whole slice); per-SNP scans window cleanly
+    win = _host_window(source)
+    parts = []
+    for s in range(lo, hi_eff, win):
+        e = min(s + win, hi_eff)
+        sub = source.take_snps(np.arange(s, e))
+        res = scan(sub)
+        if res.m != e - s:
+            raise ValueError(
+                f"scan returned {res.m} rows for a {e - s}-row window — "
+                "distributed_scan needs a scan that keeps all input SNPs")
+        parts.append(res)
     width = hi - lo
+    if parts:
+        col_src = parts[0]
+    else:
+        # pure-padding host slice: probe one SNP so this host still
+        # agrees with the others on the gathered column set
+        col_src = scan(source.take_snps(np.arange(0, 1)))
+    have_opt = [f for f in _SCAN_OPT_COLS if getattr(col_src, f) is not None]
+    names = list(_SCAN_BASE_COLS) + have_opt
 
-    def padto(a):
+    def padto(vals):
         out = np.full(width, np.nan)
-        out[: len(a)] = np.asarray(a, np.float64)
+        if vals:
+            cat = np.concatenate([np.asarray(v, np.float64) for v in vals])
+            out[: len(cat)] = cat
         return out
 
-    cols = {f: padto(getattr(res, f)) for f in _SCAN_BASE_COLS}
-    have_opt = [f for f in _SCAN_OPT_COLS if getattr(res, f) is not None]
-    cols.update({f: padto(getattr(res, f)) for f in have_opt})
-    names = list(_SCAN_BASE_COLS) + have_opt
+    cols = {f: padto([getattr(r, f) for r in parts]) for f in names}
 
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils

@@ -75,7 +75,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_double),  # out_se
             ]
             _lib = lib
-        except OSError as e:
+        except (OSError, AttributeError) as e:
             log.debug("baseline load failed: %s", e)
             _lib = None
         return _lib

@@ -104,11 +104,13 @@ def main(res_dir):
             pa = np.array([tools[a][s] for s in shared])
             pb = np.array([tools[b][s] for s in shared])
             ok = (pa > 0) & (pb > 0) & np.isfinite(pa) & np.isfinite(pb)
+            shared_ok = [s for s, o in zip(shared, ok) if o]
             la, lb = -np.log10(pa[ok]), -np.log10(pb[ok])
             r = float(np.corrcoef(la, lb)[0, 1]) if ok.sum() > 2 else np.nan
             dmax = float(np.abs(la - lb).max()) if ok.sum() else np.nan
-            tophit = (shared[int(np.argmax(la))] == shared[int(np.argmax(lb))]
-                      if ok.sum() else False)
+            tophit = (
+                shared_ok[int(np.argmax(la))] == shared_ok[int(np.argmax(lb))]
+                if ok.sum() else False)
             print(f"{a}\t{b}\t{int(ok.sum())}\t{r:.6f}\t{dmax:.4f}"
                   f"\t{'yes' if tophit else 'no'}")
     if len(names) < 2:

@@ -501,14 +501,18 @@ def test_kmer_stream_db_matches_count(tmp_path):
     np.testing.assert_array_equal(np.asarray(cs2), c)
     np.testing.assert_array_equal(np.asarray(ns2), n)
 
-    # wide keys (k > 32 -> two-word codes, hash phase 2)
+    # wide keys (k > 32 -> two-word codes, hash phase 2); the loaded
+    # codes must be DTYPE-IDENTICAL to count_kmers' wide output so the
+    # downstream merge/sort/concat paths treat both sources the same
     c3, n3 = kmer.count_kmers(str(fq), k=33)
     kmer.stream_kmer_count(str(fq), str(tmp_path / "c.jxkdb"), k=33)
     cs3, ns3, k3 = kmer.load_kmer_db(str(tmp_path / "c.jxkdb"))
     assert k3 == 33
-    np.testing.assert_array_equal(np.asarray(cs3["lo"]), c3["lo"])
-    np.testing.assert_array_equal(np.asarray(cs3["hi"]), c3["hi"])
+    assert cs3.dtype == c3.dtype == kmer.WIDE_DTYPE
+    np.testing.assert_array_equal(cs3, c3)
     np.testing.assert_array_equal(np.asarray(ns3), n3)
+    # mixing .jxkdb and .npz wide tables concatenates cleanly
+    assert np.concatenate([cs3, c3]).dtype == kmer.WIDE_DTYPE
 
     # min_count filter at stream time
     c4, n4 = kmer.count_kmers(str(fq), k=21, min_count=2)
@@ -566,7 +570,7 @@ def test_jxkdb_malformed_inputs_rejected(tmp_path):
     with pytest.raises(ValueError, match="jxkdb"):
         kmer.load_kmer_db(str(bad))
     bad.write_bytes(b"JXKMERDB")  # truncated header
-    with pytest.raises((ValueError, IndexError)):
+    with pytest.raises(ValueError):
         kmer.load_kmer_db(str(bad))
     bad.write_bytes(b"JXKMERDB" + bytes([9, 21, 0]) + b"\0" * 5)  # bad ver
     with pytest.raises(ValueError):
