@@ -77,7 +77,7 @@ PROBE_RETRY_SLEEP_S = 60.0
 # leaving headroom for the CPU fallback run inside a 1 h driver window.
 OUTAGE_BUDGET_S = float(os.environ.get("JX_BENCH_OUTAGE_BUDGET_S", "2100"))
 MEASURE_TIMEOUT_S = float(os.environ.get("JX_BENCH_MEASURE_TIMEOUT_S", "1500"))
-CPU_MEASURE_TIMEOUT_S = float(os.environ.get("JX_BENCH_CPU_TIMEOUT_S", "3000"))
+CPU_MEASURE_TIMEOUT_S = float(os.environ.get("JX_BENCH_CPU_TIMEOUT_S", "1500"))
 
 _PROBE_SRC = (
     "import jax, jax.numpy as jnp;"
