@@ -80,6 +80,7 @@ KNOBS: dict = {
     "JX_TPU_GRID_MXU_PREC": (str, "default", "lambda-lattice gram MXU precision: default (one-pass, selection-grade) | highest (six-pass f32)"),
     "JX_TPU_SCAN_METHOD": (str, "grid", "LMM per-SNP lambda search: grid | brent"),
     "JX_TPU_GRID_POINTS": (int, 256, "shared log10-lambda grid size for the grid scan (3-point parabolic refinement localizes lambda* to ~1e-3, inside the 1e-2 Brent tol; raise for finer search)"),
+    "JX_TPU_LATTICE_MAX_N": (int, 32768, "max padded sample lanes for the fused Pallas lambda-lattice kernel; larger cohorts fall back to the XLA grid path instead of exceeding VMEM (the kernel holds ~(bm+bg+1+p) sample rows per grid step)"),
     "JX_TPU_SCAN_BRENT_TOL": (float, 1e-2, "per-SNP Brent tolerance (reference lmm.rs:334)"),
     "JX_TPU_SCAN_BRENT_MAX_ITER": (int, 50, "per-SNP Brent iteration cap"),
     "JX_TPU_NULL_BRENT_TOL": (float, 1e-6, "null-REML Brent tolerance (reference reml.rs:650)"),

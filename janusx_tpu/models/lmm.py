@@ -73,6 +73,36 @@ def _lmm_block(
     return lgs, beta, se, ml, ssq
 
 
+def _lattice_operands(sh, rot: RotatedData, n: int, N2: int, p: int):
+    """Pack the (Wp, YX, SH) operands of the fused λ-lattice kernel.
+
+    The SH row layout MUST stay byte-identical to the offsets hard-coded
+    in _grid_lattice_kernel (ops/pallas_kernels.py) — it is defined HERE
+    exactly once for both scan paths: the single-trait scan calls this
+    directly and the trait-level multi scan vmaps it over the stacked
+    trait axis."""
+    G = sh.grid_lg.shape[-1]
+    f32 = jnp.float32
+    Wp = jnp.zeros((G, N2), f32).at[:, :n].set(sh.w32)
+    YX = jnp.zeros((1 + p, N2), f32)
+    YX = YX.at[0, :n].set(rot.yr.astype(f32))
+    for q in range(p):
+        YX = YX.at[1 + q, :n].set(rot.Xr[:, q].astype(f32))
+    SH = jnp.concatenate(
+        [
+            sh.Ar_inv32.reshape(G, p * p).T,
+            sh.Ainv_axy32.T,
+            sh.Axx32.reshape(G, p * p).T,
+            sh.axy32.T,
+            sh.ayy32[None, :],
+            sh.logdetAr32[None, :],
+            sh.logdetV32[None, :],
+        ],
+        axis=0,
+    )
+    return Wp, YX, SH
+
+
 def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
                    use_pallas: bool, lattice: bool = True,
                    grid_prec: str = "default", rot_prec: str = "highest"):
@@ -97,30 +127,17 @@ def _lmm_scan_core(pk, mn, U32, rot: RotatedData, sh, n: int, with_ml: bool,
         and p <= 4
         and sh.grid_lg.shape[0] % 128 == 0
         and pk.shape[1] % 256 == 0
+        # VMEM bound: the lattice kernel streams (bm + bg + 1 + p) full
+        # sample rows per grid step; past ~32k padded lanes that blows
+        # the ~128 MiB VMEM — fall back to the XLA grid instead of a
+        # Mosaic allocation error (biobank-n cohorts)
+        and U32.shape[1] <= config.knob("JX_TPU_LATTICE_MAX_N")
     )
     if use_lattice:
         from janusx_tpu.ops.pallas_kernels import grid_neg_reml_lattice
 
         N2 = U32.shape[1]  # plane-permuted operand's padded sample lanes
-        G = sh.grid_lg.shape[0]
-        f32 = jnp.float32
-        Wp = jnp.zeros((G, N2), f32).at[:, :n].set(sh.w32)
-        YX = jnp.zeros((1 + p, N2), f32)
-        YX = YX.at[0, :n].set(rot.yr.astype(f32))
-        for q in range(p):
-            YX = YX.at[1 + q, :n].set(rot.Xr[:, q].astype(f32))
-        SH = jnp.concatenate(
-            [
-                sh.Ar_inv32.reshape(G, p * p).T,
-                sh.Ainv_axy32.T,
-                sh.Axx32.reshape(G, p * p).T,
-                sh.axy32.T,
-                sh.ayy32[None, :],
-                sh.logdetAr32[None, :],
-                sh.logdetV32[None, :],
-            ],
-            axis=0,
-        )
+        Wp, YX, SH = _lattice_operands(sh, rot, n, N2, p)
 
     if use_lattice:
         # maximally hoisted form: the scan body is ONLY the fused
@@ -283,10 +300,17 @@ _grid_shared_jit = jax.jit(grid_shared)
 
 
 def _scan_state(basis: SpectralBasis, y: np.ndarray, covariates, grid_points: int):
+    # strong digests, not Python hash(): a 64-bit siphash collision would
+    # silently serve one trait's rotated data to another (no error, wrong
+    # betas); blake2b makes that impossible in practice and costs ~us
+    import hashlib
+
     key = (
         id(basis.U),
-        hash(y.tobytes()),
-        None if covariates is None else hash(np.ascontiguousarray(covariates).tobytes()),
+        hashlib.blake2b(y.tobytes(), digest_size=16).digest(),
+        None if covariates is None else hashlib.blake2b(
+            np.ascontiguousarray(covariates).tobytes(),
+            digest_size=16).digest(),
         grid_points,
     )
     hit = _state_cache.get(key)
@@ -336,6 +360,18 @@ def lmm_scan(
     mesh=None,  # jax.sharding.Mesh with a 'snp' axis: SNP-shard the scan
 ) -> tuple[ScanResult, NullFit]:
     """Exact LMM scan over all SNPs of the (subset) packed genotypes."""
+    if method not in ("grid", "brent"):
+        # a typo ('Grid', 'GRID', ...) must not silently select the
+        # orders-of-magnitude-slower reference-faithful Brent loop
+        raise ValueError(
+            f"unknown lmm scan method {method!r} (expected 'grid' or 'brent')")
+    if method == "brent" and mesh is not None:
+        import warnings
+
+        warnings.warn(
+            "lmm_scan(method='brent') runs single-device; the mesh argument "
+            "is ignored on this path (use method='grid' for sharded scans)",
+            stacklevel=2)
     if use_pallas is None:
         use_pallas = (
             method == "grid"
@@ -358,7 +394,11 @@ def lmm_scan(
     if null is None:
         null = fit_null_reml(rot)
 
-    U32 = devcache.to_device(basis.U, jnp.float32)
+    # the full (n, n) f32 rotation upload is only needed by the XLA-grid
+    # and brent paths — the Pallas route builds its own planar operand, so
+    # uploading here unconditionally would cost n^2*4 dead bytes (1.6 GB
+    # at n=20k through a slow link) and pin a second U copy in HBM
+    _u32 = lambda: devcache.to_device(basis.U, jnp.float32)
     m = pg.m
     block = min(block, m) if m else block
     # lazy disk-backed inputs (io.windowed.WindowedPacked) bound their
@@ -411,7 +451,7 @@ def lmm_scan(
             U_op = _planar_operand(basis, pk.shape[2], n)
         else:
             pk = devcache.device_packed_blocks(pg, (nblk, block), mesh=mesh)
-            U_op = U32
+            U_op = _u32()
         mn = devcache.to_device_blocks(
             pg.mean, (nblk, block), 0.0, dtype=jnp.float32, mesh=mesh
         )
@@ -446,6 +486,7 @@ def lmm_scan(
         se = np.empty(m)
         ml = np.empty(m)
         ssq = np.empty(m)
+        U32 = _u32()
         for s0, e0 in iter_blocks(m, block):
             pk = pad_rows(packed[s0:e0], block, 0xFF)
             mn = pad_rows(pg.mean[s0:e0].astype(np.float32), block)
@@ -517,26 +558,11 @@ def _lmm_scan_core_multi(pk, mn, U32, rots, shs, n: int, with_ml: bool,
         )
 
         N2 = U32.shape[1]
-        G = shs.grid_lg.shape[-1]
-        f32 = jnp.float32
         grid_lg = shs.grid_lg[0]
-        Wp = jnp.zeros((T, G, N2), f32).at[:, :, :n].set(shs.w32)
-        YX = jnp.zeros((T, 1 + p, N2), f32)
-        YX = YX.at[:, 0, :n].set(rots.yr.astype(f32))
-        for q in range(p):
-            YX = YX.at[:, 1 + q, :n].set(rots.Xr[:, :, q].astype(f32))
-        SH = jnp.concatenate(
-            [
-                shs.Ar_inv32.reshape(T, G, p * p).transpose(0, 2, 1),
-                shs.Ainv_axy32.transpose(0, 2, 1),
-                shs.Axx32.reshape(T, G, p * p).transpose(0, 2, 1),
-                shs.axy32.transpose(0, 2, 1),
-                shs.ayy32[:, None, :],
-                shs.logdetAr32[:, None, :],
-                shs.logdetV32[:, None, :],
-            ],
-            axis=1,
-        )
+        # one packer for both scan paths (vmapped over the trait axis) —
+        # the SH row layout is defined once in _lattice_operands
+        Wp, YX, SH = jax.vmap(
+            lambda s_, r_: _lattice_operands(s_, r_, n, N2, p))(shs, rots)
 
     def body(_, xs):
         pkb, mnb = xs
@@ -693,6 +719,8 @@ def lmm_scan_multi(
         and grid_points % 128 == 0
         and block % 512 == 0
         and (mesh is None or (block // mesh.devices.size) % 512 == 0)
+        # same VMEM bound as the single-trait lattice gate
+        and (-(-pg.n // 256)) * 256 <= config.knob("JX_TPU_LATTICE_MAX_N")
     )
     grid_prec = config.choice_knob("JX_TPU_GRID_MXU_PREC", ("default", "highest"))
     rot_prec = config.choice_knob("JX_TPU_ROTATE_PREC", ("highest", "high"))

@@ -121,6 +121,13 @@ def decode_rotate_planar(
     M, Kb = packed.shape
     K, N = U_planar.shape
     assert K == Kb * 4
+    if M % bm or N % bn or K % bk:
+        # a partial tile would be SILENTLY SKIPPED by the floor-divided
+        # grid (uninitialized output rows) — refuse misaligned shapes;
+        # internal scan call sites pad/gate alignment before calling
+        raise ValueError(
+            f"decode_rotate_planar needs M%{bm}==0, N%{bn}==0, K%{bk}==0; "
+            f"got M={M}, N={N}, K={K} — pad the inputs")
     grid = (M // bm, N // bn, K // bk)
     return pl.pallas_call(
         partial(_rotate_kernel, prec),
@@ -239,6 +246,11 @@ def grid_neg_reml_lattice(
     B, Npad = Gr.shape
     G = W.shape[0]
     R = SH.shape[0]
+    if B % bm or G % bg:
+        # floor-divided grid would silently skip the partial tile
+        raise ValueError(
+            f"grid_neg_reml_lattice needs B%{bm}==0 and G%{bg}==0; "
+            f"got B={B}, G={G} — pad the inputs")
     grid = (B // bm, G // bg)
     kern = partial(_grid_lattice_kernel, p, ridge, nf, prec)
     return pl.pallas_call(
