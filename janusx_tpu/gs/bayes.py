@@ -104,12 +104,15 @@ def _gibbs(
             0, C, inner, (b_old, jnp.zeros((C,), f))
         )
         r = r - jnp.dot(b_new - b_old, Z1, precision=hp)
-        vb_new = jnp.where(
-            delta > 0,
-            (s0_b + b_new * b_new) / rca,
-            s0_b / rci,
-        ).astype(f)
-        vb_new = jnp.where(x21 > 0, vb_new, s0_b / (df0_b + 2.0))
+        if method in ("A", "B"):
+            vb_new = jnp.where(
+                delta > 0,
+                (s0_b + b_new * b_new) / rca,
+                s0_b / rci,
+            ).astype(f)
+            vb_new = jnp.where(x21 > 0, vb_new, s0_b / (df0_b + 2.0))
+        else:  # Cpi: var_b is dead state — carry it unchanged
+            vb_new = vb_old
         return (r, var_e, var_slab, pi), (b_new, vb_new, delta)
 
     def iter_body(it, state):
@@ -119,12 +122,20 @@ def _gibbs(
         # vectorized randoms for the whole sweep
         rn = jax.random.normal(kn, (n_blocks, C), f)
         ru = jax.random.uniform(ku, (n_blocks, C), dtype=f)
-        rca = 2.0 * jax.random.gamma(kca, (df0_b + 1.0) / 2.0, (n_blocks, C), f)
-        rci = 2.0 * jax.random.gamma(kci, df0_b / 2.0, (n_blocks, C), f)
+        if method in ("A", "B"):
+            rca = 2.0 * jax.random.gamma(
+                kca, (df0_b + 1.0) / 2.0, (n_blocks, C), f)
+            rci = 2.0 * jax.random.gamma(kci, df0_b / 2.0, (n_blocks, C), f)
+        else:
+            # Cpi uses the shared slab variance only: var_b is never read,
+            # so the per-marker scaled-inv-chi2 draws are dead work. kca/kci
+            # are independent subkeys — skipping them leaves every other
+            # stream (and therefore all Cpi outputs) bitwise unchanged.
+            rca = rci = jnp.ones((n_blocks, C), f)
         # intercept
         r_mu = r + mu
         mu_new = (
-            jnp.mean(r_mu) * (r.shape[0] / n)
+            jnp.mean(r_mu)
             + jax.random.normal(km, dtype=f) * jnp.sqrt(var_e / n)
         ).astype(f)
         r = r_mu - mu_new

@@ -182,7 +182,9 @@ def fit_gblup_kernels(
         [np.ones((n_t, 1)), cov_t], axis=1
     )
     terms = [
-        RandomTerm(name=nm, Z=np.eye(n_t), K=K[np.ix_(train_idx, train_idx)])
+        # Z=None: identity incidence — skips the (n_t, n_t) eye and the
+        # O(n_t^3) Z @ L identity product per kernel term
+        RandomTerm(name=nm, Z=None, K=K[np.ix_(train_idx, train_idx)])
         for nm, K in Ks.items()
     ]
     res = ai_reml(y_t, X, terms)

@@ -569,6 +569,8 @@ def fastlmm_scan(
     rot: RotatedLR | None = None,
     null: NullFit | None = None,
     mesh=None,
+    _sh=None,  # precomputed grid-shared state (threaded through chunking)
+    _cs=None,  # precomputed device constants incl. the (n, k) Uk upload
 ) -> tuple[ScanResult, NullFit]:
     """Low-rank exact LMM scan over all SNPs (FaST-LMM semantics).
 
@@ -582,6 +584,17 @@ def fastlmm_scan(
         rot = make_rotated_lr(lrb, y, covariates)
     if null is None:
         null, _, _ = fit_null_reml_lr(rot)
+    # grid-shared state + device constants (incl. the (n, k) f32 Uk
+    # upload) are per-trait, NOT per-chunk: build once and thread through
+    # the chunked recursion below — recomputing per superblock re-ran the
+    # host grid setup and re-transferred n*k*4 bytes every chunk
+    if _sh is None:
+        grid_lg = np.linspace(
+            config.LOG10_LAMBDA_LOW, config.LOG10_LAMBDA_HIGH, grid_points
+        )
+        _sh = _grid_shared_lr(rot, grid_lg)
+    if _cs is None:
+        _cs = _lr_consts(rot)._replace(Uk=jnp.asarray(lrb.U, jnp.float32))
     # lazy (windowed low-memory) or huge inputs: chunk through the
     # resident scan like every other route (nulls/rotation reused)
     superblock = min(1 << 20, getattr(pg, "max_resident_snps", 1 << 20))
@@ -595,16 +608,14 @@ def fastlmm_scan(
                 spans, lambda se: pg.take_snps(np.arange(se[0], se[1]))):
             r, null = fastlmm_scan(sub, lrb, y, covariates, block=block,
                                    lmm2=lmm2, grid_points=grid_points,
-                                   model=model, rot=rot, null=null, mesh=mesh)
+                                   model=model, rot=rot, null=null, mesh=mesh,
+                                   _sh=_sh, _cs=_cs)
             parts.append(r)
         return ScanResult.concat(parts), null
     if not hasattr(pg, "packed"):
         pg = pg.take_snps(np.arange(pg.m))
-    grid_lg = np.linspace(
-        config.LOG10_LAMBDA_LOW, config.LOG10_LAMBDA_HIGH, grid_points
-    )
-    sh = _grid_shared_lr(rot, grid_lg)
-    cs = _lr_consts(rot)._replace(Uk=jnp.asarray(lrb.U, jnp.float32))
+    sh = _sh
+    cs = _cs
     n, m = pg.n, pg.m
     block = min(block, m) if m else block
     from janusx_tpu.utils import devcache

@@ -444,10 +444,19 @@ def splmm_exact_scan(
     sb = max((superblock // block) * block, block)
     from janusx_tpu.models.scan_common import pad_rows
 
-    for c0 in range(0, m, sb):
-        c1 = min(c0 + sb, m)
-        sub = pg if (c0 == 0 and c1 == m and hasattr(pg, "packed")) else \
-            pg.take_snps(np.arange(c0, c1))
+    from janusx_tpu.utils.prefetch import prefetch_one_ahead
+
+    def _materialize_exact(span):
+        c0_, c1_ = span
+        if c0_ == 0 and c1_ == m and hasattr(pg, "packed"):
+            return c0_, c1_, pg
+        return c0_, c1_, pg.take_snps(np.arange(c0_, c1_))
+
+    spans_exact = [(c0_, min(c0_ + sb, m)) for c0_ in range(0, m, sb)]
+    # chunk k+1's host IO/decode overlaps chunk k's device work — same
+    # double-buffering as the grammar route above (reference gblup.rs
+    # mpsc overlap); the exact route was the one sibling missing it
+    for c0, c1, sub in prefetch_one_ahead(spans_exact, _materialize_exact):
         if _block is None:
             for s0, e0 in iter_blocks(c1 - c0, block):
                 G = sub.take_snps(np.arange(s0, e0)).centered()  # (b, n)

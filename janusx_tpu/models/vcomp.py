@@ -32,7 +32,10 @@ import numpy as np
 @dataclass
 class RandomTerm:
     name: str
-    Z: np.ndarray  # (N, q) incidence
+    # (N, q) incidence; None = identity (sample-level kernel terms —
+    # avoids materializing an (N, N) eye and the O(N^3) Z @ L identity
+    # matmul the GBLUP multi-kernel fit would otherwise pay per term)
+    Z: np.ndarray | None
     K: np.ndarray | None = None  # (q, q) covariance; None = identity
     levels: np.ndarray | None = None  # level labels (q,)
 
@@ -65,6 +68,9 @@ class _Reduced:
         q0 = 0
         for t in terms:
             if t.K is None:
+                if t.Z is None:
+                    raise ValueError(
+                        f"term {t.name!r}: Z=None needs an explicit K")
                 L = None
                 U = t.Z
             else:
@@ -73,7 +79,7 @@ class _Reduced:
                 w, V = np.linalg.eigh(K + 1e-8 * np.eye(K.shape[0]))
                 w = np.clip(w, 0.0, None)
                 L = V * np.sqrt(w)[None, :]
-                U = t.Z @ L
+                U = L if t.Z is None else t.Z @ L
             self.Ls.append(L)
             Us.append(U)
             self.slices.append(slice(q0, q0 + U.shape[1]))
@@ -280,7 +286,9 @@ def ai_reml(
     sigma2 = {nm: float(s) for nm, s in zip(names, sig)}
     h2 = {nm: float(s / total) for nm, s in zip(names, sig)}
     fitted = X @ blue + sum(
-        terms[r].Z @ blups[terms[r].name][1] for r in range(k)
+        blups[terms[r].name][1] if terms[r].Z is None
+        else terms[r].Z @ blups[terms[r].name][1]
+        for r in range(k)
     )
     return VcompResult(
         sigma2=sigma2, h2=h2, loglik=float(st.ll), n_iter=it, converged=converged,
