@@ -93,13 +93,18 @@ def translate(packed: np.ndarray, lut: np.ndarray) -> np.ndarray:
     return lut[packed]
 
 
-def mask_tail(packed: np.ndarray, n_samples: int) -> np.ndarray:
+def mask_tail(packed: np.ndarray, n_samples: int,
+              copy: bool = True) -> np.ndarray:
     """Force tail-padding positions of the last byte to code 3 (missing).
 
     Needed after reading PLINK BED, whose pad bits decode to hom-A1.
-    Operates in place on a copy and returns it.
-    """
-    packed = np.asarray(packed, dtype=np.uint8).copy()
+    Operates in place on a copy and returns it; ``copy=False`` mutates
+    the input (use when the caller owns a freshly-allocated buffer —
+    e.g. a translate() output — to skip a full-window memcpy on every
+    streaming read)."""
+    packed = np.asarray(packed, dtype=np.uint8)
+    if copy:
+        packed = packed.copy()
     rem = n_samples % 4
     if rem == 0 or packed.shape[-1] == 0:
         return packed

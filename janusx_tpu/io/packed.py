@@ -86,6 +86,12 @@ class PackedGenotypes:
         n = parts[0].n_samples
         if any(p.n_samples != n for p in parts):
             raise ValueError("sample counts differ")
+        s0 = np.asarray(parts[0].samples)
+        for p in parts[1:]:
+            # equal COUNTS are not enough: different cohorts of the same
+            # size would concatenate with silently misaligned columns
+            if not np.array_equal(np.asarray(p.samples), s0):
+                raise ValueError("sample ID sets differ between parts")
         return PackedGenotypes(
             packed=np.concatenate([p.packed for p in parts], axis=0),
             n_samples=n,
@@ -161,9 +167,22 @@ def subset_samples_keep_stats(
     (assoc/workflow.py:6895 "reuse a single full-sample row-stat pass
     across traits/folds instead of recomputing on each training subset";
     default remains strict-train re-preparation)."""
-    from janusx_tpu.io import bitcodec
-
     sample_idx = np.asarray(sample_idx)
+    if not hasattr(pg, "packed"):
+        # disk-backed lazy view (io.windowed.WindowedPacked): compose the
+        # sample subset into the materializer and keep the full-sample
+        # stats — the -global low-memory route crashes here otherwise
+        import dataclasses
+
+        base = getattr(pg, "sample_idx", None)
+        new_idx = (sample_idx if base is None
+                   else np.asarray(base)[sample_idx])
+        return dataclasses.replace(
+            pg,
+            sample_idx=new_idx,
+            n_samples=len(new_idx),
+            samples=np.asarray(pg.samples)[sample_idx],
+        )
     return PackedGenotypes(
         packed=bitcodec.subset_columns(pg.packed, pg.n_samples, sample_idx),
         n_samples=len(sample_idx),

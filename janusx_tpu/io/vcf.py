@@ -9,7 +9,9 @@ feed QC/packing for ~10^5-10^6 site files; a C extension hook can replace
 Genotype encoding: count of ALT alleles (0/1/2), missing -1. Multi-allelic
 sites (ALT containing ','): genotypes referring to allele indices > 1 are
 treated as missing; the site is kept with the first ALT allele, matching
-biallelic-effective behavior.
+biallelic-effective behavior. Haploid calls follow the PLINK convention:
+'1' codes as dosage 2 (hemizygous ALT counted like hom-diploid), '0' as 0
+— allele frequencies on haploid data inherit PLINK's inflation semantics.
 """
 
 from __future__ import annotations
@@ -66,6 +68,14 @@ def _parse_lines(lines: list[str], n_samples: int):
     gt_map = _GT_MAP
     for i, line in enumerate(lines):
         fields = line.rstrip("\n").split("\t")
+        if len(fields) != 9 + n_samples:
+            # a ragged line must be a LOUD error: np.empty rows would
+            # otherwise keep uninitialized garbage dosages for the
+            # missing trailing samples (silent data corruption)
+            raise ValueError(
+                f"VCF data line has {len(fields)} fields, expected "
+                f"{9 + n_samples} (9 fixed + {n_samples} samples): "
+                f"{line[:80]!r}...")
         chrom[i] = fields[0]
         pos[i] = int(fields[1])
         sid = fields[2]
@@ -105,6 +115,8 @@ def iter_vcf_chunks(
         for line in fh:
             if line.startswith("#"):
                 continue
+            if not line.strip():
+                continue  # blank/trailing lines are not variant records
             buf.append(line)
             if len(buf) >= chunk_snps:
                 geno, sites = _parse_lines(buf, n)
@@ -141,6 +153,6 @@ def count_vcf_sites(path: str) -> int:
     n = 0
     with _open_text(path) as fh:
         for line in fh:
-            if not line.startswith("#"):
+            if not line.startswith("#") and line.strip():
                 n += 1
     return n

@@ -95,7 +95,7 @@ class WindowedBed:
         """Dosage-code packed rows [start, stop), tail masked."""
         raw = _read_rows(self._path, self._nb, start, stop)
         packed = bitcodec.translate(raw, bitcodec.BED_TO_DOSAGE_LUT)
-        return bitcodec.mask_tail(packed, self.n_samples)
+        return bitcodec.mask_tail(packed, self.n_samples, copy=False)
 
     def to_raw_packed(self):
         """Materialize the full packed matrix in RAM (= .bed size) for
@@ -220,7 +220,7 @@ class WindowedPacked:
                     out[a:b] = _read_rows(self.bed_path, self.nb_full,
                                           rows[a], rows[b - 1] + 1, fh=fh)
         packed = bitcodec.translate(out, bitcodec.BED_TO_DOSAGE_LUT)
-        packed = bitcodec.mask_tail(packed, self.n_full)
+        packed = bitcodec.mask_tail(packed, self.n_full, copy=False)
         if self.sample_idx is not None:
             packed = bitcodec.subset_columns(packed, self.n_full, self.sample_idx)
         return bitcodec.flip_rows(packed, self.flip[idx])

@@ -215,3 +215,64 @@ def test_bin01_and_pheno_survive_mutation(tmp_path):
         with open(q, "wb") as fh:
             fh.write(mut)
         _attempt(load_phenotype, q)
+
+
+def test_vcf_ragged_line_is_loud_error(tmp_path):
+    """A data line with missing genotype columns must raise, not parse
+    uninitialized garbage dosages (round-5 review finding)."""
+    from janusx_tpu.io.vcf import read_vcf
+
+    p = tmp_path / "r.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\ts3\n"
+        "1\t100\trs1\tA\tG\t.\t.\t.\tGT\t0/0\t0/1\n"  # 2 cells, 3 samples
+    )
+    with pytest.raises(ValueError, match="expected 12"):
+        read_vcf(str(p))
+
+
+def test_vcf_blank_lines_skipped(tmp_path):
+    """Trailing/blank lines are not variant records: parsing skips them
+    and count_vcf_sites does not count them."""
+    from janusx_tpu.io.vcf import count_vcf_sites, read_vcf
+
+    p = tmp_path / "b.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\n"
+        "1\t100\trs1\tA\tG\t.\t.\t.\tGT\t0/0\t0/1\n"
+        "\n"
+        "1\t200\trs2\tC\tT\t.\t.\t.\tGT\t1/1\t./.\n"
+        "\n"
+    )
+    gd = read_vcf(str(p))
+    assert gd.m == 2
+    assert count_vcf_sites(str(p)) == 2
+    np.testing.assert_array_equal(gd.genotypes[1], [2, -1])
+
+
+def test_packed_concat_rejects_different_cohorts(rng):
+    """concat with equal sample COUNTS but different sample IDs is a
+    loud error (silently misaligned columns otherwise)."""
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io.packed import PackedGenotypes, QcParams, pack_genotypes
+
+    def panel(tag):
+        m, n = 20, 8
+        g = rng.integers(0, 3, size=(m, n)).astype(np.int8)
+        sites = SiteInfo(
+            chrom=np.array(["1"] * m, object),
+            pos=np.arange(1, m + 1, dtype=np.int64),
+            snp=np.array([f"{tag}{i}" for i in range(m)], object),
+            allele0=np.array(["A"] * m, object),
+            allele1=np.array(["G"] * m, object),
+        )
+        gd = GenotypeData(g, sites,
+                          np.array([f"{tag}_{j}" for j in range(n)], object))
+        return pack_genotypes(gd, QcParams(maf=0.0, geno=1.0))
+
+    a, b = panel("a"), panel("b")
+    with pytest.raises(ValueError, match="sample ID"):
+        PackedGenotypes.concat([a, b])
+    assert PackedGenotypes.concat([a, a]).m == 2 * a.m

@@ -278,3 +278,51 @@ def test_prefetch_iter_matches_plain_iteration():
     assert next(it) == 1
     with _pytest.raises(RuntimeError, match="mid-stream"):
         next(it)
+
+
+def test_subset_samples_keep_stats_windowed(tmp_path, rng):
+    """subset_samples_keep_stats on a disk-backed WindowedPacked (the
+    -global low-memory route) composes the sample subset lazily and
+    keeps full-sample stats — matching the in-RAM PackedGenotypes
+    behavior (round-5 review: this path crashed with AttributeError)."""
+    from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+    from janusx_tpu.io.packed import (
+        QcParams, pack_genotypes, subset_samples_keep_stats,
+    )
+    from janusx_tpu.io.plink import write_plink_genotypes
+    from janusx_tpu.io.windowed import WindowedBed
+
+    m, n = 120, 22
+    g = rng.integers(0, 3, size=(m, n)).astype(np.int8)
+    g[rng.random(size=g.shape) < 0.05] = -1
+    sites = SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(1, m + 1, dtype=np.int64),
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+    gd = GenotypeData(g, sites, np.array([f"i{j}" for j in range(n)], object))
+    prefix = str(tmp_path / "wsub")
+    write_plink_genotypes(prefix, gd)
+
+    qc = QcParams(maf=0.02, geno=0.2)
+    wp = WindowedBed(prefix).prepare(qc)
+    pg = pack_genotypes(gd, qc)
+    keep = np.sort(rng.choice(n, size=13, replace=False))
+
+    sub_w = subset_samples_keep_stats(wp, keep)
+    sub_p = subset_samples_keep_stats(pg, keep)
+    assert sub_w.n == 13 and list(sub_w.samples) == list(sub_p.samples)
+    # stats stay FULL-sample on both routes
+    np.testing.assert_array_equal(sub_w.af, pg.af)
+    np.testing.assert_array_equal(sub_w.mean, pg.mean)
+    # materialized codes agree with the in-RAM subset
+    idx = np.arange(sub_w.m)
+    np.testing.assert_array_equal(
+        sub_w.take_snps(idx).dosages(), sub_p.dosages())
+    # and it composes with an existing sample_idx (prepare(sample_idx=...))
+    wp2 = WindowedBed(prefix).prepare(qc, sample_idx=np.arange(2, n))
+    sub2 = subset_samples_keep_stats(wp2, np.arange(5))
+    assert list(sub2.samples) == [f"i{j}" for j in range(2, 7)]
+    assert sub2.take_snps(np.arange(sub2.m)).dosages().shape[1] == 5
