@@ -67,6 +67,17 @@ def _lead_count_grid(qb: int, nbin: int) -> tuple[int, ...]:
 LD_REDUNDANCY_R = 0.7
 
 
+def _pos_key(pgq) -> np.ndarray:
+    """Chromosome-major composite position key (stride 1e10, mirrored by
+    _bin_leads' bin decomposition) — single definition for both routes."""
+    chrom_ids = {c: i for i, c in enumerate(dict.fromkeys(pgq.sites.chrom))}
+    return np.array(
+        [chrom_ids[c] * 10_000_000_000 + p
+         for c, p in zip(pgq.sites.chrom, pgq.sites.pos)],
+        dtype=np.int64,
+    )
+
+
 def _bin_leads(pos_key: np.ndarray, pvals: np.ndarray, window: int, n_lead: int):
     """Best marker per genomic window, then the n_lead most significant.
 
@@ -177,12 +188,7 @@ def farmcpu_scan(
         p_threshold = 1.0 / m  # reference default when unset
         # (workflow_model_farmcpu.py:1184: 1 / tested_SNP_count)
 
-    # composite position key: chromosome-major ordering
-    chrom_ids = {c: i for i, c in enumerate(dict.fromkeys(pgq.sites.chrom))}
-    pos_key = np.array(
-        [chrom_ids[c] * 10_000_000_000 + p for c, p in zip(pgq.sites.chrom, pgq.sites.pos)],
-        dtype=np.int64,
-    )
+    pos_key = _pos_key(pgq)  # chromosome-major composite ordering
 
     qtns = np.array([], dtype=np.int64)
     history = []
@@ -380,12 +386,12 @@ def farmcpu_unified_scan(
     y: np.ndarray,
     covariates: np.ndarray | None = None,
     p_threshold: float | None = None,
-    qtn_threshold: float = 0.01,
     max_loops: int = MAX_LOOPS,
     qtn_cap: int = 150,
     block: int = config.DEFAULT_SNP_BLOCK,
     qtn_bound: int | None = None,
     nbin: int = DEFAULT_NBIN,
+    window_sizes=WINDOW_SIZES,
     mesh=None,
 ) -> FarmcpuResult:
     """The `-frgwas` unified FarmCPU route (farmcpu.rs:44-68):
@@ -408,11 +414,7 @@ def farmcpu_unified_scan(
         p_threshold = 1.0 / m  # reference default: 1 / tested_SNP_count
         # (workflow_model_farmcpu.py:1184) — tau gates loop continuation
 
-    chrom_ids = {c: i for i, c in enumerate(dict.fromkeys(pg.sites.chrom))}
-    pos_key = np.array(
-        [chrom_ids[c] * 10_000_000_000 + p for c, p in zip(pg.sites.chrom, pg.sites.pos)],
-        dtype=np.int64,
-    )
+    pos_key = _pos_key(pg)  # chromosome-major composite ordering
 
     qtns = np.array([], dtype=np.int64)
     seen: set = set()
@@ -437,7 +439,7 @@ def farmcpu_unified_scan(
 
         best_rem = np.inf
         opt_lead = np.array([], dtype=np.int64)
-        for win in WINDOW_SIZES:
+        for win in window_sizes:
             for nb in lead_counts:
                 # reference select_lead_indices (farmcpu.rs:832) applies
                 # NO p cut: the REM likelihood alone picks the lead set;

@@ -150,12 +150,32 @@ def _single_scores(B, t, t2sum, mode, n):
     return s, cnts
 
 
-def _beam_search(B, t, depth, beam, snp_min_support, mode="corr"):
+def _score_np(num, cnt, t2sum, n, mode):
+    """Host-side twin of _extension_scores' score closure (same formula,
+    numpy) — used by the elementwise pair screen."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if mode == "corr":
+            var = cnt * (1.0 - cnt / n)
+            return (num * num) / (t2sum * np.maximum(var, _EPS))
+        tp = num
+        fp = cnt - tp
+        fn = t2sum - tp
+        tn = n - cnt - fn
+        s = tp * tn - fp * fn
+        den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+        return (s * s) / np.maximum(den, _EPS)
+
+
+def _beam_search(B, t, depth, beam, snp_min_support, mode="corr", Bj=None):
     m, n = B.shape
     t = np.asarray(t, np.float64)
     t2sum = float(t @ t) if mode == "corr" else float(t.sum())
     tj = jnp.asarray(t, jnp.float32)
-    Bj = jnp.asarray(B, jnp.float32)
+    if Bj is None:
+        # callers looping permutations pass the device matrix in once —
+        # re-transferring the whole (m, n) f32 matrix per permutation
+        # cost ~m*n*4 bytes x n_perm of redundant host->device traffic
+        Bj = jnp.asarray(B, jnp.float32)
 
     s1, cnts1 = _single_scores(B, t, t2sum, mode, n)
     valid = (cnts1 >= snp_min_support) & (cnts1 <= n - snp_min_support)
@@ -240,13 +260,24 @@ def preselect_features(
     jj = rng.integers(0, m, size=n_pairs)
     pair_best = np.zeros(m)
     if n_pairs:
-        ext = _extension_scores(
-            jnp.asarray(B[ii], jnp.float32), jnp.asarray(B[jj], jnp.float32),
-            jnp.asarray(t, jnp.float32), t2sum, float(n), mode,
-        )
-        # diagonal of the (P, P) cross-products = each sampled pair
+        # elementwise per-pair scores: the earlier (P, P) cross-product
+        # matmuls computed P^2 scores of which only the P diagonal
+        # entries were used — O(P n) here, same numbers
+        Bi = B[ii].astype(np.float64)
+        Bjp = B[jj].astype(np.float64)
+        num_and = np.einsum("pn,pn->p", Bi * t[None, :], Bjp)
+        cnt_and = np.einsum("pn,pn->p", Bi, Bjp)
+        seed_cnt, seed_num = Bi.sum(axis=1), Bi @ t
+        mark_cnt, mark_num = Bjp.sum(axis=1), Bjp @ t
+        pairs = {
+            "AND": (num_and, cnt_and),
+            "ANDN": (seed_num - num_and, seed_cnt - cnt_and),
+            "XOR": (seed_num + mark_num - 2.0 * num_and,
+                    seed_cnt + mark_cnt - 2.0 * cnt_and),
+        }
         for op in _OPS:
-            d = np.asarray(jnp.diagonal(ext[op][0])).copy()
+            num_o, cnt_o = pairs[op]
+            d = _score_np(num_o, cnt_o, t2sum, float(n), mode)
             np.maximum.at(pair_best, ii, d)
             np.maximum.at(pair_best, jj, d)
     combined = np.maximum(uni, 0.5 * pair_best)
@@ -319,23 +350,39 @@ def garfield_scan_features(
         mode = "corr"
         t = _residualize(y, covariates, K)
 
+    B_full = B
     if preselect and preselect < B.shape[0]:
         kept = preselect_features(B, t, mode, preselect, seed=seed)
         B = B[kept]
     else:
         kept = None
 
-    rules = _beam_search(B, t, depth, beam, min_support, mode)[:top_rules]
+    Bj = jnp.asarray(B, jnp.float32)  # device matrix uploaded ONCE
+    rules = _beam_search(B, t, depth, beam, min_support, mode,
+                         Bj=Bj)[:top_rules]
 
     # permutation null: max score under shuffled target (maxT)
     rng = np.random.default_rng(seed)
     null_max = np.empty(n_perm)
     for p_i in range(n_perm):
         tp = rng.permutation(t)
+        # the null search must repeat the WHOLE observed pipeline —
+        # including the ML preselection step: selecting once on the
+        # observed t and only permuting inside that subset lets the
+        # observed selection advantage leak into the null (lower null
+        # maxima -> anti-conservative maxT p-values), the same failure
+        # mode the fixed-beam comment below guards against
+        if kept is not None:
+            kept_p = preselect_features(B_full, tp, mode, preselect,
+                                        seed=seed)
+            B_p, Bj_p = B_full[kept_p], None
+        else:
+            B_p, Bj_p = B, Bj
         # the null search must use the SAME beam as the observed search:
         # a weaker null search finds lower maxima and makes the maxT
         # p-values anti-conservative
-        null_rules = _beam_search(B, tp, depth, beam, min_support, mode)
+        null_rules = _beam_search(B_p, tp, depth, beam, min_support, mode,
+                                  Bj=Bj_p)
         null_max[p_i] = null_rules[0].score if null_rules else 0.0
     scores = np.array([ru.score for ru in rules])
     pvals = np.array(

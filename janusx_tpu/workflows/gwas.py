@@ -175,6 +175,11 @@ def resolve_mesh(n_devices: int | None):
 
 def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
     t0 = time.monotonic()
+    if "farmcpu" in cfg.models and "frgwas" in cfg.models:
+        # reference parity (assoc/workflow.py:6979: "Only one of
+        # -farmcpu / -frgwas may be specified") — and both share the
+        # FarmCPU TSV tag, so running both would overwrite one output
+        raise ValueError("only one of farmcpu / frgwas may be requested")
     qc = QcParams(maf=cfg.maf, geno=cfg.geno, het=cfg.het)
     mesh = resolve_mesh(cfg.n_devices)
     if mesh is not None:
@@ -230,7 +235,9 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
             id_path = next((c for c in id_candidates if os.path.exists(c)), None)
             if id_path is not None:
                 # align GRM rows to the genotype sample order by ID
-                grm_ids = [l.split()[0] for l in open(id_path) if l.strip()]
+                from janusx_tpu.utils.cache import _read_id_column
+
+                grm_ids = _read_id_column(id_path)
                 if len(grm_ids) != Ksp.shape[0]:
                     raise ValueError(
                         f"-spk id sidecar has {len(grm_ids)} ids, GRM dim "
@@ -312,6 +319,8 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
                 from janusx_tpu.io.packed import subset_samples_keep_stats
 
                 pg_b = subset_samples_keep_stats(pg_full, keep)
+            elif len(keep) == raw.n_samples:
+                pg_b = pg_full  # all samples kept: identical to pg_full
             else:
                 pg_b = raw.prepare(qc, sample_idx=keep)
             entry_b = {"pg": pg_b, "basis": None}
@@ -384,6 +393,12 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
 
             with stage(f"subset columns, global stats ({trait})", log):
                 pg_t = subset_samples_keep_stats(pg_full, keep)
+            entry = {"pg": pg_t, "basis": None}
+            prep_cache[mask_key] = entry
+        elif len(keep) == raw.n_samples:
+            # fully-observed trait: re-preparing would recompute exactly
+            # pg_full (a second O(m n) QC/pack pass per distinct mask)
+            pg_t = pg_full
             entry = {"pg": pg_t, "basis": None}
             prep_cache[mask_key] = entry
         else:
@@ -545,9 +560,11 @@ def run_gwas(cfg: GwasConfig) -> list[TraitRunResult]:
 
                 out_f = farmcpu_unified_scan(
                     pg_t, y_t, cov_t, block=cfg.block,
+                    p_threshold=cfg.farmcpu_threshold,
                     max_loops=cfg.farmcpu_iter,
                     qtn_bound=cfg.farmcpu_qtn_bound,
                     nbin=cfg.farmcpu_nbin,
+                    window_sizes=tuple(cfg.farmcpu_bin_sizes),
                     mesh=mesh,
                 )
                 res = out_f.result
