@@ -148,6 +148,8 @@ def top_fit(
     prev = np.inf
     converged = False
     it = 0
+    # max_iter <= 0 would leave `loss` unbound below (no iterations run)
+    loss = float(_loss_only(jnp.asarray(w), Pd, Td, l2))
     for it in range(1, max_iter + 1):
         loss, grad, hess = _loss_grad_hess(jnp.asarray(w), Pd, Td, l2)
         loss = float(loss)

@@ -248,6 +248,15 @@ def _run_kernel_method(
 
 def run_gs(cfg: GsConfig):
     t_start = time.monotonic()
+    # pure config validation FIRST: a typo'd metric or malformed select
+    # target must fail before hours of CV, not after (the CLI is shielded
+    # by argparse choices; the in-memory API is not)
+    if cfg.select_metric not in ("pearson", "spearman", "r2", "mse", "mae",
+                                 "rmse", "nrmse"):
+        raise ValueError(f"unknown select_metric {cfg.select_metric!r}")
+    if cfg.select is not None and isinstance(cfg.select, str) \
+            and cfg.select != "max":
+        raise ValueError("select target must be 'max' or a k-vector")
     qc = QcParams(maf=cfg.maf, geno=cfg.geno, het=cfg.het)
     raw = load_raw_packed(cfg.genotype)
     pg = raw.prepare(qc)
@@ -290,9 +299,13 @@ def run_gs(cfg: GsConfig):
         if any(mm in ("GBLUPd", "GBLUPad") for mm in cfg.methods):
             raise ValueError("-hash does not support dominance kernels")
         if cfg.export_effects or cfg.save_models:
+            import dataclasses
+
             log.warning("-hash: marker effects are not back-projectable "
                         "from hashed features; effect export disabled")
-            cfg.export_effects = cfg.save_models = False
+            # local copy — run_gs must not mutate the caller's config
+            cfg = dataclasses.replace(
+                cfg, export_effects=False, save_models=False)
     from janusx_tpu.workflows.gwas import resolve_mesh
 
     mesh = resolve_mesh(None)
@@ -328,6 +341,13 @@ def run_gs(cfg: GsConfig):
             U, S, _ = np.linalg.svd(Xc, full_matrices=False)
             Xml = (U[:, :q] * S[:q]).astype(np.float32)
             log.info("-pcd: ML features reduced to %d PC scores", q)
+            if cfg.save_models and any(
+                    mm in BAYES_METHODS for mm in cfg.methods):
+                import dataclasses
+
+                log.warning("-pcd: Bayes coefficients live in PC space, "
+                            "not marker space; .jxmodel export disabled")
+                cfg = dataclasses.replace(cfg, save_models=False)
 
     if cfg.write_outputs:
         os.makedirs(
@@ -554,7 +574,16 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait,
             "tol": getattr(cfg, "rrblup_pcg_tol", None),
             "max_iter": getattr(cfg, "rrblup_pcg_maxiter", None),
         }
-        if route == "rrBLUP(PCG)" and pcg_lbd is not None:
+        if route == "rrBLUP(PCG)" and pcg_lbd is None:
+            pcg_lbd = (cfg.rrblup_lambda
+                       if getattr(cfg, "rrblup_lambda", None) is not None
+                       else 1.0)
+            log.warning(
+                "trait %s: HE pre-fit unavailable for the rrBLUP(PCG) "
+                "route; using fixed lambda=%.3g (--rrblup-lambda to "
+                "control) instead of falling back to the O(n^3) eigh "
+                "path at this scale", trait, pcg_lbd)
+        if route == "rrBLUP(PCG)":
             # large-n route: Jacobi-PCG solves of (K_tt + λI) at the HE
             # pre-fit λ — no per-fold O(n^3) eigendecomposition
             # (reference rrblup_pcg_bed regime, gs/workflow.py:19506)
@@ -576,6 +605,25 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait,
             alpha, beta0 = fit_gblup_cg(K, y, train, pcg_lbd, **pcg_kw)
             test_pred = (K[np.ix_(test, train)] @ alpha + beta0[0]
                          if len(test) else np.empty(0))
+            # effect export must not silently disappear when auto-dispatch
+            # picks the PCG route at scale (the eigh route exports these)
+            if cfg.write_outputs and (cfg.export_effects or cfg.save_models):
+                alpha_full = np.zeros(pg.n)
+                alpha_full[train] = alpha
+                eff = marker_effects(pg, alpha_full, denom)
+                info["n_effects"] = len(eff)
+                if cfg.export_effects:
+                    _write_effects(
+                        f"{cfg.out_prefix}.{trait}.{method}.effect.tsv",
+                        pg, eff)
+                if cfg.save_models:
+                    from janusx_tpu.gs.model_io import save_marker_model
+
+                    save_marker_model(
+                        f"{cfg.out_prefix}.{trait}.{method}.jxmodel.npz",
+                        pg.sites, eff, pg.mean, float(beta0[0]), method,
+                        {"trait": str(trait), "lambda": float(pcg_lbd)},
+                    )
             fit_secs = time.monotonic() - t1
             return MethodRunResult(
                 method=method, route=route, fold_metrics=fold_metrics,
@@ -617,8 +665,9 @@ def _run_single_method(cfg, method, K, Xml, pg, denom, y, train, test, trait,
         )
         test_pred = preds[0] if preds else np.empty(0)
         info.update(lambda_=model.lbd, vg=model.vg, ve=model.ve, pve=model.pve)
-        want_effects = cfg.export_effects or cfg.save_models or (
-            method == "rrBLUP" and cfg.hash_dim is None
+        want_effects = cfg.write_outputs and (
+            cfg.export_effects or cfg.save_models
+            or (method == "rrBLUP" and cfg.hash_dim is None)
         )
         if want_effects:
             eff = marker_effects(pg, _alpha_full(model, pg.n), denom)
@@ -750,7 +799,20 @@ def _run_top_bundle(cfg, samples, traits, y_true, y_pred, sel_methods, summary):
                 f"select target has {target.size} values, expected {k} "
                 f"(traits: {', '.join(traits)})"
             )
-    scores = top_rank(model, np.where(valid[:, None], y_pred, 0.0), target)
+    if isinstance(target, str):
+        # "max" = best OBSERVED value per trait (GsConfig doc / reference
+        # --select max) — NOT the max of the prediction matrix, whose
+        # zero-filled invalid rows could fabricate the target profile
+        score_target = np.array([
+            np.nanmax(y_true[:, j])
+            if np.isfinite(y_true[:, j]).any()
+            else float(np.max(y_pred[valid, j]))
+            for j in range(k)
+        ])
+    else:
+        score_target = target
+    scores = top_rank(model, np.where(valid[:, None], y_pred, 0.0),
+                      score_target)
     scores = np.where(valid, scores, -np.inf)
     order = np.argsort(-scores)
 
@@ -802,6 +864,10 @@ def _run_top_bundle(cfg, samples, traits, y_true, y_pred, sel_methods, summary):
         true_sd=model.true_sd,
         selected_models=np.asarray(sel_methods),
         target=(np.asarray("max") if isinstance(target, str) else target),
+        # the ranking applies this calibration BEFORE scoring: without it
+        # a loaded bundle cannot reproduce .gs.TOP.rank.tsv
+        cal_intercept=model.cal_intercept,
+        cal_slope=model.cal_slope,
     )
     log.info("TOP bundle written: %s, %s", wpath, rpath)
 

@@ -398,3 +398,61 @@ def test_gs_cli_ml_params_and_tune(tmp_path, gs_problem):
     assert rc == 0
     s2 = json.load(open(tmp_path / "mt.gs.summary.json"))
     assert "SVM" in s2["traits"]["t1"]
+
+
+def test_rrblup_pcg_route_exports_effects(tmp_path, gs_problem):
+    """Effect/model artifacts must not disappear when dispatch picks the
+    PCG route (round-5 review: the early return skipped the export)."""
+    import json
+
+    from janusx_tpu.gs.workflow import GsConfig, run_gs
+
+    pg, K, y = gs_problem
+    prefix = str(tmp_path / "pcgfx")
+    gd = GenotypeData(pg.dosages(), pg.sites, pg.samples)
+    plink.write_plink_genotypes(prefix, gd)
+    with open(prefix + ".pheno", "wt") as fh:
+        fh.write("\tt1\n")
+        for s, v in zip(pg.samples, y):
+            fh.write(f"{s}\t{v:.6f}\n")
+    cfg = GsConfig(
+        genotype=prefix, phenotype=prefix + ".pheno",
+        out_prefix=str(tmp_path / "out"), methods=("BLUP",), cv=2,
+        maf=0.0, geno=1.0, export_effects=True, save_models=True,
+        rrblup_solver="pcg",
+    )
+    results, summary = run_gs(cfg)
+    assert results["t1"]["BLUP"].route == "rrBLUP(PCG)"
+    assert (tmp_path / "out.t1.BLUP.effect.tsv").exists()
+    assert (tmp_path / "out.t1.BLUP.jxmodel.npz").exists()
+    assert summary["traits"]["t1"]["BLUP"]["n_effects"] > 0
+
+
+def test_top_fit_zero_iters_and_bundle_calibration(tmp_path):
+    """top_fit(max_iter=0) returns the initial loss instead of crashing;
+    the TOP bundle carries the calibration it scored with."""
+    from janusx_tpu.gs.top import top_fit, top_rank
+
+    rng = np.random.default_rng(5)
+    y_true = rng.normal(size=(40, 2))
+    y_pred = y_true * 0.8 + rng.normal(size=(40, 2)) * 0.3 + 1.5
+    mdl = top_fit(y_true, y_pred, max_iter=0)
+    assert np.isfinite(mdl.loss) and mdl.n_iter == 0
+    # "max" target: scores finite; explicit raw-scale target agrees in
+    # ordering with itself after calibration round-trip
+    s = top_rank(mdl, y_pred, np.nanmax(y_true, axis=0))
+    assert np.isfinite(s).all()
+
+
+def test_run_gs_validates_config_before_compute(tmp_path, gs_problem):
+    """Bad select_metric / select target fail FAST (before any IO/CV)."""
+    from janusx_tpu.gs.workflow import GsConfig, run_gs
+
+    cfg = GsConfig(genotype="/nonexistent", phenotype="/nonexistent",
+                   select_metric="pearsn")
+    with pytest.raises(ValueError, match="select_metric"):
+        run_gs(cfg)  # raises BEFORE touching the missing files
+    cfg2 = GsConfig(genotype="/nonexistent", phenotype="/nonexistent",
+                    select="maximum")
+    with pytest.raises(ValueError, match="select target"):
+        run_gs(cfg2)
