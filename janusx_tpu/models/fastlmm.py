@@ -167,6 +167,20 @@ def make_rotated_lr(
     X = ones if X_cov is None else np.concatenate(
         [ones, np.asarray(X_cov, np.float64)], axis=1
     )
+    # Exact reparameterization, mirroring core.reml.make_rotated: subtract
+    # the f64 OLS projection of y onto span(X) BEFORE building the rotated
+    # and complement pieces. REML/ML values, λ, vg/ve and every per-SNP
+    # statistic are mathematically invariant (GLS effects are
+    # translation-invariant in span(X)), but without it a constant
+    # phenotype offset is only absorbed through the GRAM_RIDGE'd null
+    # solve — inexactly — which on flat boundary optima (weak low-rank
+    # kinship signal) moved λ̂ by ~0.5 log10 units, and a large phenotype
+    # mean leaked into the f32 per-SNP G-side products
+    # (tests/test_metamorphic_r5b.py::test_lowrank_affine_equivariance).
+    # Downstream: the null fit's beta is ~0 by construction, as on the
+    # dense route (fit_null_reml_lr docstring).
+    c, *_ = np.linalg.lstsq(X, y, rcond=None)
+    y = y - X @ c
     Xr = lrb.U.T @ X  # (k, p)
     yr = lrb.U.T @ y
     k = Xr.shape[0]
@@ -209,7 +223,10 @@ def fit_null_reml_lr(rot: RotatedLR) -> tuple[NullFit, np.ndarray, float]:
 
     Same profiled-REML formulas as core.reml.fit_null_reml_host (reference
     src/stats/reml.rs:255,364,572), with low-rank weighted grams. Returns
-    (NullFit, beta_null, vg)."""
+    (NullFit, beta_null, vg). NOTE: make_rotated_lr residualizes y onto
+    span(X), so beta_null is ~0 by construction (as on the dense route);
+    vg (a residual quadratic form, invariant to the residualization) is
+    the meaningful output."""
     import scipy.linalg as sla
     from scipy.optimize import minimize_scalar
 

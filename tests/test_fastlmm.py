@@ -65,12 +65,20 @@ def test_lowrank_null_matches_dense_null(lr_problem):
     rot = make_rotated_lr(lrb, y, cov)
     null_lr, beta_lr, vg_lr = fit_null_reml_lr(rot)
     X = np.concatenate([np.ones((pg.n, 1)), cov], axis=1)
+    # make_rotated_lr residualizes y onto span(X) (round-5 invariance
+    # fix); feed the dense reference the same residualized phenotype so
+    # the two objectives are evaluated on identical data
+    c0, *_ = np.linalg.lstsq(X, y, rcond=None)
+    y_res = y - X @ c0
     null_d, beta_d, vg_d = fit_null_reml_host(
-        basis.S, basis.U.T @ X, basis.U.T @ y
+        basis.S, basis.U.T @ X, basis.U.T @ y_res
     )
     assert null_lr.log10_lbd == pytest.approx(null_d.log10_lbd, abs=2e-2)
     assert null_lr.ml == pytest.approx(null_d.ml, rel=1e-5, abs=1e-4)
     np.testing.assert_allclose(beta_lr, beta_d, rtol=1e-4, atol=1e-6)
+    # OLS-residualized y is only GLS-orthogonal to X at λ→∞: the null
+    # beta is small (OLS≠GLS weighting) but not exactly zero
+    assert np.max(np.abs(beta_lr)) < 0.05
 
 
 def test_lowrank_scan_matches_dense_scan(lr_problem):

@@ -1,0 +1,294 @@
+"""Round-5 metamorphic extensions: models without structural-invariance
+coverage (low-rank FaST-LMM, HE regression, AI-REML, the lm2/fvlmm2 G×E
+scans, KING). Same contract as tests/test_metamorphic.py: each test pins
+a mathematical identity the production code must satisfy on random data,
+catching the f32-leak / padding / asymmetry bug class goldens can't see.
+"""
+
+import numpy as np
+import pytest
+
+from janusx_tpu.core.spectral import eigh_grm
+from janusx_tpu.io.gdata import GenotypeData, SiteInfo
+from janusx_tpu.io.packed import QcParams, pack_genotypes
+from janusx_tpu.models.fastlmm import fastlmm_scan, lowrank_basis_from_snps
+from janusx_tpu.models.grm import grm_from_packed
+from janusx_tpu.models.gxe import gxe_scan
+from janusx_tpu.models.he import he_regression
+from janusx_tpu.models.king import king_kinship
+from janusx_tpu.models.vcomp import RandomTerm, ai_reml
+
+QC_OFF = QcParams(maf=0.0, geno=1.0, het=1.0)
+
+
+def _sites(m: int) -> SiteInfo:
+    return SiteInfo(
+        chrom=np.array(["1"] * m, object),
+        pos=np.arange(m, dtype=np.int64) + 1,
+        snp=np.array([f"s{i}" for i in range(m)], object),
+        allele0=np.array(["A"] * m, object),
+        allele1=np.array(["G"] * m, object),
+    )
+
+
+def _panel(rng, m=600, n=200, h2=0.4):
+    af = rng.uniform(0.1, 0.5, size=m)
+    g = rng.binomial(2, af[:, None], size=(m, n)).astype(np.int8)
+    beta = np.zeros(m)
+    qtl = rng.choice(m, 10, replace=False)
+    beta[qtl] = rng.normal(0, 1, 10)
+    gsig = (g - g.mean(axis=1, keepdims=True)).T @ beta
+    gsig *= np.sqrt(h2 / max(gsig.var(), 1e-12))
+    y = gsig + rng.normal(0, np.sqrt(1 - h2), n)
+    samples = np.array([f"i{j}" for j in range(n)], object)
+    return g, y, GenotypeData(g, _sites(m), samples)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(20260821)
+    g, y, gd = _panel(rng)
+    pg = pack_genotypes(gd, QC_OFF)
+    K = grm_from_packed(pg)
+    return g, y, gd, pg, K
+
+
+def _logp(p):
+    return -np.log10(np.maximum(p, 1e-300))
+
+
+# -- low-rank FaST-LMM route ------------------------------------------------
+
+
+def test_lowrank_affine_equivariance(problem):
+    """y -> a*y + b under the low-rank route: the null λ is invariant,
+    beta/se scale by a, p-values are unchanged (complement-corrected
+    REML is affine-equivariant like the dense route)."""
+    g, y, gd, pg, K = problem
+    lrb = lowrank_basis_from_snps(pg, q=128)
+    a, b = 2.9, 17.0
+    r0, n0 = fastlmm_scan(pg, lrb, y)
+    r1, n1 = fastlmm_scan(pg, lrb, a * y + b)
+    assert abs(n1.log10_lbd - n0.log10_lbd) < 1e-3
+    np.testing.assert_allclose(r1.beta, a * r0.beta, rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(r1.se, a * r0.se, rtol=5e-3, atol=1e-4)
+    # f32 per-SNP scan products under a 2.9x phenotype scale: the
+    # project-wide parity envelope (5e-3 in -log10 p) applies
+    assert np.max(np.abs(_logp(r1.pwald) - _logp(r0.pwald))) < 5e-3
+
+
+def test_lowrank_sample_permutation(problem):
+    """Relabeling samples (same permutation of y and genotype columns,
+    identical kinship-SNP subset) must not change per-SNP statistics."""
+    g, y, gd, pg, K = problem
+    idx = np.arange(0, pg.m, 5)  # fixed kinship subset on both sides
+    lrb = lowrank_basis_from_snps(pg, snp_idx=idx)
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(len(y))
+    gd_p = GenotypeData(g[:, perm], gd.sites, gd.samples[perm])
+    pg_p = pack_genotypes(gd_p, QC_OFF)
+    lrb_p = lowrank_basis_from_snps(pg_p, snp_idx=idx)
+    r0, n0 = fastlmm_scan(pg, lrb, y)
+    r1, n1 = fastlmm_scan(pg_p, lrb_p, y[perm])
+    assert abs(n1.log10_lbd - n0.log10_lbd) < 1e-5
+    np.testing.assert_allclose(r1.beta, r0.beta, rtol=5e-3, atol=1e-6)
+    assert np.max(np.abs(_logp(r1.pwald) - _logp(r0.pwald))) < 1e-3
+
+
+# -- HE regression / AI-REML ------------------------------------------------
+
+
+def test_he_affine_equivariance(problem):
+    """y -> a*y + b: HE variance components scale by a² (the intercept
+    absorbs b), so h² is invariant. Host f64 math — tight tolerance."""
+    g, y, gd, pg, K = problem
+    a, b = 3.3, -40.0
+    f0 = he_regression(K, y)
+    f1 = he_regression(K, a * y + b)
+    np.testing.assert_allclose(f1.vg, a * a * f0.vg, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(f1.ve, a * a * f0.ve, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(f1.h2, f0.h2, rtol=1e-9, atol=1e-12)
+
+
+def test_ai_reml_scale_equivariance(problem):
+    """AI-REML: y -> a*y scales every variance component by a² and the
+    BLUE by a; variance proportions and the iteration path-independent
+    h² are invariant."""
+    g, y, gd, pg, K = problem
+    n = len(y)
+    X = np.ones((n, 1))
+    a = 0.37
+    r0 = ai_reml(y, X, [RandomTerm(name="g", Z=None, K=K)])
+    r1 = ai_reml(a * y, X, [RandomTerm(name="g", Z=None, K=K)])
+    assert r0.converged and r1.converged
+    for k in r0.sigma2:
+        np.testing.assert_allclose(
+            r1.sigma2[k], a * a * r0.sigma2[k], rtol=1e-5, atol=1e-12
+        )
+    for k in r0.h2:
+        np.testing.assert_allclose(r1.h2[k], r0.h2[k], rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(r1.blue, a * r0.blue, rtol=1e-5, atol=1e-12)
+
+
+# -- G×E scans (lm2 / fvlmm2) ----------------------------------------------
+
+
+def _gxe_env(rng, n):
+    return rng.normal(1.0, 0.6, n)  # non-centered on purpose (raw covariate)
+
+
+def test_lm2_interaction_covariate_scale(problem):
+    """Scaling the interaction covariate c -> s*c rescales the
+    interaction coefficient by 1/s and leaves every p-value (main,
+    interaction, joint) and the main-effect beta unchanged — the fitted
+    design spans the same space."""
+    g, y, gd, pg, K = problem
+    rng = np.random.default_rng(11)
+    c = _gxe_env(rng, len(y))
+    s = 4.0
+    r0, _ = gxe_scan(pg, y, c)
+    r1, _ = gxe_scan(pg, y, s * c)
+    np.testing.assert_allclose(r1.beta, r0.beta, rtol=2e-4, atol=1e-7)
+    assert np.max(np.abs(_logp(r1.pwald) - _logp(r0.pwald))) < 1e-3
+    np.testing.assert_allclose(
+        r1.extra_cols["beta_i1"], r0.extra_cols["beta_i1"] / s,
+        rtol=2e-4, atol=1e-7,
+    )
+    for col in ("pwald_i1", "p_int_joint", "p_joint"):
+        if col in r0.extra_cols:
+            assert np.max(np.abs(
+                _logp(r1.extra_cols[col]) - _logp(r0.extra_cols[col])
+            )) < 1e-3
+
+
+def test_fvlmm2_interaction_covariate_scale(problem):
+    """Same identity under the mixed (fixed-λ, whitened) fvlmm2 route."""
+    g, y, gd, pg, K = problem
+    rng = np.random.default_rng(13)
+    c = _gxe_env(rng, len(y))
+    s = 0.25
+    basis = eigh_grm(K, diag_ridge=1e-6)
+    r0, n0 = gxe_scan(pg, y, c, basis=basis)
+    r1, n1 = gxe_scan(pg, y, s * c, basis=basis)
+    # the null model covariates span the same space: same λ
+    assert abs(n1.log10_lbd - n0.log10_lbd) < 1e-6
+    np.testing.assert_allclose(r1.beta, r0.beta, rtol=5e-3, atol=1e-6)
+    assert np.max(np.abs(_logp(r1.pwald) - _logp(r0.pwald))) < 2e-3
+    np.testing.assert_allclose(
+        r1.extra_cols["beta_i1"], r0.extra_cols["beta_i1"] / s,
+        rtol=5e-3, atol=1e-6,
+    )
+    assert np.max(np.abs(
+        _logp(r1.extra_cols["pwald_i1"]) - _logp(r0.extra_cols["pwald_i1"])
+    )) < 2e-3
+
+
+# -- KING -------------------------------------------------------------------
+
+
+def test_king_sample_permutation(problem):
+    """KING-robust kinship is a per-pair statistic: permuting samples
+    permutes both axes of the matrix and nothing else. Integer indicator
+    counts — exact equality."""
+    g, y, gd, pg, K = problem
+    rng = np.random.default_rng(17)
+    perm = rng.permutation(pg.n)
+    gd_p = GenotypeData(g[:, perm], gd.sites, gd.samples[perm])
+    pg_p = pack_genotypes(gd_p, QC_OFF)
+    phi = king_kinship(pg)
+    phi_p = king_kinship(pg_p)
+    np.testing.assert_allclose(
+        phi_p, phi[np.ix_(perm, perm)], rtol=0, atol=1e-12
+    )
+
+
+# -- GRAMMAR-γ sparse route -------------------------------------------------
+
+
+def test_splmm_grammar_sample_permutation(problem):
+    """The GRAMMAR-γ approximate scan is sample-permutation equivariant:
+    permuting y, genotype columns and both kinship axes leaves every
+    per-SNP statistic unchanged (γ calibration samples MARKERS by seed,
+    which is permutation-independent)."""
+    from janusx_tpu.models.splmm import splmm_grammar_scan
+
+    g, y, gd, pg, K = problem
+    rng = np.random.default_rng(23)
+    perm = rng.permutation(pg.n)
+    gd_p = GenotypeData(g[:, perm], gd.sites, gd.samples[perm])
+    pg_p = pack_genotypes(gd_p, QC_OFF)
+    r0, info0 = splmm_grammar_scan(pg, K, y, seed=5)
+    r1, info1 = splmm_grammar_scan(
+        pg_p, K[np.ix_(perm, perm)], y[perm], seed=5
+    )
+    assert info1["lambda_null"] == pytest.approx(
+        info0["lambda_null"], rel=1e-6
+    )
+    assert info1["gamma"] == pytest.approx(info0["gamma"], rel=1e-4)
+    np.testing.assert_allclose(r1.beta, r0.beta, rtol=5e-3, atol=1e-6)
+    assert np.max(np.abs(_logp(r1.pwald) - _logp(r0.pwald))) < 5e-3
+
+
+# -- LD prune ---------------------------------------------------------------
+
+
+def test_ld_prune_position_shift_invariance(problem):
+    """bp-windowed LD pruning depends only on pairwise POSITION GAPS:
+    translating every coordinate by a constant yields the identical kept
+    set (and the count-window mode ignores positions entirely)."""
+    from janusx_tpu.models.ldprune import ld_prune
+
+    g, y, gd, pg, K = problem
+    rng = np.random.default_rng(29)
+    m = pg.m
+    pos = np.cumsum(rng.integers(50, 2000, m)).astype(np.int64)
+    sites = SiteInfo(
+        chrom=gd.sites.chrom, pos=pos, snp=gd.sites.snp,
+        allele0=gd.sites.allele0, allele1=gd.sites.allele1,
+    )
+    gd_a = GenotypeData(g, sites, gd.samples)
+    pg_a = pack_genotypes(gd_a, QC_OFF)
+    shift = 7_919_000
+    sites_b = SiteInfo(
+        chrom=gd.sites.chrom, pos=pos + shift, snp=gd.sites.snp,
+        allele0=gd.sites.allele0, allele1=gd.sites.allele1,
+    )
+    pg_b = pack_genotypes(GenotypeData(g, sites_b, gd.samples), QC_OFF)
+    for kw in ({"window_bp": 50_000}, {"window": 50, "step": 5}):
+        keep_a = ld_prune(pg_a, r2_threshold=0.2, **kw)
+        keep_b = ld_prune(pg_b, r2_threshold=0.2, **kw)
+        np.testing.assert_array_equal(keep_a, keep_b)
+
+
+# -- BSA --------------------------------------------------------------------
+
+
+def test_bsa_bulk_swap_antisymmetry():
+    """Swapping the two bulks negates Δ-SNP-index and leaves the G
+    statistic, G′ and the Euclidean distance unchanged (host f64 —
+    exact)."""
+    from janusx_tpu.models.bsa import bsa_analysis
+
+    rng = np.random.default_rng(31)
+    m = 500
+    chrom = np.array(["1"] * (m // 2) + ["2"] * (m - m // 2), object)
+    pos = np.concatenate([
+        np.sort(rng.integers(1, 10_000_000, m // 2)),
+        np.sort(rng.integers(1, 10_000_000, m - m // 2)),
+    ]).astype(np.int64)
+    depth1 = rng.integers(5, 60, m).astype(np.float64)
+    depth2 = rng.integers(5, 60, m).astype(np.float64)
+    alt1 = np.round(depth1 * rng.uniform(0, 1, m))
+    ref1 = depth1 - alt1
+    alt2 = np.round(depth2 * rng.uniform(0, 1, m))
+    ref2 = depth2 - alt2
+    r0 = bsa_analysis(chrom, pos, alt1, ref1, alt2, ref2)
+    r1 = bsa_analysis(chrom, pos, alt2, ref2, alt1, ref1)
+    np.testing.assert_array_equal(r1.delta, -r0.delta)
+    # G/ED/G' are symmetric functions of the two bulks; operand order
+    # changes f64 summation order, so 'exact' here means ~1 ulp
+    kw = dict(rtol=1e-12, atol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(r1.g_stat, r0.g_stat, **kw)
+    np.testing.assert_allclose(r1.ed, r0.ed, **kw)
+    np.testing.assert_allclose(r1.g_prime, r0.g_prime, **kw)
+    np.testing.assert_array_equal(r1.snp_index1, r0.snp_index2)
