@@ -292,3 +292,48 @@ def test_bsa_bulk_swap_antisymmetry():
     np.testing.assert_allclose(r1.ed, r0.ed, **kw)
     np.testing.assert_allclose(r1.g_prime, r0.g_prime, **kw)
     np.testing.assert_array_equal(r1.snp_index1, r0.snp_index2)
+
+
+# -- multi-locus routes (FarmCPU / ALGWAS) ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def big_problem():
+    rng = np.random.default_rng(77)
+    g, y, gd = _panel(rng, m=900, n=260)
+    return g, y, pack_genotypes(gd, QC_OFF)
+
+
+def test_farmcpu_affine_equivariance(big_problem):
+    """y -> a*y + b through the full FEM/REM/SUPER iteration: identical
+    pseudo-QTN selection at every loop and identical final p-values —
+    the selection dynamics (bins, REM grid, thresholds) are all built
+    from scale-free statistics."""
+    from janusx_tpu.models.farmcpu import farmcpu_scan
+
+    g, y, pg = big_problem
+    r0 = farmcpu_scan(pg, y)
+    r1 = farmcpu_scan(pg, 3.0 * y + 10.0)
+    assert sorted(r0.qtns) == sorted(r1.qtns)
+    assert r0.loops == r1.loops
+    assert [sorted(s) for s in (r0.loop_sets or [])] == [
+        sorted(s) for s in (r1.loop_sets or [])
+    ]
+    assert np.max(np.abs(
+        _logp(r1.result.pwald) - _logp(r0.result.pwald)
+    )) < 1e-4
+
+
+def test_algwas_affine_equivariance(big_problem):
+    """y -> a*y + b through the adaptive-lasso stage-1 + scan stage-2:
+    the EBIC-selected support and the stage-2 p-values are invariant
+    (the lasso path scales with y, EBIC ranks the same models)."""
+    from janusx_tpu.models.algwas import algwas_scan
+
+    g, y, pg = big_problem
+    a0 = algwas_scan(pg, y)
+    a1 = algwas_scan(pg, 3.0 * y + 10.0)
+    np.testing.assert_array_equal(np.sort(a0.selected), np.sort(a1.selected))
+    assert np.max(np.abs(
+        _logp(a1.result.pwald) - _logp(a0.result.pwald)
+    )) < 1e-4
