@@ -337,3 +337,41 @@ def test_algwas_affine_equivariance(big_problem):
     assert np.max(np.abs(
         _logp(a1.result.pwald) - _logp(a0.result.pwald)
     )) < 1e-4
+
+
+# -- GARFIELD ---------------------------------------------------------------
+
+
+def test_garfield_sample_permutation_rule_set(problem):
+    """The GARFIELD beam search over hom-alt bitplanes is
+    sample-permutation invariant at the RULE-SET level: the same logic
+    rules (canonicalized — AND/XOR operands are order-free) with the
+    same scores, up to f32 tie noise in discovery order."""
+    from janusx_tpu.models.garfield import garfield_scan
+
+    g, y, gd, pg, K = problem
+    rng = np.random.default_rng(41)
+    perm = rng.permutation(pg.n)
+    gd_p = GenotypeData(g[:, perm], gd.sites, gd.samples[perm])
+    pg_p = pack_genotypes(gd_p, QC_OFF)
+    r0 = garfield_scan(pg, y, depth=2, beam=32, n_perm=20)
+    r1 = garfield_scan(pg_p, y[perm], depth=2, beam=32, n_perm=20)
+
+    def canon(rule):
+        # ANDN is order-sensitive; AND/XOR chains are not
+        if "ANDN" in rule.ops or "NOT" in rule.ops:
+            return (rule.snps, rule.ops)
+        return (tuple(sorted(rule.snps)), tuple(sorted(rule.ops)))
+
+    top0 = {canon(r): r.score for r in r0.rules[:20]}
+    top1 = {canon(r): r.score for r in r1.rules[:20]}
+    shared = set(top0) & set(top1)
+    # near-total overlap (boundary rules may swap with rank 21+ on ties)
+    assert len(shared) >= 18
+    for k in shared:
+        assert top1[k] == pytest.approx(top0[k], abs=1e-5)
+    # supports are integer counts of identical boolean vectors: exact
+    sup0 = {canon(r): r.support for r in r0.rules[:20]}
+    sup1 = {canon(r): r.support for r in r1.rules[:20]}
+    for k in shared:
+        assert sup0[k] == sup1[k]
