@@ -375,3 +375,41 @@ def test_garfield_sample_permutation_rule_set(problem):
     sup1 = {canon(r): r.support for r in r1.rules[:20]}
     for k in shared:
         assert sup0[k] == sup1[k]
+
+
+# -- line-nested REML (jx reml engine) --------------------------------------
+
+
+def test_line_nested_reml_scale_equivariance():
+    """fit_line_nested (the jx reml multi-VC engine): y -> a*y scales
+    every variance component by a² and the BLUE by a. The design has 2
+    replicates of each year WITHIN each line: a term with a single
+    observation per (line, level) cell is exactly confounded with the
+    residual in the line-nested (block-diagonal) structure — the REML
+    surface is then a flat ridge in (σ²_term, σ²_e) and only the sum is
+    identified (verified: objective differs by ~1e-11 across the ridge)."""
+    from janusx_tpu.models.lme import NestedTerm, fit_line_nested
+
+    rng = np.random.default_rng(67)
+    L, n_year, n_rep = 50, 4, 2
+    N = L * n_year * n_rep
+    lines = np.repeat(np.arange(L), n_year * n_rep)
+    year = np.tile(np.repeat(np.arange(n_year), n_rep), L)
+    y = (
+        5.0
+        + rng.normal(0, 1.0, L)[lines]
+        + rng.normal(0, 0.6, (L, n_year))[lines, year]  # line-specific year
+        + rng.normal(0, 0.8, N)
+    )
+    X = np.ones((N, 1))
+    terms = [NestedTerm("year", year, np.ones(N), n_year, None)]
+    a = 2.5
+    f0 = fit_line_nested(y, X, lines, terms)
+    f1 = fit_line_nested(a * y, X, lines, terms)
+    assert f0.converged and f1.converged
+    for k in f0.sigma2:
+        assert f1.sigma2[k] == pytest.approx(
+            a * a * f0.sigma2[k], rel=2e-2
+        ), k
+    np.testing.assert_allclose(f1.beta, a * f0.beta, rtol=1e-6)
+    np.testing.assert_allclose(f1.beta_se, a * f0.beta_se, rtol=2e-2)
